@@ -1,0 +1,36 @@
+package graft.blockers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Blocks, EntityFrame}
+
+/** A blocker maps two entity frames (plus optional relation-triple frames)
+  * to a blocks table — the reference's public operator surface
+  * (src/klinker/blockers/base.py:22-88). Everything is a lazy DataFrame
+  * combinator; materialization happens at the caller's action.
+  */
+trait Blocker {
+  def assign(
+      left: EntityFrame,
+      right: EntityFrame,
+      leftRel: Option[DataFrame] = None,
+      rightRel: Option[DataFrame] = None): Blocks
+}
+
+object Blocker {
+  /** The universal block finisher (SURVEY A1+J1): per side group ids by
+    * key, then inner-join the sides on the key. Arrays are sorted for
+    * deterministic output (reference compares cells set-wise).
+    *
+    * `keyed*` schema: (id: string-castable, key). At 100 TB the join is a
+    * shuffle on `key`; AQE handles skewed keys, and hot keys should be
+    * capped upstream (see TokenBlocker.maxBlockComparisons).
+    */
+  def blockJoin(keyedLeft: DataFrame, keyedRight: DataFrame): Blocks = {
+    val l = keyedLeft.groupBy(col("key").as(Blocks.KeyCol))
+      .agg(array_sort(collect_set(col("id").cast("string"))).as(Blocks.LeftCol))
+    val r = keyedRight.groupBy(col("key").as(Blocks.KeyCol))
+      .agg(array_sort(collect_set(col("id").cast("string"))).as(Blocks.RightCol))
+    Blocks(l.join(r, Seq(Blocks.KeyCol), "inner"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The blocks table: one row per block, two array-of-entity-id cells.
+  *
+  * Canonical internal schema `(block_key: string, left: array<string>,
+  * right: array<string>)`; dataset-named columns (the reference's layout,
+  * src/klinker/data/blocks.py:36-47) only at the parquet boundary via
+  * [[Blocks.write]]/[[Blocks.read]].
+  *
+  * Scale notes (100 TB design):
+  *   - `pairs` re-expresses the reference's driver-side generators
+  *     (blocks.py:86-139, eval.py:201-215) as a distributed double
+  *     explode — nothing is ever collected.
+  *   - giant blocks are the scale hazard (hot tokens): cap them *before*
+  *     any `collect_set` materializes an array via
+  *     [[graft.blockers.TokenBlocker]]'s `maxBlockComparisons`, or after
+  *     the fact with [[purge]].
+  */
+final case class Blocks(df: DataFrame) {
+  import Blocks._
+
+  /** Candidate pairs as a distributed stream `(left_id, right_id)` —
+    * NOT distinct (blocks may overlap; eval dedups). */
+  def pairs: DataFrame =
+    df.select(explode(col(LeftCol)).as("left_id"), col(RightCol))
+      .select(col("left_id"), explode(col(RightCol)).as("right_id"))
+
+  /** Distinct candidate pairs (eval.py:87 `drop_duplicates`). */
+  def distinctPairs: DataFrame = pairs.distinct()
+
+  /** Per-block statistics (blocks.py:141-170): sizes, assignments
+    * (row-sum of sizes), comparisons (product of sizes). */
+  def statistics: DataFrame =
+    df.select(
+      col(KeyCol),
+      size(col(LeftCol)).as("left_size"),
+      size(col(RightCol)).as("right_size"),
+      (size(col(LeftCol)) + size(col(RightCol))).as("assignments"),
+      (size(col(LeftCol)).cast("long") * size(col(RightCol))).as("comparisons"))
+
+  /** Total candidate comparisons — the blocking-cost scalar. */
+  def totalComparisons: Long =
+    statistics.agg(sum("comparisons")).head.getLong(0)
+
+  /** Drop blocks whose comparison count exceeds the CC-plateau threshold
+    * (reference `purge`, blocks.py:172-244): blocks sorted by individual
+    * cardinality; running cc = cum(assignments)/cum(comparisons); the
+    * first duplicated rounded cc marks the plateau; its cumulative
+    * cardinality is the threshold. Expressed as window cumsums — fully
+    * distributed, vs the reference's driver-side `.compute()`. */
+  def purge(roundCc: Int = 2): Blocks = {
+    val st = statistics
+      .withColumn("card", col("comparisons"))
+    // keep first row per distinct cardinality (blocks.py:226)
+    val byCard = st
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("card")).orderBy(col(KeyCol))))
+      .filter(col("rn") === 1).drop("rn")
+    val w = Window.orderBy(col("card")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byCard
+      .withColumn("i_card", sum(col("card")).over(w))
+      .withColumn("cc", round(sum(col("assignments")).over(w) / sum(col("card")).over(w), roundCc))
+      .withColumn("prev_cc", lag(col("cc"), 1).over(Window.orderBy(col("card"))))
+    val plateau = cum.filter(col("cc") === col("prev_cc"))
+      .orderBy(col("card")).limit(1).select(col("i_card"))
+    val thrRow = plateau.collect()
+    val threshold: Long =
+      if (thrRow.nonEmpty) thrRow(0).getLong(0)
+      else cum.agg(max(col("i_card"))).head.getLong(0)
+    Blocks(df.filter(size(col(LeftCol)).cast("long") * size(col(RightCol)) <= threshold))
+  }
+
+  /** Drop blocks with more than `maxComparisons` candidate pairs —
+    * the pragmatic 100 TB guard against hot-key blocks. */
+  def cap(maxComparisons: Long): Blocks =
+    Blocks(df.filter(size(col(LeftCol)).cast("long") * size(col(RightCol)) <= maxComparisons))
+
+  /** Combine with another blocks table (blocks.py:246-317): full-outer
+    * join on key; overlapping blocks union their id lists. */
+  def combine(other: Blocks): Blocks = {
+    val a = df.select(col(KeyCol), col(LeftCol).as("_la"), col(RightCol).as("_ra"))
+    val b = other.df.select(col(KeyCol), col(LeftCol).as("_lb"), col(RightCol).as("_rb"))
+    val merged = a.join(b, Seq(KeyCol), "full_outer").select(
+      col(KeyCol),
+      array_sort(array_distinct(concat(
+        coalesce(col("_la"), array()), coalesce(col("_lb"), array())))).as(LeftCol),
+      array_sort(array_distinct(concat(
+        coalesce(col("_ra"), array()), coalesce(col("_rb"), array())))).as(RightCol))
+    Blocks(merged)
+  }
+
+  /** Union block tables (key collisions allowed — duplicate candidate
+    * pairs are tolerated downstream; relation_aware.py:631). */
+  def unionAll(other: Blocks): Blocks = Blocks(df.unionByName(other.df))
+
+  /** Parquet sink with dataset-named columns (blocks.py:319-343). */
+  def write(path: String, leftName: String, rightName: String): Unit =
+    df.withColumnRenamed(LeftCol, leftName)
+      .withColumnRenamed(RightCol, rightName)
+      .write.mode("overwrite").parquet(path)
+}
+
+object Blocks {
+  val KeyCol = "block_key"
+  val LeftCol = "left"
+  val RightCol = "right"
+
+  /** Parquet source (blocks.py:345-381): first column is the key, next
+    * two are the per-dataset id arrays. */
+  def read(spark: SparkSession, path: String): Blocks = {
+    val raw = spark.read.parquet(path)
+    val Array(k, l, r) = raw.columns.take(3)
+    Blocks(raw.select(col(k).as(KeyCol), col(l).as(LeftCol), col(r).as(RightCol)))
+  }
+
+  /** NN-blocks layout (blocks.py:466-557) normalized to one row per left
+    * entity with its neighbor array. */
+  def fromNN(nn: DataFrame, leftIdCol: String, rightIdsCol: String): Blocks =
+    Blocks(nn.select(
+      col(leftIdCol).cast("string").as(KeyCol),
+      array(col(leftIdCol).cast("string")).as(LeftCol),
+      col(rightIdsCol).as(RightCol)))
+}

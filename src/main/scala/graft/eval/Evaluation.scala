@@ -1,0 +1,93 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Blocks
+
+/** Blocking-quality metrics (reference src/klinker/eval.py:144-326).
+  *
+  * Fully distributed: candidate pairs stay a DataFrame (double explode +
+  * distinct), the gold standard is broadcast into the TP join — the
+  * reference's own `spark_eval.py:6-36` formulation, never the
+  * driver-collecting `all_pairs` path (eval.py:201-215).
+  */
+final case class EvalResult(
+    truePositive: Long, falsePositive: Long, falseNegative: Long,
+    compWithBlocking: Long, compWithoutBlocking: Long) {
+
+  private def harmonic(a: Double, b: Double): Double =
+    if (a + b == 0) 0.0 else 2 * a * b / (a + b)
+
+  def recall: Double = {
+    val d = truePositive + falseNegative
+    if (d == 0) 0.0 else truePositive.toDouble / d
+  }
+  def precision: Double = {
+    val d = truePositive + falsePositive
+    if (d == 0) 0.0 else truePositive.toDouble / d
+  }
+  def fMeasure: Double = harmonic(recall, precision)
+  def reductionRatio: Double = 1.0 - compWithBlocking.toDouble / compWithoutBlocking
+  def h3r: Double = harmonic(reductionRatio, recall)
+  def pairsCompleteness: Double = recall
+
+  def toMap: Map[String, Double] = Map(
+    "recall" -> recall, "precision" -> precision, "f_measure" -> fMeasure,
+    "reduction_ratio" -> reductionRatio, "h3r" -> h3r)
+}
+
+object Evaluation {
+
+  /** gold: DataFrame(left_id, right_id) by position. */
+  def evaluate(blocks: Blocks, gold: DataFrame, leftLen: Long, rightLen: Long): EvalResult = {
+    val Array(gl, gr) = gold.columns.take(2)
+    val g = gold.select(col(gl).cast("string").as("left_id"),
+                        col(gr).cast("string").as("right_id"))
+    val cand = blocks.distinctPairs
+    // one pass: candidate count + TP count (gold broadcast)
+    val counts = cand
+      .join(broadcast(g.withColumn("_g", lit(1))), Seq("left_id", "right_id"), "left")
+      .agg(count("*").as("pairs"), count(col("_g")).as("tp"))
+      .head()
+    val pairs = counts.getLong(0)
+    val tp = counts.getLong(1)
+    val goldCount = g.distinct().count()
+    EvalResult(
+      truePositive = tp,
+      falsePositive = pairs - tp,
+      falseNegative = goldCount - tp,
+      compWithBlocking = pairs,
+      compWithoutBlocking = leftLen * rightLen)
+  }
+
+  /** The metrics as a one-row DataFrame (rounded) — the oracle-checkable
+    * surface of J7/A8. */
+  def evaluateDF(spark: SparkSession, blocks: Blocks, gold: DataFrame,
+                 leftLen: Long, rightLen: Long, scale: Int = 6): DataFrame = {
+    val r = evaluate(blocks, gold, leftLen, rightLen)
+    import spark.implicits._
+    Seq((r.truePositive, r.compWithBlocking, r.recall, r.precision, r.fMeasure,
+         r.reductionRatio, r.h3r))
+      .toDF("tp", "pairs", "recall", "precision", "f_measure", "reduction_ratio", "h3r")
+      .select(col("tp"), col("pairs"),
+        round(col("recall"), scale).as("recall"),
+        round(col("precision"), scale).as("precision"),
+        round(col("f_measure"), scale).as("f_measure"),
+        round(col("reduction_ratio"), scale).as("reduction_ratio"),
+        round(col("h3r"), scale).as("h3r"))
+  }
+
+  /** Sørensen-Dice coefficient of two blockings' true-positive sets
+    * (eval.py:329-331) — distributed set algebra, no driver sets. */
+  def diceOfTruePositives(a: Blocks, b: Blocks, gold: DataFrame): Double = {
+    val Array(gl, gr) = gold.columns.take(2)
+    val g = broadcast(gold.select(col(gl).cast("string").as("left_id"),
+                                  col(gr).cast("string").as("right_id")))
+    val tpA = a.distinctPairs.join(g, Seq("left_id", "right_id"), "left_semi")
+    val tpB = b.distinctPairs.join(g, Seq("left_id", "right_id"), "left_semi")
+    val na = tpA.count()
+    val nb = tpB.count()
+    val inter = tpA.join(tpB, Seq("left_id", "right_id"), "left_semi").count()
+    if (na + nb == 0) 0.0 else 2.0 * inter / (na + nb)
+  }
+}

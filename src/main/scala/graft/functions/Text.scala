@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Codegen-friendly text primitives — pure `functions._` chains, no UDFs,
+  * so they stay inside WholeStageCodegen on the hot paths.
+  *
+  * The reference's tokenizer (src/klinker/blockers/token_blocking.py:21-39)
+  * is NLTK word_tokenize + English-stopword + min-length filter; we pin a
+  * regex tokenizer with the same filter semantics (SURVEY.md F1 — exact
+  * NLTK-Punkt parity is explicitly out of contract).
+  */
+object Text {
+
+  /** Minimal English stopword list, shared verbatim with the DuckDB
+    * oracle SQL so tokenization is bit-identical on both sides. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "or", "that", "the", "to",
+    "was", "were", "will", "with")
+
+  val TokenSplitRegex = "[^a-z0-9]+"
+
+  /** Lowercase → split on non-alphanumerics → drop short tokens and
+    * stopwords. Returns array<string>. */
+  def tokenize(c: Column, minLength: Int = 3, stopwords: Seq[String] = Stopwords): Column = {
+    val stop = typedLit(stopwords)
+    filter(
+      split(lower(c), TokenSplitRegex),
+      t => length(t) >= minLength && !array_contains(stop, t))
+  }
+
+  /** Character q-grams (reference qgrams.py:38-52). `small ring` @ q=3 →
+    * ["sma","mal","all", ...]. Values shorter than q yield no grams. */
+  def qgrams(c: Column, q: Int = 3): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(q - 1), lit(0))),
+      i => c.substr(i, lit(q)))
+
+  /** Word n-gram shingles over the token array. */
+  def wordShingles(tokens: Column, n: Int = 3): Column =
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(tokens) - lit(n), lit(-1))),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))),
+      s => length(s) > lit(0))
+
+  /** Strip RDF datatype suffix: `"42"^^xsd:int` → `"42"`
+    * (reference ea_dataset.py:88-91). */
+  def stripDatatype(c: Column): Column = substring_index(c, "^^", 1)
+
+  /** First 15 hex chars of md5 as a non-negative long — the deterministic
+    * hash family used by MinHash/SimHash so the DuckDB oracle can
+    * reproduce it exactly (`conv` here == `('0x'||substr(md5(x),1,15))::bigint`
+    * there). 60 bits, always positive. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Blocks, EntityFrame}
+import graft.blockers._
+import graft.eval.Evaluation
+import graft.functions.Text
+import QueryDef.{table, duckTokens, stopwordsSqlList}
+
+/** Scans, projections, core aggregations, and the flagship blocking
+  * queries — each with its DuckDB oracle (SURVEY.md §2.1/§2.2/§2.4).
+  *
+  * Testdata framing (FIXTURES.md §7): left entity frame = `part`
+  * (real-word names), right = `documents`; customer×supplier pair on
+  * `nationkey` for key-equality blocking; synthetic gold
+  * `(c_custkey, c_custkey % 100)`.
+  */
+object CoreQueries {
+
+  /** Entity frames used across blocking queries. */
+  def partFrame(s: org.apache.spark.sql.SparkSession, dir: String): EntityFrame =
+    EntityFrame(table(s, dir, "part").select(col("p_partkey"), col("p_name")), "part", "p_partkey")
+
+  def docFrame(s: org.apache.spark.sql.SparkSession, dir: String): EntityFrame =
+    EntityFrame(table(s, dir, "documents").select(col("doc_id"), col("text")), "documents", "doc_id")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- warm-up relational aggregation (TPC-H Q1 shape) -----------------
+    "q1_agg" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- S1/S2: load + literal cleaning ---------------------------------
+    "s2_clean_datatype" -> QueryDef(
+      (s, dir) => table(s, dir, "customer")
+        .select(col("c_custkey"),
+          Text.stripDatatype(concat(col("c_name"), lit("^^xsd:string"))).as("cleaned"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, split_part(c_name || '^^xsd:string', '^^', 1) AS cleaned
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- P2: concat_values on a wide frame ------------------------------
+    "p2_concat_wide" -> QueryDef(
+      (s, dir) => {
+        val f = EntityFrame(
+          table(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          "customer", "c_custkey")
+        f.concatValues().withColumnRenamed(EntityFrame.ConcCol, "txt").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, trim(concat_ws(' ', coalesce(c_name, ''), coalesce(c_mktsegment, ''))) AS txt
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- P3: concat_values on a triple frame (unpivot + groupBy head) ---
+    "p3_concat_triple" -> QueryDef(
+      (s, dir) => {
+        val wide = EntityFrame(
+          table(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          "customer", "c_custkey")
+        EntityFrame.unpivot(wide).concatValues()
+          .withColumnRenamed(EntityFrame.ConcCol, "txt")
+          .withColumnRenamed("head", "id")
+          .orderBy("id")
+      },
+      Some("""WITH triples AS (
+             |  SELECT cast(c_custkey AS varchar) AS head, 'c_name' AS rel, c_name AS tail FROM customer
+             |  UNION ALL
+             |  SELECT cast(c_custkey AS varchar), 'c_mktsegment', c_mktsegment FROM customer)
+             |SELECT head AS id, string_agg(DISTINCT trim(tail), ' ' ORDER BY trim(tail)) AS txt
+             |FROM triples WHERE tail IS NOT NULL GROUP BY head ORDER BY id""".stripMargin)),
+
+    // ---- F1/A3: tokenizer + global token counts --------------------------
+    "a3_token_counts" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(explode(Text.tokenize(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("token")),
+      Some(s"""SELECT key AS token, count(*) AS n FROM (
+              |${duckTokens("doc_id", "text", "documents")})
+              |GROUP BY key ORDER BY token""".stripMargin)),
+
+    // ---- F2: character q-grams -------------------------------------------
+    "f2_qgrams" -> QueryDef(
+      (s, dir) => table(s, dir, "part")
+        .select(col("p_partkey"), explode(Text.qgrams(col("p_name"), 3)).as("gram"))
+        .orderBy(col("p_partkey"), col("gram")),
+      Some("""SELECT p_partkey, unnest([substring(p_name, i, 3) for i in range(1, len(p_name)-1)]) AS gram
+             |FROM part ORDER BY p_partkey, gram""".stripMargin)),
+
+    // ---- J1/A1: standard blocking customer×supplier on nationkey --------
+    "j1_standard_blocker" -> QueryDef(
+      (s, dir) => {
+        val l = table(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_nationkey").cast("string").as("key"))
+        val r = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_nationkey").cast("string").as("key"))
+        val b = Blocker.blockJoin(l, r)
+        b.df.select(
+          col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"),
+          size(col(Blocks.LeftCol)).as("left_size"),
+          size(col(Blocks.RightCol)).as("right_size"))
+          .orderBy(col(Blocks.KeyCol))
+      },
+      Some("""WITH lb AS (
+             |  SELECT cast(c_nationkey AS varchar) AS block_key,
+             |         array_to_string(list_sort(list(DISTINCT cast(c_custkey AS varchar))), ',') AS left_ids,
+             |         count(DISTINCT c_custkey) AS left_size
+             |  FROM customer GROUP BY 1),
+             |rb AS (
+             |  SELECT cast(s_nationkey AS varchar) AS block_key,
+             |         array_to_string(list_sort(list(DISTINCT cast(s_suppkey AS varchar))), ',') AS right_ids,
+             |         count(DISTINCT s_suppkey) AS right_size
+             |  FROM supplier GROUP BY 1)
+             |SELECT block_key, left_ids, right_ids,
+             |       cast(left_size AS int) AS left_size, cast(right_size AS int) AS right_size
+             |FROM lb JOIN rb USING (block_key) ORDER BY block_key""".stripMargin)),
+
+    // ---- flagship: token blocking, documents split even/odd --------------
+    "tb_token_blocker" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lf = EntityFrame(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")), "docs_even", "doc_id")
+        val rf = EntityFrame(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")), "docs_odd", "doc_id")
+        val b = TokenBlocker().assign(lf, rf)
+        b.df.select(
+          col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(col(Blocks.KeyCol))
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |rt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+              |lb AS (SELECT key, array_to_string(list_sort(list(id)), ',') AS left_ids FROM lt GROUP BY key),
+              |rb AS (SELECT key, array_to_string(list_sort(list(id)), ',') AS right_ids FROM rt GROUP BY key)
+              |SELECT key AS block_key, left_ids, right_ids
+              |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin)),
+
+    // ---- J7/A8: full evaluation metrics ----------------------------------
+    "a8_eval_metrics" -> QueryDef(
+      (s, dir) => {
+        val l = table(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_nationkey").cast("string").as("key"))
+        val r = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_nationkey").cast("string").as("key"))
+        val blocks = Blocker.blockJoin(l, r)
+        val gold = table(s, dir, "customer")
+          .select(col("c_custkey").as("gl"), (col("c_custkey") % 100).as("gr"))
+        val nl = table(s, dir, "customer").count()
+        val nr = table(s, dir, "supplier").count()
+        Evaluation.evaluateDF(s, blocks, gold, nl, nr)
+      },
+      Some("""WITH cand AS (
+             |  SELECT DISTINCT c.c_custkey AS l, s.s_suppkey AS r
+             |  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey),
+             |gold AS (SELECT c_custkey AS l, c_custkey % 100 AS r FROM customer),
+             |m AS (SELECT
+             |  (SELECT count(*) FROM cand) AS pairs,
+             |  (SELECT count(*) FROM cand JOIN gold USING (l, r)) AS tp,
+             |  (SELECT count(*) FROM gold) AS gc,
+             |  (SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier) AS total),
+             |x AS (SELECT tp, pairs,
+             |  tp / gc AS rec, tp / pairs AS prec,
+             |  1 - pairs / total AS rr FROM m)
+             |SELECT tp, pairs,
+             |  round(rec, 6) AS recall, round(prec, 6) AS precision,
+             |  round(CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END, 6) AS f_measure,
+             |  round(rr, 6) AS reduction_ratio,
+             |  round(CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END, 6) AS h3r
+             |FROM x""".stripMargin))
+  )
+}
