@@ -32,19 +32,22 @@ object Text {
   }
 
   /** Character q-grams (reference qgrams.py:38-52). `small ring` @ q=3 →
-    * ["sma","mal","all", ...]. Values shorter than q yield no grams. */
+    * ["sma","mal","all", ...]. Values shorter than q yield no grams.
+    * NB: `sequence(1, 0)` in Spark is the DESCENDING sequence [1,0], so
+    * short values must be guarded explicitly. */
   def qgrams(c: Column, q: Int = 3): Column =
-    transform(
-      sequence(lit(1), greatest(length(c) - lit(q - 1), lit(0))),
-      i => c.substr(i, lit(q)))
+    when(length(c) < q, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - lit(q - 1)),
+        i => c.substr(i, lit(q))))
 
-  /** Word n-gram shingles over the token array. */
+  /** Word n-gram shingles over the token array (same descending-sequence
+    * guard as [[qgrams]]). */
   def wordShingles(tokens: Column, n: Int = 3): Column =
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(tokens) - lit(n), lit(-1))),
-        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))),
-      s => length(s) > lit(0))
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - lit(n)),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
 
   /** Strip RDF datatype suffix: `"42"^^xsd:int` → `"42"`
     * (reference ea_dataset.py:88-91). */

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Blocks
+
+/** Block-manager algebra goldens (reference tests/test_blocks.py:20-66). */
+class BlocksSpec extends SparkSpec {
+
+  private val example = Map(
+    "2" -> (Seq("3"), Seq("3", "5")),
+    "4" -> (Seq("4"), Seq("5")),
+    "5" -> (Seq("4"), Seq("4")),
+    "6" -> (Seq("4", "5"), Seq("4")),
+    "7" -> (Seq("5"), Seq("4")),
+    "10" -> (Seq("1", "2"), Seq("2")),
+    "11" -> (Seq("2"), Seq("2")))
+
+  test("statistics: sizes/assignments match (test_blocks.py:33)") {
+    val st = blocksOf(example).statistics.collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("assignments")).toMap
+    assert(st == Map("2" -> 3, "4" -> 2, "5" -> 2, "6" -> 3, "7" -> 2, "10" -> 3, "11" -> 2))
+    val mean = st.values.sum.toDouble / st.size
+    assert(math.abs(mean - 2.4285714285714284) < 1e-12)
+  }
+
+  test("pairs: multiset of candidate pairs (test_blocks.py:35-46)") {
+    val got = blocksOf(example).pairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    val want = Seq(
+      ("3", "3"), ("3", "5"), ("4", "5"), ("4", "4"), ("4", "4"),
+      ("5", "4"), ("5", "4"), ("1", "2"), ("2", "2"), ("2", "2")).sorted
+    assert(got.toSeq == want)
+    assert(blocksOf(example).distinctPairs.count() == 7)
+  }
+
+  test("combine: overlapping keys union, disjoint append (test_blocks.py:52-66)") {
+    val other = Map(
+      "6" -> example("6"),
+      "4" -> (Seq("1", "2"), Seq("5")),
+      "20" -> (Seq("5"), Seq("7")))
+    val got = blocksOf(example).combine(blocksOf(other))
+    val want = (example ++ Map(
+      "4" -> (Seq("1", "2", "4"), Seq("5")),
+      "20" -> (Seq("5"), Seq("7"))))
+      .map { case (k, (l, r)) => k -> (l.toSet, r.toSet) }
+    assertBlocksEqual(got, want)
+  }
+
+  test("cap drops only blocks above the comparison bound") {
+    val capped = blocksOf(example).cap(1)
+    assert(blockMap(capped).keySet == Set("4", "5", "7", "11"))
+  }
+
+  test("purge keeps a prefix of blocks by cardinality and never empties") {
+    val purged = blocksOf(example).purge()
+    val keys = blockMap(purged).keySet
+    assert(keys.nonEmpty)
+    // purge only ever removes largest-cardinality blocks: whatever
+    // survives has comparisons <= the max of the survivors
+    val st = blocksOf(example).statistics
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("comparisons")).toMap
+    val maxKept = keys.map(st).max
+    assert(st.filter(_._2 < maxKept).keySet.subsetOf(keys))
+  }
+}

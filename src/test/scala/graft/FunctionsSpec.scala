@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Unit tests for the codegen-only text/vector primitives. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c).head().getAs[T](0)
+
+  private def arr[T](c: org.apache.spark.sql.Column): List[T] =
+    spark.range(1).select(c).head().getSeq[T](0).toList
+
+  test("tokenize: lowercase, split, min length, stopwords") {
+    val got = arr[String](Text.tokenize(lit("The small RING-bearer, of 1990!")))
+    assert(got == List("small", "ring", "bearer", "1990"))
+  }
+
+  test("qgrams: sliding character trigrams") {
+    assert(arr[String](Text.qgrams(lit("small"), 3)) == Seq("sma", "mal", "all"))
+    assert(arr[String](Text.qgrams(lit("ab"), 3)) == Seq.empty)
+  }
+
+  test("wordShingles: n-token windows") {
+    val toks = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    assert(arr[String](Text.wordShingles(toks, 3)) == Seq("a b c", "b c d"))
+    assert(arr[String](Text.wordShingles(array(lit("a")), 3)) == Seq.empty)
+  }
+
+  test("stripDatatype") {
+    assert(one[String](Text.stripDatatype(lit("42^^xsd:int"))) == "42")
+    assert(one[String](Text.stripDatatype(lit("plain"))) == "plain")
+  }
+
+  test("md5Long is deterministic, positive, and oracle-reproducible") {
+    // DuckDB: SELECT ('0x'||substr(md5('abc'),1,15))::bigint = 648541476951500027
+    assert(one[Long](Text.md5Long(lit("abc"))) == 648541476951500027L)
+    assert(one[Long](Text.md5Long(lit(""))) >= 0L)
+  }
+
+  test("vector math") {
+    val a = array(lit(1.0f), lit(2.0f), lit(2.0f))
+    val b = array(lit(2.0f), lit(0.0f), lit(0.0f))
+    assert(one[Double](Vectors.dot(a, b)) == 2.0)
+    assert(one[Double](Vectors.l2Norm(a)) == 3.0)
+    assert(math.abs(one[Double](Vectors.cosine(a, b)) - (2.0 / 6.0)) < 1e-12)
+    assert(one[Double](Vectors.sqDist(a, b)) == 9.0)
+    assert(arr[Double](Vectors.normalize(b)) == Seq(1.0, 0.0, 0.0))
+    assert(arr[Double](Vectors.normalize(array(lit(0.0)))) == Seq(0.0))
+  }
+
+  test("concatValues wide vs triple agree on fixture A") {
+    val wide = tableA.concatValues().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val trip = graft.core.EntityFrame.unpivot(tableA).concatValues().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // same token multiset per entity (triple path sorts distinct tails)
+    assert(wide.keySet == trip.keySet)
+    wide.foreach { case (k, v) =>
+      assert(v.split(" ").toSet == trip(k).split(" ").toSet, s"entity $k")
+    }
+  }
+}
