@@ -1,0 +1,396 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blockers._
+import graft.core.{Blocks, EntityFrame}
+import graft.relational.Relational
+import QueryDef.{table, duckTokens}
+
+/** Relation-aware operators + block algebra (SURVEY.md §2.2/§2.3/§2.4/
+  * §2.5/§2.6), each oracle-checked.
+  *
+  * Graph framing over the testdata star schema: entities are orders
+  * (`o<orderkey>`) and parts (`p<partkey>`); lineitem rows are relation
+  * triples `(o<orderkey>, ln_<linenumber>, p<partkey>)`; attributes are
+  * order status/priority and part names.
+  */
+object RelationalQueries {
+
+  private def relFrame(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem").select(
+      concat(lit("o"), col("l_orderkey")).as("head"),
+      concat(lit("ln_"), col("l_linenumber")).as("rel"),
+      concat(lit("p"), col("l_partkey")).as("tail"))
+
+  private def attrTriples(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val p = table(s, dir, "part")
+    o.select(concat(lit("o"), col("o_orderkey")).as("head"),
+        lit("status").as("rel"), col("o_orderstatus").as("tail"))
+      .unionByName(o.select(concat(lit("o"), col("o_orderkey")).as("head"),
+        lit("priority").as("rel"), col("o_orderpriority").as("tail")))
+      .unionByName(p.select(concat(lit("p"), col("p_partkey")).as("head"),
+        lit("name").as("rel"), col("p_name").as("tail")))
+  }
+
+  private def attrFrame(s: SparkSession, dir: String): EntityFrame =
+    EntityFrame(attrTriples(s, dir), "graph", "head", isTriple = true)
+
+  private val relSql =
+    """SELECT 'o'||l_orderkey AS head, 'ln_'||l_linenumber AS rel, 'p'||l_partkey AS tail
+      |FROM lineitem""".stripMargin
+
+  private val attrSql =
+    """SELECT 'o'||o_orderkey AS head, 'status' AS rel, o_orderstatus AS tail FROM orders
+      |UNION ALL SELECT 'o'||o_orderkey, 'priority', o_orderpriority FROM orders
+      |UNION ALL SELECT 'p'||p_partkey, 'name', p_name FROM part""".stripMargin
+
+  /** conc text per entity (own attributes): sorted distinct tails. */
+  private val concSql =
+    s"""SELECT head AS id, string_agg(DISTINCT trim(tail), ' ' ORDER BY trim(tail)) AS txt
+       |FROM ($attrSql) WHERE tail IS NOT NULL GROUP BY head""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- U3: reverse relations -------------------------------------------
+    "u3_reverse_rel" -> QueryDef(
+      (s, dir) => Relational.reverseRel(relFrame(s, dir), "inv_")
+        .orderBy("head", "rel", "tail"),
+      Some(s"""SELECT tail AS head, 'inv_'||rel AS rel, head AS tail
+              |FROM ($relSql) ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- A6: entity count -------------------------------------------------
+    "a6_count_entities" -> QueryDef(
+      (s, dir) => {
+        val n = Relational.countEntities(attrFrame(s, dir), relFrame(s, dir))
+        s.range(1).select(lit(n).as("n_entities"))
+      },
+      Some(s"""SELECT count(DISTINCT e) AS n_entities FROM (
+              |  SELECT head AS e FROM ($attrSql)
+              |  UNION ALL SELECT head FROM ($relSql)
+              |  UNION ALL SELECT tail FROM ($relSql))""".stripMargin)),
+
+    // ---- A4: relation importance -----------------------------------------
+    "a4_rel_importance" -> QueryDef(
+      (s, dir) => {
+        val rel = relFrame(s, dir)
+        val n = Relational.countEntities(attrFrame(s, dir), rel)
+        Relational.relationImportance(rel, n)
+          .select(col("rel"), round(col("importance"), 6).as("importance"))
+          .orderBy("rel")
+      },
+      Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
+              |    SELECT head AS e FROM ($attrSql)
+              |    UNION ALL SELECT head FROM ($relSql)
+              |    UNION ALL SELECT tail FROM ($relSql))),
+              |c AS (SELECT rel, count(*) AS rc, count(DISTINCT tail) AS tc
+              |      FROM ($relSql) GROUP BY rel)
+              |SELECT rel, round(
+              |  CASE WHEN (rc/(n.n*n.n) + tc/rc) = 0 THEN 0
+              |       ELSE 2*(rc/(n.n*n.n))*(tc/rc)/((rc/(n.n*n.n)) + (tc/rc)) END, 6)
+              |  AS importance
+              |FROM c, n ORDER BY rel""".stripMargin)),
+
+    // ---- A5: name (attribute property) importance ------------------------
+    "a5_name_importance" -> QueryDef(
+      (s, dir) => {
+        val attr = attrFrame(s, dir)
+        val n = Relational.countEntities(attr, relFrame(s, dir))
+        Relational.nameImportance(attr.df, n)
+          .select(col("rel"), round(col("importance"), 6).as("importance"))
+          .orderBy("rel")
+      },
+      Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
+              |    SELECT head AS e FROM ($attrSql)
+              |    UNION ALL SELECT head FROM ($relSql)
+              |    UNION ALL SELECT tail FROM ($relSql))),
+              |c AS (SELECT rel, count(head) AS hc, count(*) AS rc,
+              |             count(DISTINCT tail) AS tc
+              |      FROM ($attrSql) GROUP BY rel)
+              |SELECT rel, round(
+              |  CASE WHEN (hc/n.n + tc/rc) = 0 THEN 0
+              |       ELSE 2*(hc/n.n)*(tc/rc)/((hc/n.n) + (tc/rc)) END, 6)
+              |  AS importance
+              |FROM c, n ORDER BY rel""".stripMargin)),
+
+    // ---- P8/W1: top-n relations per entity by importance ------------------
+    "p8_filter_importance" -> QueryDef(
+      (s, dir) => {
+        val rel = relFrame(s, dir)
+        val n = Relational.countEntities(attrFrame(s, dir), rel)
+        val imp = Relational.relationImportance(rel, n)
+        Relational.filterImportance(rel, imp, 2)
+          .orderBy("head", "rel", "tail")
+      },
+      Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
+              |    SELECT head AS e FROM ($attrSql)
+              |    UNION ALL SELECT head FROM ($relSql)
+              |    UNION ALL SELECT tail FROM ($relSql))),
+              |imp AS (SELECT rel, 2*(rc/(n.n*n.n))*(tc/rc)/((rc/(n.n*n.n)) + (tc/rc)) AS importance
+              |        FROM (SELECT rel, count(*) AS rc, count(DISTINCT tail) AS tc
+              |              FROM ($relSql) GROUP BY rel) c, n),
+              |pairs AS (SELECT DISTINCT t.head, t.rel FROM ($relSql) t),
+              |ranked AS (SELECT p.head, p.rel,
+              |    row_number() OVER (PARTITION BY p.head
+              |                       ORDER BY i.importance DESC, p.rel ASC) AS rn
+              |  FROM pairs p LEFT JOIN imp i USING (rel)),
+              |keep AS (SELECT head, rel FROM ranked WHERE rn <= 2)
+              |SELECT t.head, t.rel, t.tail FROM ($relSql) t
+              |SEMI JOIN keep k ON t.head = k.head AND t.rel = k.rel
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- J5: neighbor attribute concat ------------------------------------
+    "j5_neighbor_concat" -> QueryDef(
+      (s, dir) => Relational
+        .concatNeighborAttributes(attrFrame(s, dir), relFrame(s, dir))
+        .withColumnRenamed(EntityFrame.ConcCol, "txt")
+        .orderBy("head"),
+      Some(s"""WITH conc AS ($concSql),
+              |rel AS ($relSql),
+              |inv AS (SELECT head, tail FROM rel UNION ALL SELECT tail, head FROM rel),
+              |allt AS (
+              |  SELECT i.head AS id, c.txt FROM inv i JOIN conc c ON i.tail = c.id
+              |  UNION ALL SELECT id, txt FROM conc)
+              |SELECT id AS head, string_agg(DISTINCT txt, ' ' ORDER BY txt) AS txt
+              |FROM allt GROUP BY id ORDER BY head""".stripMargin)),
+
+    // ---- SimpleRelationalTokenBlocker end-to-end --------------------------
+    // left graph = even orders (+ all parts), right = odd orders; hot
+    // tokens capped at 10k comparisons on BOTH engines.
+    "srt_relational_token_blocker" -> QueryDef(
+      (s, dir) => {
+        def side(parity: Int): (EntityFrame, DataFrame) = {
+          val rel = relFrame(s, dir)
+            .filter(substring(col("head"), 2, 100).cast("long") % 50 === parity)
+          val attr = attrFrame(s, dir)
+          (attr, rel)
+        }
+        val (la, lr) = side(0)
+        val (ra, rr) = side(1)
+        val blocker = SimpleRelationalBlocker(TokenBlocker(maxBlockComparisons = 200000L))
+        // restrict each side's entities to its own graph (heads of rel ∪ tails)
+        def restrict(attr: EntityFrame, rel: DataFrame): EntityFrame = {
+          val ids = rel.select(col("head").as("e"))
+            .unionByName(rel.select(col("tail").as("e"))).distinct()
+          attr.copy(df = attr.df.join(ids.withColumnRenamed("e", "head"), Seq("head"), "left_semi"))
+        }
+        val b = blocker.assign(restrict(la, lr), restrict(ra, rr), Some(lr), Some(rr))
+        b.df.select(
+          col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        def sideSql(parity: Int) =
+          s"""SELECT head, rel, tail FROM ($relSql) WHERE substring(head, 2)::bigint % 50 = $parity"""
+        def concSide(relS: String) =
+          s"""WITH rel AS ($relS),
+             |ids AS (SELECT DISTINCT head AS id FROM rel UNION SELECT DISTINCT tail FROM rel),
+             |conc0 AS ($concSql),
+             |conc AS (SELECT c.* FROM conc0 c SEMI JOIN ids ON c.id = ids.id),
+             |inv AS (SELECT head, tail FROM rel UNION ALL SELECT tail, head FROM rel),
+             |allt AS (
+             |  SELECT i.head AS id, c.txt FROM inv i JOIN conc c ON i.tail = c.id
+             |  UNION ALL SELECT id, txt FROM conc)
+             |SELECT id, string_agg(DISTINCT txt, ' ' ORDER BY txt) AS txt
+             |FROM allt GROUP BY id""".stripMargin
+        s"""WITH lconc AS (${concSide(sideSql(0))}),
+           |rconc AS (${concSide(sideSql(1))}),
+           |lt AS (SELECT DISTINCT * FROM (${duckTokens("id", "txt", "lconc")})),
+           |rt AS (SELECT DISTINCT * FROM (${duckTokens("id", "txt", "rconc")})),
+           |hot AS (
+           |  SELECT key FROM (SELECT key, count(*) AS nl FROM lt GROUP BY key) l
+           |  JOIN (SELECT key, count(*) AS nr FROM rt GROUP BY key) r USING (key)
+           |  WHERE nl * nr > 200000),
+           |lk AS (SELECT * FROM lt ANTI JOIN hot USING (key)),
+           |rk AS (SELECT * FROM rt ANTI JOIN hot USING (key)),
+           |lb AS (SELECT key, array_to_string(list_sort(list(id)), ',') AS left_ids FROM lk GROUP BY key),
+           |rb AS (SELECT key, array_to_string(list_sort(list(id)), ',') AS right_ids FROM rk GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
+    // ---- A7: block statistics --------------------------------------------
+    "a7_block_stats" -> QueryDef(
+      (s, dir) => {
+        val l = table(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_nationkey").cast("string").as("key"))
+        val r = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_nationkey").cast("string").as("key"))
+        Blocker.blockJoin(l, r).statistics.orderBy(Blocks.KeyCol)
+      },
+      Some("""WITH lb AS (SELECT cast(c_nationkey AS varchar) AS block_key,
+             |              count(DISTINCT c_custkey) AS ls FROM customer GROUP BY 1),
+             |rb AS (SELECT cast(s_nationkey AS varchar) AS block_key,
+             |              count(DISTINCT s_suppkey) AS rs FROM supplier GROUP BY 1)
+             |SELECT block_key, ls::int AS left_size, rs::int AS right_size,
+             |       (ls + rs)::int AS assignments, (ls * rs)::bigint AS comparisons
+             |FROM lb JOIN rb USING (block_key) ORDER BY block_key""".stripMargin)),
+
+    // ---- P10: block cap ---------------------------------------------------
+    "p10_block_cap" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lf = EntityFrame(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")), "docs_even", "doc_id")
+        val rf = EntityFrame(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")), "docs_odd", "doc_id")
+        TokenBlocker().assign(lf, rf).cap(20000)
+          .df.select(col(Blocks.KeyCol),
+            size(col(Blocks.LeftCol)).as("left_size"),
+            size(col(Blocks.RightCol)).as("right_size"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |rt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+              |lb AS (SELECT key, count(*) AS ls FROM lt GROUP BY key),
+              |rb AS (SELECT key, count(*) AS rs FROM rt GROUP BY key)
+              |SELECT key AS block_key, ls::int AS left_size, rs::int AS right_size
+              |FROM lb JOIN rb USING (key)
+              |WHERE ls::bigint * rs <= 20000 ORDER BY block_key""".stripMargin)),
+
+    // ---- J3: combine block tables -----------------------------------------
+    // token blocks ∪ qgram blocks over the same doc split: overlapping
+    // keys (3-letter words ≡ 3-grams) merge their id lists.
+    "j3_combine_blocks" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lf = EntityFrame(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")), "docs_even", "doc_id")
+        val rf = EntityFrame(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")), "docs_odd", "doc_id")
+        val tok = TokenBlocker().assign(lf, rf)
+        val lang = StandardBlocker("lang").assign(
+          EntityFrame(docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang")), "docs_even", "doc_id"),
+          EntityFrame(docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang")), "docs_odd", "doc_id"))
+        tok.combine(lang)
+          .df.select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |rt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+              |tok AS (
+              |  SELECT key, list_sort(list(DISTINCT id)) AS l FROM lt GROUP BY key),
+              |tokr AS (
+              |  SELECT key, list_sort(list(DISTINCT id)) AS r FROM rt GROUP BY key),
+              |tokb AS (SELECT key, l, r FROM tok JOIN tokr USING (key)),
+              |langb AS (
+              |  SELECT lang AS key,
+              |    list_sort(list(DISTINCT cast(doc_id AS varchar)) FILTER (doc_id % 2 = 0)) AS l,
+              |    list_sort(list(DISTINCT cast(doc_id AS varchar)) FILTER (doc_id % 2 = 1)) AS r
+              |  FROM documents GROUP BY lang
+              |  HAVING len(l) > 0 AND len(r) > 0),
+              |comb AS (
+              |  SELECT coalesce(a.key, b.key) AS block_key,
+              |    list_sort(list_distinct(coalesce(a.l, []) || coalesce(b.l, []))) AS l,
+              |    list_sort(list_distinct(coalesce(a.r, []) || coalesce(b.r, []))) AS r
+              |  FROM tokb a FULL OUTER JOIN langb b ON a.key = b.key)
+              |SELECT block_key, array_to_string(l, ',') AS left_ids,
+              |       array_to_string(r, ',') AS right_ids
+              |FROM comb ORDER BY block_key""".stripMargin)),
+
+    // ---- W3/P10: full purge with CC-plateau threshold ---------------------
+    "w3_purge" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lf = EntityFrame(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")), "docs_even", "doc_id")
+        val rf = EntityFrame(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")), "docs_odd", "doc_id")
+        TokenBlocker().assign(lf, rf).purge()
+          .df.select(col(Blocks.KeyCol)).orderBy(Blocks.KeyCol)
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |rt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+              |lb AS (SELECT key, count(*) AS ls FROM lt GROUP BY key),
+              |rb AS (SELECT key, count(*) AS rs FROM rt GROUP BY key),
+              |st AS (SELECT key AS block_key, ls + rs AS assignments,
+              |              ls::bigint * rs AS card
+              |       FROM lb JOIN rb USING (key)),
+              |dedup AS (SELECT * FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY card ORDER BY block_key) AS rn
+              |  FROM st) WHERE rn = 1),
+              |cum AS (SELECT card,
+              |    sum(card) OVER w AS i_card,
+              |    round(sum(assignments) OVER w / (sum(card) OVER w), 2) AS cc
+              |  FROM dedup WINDOW w AS (ORDER BY card ROWS UNBOUNDED PRECEDING)),
+              |lagged AS (SELECT *, lag(cc) OVER (ORDER BY card) AS prev_cc FROM cum),
+              |thr AS (SELECT coalesce(
+              |    (SELECT i_card FROM lagged WHERE cc = prev_cc ORDER BY card LIMIT 1),
+              |    (SELECT max(i_card) FROM cum)) AS t)
+              |SELECT block_key FROM st, thr WHERE card <= thr.t ORDER BY block_key""".stripMargin)),
+
+    // ---- P5: deterministic hash-sample + semi-join -------------------------
+    "p5_sample_semijoin" -> QueryDef(
+      (s, dir) => {
+        val gold = table(s, dir, "customer").select(
+          col("c_custkey").as("gl"), (col("c_custkey") % 100).as("gr"))
+        val sampled = gold.filter(
+          graft.functions.Text.md5Long(concat(lit("s"), col("gl"))) % 20 === 0)
+        table(s, dir, "customer")
+          .join(sampled.select(col("gl").as("c_custkey")), Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""WITH sampled AS (
+             |  SELECT c_custkey FROM customer
+             |  WHERE ('0x'||substr(md5('s'||c_custkey), 1, 15))::bigint % 20 = 0)
+             |SELECT c_custkey, c_name FROM customer
+             |SEMI JOIN sampled USING (c_custkey) ORDER BY c_custkey""".stripMargin)),
+
+    // ---- UniqueNameBlocker + P6 anti-filter --------------------------------
+    // value = "name brand size" (1954/2000 unique at sf0.01); right side =
+    // same parts with shifted ids, so unique values block 1:1.
+    "un_unique_name_blocker" -> QueryDef(
+      (s, dir) => {
+        val p = table(s, dir, "part").select(col("p_partkey"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_size")).as("v"))
+        val lf = EntityFrame(p, "parts_l", "p_partkey")
+        val rf = EntityFrame(p.select((col("p_partkey") + 10000000L).as("p_partkey"), col("v")),
+          "parts_r", "p_partkey")
+        UniqueNameBlocker().assign(lf, rf)
+          .df.select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some("""WITH uniq AS (
+             |  SELECT p_name||' '||p_brand||' '||p_size AS v,
+             |         min(cast(p_partkey AS varchar)) AS lid,
+             |         min(cast(p_partkey + 10000000 AS varchar)) AS rid
+             |  FROM part GROUP BY 1 HAVING count(DISTINCT p_partkey) = 1)
+             |SELECT v AS block_key, lid AS left_ids, rid AS right_ids
+             |FROM uniq ORDER BY block_key""".stripMargin)),
+
+    "p6_anti_filter" -> QueryDef(
+      (s, dir) => {
+        val p = table(s, dir, "part").select(col("p_partkey"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_size")).as("v"))
+        val lf = EntityFrame(p, "parts_l", "p_partkey")
+        val rf = EntityFrame(p.select((col("p_partkey") + 10000000L).as("p_partkey"), col("v")),
+          "parts_r", "p_partkey")
+        val unique = UniqueNameBlocker().assign(lf, rf)
+        val covered = unique.df
+          .select(explode(col(Blocks.LeftCol)).as("cid")).distinct()
+        lf.df.join(covered, lf.df("p_partkey").cast("string") === col("cid"), "left_anti")
+          .select("p_partkey", "v").orderBy("p_partkey")
+      },
+      Some("""WITH uniq AS (
+             |  SELECT min(p_partkey) AS cid FROM part
+             |  GROUP BY p_name||' '||p_brand||' '||p_size
+             |  HAVING count(DISTINCT p_partkey) = 1)
+             |SELECT p_partkey, p_name||' '||p_brand||' '||p_size AS v FROM part
+             |ANTI JOIN uniq ON p_partkey = cid ORDER BY p_partkey""".stripMargin))
+  )
+}
