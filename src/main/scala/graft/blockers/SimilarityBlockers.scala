@@ -1,0 +1,86 @@
+package graft.blockers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Blocks, EntityFrame}
+import graft.functions.{MinHash, Text}
+
+/** MinHash-LSH blocking (reference src/klinker/blockers/lsh.py:99-213):
+  * tokenize each entity's concatenated text, MinHash-sign it, and block
+  * entities whose signatures collide in at least one LSH band.
+  *
+  * Fully distributed — unlike the reference, which mutates a driver-side
+  * datasketch index inside map_partitions (lsh.py:188-203, only correct
+  * single-process; SURVEY.md M1). Band collisions here are a plain
+  * shuffle on the band key.
+  */
+final case class MinHashLSHBlocker(
+    numPerm: Int = 32,
+    bands: Int = 8,
+    minTokenLength: Int = 3,
+    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+
+  private[graft] def tokens(f: EntityFrame): DataFrame =
+    f.concatValues()
+      .select(
+        col(f.idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
+      .distinct()
+
+  override def assign(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks =
+    Blocker.blockJoin(
+      MinHash.buckets(tokens(left), numPerm, bands),
+      MinHash.buckets(tokens(right), numPerm, bands))
+}
+
+/** TF-IDF filtered token blocking (reference token_blocking.py:251-384):
+  * drop each document's low-signal tokens before blocking. Weight =
+  * tf · idf with smooth idf = ln((1+N)/(1+df)) + 1, L2-normalized per
+  * document (sklearn TfidfVectorizer defaults, which the reference uses);
+  * tokens with normalized weight < `threshold` are dropped, then normal
+  * token blocking runs on the survivors.
+  *
+  * Relational formulation (SURVEY.md M3): token counts + doc frequencies
+  * are two aggregations; the per-doc L2 norm is a third. Everything
+  * stays in DataFrame land — no CountVectorizer vocabulary broadcast.
+  */
+final case class TfIdfFilteredTokenBlocker(
+    threshold: Double = 0.1,
+    minTokenLength: Int = 3,
+    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+
+  /** (id, key) pairs surviving the per-doc tf-idf threshold. */
+  private[graft] def filteredTokens(f: EntityFrame): DataFrame = {
+    val tf = f.concatValues()
+      .select(
+        col(f.idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
+      .groupBy("id", "key").agg(count(lit(1)).as("tf"))
+    val n = tf.select("id").distinct().count()
+    val df = tf.groupBy("key").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(df, Seq("key"))
+      .withColumn("w", col("tf") * (log((lit(1.0) + n) / (lit(1.0) + col("df"))) + 1.0))
+    val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    weighted.join(norms, Seq("id"))
+      .filter(col("w") / col("norm") >= threshold)
+      .select("id", "key")
+  }
+
+  override def assign(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks =
+    Blocker.blockJoin(filteredTokens(left), filteredTokens(right))
+
+  /** Oracle SQL for [[filteredTokens]] over a duckTokens relation. */
+  def filteredTokensSql(tokenRel: String): String =
+    s"""WITH tf AS (SELECT id, key, count(*) AS tf FROM ($tokenRel) GROUP BY id, key),
+       |n AS (SELECT count(DISTINCT id) AS n FROM tf),
+       |dfq AS (SELECT key, count(*) AS df FROM tf GROUP BY key),
+       |w AS (SELECT id, key, tf * (ln((1.0 + n.n) / (1.0 + df)) + 1.0) AS w
+       |      FROM tf JOIN dfq USING (key), n),
+       |nrm AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id)
+       |SELECT w.id, w.key FROM w JOIN nrm ON w.id = nrm.id
+       |WHERE w.w / nrm.norm >= $threshold""".stripMargin
+}

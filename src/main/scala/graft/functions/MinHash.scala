@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic MinHash + banded LSH (reference src/klinker/blockers/
+  * lsh.py:99-213, datasketch MinHashLSH).
+  *
+  * Design decisions vs both the reference and MLlib:
+  *   - the hash family is md5-derived (`Text.md5Long` of `"<i>:<token>"`),
+  *     so signatures are reproducible ANYWHERE — including the DuckDB
+  *     oracle — with no seed plumbing. datasketch uses sha1 with random
+  *     permutations; MLlib uses seeded `(a*x+b) % prime`. Semantics
+  *     (uniform hash family) are equivalent; exact outputs differ —
+  *     SURVEY.md M1 documents the divergence.
+  *   - banding is explicit (b bands × r rows): two entities become
+  *     candidates iff one band of their signatures is identical — the
+  *     same OR-of-ANDs scheme datasketch builds from (threshold,
+  *     weights). We expose (b, r) directly.
+  *
+  * Scale: signatures are one `groupBy(id)` over exploded tokens (map-side
+  * combined mins); banding is a narrow projection; candidate generation
+  * is a shuffle on the band key. Nothing is ever collected.
+  */
+object MinHash {
+
+  /** Per-permutation hash of one token. */
+  private def h(i: Int, token: Column): Column =
+    Text.md5Long(concat(lit(s"$i:"), token))
+
+  /** (id, key)-pairs → (id, h0..h{n-1} min columns). */
+  def signature(tokenPairs: DataFrame, numPerm: Int): DataFrame = {
+    val mins = (0 until numPerm).map(i => min(h(i, col("key"))).as(s"h$i"))
+    tokenPairs.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band key for band j over signature columns h{j*r}..h{j*r+r-1}:
+    * `"<j>:" + md5(h.. joined by ',')`. */
+  private def bandKey(j: Int, rows: Int): Column =
+    concat(lit(s"$j:"), md5(concat_ws(",",
+      (0 until rows).map(i => col(s"h${j * rows + i}").cast("string")): _*)))
+
+  /** (id, sig cols) → exploded (id, key) band-bucket pairs, ready for
+    * [[graft.blockers.Blocker.blockJoin]]. */
+  def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"),
+      explode(array((0 until bands).map(j => bandKey(j, rows)): _*)).as("key"))
+
+  /** tokens → band buckets in one go. */
+  def buckets(tokenPairs: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    bandBuckets(signature(tokenPairs, numPerm), bands, numPerm / bands)
+  }
+
+  // ---------- DuckDB oracle SQL generators (kept in lockstep) ----------
+
+  /** SQL mirroring [[signature]] over a `(id, key)` relation. */
+  def signatureSql(tokenRel: String, numPerm: Int): String = {
+    val mins = (0 until numPerm)
+      .map(i => s"min(('0x'||substr(md5('$i:'||key), 1, 15))::bigint) AS h$i")
+      .mkString(", ")
+    s"SELECT id, $mins FROM ($tokenRel) GROUP BY id"
+  }
+
+  /** SQL mirroring [[bandBuckets]]. */
+  def bandBucketsSql(sigRel: String, bands: Int, rows: Int): String =
+    (0 until bands).map { j =>
+      val parts = (0 until rows).map(i => s"h${j * rows + i}::varchar")
+        .mkString("||','||")
+      s"SELECT id, '$j:'||md5($parts) AS key FROM ($sigRel)"
+    }.mkString(" UNION ALL ")
+}
+
+/** SimHash: 60-bit near-duplicate fingerprints from the same md5 hash
+  * family (public algorithm: Charikar, STOC'02 — standard LLM-corpus
+  * dedup tool; not present in the reference, part of this engine's
+  * training-data-pipeline charter).
+  *
+  * fingerprint bit i = sign of Σ_tokens (bit_i(md5Long(token)) ? +1 : -1),
+  * computed distributively: explode tokens → per-(id, bit) sums via a
+  * 60-element transform → groupBy id.
+  */
+object SimHash {
+  val Bits = 60
+
+  /** (id, key) pairs → (id, simhash: long). One shuffle: 60 conditional
+    * ±1 sums (static shifts, fully codegen'd, map-side combined), then
+    * the fingerprint word is rebuilt from the sign of each sum. */
+  def fingerprint(tokenPairs: DataFrame): DataFrame = {
+    val hashed = tokenPairs.select(col("id"), Text.md5Long(col("key")).as("h"))
+    val sums = (0 until Bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i"))
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until Bits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
+
+  /** SQL mirroring [[fingerprint]] over a `(id, key)` relation. */
+  def fingerprintSql(tokenRel: String): String = {
+    val terms = (0 until Bits).map(i =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT id, $terms AS simhash
+       |FROM (SELECT id, ('0x'||substr(md5(key), 1, 15))::bigint AS h FROM ($tokenRel))
+       |GROUP BY id""".stripMargin
+  }
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

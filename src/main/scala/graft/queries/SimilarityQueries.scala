@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blockers._
+import graft.core.{Blocks, EntityFrame}
+import graft.functions.{MinHash, Text}
+import graft.similarity.Similarity
+import QueryDef.{table, duckTokens}
+
+/** Similarity layer (SURVEY.md §2.8): MinHash-LSH, TF-IDF filtering,
+  * token overlap, vector kNN (brute/IVF/sign-LSH), cluster blocking,
+  * SIF-weighted word-embedding pooling — all oracle-checked via the
+  * deterministic md5 hash family.
+  */
+object SimilarityQueries {
+
+  private def docSide(s: SparkSession, dir: String, parity: Int): EntityFrame =
+    EntityFrame(
+      table(s, dir, "documents").filter(col("doc_id") % 2 === parity)
+        .select(col("doc_id"), col("text")),
+      if (parity == 0) "docs_even" else "docs_odd", "doc_id")
+
+  private def docTokensSql(parity: Int) =
+    duckTokens("cast(doc_id AS varchar)", "text",
+      s"(SELECT * FROM documents WHERE doc_id % 2 = $parity)")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- M1/J9: MinHash-LSH blocker ---------------------------------------
+    "mh_minhash_lsh_blocker" -> QueryDef(
+      (s, dir) => {
+        val b = MinHashLSHBlocker(numPerm = 16, bands = 4)
+          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        b.df.select(col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        def side(parity: Int) = {
+          val sig = MinHash.signatureSql(
+            s"SELECT DISTINCT * FROM (${docTokensSql(parity)})", 16)
+          MinHash.bandBucketsSql(sig, 4, 4)
+        }
+        s"""WITH lb AS (
+           |  SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS left_ids
+           |  FROM (${side(0)}) GROUP BY key),
+           |rb AS (
+           |  SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS right_ids
+           |  FROM (${side(1)}) GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
+    // ---- M3: TF-IDF filtered token blocker --------------------------------
+    "m3_tfidf_token_blocker" -> QueryDef(
+      (s, dir) => {
+        val b = TfIdfFilteredTokenBlocker(threshold = 0.15)
+          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        b.df.select(col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        val blocker = TfIdfFilteredTokenBlocker(threshold = 0.15)
+        def side(parity: Int) = blocker.filteredTokensSql(docTokensSql(parity))
+        s"""WITH lk AS (${side(0)}), rk AS (${side(1)}),
+           |lb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS left_ids
+           |       FROM lk GROUP BY key),
+           |rb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS right_ids
+           |       FROM rk GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
+    // ---- J10/M2: token-overlap counts -------------------------------------
+    "j10_token_overlap" -> QueryDef(
+      (s, dir) => {
+        val lt = TokenBlocker().tokens(docSide(s, dir, 0))
+          .withColumnRenamed("id", "left_id")
+        val rt = TokenBlocker().tokens(docSide(s, dir, 1))
+          .withColumnRenamed("id", "right_id")
+        lt.join(rt, Seq("key"))
+          .groupBy("left_id", "right_id").agg(count(lit(1)).as("overlap"))
+          .filter(col("overlap") >= 10)
+          .orderBy("left_id", "right_id")
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (${docTokensSql(0)})),
+              |rt AS (SELECT DISTINCT * FROM (${docTokensSql(1)}))
+              |SELECT lt.id AS left_id, rt.id AS right_id, count(*) AS overlap
+              |FROM lt JOIN rt USING (key)
+              |GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- J8/W4: brute-force kNN (cosine top-3, even → odd) ----------------
+    "ann_brute_topk" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.topKCosine(l, r, 3)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("left_id", "rank")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |dots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT left_id, right_id, dot / (na.nrm * nb.nrm) AS cos
+             |  FROM dots JOIN norms na ON na.vec_id = left_id
+             |            JOIN norms nb ON nb.vec_id = right_id),
+             |ranked AS (SELECT left_id, right_id, cos, row_number() OVER (
+             |    PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS rank
+             |  FROM scored)
+             |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // ---- IVF kNN: label buckets, nearest-centroid probe -------------------
+    "ann_ivf_label" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val bucketed = e.select(col("label").cast("string").as("bucket"),
+          col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.ivfTopK(q, bucketed, 3)
+          .select(col("left_id"), col("bucket"), col("rank"), col("right_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("left_id", "rank")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |cents AS (SELECT label, i, avg(v) AS c FROM expl GROUP BY label, i),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+             |qdots AS (
+             |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+             |  FROM expl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+             |assign AS (SELECT vec_id, label FROM (
+             |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+             |  FROM qdots q JOIN norms n ON n.vec_id = q.vec_id
+             |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
+             |dots AS (
+             |  SELECT a.vec_id AS left_id, s.label, b.vec_id AS right_id,
+             |         sum(a.v * b.v) AS dot
+             |  FROM assign s JOIN expl a ON a.vec_id = s.vec_id
+             |  JOIN expl b ON b.i = a.i AND b.label = s.label
+             |  WHERE b.vec_id != a.vec_id GROUP BY 1, 2, 3),
+             |ranked AS (
+             |  SELECT left_id, label, right_id,
+             |         dot / (na.nrm * nb.nrm) AS cos,
+             |         row_number() OVER (PARTITION BY left_id
+             |             ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rank
+             |  FROM dots JOIN norms na ON na.vec_id = left_id
+             |            JOIN norms nb ON nb.vec_id = right_id)
+             |SELECT left_id, label::varchar AS bucket, rank::int AS rank, right_id,
+             |       round(cos, 6) AS cos
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // ---- sign-LSH bucketing (first 16 dims, 6 planes) ---------------------
+    "ann_hyperplane_lsh" -> QueryDef(
+      (s, dir) => embs(s, dir)
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket(slice(col("embedding"), 1, 16), 6, 16).as("bucket"))
+        .orderBy("vec_id"),
+      Some(s"""SELECT vec_id, ${Similarity.hyperplaneBucketSql("embedding", 6, 16)} AS bucket
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- dedup: embedding-cosine near-duplicates --------------------------
+    "dd_embedding_neardup" -> QueryDef(
+      (s, dir) => Similarity.selfJoinNearDup(
+          embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH expl AS (
+             |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |dots AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+             |FROM dots JOIN norms na ON na.vec_id = id_a
+             |          JOIN norms nb ON nb.vec_id = id_b
+             |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- M11: cluster-label blocking --------------------------------------
+    "m11_cluster_blocks" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("label").cast("string").as("key"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("label").cast("string").as("key"))
+        Blocker.blockJoin(l, r)
+          .df.select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some("""SELECT label::varchar AS block_key,
+             |  array_to_string(list_sort(list(DISTINCT vec_id::varchar) FILTER (vec_id % 2 = 0)), ',') AS left_ids,
+             |  array_to_string(list_sort(list(DISTINCT vec_id::varchar) FILTER (vec_id % 2 = 1)), ',') AS right_ids
+             |FROM embeddings GROUP BY label
+             |HAVING len(list(DISTINCT vec_id) FILTER (vec_id % 2 = 0)) > 0
+             |   AND len(list(DISTINCT vec_id) FILTER (vec_id % 2 = 1)) > 0
+             |ORDER BY block_key""".stripMargin)),
+
+    // ---- M4/M5: SIF-weighted word-embedding pooling -----------------------
+    // token vectors are md5-derived 8-dim pseudo-embeddings; SIF weight
+    // a/(a + freq/total) with a = 1e-3 (reference pretrained.py:486-515).
+    "m4_sif_embedding" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Text.tokenize(col("text"))).as("key"))
+        val counts = toks.groupBy("key").agg(count(lit(1)).as("freq"))
+        val total = toks.count()
+        val a = 1e-3
+        val weighted = toks.join(broadcast(counts), Seq("key"))
+          .withColumn("w", lit(a) / (lit(a) + col("freq") / lit(total.toDouble)))
+        val dims = (0 until 8).map(d =>
+          round(sum(col("w") *
+            ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
+            / sum(col("w")), 6).as(s"d$d"))
+        weighted.groupBy("doc_id").agg(dims.head, dims.tail: _*).orderBy("doc_id")
+      },
+      Some {
+        val toks = duckTokens("doc_id", "text", "documents", 3)
+          .replace("SELECT id, tok AS key", "SELECT id, tok AS key")
+        val dimExprs = (0 until 8).map(d =>
+          s"round(sum(w * ((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)) / sum(w), 6) AS d$d")
+          .mkString(", ")
+        s"""WITH toks AS ($toks),
+           |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
+           |total AS (SELECT count(*)::double AS t FROM toks),
+           |weighted AS (
+           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  FROM toks JOIN counts USING (key), total)
+           |SELECT id AS doc_id, $dimExprs
+           |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
+      })
+  )
+}

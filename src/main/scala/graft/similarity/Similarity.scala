@@ -1,0 +1,113 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Vector similarity search over plain `array<float>` embedding columns
+  * (reference kNN block building: src/klinker/blockers/embedding/
+  * blockbuilder.py:51-206; generalized here into the engine's
+  * similarity-search charter).
+  *
+  * Three strategies, in increasing scale-fitness:
+  *   - [[topKCosine]]: exact brute force — the correctness baseline.
+  *     O(|L|·|R|); broadcast the right side when it fits.
+  *   - [[ivfTopK]]: IVF — right side pre-bucketed (any label/cluster
+  *     column), queries probe only the nearest centroid's bucket.
+  *     Search cost drops by ~#buckets; recall depends on bucketing.
+  *   - [[hyperplaneBuckets]]: sign-LSH — deterministic pseudo-random
+  *     hyperplanes hash vectors into 2^p buckets; candidates share a
+  *     bucket. Fully shuffle-based, no centroids needed.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: for every left row the k best right rows.
+    * Deterministic tie-break on right id. `broadcastRight` should be true
+    * whenever the right side fits in executor memory (the planner then
+    * turns the cross join into BroadcastNestedLoopJoin — no shuffle). */
+  def topKCosine(
+      left: DataFrame, right: DataFrame, k: Int,
+      broadcastRight: Boolean = true): DataFrame = {
+    val l = left.select(col("id").as("left_id"), col("vec").as("_lv"))
+    val r0 = right.select(col("id").as("right_id"), col("vec").as("_rv"))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val scored = l.crossJoin(r)
+      .select(col("left_id"), col("right_id"),
+        Vectors.cosine(col("_lv"), col("_rv")).as("cos"))
+    val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Element-wise mean vector per bucket → (bucket, centroid). */
+  def centroids(bucketed: DataFrame): DataFrame =
+    bucketed.select(col("bucket"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("bucket")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("bucket"), transform(col("pm"), x => x("m")).as("centroid"))
+
+  /** IVF search: assign each query to its nearest centroid (cosine,
+    * tie-break on bucket), then exact top-k within that bucket only.
+    * Centroids are tiny (one row per bucket) → broadcast twice. */
+  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int): DataFrame = {
+    val cents = centroids(bucketed)
+    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"))
+    val assignW = Window.partitionBy("left_id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("left_id"), col("_lv"), col("bucket"),
+        Vectors.cosine(col("_lv"), col("centroid")).as("_ccos"))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") === 1)
+      .select(col("left_id"), col("_lv"), col("bucket"))
+    val scored = assigned
+      .join(bucketed.select(col("bucket"),
+        col("id").as("right_id"), col("vec").as("_rv")), Seq("bucket"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("bucket"), col("right_id"),
+        Vectors.cosine(col("_lv"), col("_rv")).as("cos"))
+    val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: same md5 formula
+    * as [[graft.functions.Text.md5Long]], evaluated on the driver —
+    * value ∈ [-1, 1] with millesimal resolution. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  /** Sign-LSH bucket key: one char per hyperplane, '1' iff vec·plane > 0.
+    * Planes are md5-derived, so the DuckDB oracle regenerates them
+    * exactly ([[planeSql]]). */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dims: Int): Column =
+    concat((0 until numPlanes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      when(Vectors.dot(vec, plane) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** DuckDB expression mirroring [[hyperplaneBucket]] for an embedding
+    * column named `emb` (1-based list indexing). */
+  def hyperplaneBucketSql(emb: String, numPlanes: Int, dims: Int): String =
+    (0 until numPlanes).map { p =>
+      val terms = (0 until dims)
+        .map(d => s"$emb[${d + 1}]::double * ((('0x'||substr(md5('$p:$d'),1,15))::bigint % 2001 - 1000)/1000.0)")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END)"
+    }.mkString("||")
+
+  /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) self-join;
+    * the scale path buckets first (see callers). */
+  def selfJoinNearDup(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(col("id").as("id_a"), col("vec").as("_va"))
+    val b = df.select(col("id").as("id_b"), col("vec").as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("_va"), col("_vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

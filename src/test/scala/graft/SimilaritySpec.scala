@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.blockers._
+import graft.functions.{MinHash, SimHash}
+import graft.similarity.Similarity
+
+/** Similarity layer: MinHash/SimHash invariants (the ML-path testing
+  * style the reference itself uses — shape/invariant, not exact output)
+  * + exact checks where determinism allows. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokenPairs(rows: (String, Seq[String])*) =
+    rows.toDF("id", "toks").select(col("id"), explode(col("toks")).as("key"))
+
+  test("MinHash: identical token sets → identical signatures; disjoint differ") {
+    val tp = tokenPairs(
+      "x" -> Seq("alpha", "beta", "gamma"),
+      "y" -> Seq("alpha", "beta", "gamma"),
+      "z" -> Seq("delta", "epsilon", "zeta"))
+    val sig = MinHash.signature(tp, 16).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(sig("x") == sig("y"))
+    assert(sig("x") != sig("z"))
+  }
+
+  test("MinHash banding: identical docs collide in every band") {
+    val tp = tokenPairs("x" -> Seq("alpha", "beta"), "y" -> Seq("alpha", "beta"))
+    val buckets = MinHash.buckets(tp, 16, 4).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byKey = buckets.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byKey.values.forall(_ == Set("x", "y")))
+    assert(byKey.size == 4)
+  }
+
+  test("MinHashLSHBlocker finds near-identical fixture entities") {
+    val b = MinHashLSHBlocker(numPerm = 32, bands = 16).assign(tableA, tableB)
+    val pairs = b.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a3/b3 share 4 of 5 tokens (rebecca smith 1990 bulgaria | + chemist)
+    assert(pairs.contains(("a3", "b3")))
+  }
+
+  test("SimHash: identical sets match exactly, similar sets are close") {
+    val tp = tokenPairs(
+      "x" -> Seq("alpha", "beta", "gamma", "delta", "epsilon"),
+      "y" -> Seq("alpha", "beta", "gamma", "delta", "epsilon"),
+      "w" -> Seq("alpha", "beta", "gamma", "delta", "zeta"),
+      "z" -> Seq("one", "two", "three", "four", "five"))
+    val fp = SimHash.fingerprint(tp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("x") == fp("y"))
+    val closeDist = java.lang.Long.bitCount(fp("x") ^ fp("w"))
+    val farDist = java.lang.Long.bitCount(fp("x") ^ fp("z"))
+    assert(closeDist < farDist, s"$closeDist !< $farDist")
+  }
+
+  test("TfIdf filter keeps discriminative tokens, drops ubiquitous ones") {
+    // 'common' appears in every doc → low idf → filtered at high threshold
+    val docs = graft.core.EntityFrame(
+      Seq(
+        ("d1", "common rare1 rare1 rare1"),
+        ("d2", "common rare2 rare2 rare2"),
+        ("d3", "common rare3 rare3 rare3"),
+        ("d4", "common rare4 rare4 rare4")).toDF("id", "text"),
+      "docs", "id")
+    val kept = TfIdfFilteredTokenBlocker(threshold = 0.5)
+      .filteredTokens(docs).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("d1", "rare1"), ("d2", "rare2"), ("d3", "rare3"), ("d4", "rare4")))
+  }
+
+  test("topKCosine: exact ranking on a hand vector set") {
+    val l = Seq(("q", Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val r = Seq(
+      ("a", Seq(1.0f, 0.0f)),   // cos 1.0
+      ("b", Seq(1.0f, 1.0f)),   // cos ~0.707
+      ("c", Seq(0.0f, 1.0f)),   // cos 0
+      ("d", Seq(-1.0f, 0.0f))). // cos -1
+      toDF("id", "vec")
+    val got = Similarity.topKCosine(l, r, 2).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("q", 1, "a"), ("q", 2, "b")))
+  }
+
+  test("ivfTopK only searches the assigned bucket") {
+    val buckets = Seq(
+      ("bx", "x1", Seq(1.0f, 0.0f)), ("bx", "x2", Seq(0.9f, 0.1f)),
+      ("by", "y1", Seq(0.0f, 1.0f)), ("by", "y2", Seq(0.1f, 0.9f)))
+      .toDF("bucket", "id", "vec")
+    val q = Seq(("q1", Seq(1.0f, 0.05f))).toDF("id", "vec")
+    val got = Similarity.ivfTopK(q, buckets, 10).collect()
+      .map(r => r.getString(2)).toSet
+    assert(got == Set("x1", "x2")) // never y1/y2
+  }
+
+  test("hyperplane buckets are deterministic and split vectors") {
+    val df = Seq(
+      ("p", Seq.fill(16)(1.0f)), ("q", Seq.fill(16)(1.0f)),
+      ("r", Seq.fill(16)(-1.0f))).toDF("id", "vec")
+    val got = df.select(col("id"),
+      Similarity.hyperplaneBucket(col("vec"), 6, 16).as("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("p") == got("q"))
+    assert(got("p") != got("r"))
+    assert(got("p").length == 6 && got("p").forall(c => c == '0' || c == '1'))
+  }
+}
