@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Map[String, QueryDef] =
     graft.queries.CoreQueries.defs ++
       graft.queries.RelationalQueries.defs ++
-      graft.queries.SimilarityQueries.defs
+      graft.queries.SimilarityQueries.defs ++
+      graft.queries.DedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * end-to-end token blocking (scan → concat → tokenize → explode →

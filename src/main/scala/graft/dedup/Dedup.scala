@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHash, SimHash, Text}
+
+/** Document deduplication for large-scale corpus pipelines — the
+  * engine's training-data charter (generalizes the reference's blocking
+  * machinery, SURVEY.md M1/J10, to the single-corpus self-join case).
+  *
+  * Every operator is candidate-generation (cheap, hash-bucketed) followed
+  * by exact verification (only on candidates) — the shape that survives
+  * 100 TB: no O(n²) stage ever materializes.
+  */
+object Dedup {
+
+  /** Exact duplicates under a canonical key: md5 of the sorted distinct
+    * token set — catches reorderings/repetitions that raw-text hashing
+    * misses. One groupBy; output (dup_key, ids: sorted array, n ≥ 2). */
+  def exactDuplicates(tokenPairs: DataFrame): DataFrame = {
+    val canon = tokenPairs
+      .groupBy("id")
+      .agg(md5(concat_ws(" ", array_sort(collect_set(col("key"))))).as("dup_key"))
+    canon.groupBy("dup_key")
+      .agg(array_sort(collect_set(col("id"))).as("ids"), countDistinct("id").as("n"))
+      .filter(col("n") >= 2)
+  }
+
+  /** Exact pairwise Jaccard of two id's distinct token sets, evaluated
+    * only for the given candidate pairs: |∩| via a token join restricted
+    * to candidates, set sizes broadcast-joined back. */
+  private def verifyJaccard(
+      tokenPairs: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = tokenPairs.groupBy("id").agg(countDistinct("key").as("sz"))
+    val interCount = candidates
+      .join(tokenPairs.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(tokenPairs.withColumnRenamed("id", "id_b"), Seq("id_b", "key"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band-bucket collisions generate
+    * candidates, exact Jaccard ≥ `threshold` verifies. Pairs are
+    * canonical (id_a < id_b). */
+  def minHashNearDupPairs(
+      tokenPairs: DataFrame, numPerm: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val buckets = MinHash.buckets(tokenPairs, numPerm, bands)
+    val candidates = buckets.withColumnRenamed("id", "id_a")
+      .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(tokenPairs, candidates).filter(col("jaccard") >= threshold)
+  }
+
+  /** N-gram (shingle) Jaccard near-dups: candidates share ≥ 1 shingle.
+    * Sound (no misses above threshold > 0, unlike LSH) but candidate
+    * volume is bounded only by shingle selectivity — shingles are
+    * n-token strings, so collisions are already rare. */
+  def ngramJaccardPairs(shinglePairs: DataFrame, threshold: Double): DataFrame = {
+    val candidates = shinglePairs.withColumnRenamed("id", "id_a")
+      .join(shinglePairs.withColumnRenamed("id", "id_b"), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(shinglePairs, candidates).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dups: 60-bit fingerprints, candidates collide on one of
+    * four 15-bit chunks (any pair within hamming ≤ 3 of each other is
+    * guaranteed caught; larger distances best-effort), verified by exact
+    * hamming ≤ `maxHamming`. */
+  def simHashNearDupPairs(tokenPairs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = SimHash.fingerprint(tokenPairs)
+    val chunks = fp.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        concat(lit(s"$c:"),
+          shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))): _*)).as("chunk"))
+    val cand = chunks.select(col("id").as("id_a"), col("simhash").as("fp_a"), col("chunk"))
+      .join(chunks.select(col("id").as("id_b"), col("simhash").as("fp_b"), col("chunk")),
+        Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+    cand.select(col("id_a"), col("id_b"),
+        SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.{MinHash, SimHash, Text}
+import graft.text.TextAnalysis
+import QueryDef.{table, duckTokens}
+
+/** Dedup + text-analysis suite over the `documents` corpus — the
+  * training-data-pipeline charter operators, each oracle-checked. */
+object DedupQueries {
+
+  /** (id, key) distinct filtered tokens of all documents. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        explode(Text.tokenize(col("text"))).as("key"))
+      .distinct()
+
+  private val docTokensSql: String =
+    s"SELECT DISTINCT * FROM (${duckTokens("cast(doc_id AS varchar)", "text", "documents")})"
+
+  /** (id, key) 3-token shingles (all tokens, no length/stopword filter —
+    * standard shingling keeps function words). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        explode(Text.wordShingles(
+          Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)).as("key"))
+      .distinct()
+
+  private val docShinglesSql: String =
+    """SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
+      |  SELECT cast(doc_id AS varchar) AS id,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                     t -> length(t) >= 1) AS l
+      |  FROM documents), range(1, 10000) r(i)
+      |WHERE i + 2 <= len(l)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup on canonical token-set key ---------------------------
+    "dd_exact" -> QueryDef(
+      (s, dir) => Dedup.exactDuplicates(docTokens(s, dir))
+        .select(col("dup_key"), array_join(col("ids"), ",").as("ids"), col("n"))
+        .orderBy("dup_key"),
+      Some(s"""WITH canon AS (
+              |  SELECT id, md5(array_to_string(list_sort(list(DISTINCT key)), ' ')) AS dup_key
+              |  FROM ($docTokensSql) GROUP BY id)
+              |SELECT dup_key, array_to_string(list_sort(list(DISTINCT id)), ',') AS ids,
+              |       count(DISTINCT id) AS n
+              |FROM canon GROUP BY dup_key HAVING count(DISTINCT id) >= 2
+              |ORDER BY dup_key""".stripMargin)),
+
+    // ---- MinHash-LSH near-dup (token sets, jaccard ≥ 0.9) -----------------
+    "dd_minhash_neardup" -> QueryDef(
+      (s, dir) => Dedup.minHashNearDupPairs(docTokens(s, dir),
+          numPerm = 16, bands = 8, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some {
+        val sig = MinHash.signatureSql(docTokensSql, 16)
+        val buckets = MinHash.bandBucketsSql(sig, 8, 2)
+        s"""WITH buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
+           |toks AS ($docTokensSql),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM toks GROUP BY id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN toks ta ON ta.id = c.id_a
+           |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.id = id_a
+           |           JOIN sizes sb ON sb.id = id_b
+           |WHERE i / (sa.sz + sb.sz - i) >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ---- n-gram (3-shingle) Jaccard near-dup ------------------------------
+    "dd_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS ($docShinglesSql),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+              |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+              |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+              |FROM inter JOIN sizes sa ON sa.id = id_a
+              |           JOIN sizes sb ON sb.id = id_b
+              |WHERE i / (sa.sz + sb.sz - i) >= 0.1
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash fingerprints + near-dup ----------------------------------
+    "dd_simhash" -> QueryDef(
+      (s, dir) => SimHash.fingerprint(docTokens(s, dir))
+        .orderBy("id"),
+      Some(s"""SELECT * FROM (${SimHash.fingerprintSql(docTokensSql)}) ORDER BY id""".stripMargin)),
+
+    "dd_simhash_neardup" -> QueryDef(
+      (s, dir) => Dedup.simHashNearDupPairs(docTokens(s, dir), maxHamming = 10)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val fp = SimHash.fingerprintSql(docTokensSql)
+        val chunks = (0 until 4).map(c =>
+          s"SELECT id, simhash, '$c:'||((simhash >> ${c * 15}) & 32767) AS chunk FROM fp")
+          .mkString(" UNION ALL ")
+        s"""WITH fp AS ($fp),
+           |chunks AS ($chunks),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         a.simhash AS fa, b.simhash AS fb
+           |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.id < b.id)
+           |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+           |FROM cand WHERE bit_count(xor(fa, fb)) <= 10
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ---- text analysis ----------------------------------------------------
+    "tx_langid" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.langScore(col("text"), "en").as("en_score"))
+        .orderBy("doc_id"),
+      Some {
+        val scoreExprs = TextAnalysis.Lexicons.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> list_contains($list, t))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.Lexicons.map(_._1)
+        // argmax with lang-asc tie-break, all-zero → 'und'
+        val best = {
+          val conds = langs.map(l => s"s_$l").mkString(", ")
+          s"""CASE
+             |  WHEN greatest($conds) = 0 THEN 'und'
+             |  ${langs.map(l => s"WHEN s_$l = greatest($conds) THEN '$l'").mkString("\n  ")}
+             |END""".stripMargin
+        }
+        s"""SELECT doc_id, $best AS lang_pred, s_en AS en_score
+           |FROM (SELECT doc_id, text, $scoreExprs FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    "tx_quality" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeIshTokenCount(col("text")).as("bpe_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""SELECT doc_id,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+           |  round(
+           |    least(len(toks) / 100.0, 1.0) * 0.4 +
+           |    (1.0 - len(list_filter(toks, t -> list_contains($stop, t)))::double / len(toks)) * 0.3 +
+           |    least((list_sum(list_transform(toks, t -> length(t)))::double / len(toks)) / 8.0, 1.0) * 0.3,
+           |    6) AS quality
+           |FROM (SELECT doc_id, text,
+           |        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    "tx_fingerprint" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(Text.tokenize(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(0::bigint,
+           |      list_transform(
+           |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                    t -> length(t) >= 3 AND NOT list_contains($stop, t)),
+           |        t -> ('0x'||substr(md5(t), 1, 15))::bigint)),
+           |    (acc, h) -> (acc * 31 + h) % ${TextAnalysis.FingerprintMod}) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.Text
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(rows: (String, String)*) =
+    rows.toDF("id", "text")
+      .select(col("id"), explode(Text.tokenize(col("text"), 1, Nil)).as("key"))
+      .distinct()
+
+  test("exactDuplicates groups reordered/repeated token sets") {
+    val tp = toks(
+      "d1" -> "alpha beta gamma",
+      "d2" -> "gamma alpha beta alpha",
+      "d3" -> "something else entirely")
+    val got = Dedup.exactDuplicates(tp).collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[String](1) == Seq("d1", "d2"))
+    assert(got(0).getLong(2) == 2)
+  }
+
+  test("minHashNearDupPairs catches identical sets and respects threshold") {
+    val tp = toks(
+      "d1" -> "alpha beta gamma delta epsilon",
+      "d2" -> "alpha beta gamma delta epsilon",
+      "d3" -> "unrelated words here now today")
+    val got = Dedup.minHashNearDupPairs(tp, 16, 8, 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("d1", "d2", 1.0)))
+  }
+
+  test("ngramJaccardPairs computes exact shingle jaccard") {
+    val sh = Seq(
+      ("d1", "a b c"), ("d1", "b c d"),
+      ("d2", "a b c"), ("d2", "b c d"),
+      ("d3", "a b c"), ("d3", "x y z"))
+      .toDF("id", "key")
+    val got = Dedup.ngramJaccardPairs(sh, 0.1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("d1", "d2")) == 1.0)
+    assert(math.abs(got(("d1", "d3")) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(("d2", "d3")) - 1.0 / 3) < 1e-12)
+  }
+
+  test("simHashNearDupPairs: identical docs at hamming 0") {
+    val tp = toks(
+      "d1" -> "alpha beta gamma delta epsilon zeta eta theta",
+      "d2" -> "alpha beta gamma delta epsilon zeta eta theta")
+    val got = Dedup.simHashNearDupPairs(tp, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("d1", "d2", 0)))
+  }
+
+  test("langId picks the lexicon with most hits; und on no hits") {
+    val df = Seq(
+      ("e", "the cat and the dog with that hat"),
+      ("g", "der hund und die katze mit von"),
+      ("u", "zzz qqq xxx")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("e" -> "en", "g" -> "de", "u" -> "und"))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq(("x", "Hello, world! It's 42.")).toDF("id", "text")
+    val got = df.select(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.bpeIshTokenCount(col("text"))).head()
+    assert(got.getInt(0) == 4)
+    // hello , world ! it ' s 42 . → 9
+    assert(got.getInt(1) == 9)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(("a", "alpha beta gamma"), ("b", "gamma beta alpha"),
+      ("c", "alpha beta gamma")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.fingerprint(Text.tokenize(col("text"), 1, Nil)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == got("c"))
+    assert(got("a") != got("b"))
+    assert(got.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
+  }
+
+  test("qualityScore lands in [0,1] and rewards longer, denser text") {
+    val df = Seq(
+      ("short", "the a of to"),
+      ("rich", Seq.fill(120)("substantive").mkString(" "))).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got("rich") > got("short"))
+  }
+}
