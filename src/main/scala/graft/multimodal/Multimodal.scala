@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media travels as opaque `binary` columns + typed metadata;
+  * decode/feature-extraction runs per-partition over the binary batches.
+  *
+  * The container has no media codecs, so the decode kernels are
+  * DETERMINISTIC STUBS (clearly marked below) — but everything Spark
+  * cares about is real and tested: schemas, partitioning, the
+  * per-partition batch iteration shape (`mapPartitions` over a typed
+  * Dataset — the Scala analog of pandas-batched UDFs), and the
+  * column-level metadata path.
+  */
+object Multimodal {
+
+  /** Typed record for one media blob. */
+  final case class MediaRecord(id: Long, data: Array[Byte])
+
+  /** Decoded metadata (what a real image decode would yield). */
+  final case class MediaMeta(
+      id: Long, nBytes: Long, contentHash: String, width: Int, height: Int)
+
+  /** Feature vector per media item (what a real feature extractor —
+    * CLIP, mel-spectrogram, … — would yield). */
+  final case class MediaFeatures(id: Long, features: Array[Double])
+
+  /** Attach a fake binary payload derived from a text column — stands in
+    * for reading real image bytes; everything downstream treats it as
+    * opaque binary. */
+  def withBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      encode(col(textCol), "UTF-8").as("data"))
+
+  /** Column-level metadata "decode": sizes, content hash, and pseudo
+    * dimensions derived from the hash — pure codegen'd expressions.
+    * STUB: width/height of a real decoder would come from the codec. */
+  def decodeMeta(df: DataFrame): DataFrame =
+    df.select(
+      col("id"),
+      length(col("data")).cast("long").as("n_bytes"),
+      md5(col("data")).as("content_hash"),
+      (Text.md5Long(col("data").cast("string")) % 1280 + 1).cast("int").as("width"),
+      (Text.md5Long(concat(col("data").cast("string"), lit("h"))) % 720 + 1).cast("int").as("height"))
+
+  /** Per-partition typed decode — the batch-iteration shape a real codec
+    * needs (one codec instance per partition, streaming over records).
+    * STUB: the "decode" is a deterministic byte-histogram; a real
+    * implementation would replace ONLY the body of `decodeOne`. */
+  def decodeFeatures(ds: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init happens here (codec/model load in real life)
+      def decodeOne(r: MediaRecord): MediaFeatures = {
+        // STUB decode: 8-bucket byte histogram, L1-normalized
+        val hist = new Array[Double](8)
+        r.data.foreach(b => hist((b & 0xFF) / 32) += 1.0)
+        val n = math.max(1.0, r.data.length.toDouble)
+        MediaFeatures(r.id, hist.map(_ / n))
+      }
+      it.map(decodeOne)
+    }
+  }
+
+  /** Video-style frame sampling: treat the binary as fixed-size frames,
+    * keep every `every`-th frame. Pure column ops — the explode keeps
+    * frame extraction distributed and the scan column-pruned. */
+  def sampleFrames(df: DataFrame, frameSize: Int, every: Int): DataFrame = {
+    val nFrames = ceil(length(col("data")).cast("double") / frameSize).cast("int")
+    df.select(col("id"), col("data"), nFrames.as("n_frames"))
+      .select(col("id"), col("data"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("id"), col("frame_idx"),
+        col("data").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
+  }
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub keeps a deterministic prefix proportional to the scale factor
+    * (shape-preserving for pipeline tests). */
+  def resizeStub(df: DataFrame, scalePercent: Int): DataFrame =
+    df.select(col("id"),
+      col("data").substr(lit(1),
+        greatest((length(col("data")) * scalePercent / 100).cast("int"), lit(1)))
+        .as("data"))
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
+import QueryDef.table
+
+/** Events-table (streaming-shaped) + multimodal-column queries. The
+  * event transforms are the exact functions the streaming path uses
+  * (StreamingOps works on batch and stream frames alike); the driver
+  * runs them in batch, StreamingSpec runs them against MemoryStream. */
+object EventQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- tumbling-window aggregation (the streaming headline) ------------
+    "ev_window_agg" -> QueryDef(
+      (s, dir) => StreamingOps.windowedEventAgg(QueryDef.events(s, dir))
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::bigint AS win_start,
+             |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- JSON prop extraction --------------------------------------------
+    "ev_json_extract" -> QueryDef(
+      (s, dir) => QueryDef.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(avg(json_extract_string(props, '$.k')::int), 6) AS avg_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- W2-style top-k per group ----------------------------------------
+    "ev_top_users_per_type" -> QueryDef(
+      (s, dir) => {
+        val totals = QueryDef.events(s, dir)
+          .groupBy("event_type", "user_id")
+          .agg(round(sum("value"), 4).as("total"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("total").desc, col("user_id").asc)
+        totals.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("event_type", "rank")
+      },
+      Some("""WITH totals AS (
+             |  SELECT event_type, user_id, round(sum(value), 4) AS total
+             |  FROM events GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY total DESC, user_id ASC) AS rank
+             |  FROM totals)
+             |SELECT event_type, user_id, total, rank::int AS rank
+             |FROM ranked WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)),
+
+    // ---- gap-based sessionization ----------------------------------------
+    "ev_sessionize" -> QueryDef(
+      (s, dir) => StreamingOps.sessionize(QueryDef.events(s, dir), 30)
+        .orderBy("user_id"),
+      Some("""WITH lagged AS (
+             |  SELECT user_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |flags AS (
+             |  SELECT user_id,
+             |         CASE WHEN prev IS NULL
+             |                   OR floor(epoch(ts))::bigint - floor(epoch(prev))::bigint > 1800
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM lagged)
+             |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+             |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- multimodal: metadata decode over binary columns ------------------
+    "mm_decode_meta" -> QueryDef(
+      (s, dir) => Multimodal.decodeMeta(
+          Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id, octet_length(encode(text))::bigint AS n_bytes,
+             |       md5(text) AS content_hash,
+             |       (('0x'||substr(md5(text), 1, 15))::bigint % 1280 + 1)::int AS width,
+             |       (('0x'||substr(md5(text||'h'), 1, 15))::bigint % 720 + 1)::int AS height
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // ---- multimodal: frame sampling over binary ---------------------------
+    // ASCII corpus → byte offsets == char offsets, so the oracle slices
+    // the text directly.
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text"),
+          frameSize = 32, every = 2)
+        .select(col("id"), col("frame_idx"),
+          md5(col("frame")).as("frame_hash"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy("id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS id, octet_length(encode(text)) AS nb, text,
+             |         unnest(range(0, ceil(octet_length(encode(text)) / 32.0)::int)) AS frame_idx
+             |  FROM documents)
+             |SELECT id, frame_idx,
+             |       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_hash,
+             |       least(32, nb - frame_idx * 32)::int AS frame_bytes
+             |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+
+    // ---- multimodal: resize stub keeps proportional prefix ----------------
+    "mm_resize" -> QueryDef(
+      (s, dir) => Multimodal.resizeStub(
+          Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text"), 50)
+        .select(col("id"), length(col("data")).as("n_bytes"), md5(col("data")).as("hash"))
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id,
+             |       greatest((octet_length(encode(text)) * 50) // 100, 1)::int AS n_bytes,
+             |       md5(substring(text, 1, greatest((octet_length(encode(text)) * 50) // 100, 1))) AS hash
+             |FROM documents ORDER BY id""".stripMargin))
+  )
+}

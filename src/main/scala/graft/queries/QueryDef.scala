@@ -16,6 +16,18 @@ object QueryDef {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    * only reads as long (spark.sql.legacy.parquet.nanosAsLong=true, set
+    * in every session builder); convert to a proper timestamp at µs
+    * precision here. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+
   /** Shared tokenizer fragments — MUST stay in lockstep with
     * [[graft.functions.Text.tokenize]]. */
   val stopwordsSqlList: String =

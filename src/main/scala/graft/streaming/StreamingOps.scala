@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Text
+
+/** Structured Streaming operators (SURVEY.md §2.10 — new design, the
+  * reference has no streaming support; charter: the `events` stream).
+  *
+  * Every transform here is written against a plain DataFrame and works
+  * identically on a batch frame and a `readStream` frame — the batch
+  * path doubles as the oracle for the streaming path (tested with
+  * MemoryStream in StreamingSpec).
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation per event type. On a streaming input a
+    * watermark bounds state; on batch it's a plain window groupBy. */
+  def windowedEventAgg(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Per-user session count with a fixed inactivity gap — batch analog of
+    * session windows, expressed with lag so the same semantics are
+    * SQL-oracle-checkable. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          col("ts").cast("long") - col("_prev").cast("long") > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  // ---------- incremental token blocking (stateful streaming) ----------
+
+  /** One tokenized record on one side of the stream. */
+  final case class TokenRecord(key: String, side: String, id: String)
+
+  /** A newly discovered candidate pair for a token block. */
+  final case class CandidatePair(key: String, leftId: String, rightId: String)
+
+  /** Per-token state. Public (not `private`): Spark's generated encoder
+    * code is compiled by janino in a separate class and cannot touch
+    * private member classes. */
+  final case class TokenState(left: Seq[String], right: Seq[String])
+
+  /** Incremental token blocking: as entities stream in, each token group
+    * keeps the id sets seen so far and emits ONLY the new candidate
+    * pairs each batch — the streaming form of TokenBlocker (A1+J1),
+    * with per-token state bounded by `maxIdsPerSide` (the streaming
+    * equivalent of the hot-token cap: oversized blocks stop emitting). */
+  def incrementalTokenBlocks(
+      records: Dataset[TokenRecord],
+      maxIdsPerSide: Int = 10000)(implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[TokenState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[TokenRecord], state: GroupState[TokenState]) =>
+          val st = state.getOption.getOrElse(TokenState(Seq.empty, Seq.empty))
+          val oldLeft = st.left.toSet
+          val oldRight = st.right.toSet
+          val recs = batch.toSeq
+          val newLeft = recs.filter(_.side == "left").map(_.id).toSet -- oldLeft
+          val newRight = recs.filter(_.side == "right").map(_.id).toSet -- oldRight
+          val pairs =
+            if (oldLeft.size > maxIdsPerSide || oldRight.size > maxIdsPerSide) Iterator.empty
+            else {
+              // new-left × all-right ∪ all-left × new-right (dedup overlap)
+              val allRight = oldRight ++ newRight
+              val p1 = for (l <- newLeft.iterator; r <- allRight) yield CandidatePair(key, l, r)
+              val p2 = for (l <- oldLeft.iterator; r <- newRight) yield CandidatePair(key, l, r)
+              p1 ++ p2
+            }
+          state.update(TokenState(
+            (oldLeft ++ newLeft).toSeq.sorted, (oldRight ++ newRight).toSeq.sorted))
+          pairs
+      }
+  }
+
+  /** Tokenize a raw (id, text, side) stream into TokenRecords. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
+      implicit spark: SparkSession): Dataset[TokenRecord] = {
+    import spark.implicits._
+    df.select(
+        explode(Text.tokenize(col(textCol))).as("key"),
+        col(sideCol).cast("string").as("side"),
+        col(idCol).cast("string").as("id"))
+      .as[TokenRecord]
+  }
+}

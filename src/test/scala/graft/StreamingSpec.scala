@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{CandidatePair, TokenRecord}
+
+/** Structured Streaming paths driven end-to-end with MemoryStream; the
+  * batch run of the SAME transform is the oracle. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedEventAgg: streaming result equals batch result") {
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0),
+      (ts("2024-01-01 10:10:00"), "view", 8.0))
+    val batch = StreamingOps.windowedEventAgg(
+      rows.toDF("ts", "event_type", "value")).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sq = StreamingOps.windowedEventAgg(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      sq.processAllAvailable()
+      val streamed = spark.table("win_agg").collect().toSet
+      assert(streamed == batch)
+      assert(batch.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ==
+        Set((1704103200L, "click", 2L), (1704106800L, "click", 1L), (1704103200L, "view", 1L)))
+    } finally sq.stop()
+  }
+
+  test("incrementalTokenBlocks emits each candidate pair exactly once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TokenRecord]
+    val sq = StreamingOps.incrementalTokenBlocks(mem.toDS())
+      .writeStream.format("memory").queryName("inc_blocks")
+      .outputMode("append").start()
+    try {
+      // batch 1: l1 and r1 share token t
+      mem.addData(TokenRecord("t", "left", "l1"), TokenRecord("t", "right", "r1"))
+      sq.processAllAvailable()
+      val b1 = spark.table("inc_blocks").as[CandidatePair].collect().toSet
+      assert(b1 == Set(CandidatePair("t", "l1", "r1")))
+      // batch 2: new left l2 arrives → only the new pairs appear
+      mem.addData(TokenRecord("t", "left", "l2"), TokenRecord("t", "left", "l1"))
+      sq.processAllAvailable()
+      val b2 = spark.table("inc_blocks").as[CandidatePair].collect().toSet
+      assert(b2 == Set(CandidatePair("t", "l1", "r1"), CandidatePair("t", "l2", "r1")))
+      // batch 3: new right r2 → pairs with ALL known lefts, no repeats
+      mem.addData(TokenRecord("t", "right", "r2"))
+      sq.processAllAvailable()
+      val b3 = spark.table("inc_blocks").as[CandidatePair].collect()
+      assert(b3.length == 4)
+      assert(b3.toSet == Set(
+        CandidatePair("t", "l1", "r1"), CandidatePair("t", "l2", "r1"),
+        CandidatePair("t", "l1", "r2"), CandidatePair("t", "l2", "r2")))
+    } finally sq.stop()
+  }
+
+  test("streaming tokenize feeds the incremental blocker end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[(String, String, String)]
+    val records = StreamingOps.tokenize(
+      mem.toDF().toDF("id", "text", "side"), "id", "text", "side")
+    val sq = StreamingOps.incrementalTokenBlocks(records)
+      .writeStream.format("memory").queryName("e2e_blocks")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a1", "john mcexample", "left"), ("b1", "john smith", "right"))
+      sq.processAllAvailable()
+      val got = spark.table("e2e_blocks").as[CandidatePair].collect().toSet
+      assert(got == Set(CandidatePair("john", "a1", "b1")))
+    } finally sq.stop()
+  }
+
+  test("sessionize counts gap-separated sessions") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:00:00")), // 50-min gap → new session
+      (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = StreamingOps.sessionize(events, 30).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+  }
+}
