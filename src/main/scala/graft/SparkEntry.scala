@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.DedupQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.EncoderQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * end-to-end token blocking (scan → concat → tokenize → explode →

@@ -1,0 +1,93 @@
+package graft.blockers
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Blocks, EntityFrame}
+import graft.encoders.FrameEncoder
+import graft.similarity.Similarity
+
+/** Embedding-based blocking (reference src/klinker/blockers/embedding/
+  * blocker.py:28-239 + blockbuilder.py): encode both sides, then build
+  * blocks from vector neighborhoods. Two builders:
+  *   - kNN (J8/W4): each left entity blocks with its k nearest right
+  *     entities; optional Sinkhorn re-ranking (W5).
+  *   - cluster (M11): KMeans labels replace the reference's HDBSCAN
+  *     (no HDBSCAN on Spark — documented divergence); co-clustered
+  *     entities share a block.
+  */
+final case class EmbeddingKnnBlocker(
+    encoder: FrameEncoder,
+    k: Int = 5,
+    sinkhornIterations: Int = 0) extends Blocker {
+
+  override def assign(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
+    val le = encoder.encode(left, leftRel)
+    val re = encoder.encode(right, rightRel)
+    val base = Similarity.topKCosine(le, re, k, broadcastRight = false)
+    val ranked =
+      if (sinkhornIterations > 0) {
+        val scores = Sinkhorn.rescale(
+          base.select(col("left_id"), col("right_id"),
+            ((col("cos") + 1.0) / 2.0).as("s")), // shift to ≥ 0 for scaling
+          sinkhornIterations)
+        val w = Window.partitionBy("left_id").orderBy(col("s").desc, col("right_id").asc)
+        scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      } else base
+    Blocks.fromNN(
+      ranked.groupBy("left_id")
+        .agg(array_sort(collect_set(col("right_id"))).as("right_ids")),
+      "left_id", "right_ids")
+  }
+}
+
+/** W5 Sinkhorn re-ranking (reference blockbuilder.py:209-283): iterative
+  * row/column normalization of the candidate score matrix — expressed as
+  * alternating groupBy-sum + broadcast-join divisions, never a collected
+  * matrix. The matrix is already sparse (k candidates per left id). */
+object Sinkhorn {
+  def rescale(scores: DataFrame, iterations: Int): DataFrame = {
+    var s = scores
+    for (_ <- 1 to iterations) {
+      val rowSums = s.groupBy("left_id").agg(sum(col("s")).as("_rs"))
+      s = s.join(rowSums, Seq("left_id"))
+        .select(col("left_id"), col("right_id"), (col("s") / col("_rs")).as("s"))
+      val colSums = s.groupBy("right_id").agg(sum(col("s")).as("_cs"))
+      s = s.join(colSums, Seq("right_id"))
+        .select(col("left_id"), col("right_id"), (col("s") / col("_cs")).as("s"))
+    }
+    s
+  }
+}
+
+/** M11: cluster-label blocking with MLlib KMeans standing in for the
+  * reference's HDBSCAN (blockbuilder.py:286-447). Both sides are
+  * clustered in ONE fit over the union (the reference concatenates
+  * left+right embeddings too), then labels become block keys. */
+final case class KMeansClusterBlocker(
+    encoder: FrameEncoder,
+    numClusters: Int = 10,
+    seed: Long = 42L) extends Blocker {
+
+  override def assign(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
+    val le = encoder.encode(left, leftRel).withColumn("_side", lit("l"))
+    val re = encoder.encode(right, rightRel).withColumn("_side", lit("r"))
+    val all = le.unionByName(re)
+    val toMl = udf((a: Seq[Double]) => MLVectors.dense(a.toArray))
+    val feat = all.withColumn("features", toMl(col("vec")))
+    val model = new KMeans().setK(numClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("label")
+    val labeled = model.fit(feat).transform(feat)
+    val l = labeled.filter(col("_side") === "l")
+      .select(col("label").cast("string").as("key"), col("id"))
+    val r = labeled.filter(col("_side") === "r")
+      .select(col("label").cast("string").as("key"), col("id"))
+    Blocker.blockJoin(l, r)
+  }
+}

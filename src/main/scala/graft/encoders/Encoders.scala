@@ -1,0 +1,111 @@
+package graft.encoders
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.EntityFrame
+import graft.functions.Text
+
+/** Frame encoders: EntityFrame (+ optional relation triples) → one dense
+  * embedding row per entity, `(id: string, vec: array<double>)`.
+  *
+  * Mirrors the reference's encoder stack (src/klinker/encoders/) with the
+  * boundary SURVEY.md M6/M7 prescribes: *learned* models (transformers,
+  * DeepBlocker) stay external — embeddings enter as a DataFrame — while
+  * everything computable from the data itself (hash/word pooling M4,
+  * graph propagation M8/M9) is implemented natively as joins+aggregates.
+  */
+trait FrameEncoder {
+  def encode(
+      frame: EntityFrame,
+      rel: Option[DataFrame] = None): DataFrame
+}
+
+/** M4-style pooled token embedding with a deterministic md5-derived
+  * token vector table (stands in for fasttext/gloVe lookups, which at
+  * scale are themselves just a parquet join — reference
+  * pretrained.py:259-384). Optional SIF weighting (M5).
+  */
+final case class HashTokenEncoder(
+    dims: Int = 8,
+    sif: Boolean = false,
+    sifA: Double = 1e-3) extends FrameEncoder {
+
+  override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
+    val toks = frame.concatValues()
+      .select(col(frame.idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(EntityFrame.ConcCol))).as("key"))
+    val weighted =
+      if (sif) {
+        val counts = toks.groupBy("key").agg(count(lit(1)).as("freq"))
+        val total = toks.count().toDouble
+        toks.join(broadcast(counts), Seq("key"))
+          .withColumn("w", lit(sifA) / (lit(sifA) + col("freq") / lit(total)))
+      } else toks.withColumn("w", lit(1.0))
+    val dimCols = (0 until dims).map(d =>
+      (sum(col("w") * ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
+        / sum(col("w"))).as(s"d$d"))
+    weighted.groupBy("id").agg(dimCols.head, dimCols.tail: _*)
+      .select(col("id"), array((0 until dims).map(d => col(s"d$d")): _*).as("vec"))
+  }
+}
+
+/** Graph message passing (M8 GCN / M9 LightEA, reference encoders/
+  * gcn.py:108-234 and light_ea.py:55-248): k rounds of
+  * degree-normalized neighbor aggregation over the symmetric relation
+  * graph, expressed as join + element-wise aggregate — the
+  * aggregateMessages pattern, pure DataFrame.
+  *
+  * round:  f'(i) = f(i)/2 + Σ_{j∈N(i)} f(j) / (2·sqrt(deg i · deg j))
+  * (self-loop keeps own signal; sqrt-degree norm is the GCN kernel).
+  * With `l2NormalizeEachRound` the per-round L2 norm matches LightEA's
+  * propagation flavor.
+  */
+final case class GraphPropagationEncoder(
+    base: FrameEncoder,
+    rounds: Int = 2,
+    l2NormalizeEachRound: Boolean = false) extends FrameEncoder {
+
+  override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
+    require(rel.isDefined, "graph encoder needs relation triples")
+    val f0 = base.encode(frame, None)
+    val (h, _, t) = {
+      val Array(a, b, c) = rel.get.columns.take(3)
+      (a, b, c)
+    }
+    // symmetric edge list (string ids)
+    val edges = rel.get
+      .select(col(h).cast("string").as("src"), col(t).cast("string").as("dst"))
+      .unionByName(rel.get
+        .select(col(t).cast("string").as("src"), col(h).cast("string").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+
+    var f = f0
+    for (_ <- 1 to rounds) {
+      // exploded features of the source side
+      val srcFeat = f.select(col("id").as("src"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .join(broadcast(deg), Seq("src"))
+      val msgs = edges
+        .join(srcFeat, Seq("src"))
+        .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("deg_dst"))), Seq("dst"))
+        .groupBy(col("dst").as("id"), col("pos"))
+        .agg(sum(col("v") / (sqrt(col("deg") * col("deg_dst")) * 2.0)).as("nbr"))
+      val own = f.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      val combined = own.join(msgs, Seq("id", "pos"), "left")
+        .select(col("id"), col("pos"),
+          (col("v") / 2.0 + coalesce(col("nbr"), lit(0.0))).as("v"))
+      val renorm =
+        if (l2NormalizeEachRound) {
+          val norms = combined.groupBy("id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+          combined.join(norms, Seq("id"))
+            .select(col("id"), col("pos"),
+              when(col("nrm") === 0.0, col("v")).otherwise(col("v") / col("nrm")).as("v"))
+        } else combined
+      f = renorm
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("id"), transform(col("pv"), x => x("v")).as("vec"))
+    }
+    f
+  }
+}

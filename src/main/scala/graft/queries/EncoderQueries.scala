@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.blockers._
+import graft.core.{Blocks, EntityFrame}
+import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder}
+import graft.eval.Evaluation
+import QueryDef.{table, duckTokens}
+
+/** Encoder + embedding-blocker queries (SURVEY.md §2.8 M8-M11, W5, A10).
+  * Graph framing: a restricted orders/parts graph (l_orderkey % 20 = 0)
+  * keeps the 2-round propagation oracle tractable. */
+object EncoderQueries {
+
+  private def relFrame(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0).select(
+      concat(lit("o"), col("l_orderkey")).as("head"),
+      concat(lit("ln_"), col("l_linenumber")).as("rel"),
+      concat(lit("p"), col("l_partkey")).as("tail"))
+
+  private def attrFrame(s: SparkSession, dir: String): EntityFrame = {
+    val rel = relFrame(s, dir)
+    val ids = rel.select(col("head").as("id"))
+      .unionByName(rel.select(col("tail").as("id"))).distinct()
+    val o = table(s, dir, "orders")
+    val p = table(s, dir, "part")
+    val triples = o.select(concat(lit("o"), col("o_orderkey")).as("head"),
+        lit("status").as("rel"), col("o_orderstatus").as("tail"))
+      .unionByName(o.select(concat(lit("o"), col("o_orderkey")).as("head"),
+        lit("priority").as("rel"), col("o_orderpriority").as("tail")))
+      .unionByName(p.select(concat(lit("p"), col("p_partkey")).as("head"),
+        lit("name").as("rel"), col("p_name").as("tail")))
+    EntityFrame(
+      triples.join(ids.withColumnRenamed("id", "head"), Seq("head"), "left_semi"),
+      "graph", "head", isTriple = true)
+  }
+
+  private val relSql =
+    """SELECT 'o'||l_orderkey AS head, 'p'||l_partkey AS tail
+      |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
+
+  /** conc text + tokens + md5 pseudo-embedding f0 per graph entity. */
+  private val f0Sql =
+    s"""WITH rel AS ($relSql),
+       |gids AS (SELECT DISTINCT head AS id FROM rel UNION SELECT DISTINCT tail FROM rel),
+       |attr AS (
+       |  SELECT 'o'||o_orderkey AS head, o_orderstatus AS tail FROM orders
+       |  UNION ALL SELECT 'o'||o_orderkey, o_orderpriority FROM orders
+       |  UNION ALL SELECT 'p'||p_partkey, p_name FROM part),
+       |conc AS (
+       |  SELECT a.head AS id, string_agg(DISTINCT trim(a.tail), ' ' ORDER BY trim(a.tail)) AS txt
+       |  FROM attr a SEMI JOIN gids g ON a.head = g.id
+       |  WHERE a.tail IS NOT NULL GROUP BY a.head),
+       |toks AS (${duckTokens("id", "txt", "conc")}),
+       |f0 AS (
+       |  SELECT id, d.d AS pos,
+       |    avg((('0x'||substr(md5(key||':'||d.d), 1, 15))::bigint % 2001 - 1000)/1000.0) AS v
+       |  FROM toks, range(0, 8) d(d) GROUP BY id, d.d)""".stripMargin
+
+  /** One propagation round as SQL over f_{r-1} named `fin`. */
+  private def roundSql(fin: String, fout: String): String =
+    s"""$fout AS (
+       |  SELECT own.id, own.pos, own.v / 2.0 + coalesce(msg.m, 0.0) AS v
+       |  FROM $fin own LEFT JOIN (
+       |    SELECT e.dst AS id, f.pos,
+       |           sum(f.v / (sqrt(ds.deg * dd.deg) * 2.0)) AS m
+       |    FROM edges e
+       |    JOIN $fin f ON f.id = e.src
+       |    JOIN deg ds ON ds.id = e.src
+       |    JOIN deg dd ON dd.id = e.dst
+       |    GROUP BY e.dst, f.pos) msg
+       |  ON own.id = msg.id AND own.pos = msg.pos)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- M8/M10: GCN-style propagation, 2 rounds --------------------------
+    "m8_graph_propagation" -> QueryDef(
+      (s, dir) => {
+        val enc = GraphPropagationEncoder(HashTokenEncoder(8), rounds = 2)
+        enc.encode(attrFrame(s, dir), Some(relFrame(s, dir)))
+          .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+          .select(col("id"), col("pos"), round(col("v"), 6).as("v"))
+          .orderBy("id", "pos")
+      },
+      Some(s"""$f0Sql,
+              |edges AS (
+              |  SELECT head AS src, tail AS dst FROM rel
+              |  UNION SELECT tail, head FROM rel),
+              |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+              |${roundSql("f0", "f1")},
+              |${roundSql("f1", "f2")}
+              |SELECT id, pos::int AS pos, round(v, 6) AS v
+              |FROM f2 ORDER BY id, pos""".stripMargin)),
+
+    // ---- W5: Sinkhorn re-ranking over kNN candidates ----------------------
+    "w5_sinkhorn_rerank" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cand = graft.similarity.Similarity.topKCosine(l, r, 3)
+          .select(col("left_id"), col("right_id"), ((col("cos") + 1.0) / 2.0).as("s"))
+        val scaled = Sinkhorn.rescale(cand, 2)
+        val w = Window.partitionBy("left_id").orderBy(col("s").desc, col("right_id").asc)
+        scaled.withColumn("rank", row_number().over(w))
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("s") * 1e6, 6).as("s_scaled"))
+          .orderBy("left_id", "rank")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |dots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+             |cand AS (SELECT left_id, right_id,
+             |    (dot / (na.nrm * nb.nrm) + 1.0) / 2.0 AS s
+             |  FROM dots JOIN norms na ON na.vec_id = left_id
+             |            JOIN norms nb ON nb.vec_id = right_id
+             |  QUALIFY row_number() OVER (PARTITION BY left_id
+             |      ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) <= 3),
+             |i1r AS (SELECT left_id, right_id,
+             |    s / sum(s) OVER (PARTITION BY left_id) AS s FROM cand),
+             |i1c AS (SELECT left_id, right_id,
+             |    s / sum(s) OVER (PARTITION BY right_id) AS s FROM i1r),
+             |i2r AS (SELECT left_id, right_id,
+             |    s / sum(s) OVER (PARTITION BY left_id) AS s FROM i1c),
+             |i2c AS (SELECT left_id, right_id,
+             |    s / sum(s) OVER (PARTITION BY right_id) AS s FROM i2r)
+             |SELECT left_id,
+             |  row_number() OVER (PARTITION BY left_id ORDER BY s DESC, right_id ASC)::int AS rank,
+             |  right_id, round(s * 1e6, 6) AS s_scaled
+             |FROM i2c ORDER BY left_id, rank""".stripMargin)),
+
+    // ---- A10: dice overlap of two blockings' true-positive sets -----------
+    "a10_dice_tp" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def side(p: Int, c: String) = EntityFrame(
+          docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col(c)),
+          s"side$p", "doc_id")
+        val tok = TokenBlocker().assign(side(0, "text"), side(1, "text"))
+        val lang = StandardBlocker("lang").assign(side(0, "lang"), side(1, "lang"))
+        val gold = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("l"), (col("doc_id") + 1).as("r"))
+        val dice = Evaluation.diceOfTruePositives(tok, lang, gold)
+        s.range(1).select(round(lit(dice), 6).as("dice"))
+      },
+      Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |rt AS (SELECT DISTINCT * FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+              |tok_pairs AS (SELECT DISTINCT lt.id AS l, rt.id AS r FROM lt JOIN rt USING (key)),
+              |lang_pairs AS (
+              |  SELECT DISTINCT cast(a.doc_id AS varchar) AS l, cast(b.doc_id AS varchar) AS r
+              |  FROM documents a JOIN documents b ON a.lang = b.lang
+              |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+              |gold AS (SELECT cast(doc_id AS varchar) AS l, cast(doc_id + 1 AS varchar) AS r
+              |         FROM documents WHERE doc_id % 2 = 0),
+              |tpa AS (SELECT * FROM tok_pairs SEMI JOIN gold USING (l, r)),
+              |tpb AS (SELECT * FROM lang_pairs SEMI JOIN gold USING (l, r)),
+              |m AS (SELECT
+              |  (SELECT count(*) FROM tpa) AS na,
+              |  (SELECT count(*) FROM tpb) AS nb,
+              |  (SELECT count(*) FROM tpa SEMI JOIN tpb USING (l, r)) AS ni)
+              |SELECT round(CASE WHEN na + nb = 0 THEN 0
+              |                  ELSE 2.0 * ni / (na + nb) END, 6) AS dice FROM m""".stripMargin)),
+
+    // ---- M11 (real clustering) + kNN embedding blocker: rows-only ---------
+    // MLlib KMeans internals aren't SQL-reproducible → driver records the
+    // weaker rows-only check (oracle omitted), invariants in specs.
+    "m11_kmeans_blocker" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def side(p: Int) = EntityFrame(
+          docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col("text")),
+          s"side$p", "doc_id")
+        KMeansClusterBlocker(HashTokenEncoder(8), numClusters = 8)
+          .assign(side(0), side(1))
+          .df.select(col(Blocks.KeyCol),
+            size(col(Blocks.LeftCol)).as("left_size"),
+            size(col(Blocks.RightCol)).as("right_size"))
+          .orderBy(Blocks.KeyCol)
+      },
+      None),
+
+    "emb_knn_blocker" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def side(p: Int) = EntityFrame(
+          docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col("text")),
+          s"side$p", "doc_id")
+        EmbeddingKnnBlocker(HashTokenEncoder(8), k = 3, sinkhornIterations = 1)
+          .assign(side(0), side(1))
+          .df.select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      None)
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.blockers._
+import graft.core.EntityFrame
+import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder}
+
+/** Encoder + embedding-blocker invariants (the reference's own ML-path
+  * test style: shapes and structural properties, not exact floats). */
+class EncoderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HashTokenEncoder: deterministic, fixed dims, same text → same vec") {
+    val f = EntityFrame(
+      Seq(("a", "alpha beta"), ("b", "alpha beta"), ("c", "gamma delta"))
+        .toDF("id", "text"), "t", "id")
+    val got = HashTokenEncoder(8).encode(f, None).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got.values.forall(_.length == 8))
+    assert(got("a") == got("b"))
+    assert(got("a") != got("c"))
+    assert(got.values.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("GraphPropagationEncoder pulls neighbor signal across edges") {
+    val attr = EntityFrame(
+      Seq(("x", "alpha"), ("y", "omega")).toDF("id", "text"), "t", "id")
+    val rel = Seq(("x", "r", "y")).toDF("head", "rel", "tail")
+    val base = HashTokenEncoder(4).encode(attr, None).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    val prop = GraphPropagationEncoder(HashTokenEncoder(4), rounds = 1)
+      .encode(attr, Some(rel)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    // deg(x)=deg(y)=1 → f'(x) = f(x)/2 + f(y)/2
+    (0 until 4).foreach { d =>
+      assert(math.abs(prop("x")(d) - (base("x")(d) / 2 + base("y")(d) / 2)) < 1e-12)
+    }
+  }
+
+  test("EmbeddingKnnBlocker emits one block per left entity with ≤ k neighbors") {
+    val b = EmbeddingKnnBlocker(HashTokenEncoder(8), k = 2)
+      .assign(tableA, tableB)
+    val m = blockMap(b)
+    assert(m.size == 5) // one block per left entity
+    m.foreach { case (key, (l, r)) =>
+      assert(l == Set(key)) // NN block key = the left id
+      assert(r.size <= 2 && r.nonEmpty)
+      assert(r.subsetOf(Set("b1", "b2", "b3", "b4", "b5")))
+    }
+  }
+
+  test("Sinkhorn preserves the candidate set and positivity") {
+    val cand = Seq(
+      ("l1", "r1", 0.9), ("l1", "r2", 0.5),
+      ("l2", "r1", 0.4), ("l2", "r2", 0.8)).toDF("left_id", "right_id", "s")
+    val out = Sinkhorn.rescale(cand, 3).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
+    assert(out.length == 4)
+    assert(out.forall(_._3 > 0))
+  }
+
+  test("KMeansClusterBlocker: every emitted id comes from its input side") {
+    val b = KMeansClusterBlocker(HashTokenEncoder(8), numClusters = 3)
+      .assign(tableA, tableB)
+    val m = blockMap(b)
+    assert(m.nonEmpty)
+    m.values.foreach { case (l, r) =>
+      assert(l.subsetOf(Set("a1", "a2", "a3", "a4", "a5")))
+      assert(r.subsetOf(Set("b1", "b2", "b3", "b4", "b5")))
+    }
+  }
+}
