@@ -21,14 +21,16 @@ import graft.similarity.Similarity
 final case class EmbeddingKnnBlocker(
     encoder: FrameEncoder,
     k: Int = 5,
-    sinkhornIterations: Int = 0) extends Blocker {
+    dims: Int = 8,
+    sinkhornIterations: Int = 0,
+    broadcastRight: Boolean = true) extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
     val le = encoder.encode(left, leftRel)
     val re = encoder.encode(right, rightRel)
-    val base = Similarity.topKCosine(le, re, k, broadcastRight = false)
+    val base = Similarity.topKCosine(le, re, k, dims, broadcastRight)
     val ranked =
       if (sinkhornIterations > 0) {
         val scores = Sinkhorn.rescale(

@@ -44,16 +44,32 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs: band-bucket collisions generate
-    * candidates, exact Jaccard ≥ `threshold` verifies. Pairs are
-    * canonical (id_a < id_b). */
+    * candidates, a signature-estimated Jaccard (fraction of matching
+    * minhashes) prefilters them CHEAPLY — signatures are already
+    * computed, the estimate is numPerm equality checks per pair — and
+    * only the survivors pay the exact token-join verification. On a
+    * near-dup-dense corpus the prefilter is what keeps the verify join
+    * from exploding (est ≥ `estPrefilter` is ~2σ below `threshold` for
+    * 16 perms). Pairs are canonical (id_a < id_b). */
   def minHashNearDupPairs(
       tokenPairs: DataFrame, numPerm: Int, bands: Int,
-      threshold: Double): DataFrame = {
-    val buckets = MinHash.buckets(tokenPairs, numPerm, bands)
-    val candidates = buckets.withColumnRenamed("id", "id_a")
+      threshold: Double, estPrefilter: Double = 0.0): DataFrame = {
+    val sig = MinHash.signature(tokenPairs, numPerm)
+    val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
+    var candidates = buckets.withColumnRenamed("id", "id_a")
       .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    if (estPrefilter > 0.0) {
+      val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"${c}_a"): _*)
+      val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"${c}_b"): _*)
+      val est = (0 until numPerm)
+        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / numPerm
+      candidates = candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .filter(est >= estPrefilter)
+        .select("id_a", "id_b")
+    }
     verifyJaccard(tokenPairs, candidates).filter(col("jaccard") >= threshold)
   }
 

@@ -17,6 +17,17 @@ object Vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Σ aᵢ·bᵢ with a statically-known dimension: unrolled into a flat
+    * multiply-add chain of getItem expressions. Whole-stage codegen turns
+    * this into straight-line code with ZERO per-row array allocations —
+    * the zip_with/aggregate form allocates an intermediate array per
+    * pair, which dominates cost on O(n²) similarity joins. Same left-to-
+    * right summation order as [[dot]] (oracle-identical results). */
+  def dotStatic(a: Column, b: Column, dims: Int): Column =
+    (0 until dims)
+      .map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
+      .reduce(_ + _)
+
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -53,20 +53,25 @@ object DedupQueries {
               |FROM canon GROUP BY dup_key HAVING count(DISTINCT id) >= 2
               |ORDER BY dup_key""".stripMargin)),
 
-    // ---- MinHash-LSH near-dup (token sets, jaccard ≥ 0.9) -----------------
+    // ---- MinHash-LSH near-dup (3-token shingles, jaccard ≥ 0.2) ----------
+    // Shingles, not tokens: a tiny shared vocabulary makes token-set
+    // MinHash collide on nearly every pair (the corpus's avg token-set
+    // jaccard is 0.63); the shingle space is large → candidates are only
+    // genuine near-dups. This is the standard corpus-dedup formulation.
     "dd_minhash_neardup" -> QueryDef(
-      (s, dir) => Dedup.minHashNearDupPairs(docTokens(s, dir),
-          numPerm = 16, bands = 8, threshold = 0.9)
+      (s, dir) => Dedup.minHashNearDupPairs(docShingles(s, dir),
+          numPerm = 16, bands = 4, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some {
-        val sig = MinHash.signatureSql(docTokensSql, 16)
-        val buckets = MinHash.bandBucketsSql(sig, 8, 2)
-        s"""WITH buckets AS ($buckets),
+        val sig = MinHash.signatureSql(docShinglesSql, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        s"""WITH sig AS ($sig),
+           |buckets AS ($buckets),
            |cand AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
-           |toks AS ($docTokensSql),
+           |toks AS ($docShinglesSql),
            |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM toks GROUP BY id),
            |inter AS (
            |  SELECT c.id_a, c.id_b, count(*) AS i
@@ -77,7 +82,7 @@ object DedupQueries {
            |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
            |FROM inter JOIN sizes sa ON sa.id = id_a
            |           JOIN sizes sb ON sb.id = id_b
-           |WHERE i / (sa.sz + sb.sz - i) >= 0.9
+           |WHERE i / (sa.sz + sb.sz - i) >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       }),
 

@@ -27,14 +27,21 @@ object Similarity {
     * whenever the right side fits in executor memory (the planner then
     * turns the cross join into BroadcastNestedLoopJoin — no shuffle). */
   def topKCosine(
-      left: DataFrame, right: DataFrame, k: Int,
+      left: DataFrame, right: DataFrame, k: Int, dims: Int = 64,
       broadcastRight: Boolean = true): DataFrame = {
-    val l = left.select(col("id").as("left_id"), col("vec").as("_lv"))
-    val r0 = right.select(col("id").as("right_id"), col("vec").as("_rv"))
+    // norms once per ROW (not per pair); pair score is an unrolled
+    // multiply-add chain — no per-pair array allocation
+    // small single-file inputs arrive as ONE partition; without an
+    // explicit spread the nested-loop join runs on one core
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val l = left.select(col("id").as("left_id"), col("vec").as("_lv"),
+      Vectors.l2Norm(col("vec")).as("_ln")).repartition(par)
+    val r0 = right.select(col("id").as("right_id"), col("vec").as("_rv"),
+      Vectors.l2Norm(col("vec")).as("_rn"))
     val r = if (broadcastRight) broadcast(r0) else r0
     val scored = l.crossJoin(r)
       .select(col("left_id"), col("right_id"),
-        Vectors.cosine(col("_lv"), col("_rv")).as("cos"))
+        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -50,23 +57,26 @@ object Similarity {
   /** IVF search: assign each query to its nearest centroid (cosine,
     * tie-break on bucket), then exact top-k within that bucket only.
     * Centroids are tiny (one row per bucket) → broadcast twice. */
-  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int): DataFrame = {
+  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64): DataFrame = {
     val cents = centroids(bucketed)
-    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"))
+      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
+      Vectors.l2Norm(col("vec")).as("_ln"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val assignW = Window.partitionBy("left_id")
       .orderBy(col("_ccos").desc, col("bucket").asc)
     val assigned = q.crossJoin(broadcast(cents))
-      .select(col("left_id"), col("_lv"), col("bucket"),
-        Vectors.cosine(col("_lv"), col("centroid")).as("_ccos"))
+      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
+        (Vectors.dotStatic(col("_lv"), col("centroid"), dims) / (col("_ln") * col("_cn"))).as("_ccos"))
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
-      .select(col("left_id"), col("_lv"), col("bucket"))
+      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
     val scored = assigned
-      .join(bucketed.select(col("bucket"),
-        col("id").as("right_id"), col("vec").as("_rv")), Seq("bucket"))
+      .join(bucketed.select(col("bucket"), col("id").as("right_id"), col("vec").as("_rv"),
+        Vectors.l2Norm(col("vec")).as("_rn2")), Seq("bucket"))
       .filter(col("left_id") =!= col("right_id"))
       .select(col("left_id"), col("bucket"), col("right_id"),
-        Vectors.cosine(col("_lv"), col("_rv")).as("cos"))
+        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn2"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -103,11 +113,15 @@ object Similarity {
 
   /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) self-join;
     * the scale path buckets first (see callers). */
-  def selfJoinNearDup(df: DataFrame, threshold: Double): DataFrame = {
-    val a = df.select(col("id").as("id_a"), col("vec").as("_va"))
-    val b = df.select(col("id").as("id_b"), col("vec").as("_vb"))
+  def selfJoinNearDup(df: DataFrame, threshold: Double, dims: Int = 64): DataFrame = {
+    val a = df.select(col("id").as("id_a"), col("vec").as("_va"),
+      Vectors.l2Norm(col("vec")).as("_na"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val b = df.select(col("id").as("id_b"), col("vec").as("_vb"),
+      Vectors.l2Norm(col("vec")).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("_va"), col("_vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (Vectors.dotStatic(col("_va"), col("_vb"), dims) / (col("_na") * col("_nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
