@@ -24,7 +24,11 @@ final case class Blocks(df: DataFrame) {
   import Blocks._
 
   /** Candidate pairs as a distributed stream `(left_id, right_id)` —
-    * NOT distinct (blocks may overlap; eval dedups). */
+    * NOT distinct (blocks may overlap; eval dedups). NB: quadratic in
+    * block size and parallelized only across blocks — operations that
+    * can avoid full pair enumeration should (see
+    * [[graft.eval.Evaluation.truePositivePairs]], which joins the two
+    * single-explode streams through the block key instead). */
   def pairs: DataFrame =
     df.select(explode(col(LeftCol)).as("left_id"), col(RightCol))
       .select(col("left_id"), explode(col(RightCol)).as("right_id"))

@@ -77,14 +77,29 @@ object Evaluation {
         round(col("h3r"), scale).as("h3r"))
   }
 
-  /** Sørensen-Dice coefficient of two blockings' true-positive sets
-    * (eval.py:329-331) — distributed set algebra, no driver sets. */
-  def diceOfTruePositives(a: Blocks, b: Blocks, gold: DataFrame): Double = {
+  /** The gold pairs a blocking finds, WITHOUT enumerating candidate
+    * pairs: a gold pair is found iff some block key holds its left id on
+    * the left side and its right id on the right side — two independent
+    * single explodes (narrow rows, no arrays carried) joined through the
+    * block key. Turns the O(Σ|L|·|R|) pair explosion into
+    * O(Σ|L| + Σ|R|) work. Requires unique block keys (true of every
+    * blocker here). */
+  def truePositivePairs(blocks: Blocks, gold: DataFrame): DataFrame = {
     val Array(gl, gr) = gold.columns.take(2)
     val g = broadcast(gold.select(col(gl).cast("string").as("left_id"),
                                   col(gr).cast("string").as("right_id")))
-    val tpA = a.distinctPairs.join(g, Seq("left_id", "right_id"), "left_semi")
-    val tpB = b.distinctPairs.join(g, Seq("left_id", "right_id"), "left_semi")
+    val el = blocks.df.select(col(Blocks.KeyCol), explode(col(Blocks.LeftCol)).as("left_id"))
+    val er = blocks.df.select(col(Blocks.KeyCol), explode(col(Blocks.RightCol)).as("right_id"))
+    el.join(g, Seq("left_id"))
+      .join(er, Seq(Blocks.KeyCol, "right_id"), "left_semi")
+      .select("left_id", "right_id").distinct()
+  }
+
+  /** Sørensen-Dice coefficient of two blockings' true-positive sets
+    * (eval.py:329-331) — distributed set algebra, no driver sets. */
+  def diceOfTruePositives(a: Blocks, b: Blocks, gold: DataFrame): Double = {
+    val tpA = truePositivePairs(a, gold)
+    val tpB = truePositivePairs(b, gold)
     val na = tpA.count()
     val nb = tpB.count()
     val inter = tpA.join(tpB, Seq("left_id", "right_id"), "left_semi").count()

@@ -81,13 +81,19 @@ object SimilarityQueries {
     // ---- J10/M2: token-overlap counts -------------------------------------
     "j10_token_overlap" -> QueryDef(
       (s, dir) => {
+        // the join stream is |Σ nl·nr| rows (dense on this corpus): pack
+        // both int ids into ONE long group key — hashing a long beats
+        // hashing two strings ~3× on the aggregate that dominates here
         val lt = TokenBlocker().tokens(docSide(s, dir, 0))
-          .withColumnRenamed("id", "left_id")
+          .select(col("key"), col("id").cast("long").as("lid"))
         val rt = TokenBlocker().tokens(docSide(s, dir, 1))
-          .withColumnRenamed("id", "right_id")
+          .select(col("key"), col("id").cast("long").as("rid"))
         lt.join(rt, Seq("key"))
-          .groupBy("left_id", "right_id").agg(count(lit(1)).as("overlap"))
+          .select((col("lid") * 100000000L + col("rid")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("overlap"))
           .filter(col("overlap") >= 10)
+          .select((col("pk") / 100000000L).cast("long").cast("string").as("left_id"),
+            (col("pk") % 100000000L).cast("string").as("right_id"), col("overlap"))
           .orderBy("left_id", "right_id")
       },
       Some(s"""WITH lt AS (SELECT DISTINCT * FROM (${docTokensSql(0)})),
