@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.blockers.KMeansClusterBlocker
+import graft.core.{EmbeddingStore, EntityFrame, Gold}
+import graft.encoders.HashTokenEncoder
+
+class GoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Gold.fromClusters expands clusters to inter-dataset pairs only") {
+    val members = Seq(
+      ("c1", "a1", "A"), ("c1", "a2", "A"), ("c1", "b1", "B"),
+      ("c2", "a3", "A"), ("c2", "b2", "B"), ("c2", "b3", "B"),
+      ("c3", "a4", "A")) // no B member → no pairs
+      .toDF("cluster", "entity", "dataset")
+    val got = Gold.fromClusters(members, "A", "B").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a1", "b1"), ("a2", "b1"), ("a3", "b2"), ("a3", "b3")))
+  }
+
+  test("EmbeddingStore round-trips (id, vec) parquet") {
+    val emb = HashTokenEncoder(8).encode(tableA, None)
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString + "/e"
+    assert(!EmbeddingStore.exists(spark, dir))
+    EmbeddingStore.save(emb, dir)
+    assert(EmbeddingStore.exists(spark, dir))
+    val back = EmbeddingStore.load(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val orig = emb.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(back == orig)
+  }
+
+  test("M12 composition: cluster distinct attribute values, block on labels") {
+    // attribute-clustering blocker = encode distinct values → cluster →
+    // label as pseudo-token → standard block join (SURVEY M12 shape)
+    val values = EntityFrame(
+      tableA.df.select(col("id"), col("BirthCountry").as("v")), "vals", "id")
+    val valuesB = EntityFrame(
+      tableB.df.select(col("id"), col("BirthCountry").as("v")), "vals", "id")
+    val blocks = KMeansClusterBlocker(HashTokenEncoder(8), numClusters = 3)
+      .assign(values, valuesB)
+    // identical values land in the same cluster → a1/a2 (USA) share a
+    // block with b2 (USA)
+    val m = blockMap(blocks)
+    val usaBlock = m.values.find(_._1.contains("a1"))
+    assert(usaBlock.isDefined && usaBlock.get._1.contains("a2"))
+  }
+}
