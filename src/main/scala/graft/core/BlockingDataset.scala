@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** The full input bundle of a blocking task (reference
+  * src/klinker/data/ea_dataset.py:18-110): left/right attribute frames,
+  * optional relation-triple frames, optional gold standard. */
+final case class BlockingDataset(
+    left: EntityFrame,
+    right: EntityFrame,
+    leftRel: Option[DataFrame] = None,
+    rightRel: Option[DataFrame] = None,
+    gold: Option[DataFrame] = None) {
+
+  /** P5: deterministic downsample (reference ea_dataset.py:112-166, with
+    * md5-mod selection instead of a random frac so results are
+    * reproducible and oracle-checkable): keep every gold pair whose left
+    * id hashes into `1/mod` of the space, then restrict all frames to
+    * the sampled entities via semi-joins. */
+  def sample(mod: Int, salt: String = "s"): BlockingDataset = {
+    require(gold.isDefined, "sampling needs a gold standard")
+    val Array(gl, gr) = gold.get.columns.take(2)
+    val g = gold.get.filter(
+      Text.md5Long(concat(lit(salt), col(gl).cast("string"))) % mod === 0)
+    val lIds = g.select(col(gl).cast("string").as("_id")).distinct()
+    val rIds = g.select(col(gr).cast("string").as("_id")).distinct()
+
+    def restrict(f: EntityFrame, ids: DataFrame): EntityFrame =
+      f.copy(df = f.df.join(broadcast(ids),
+        f.df(f.idCol).cast("string") === ids("_id"), "left_semi"))
+
+    def restrictRel(rel: DataFrame, ids: DataFrame): DataFrame = {
+      val Array(h, _, t) = rel.columns.take(3)
+      rel.join(broadcast(ids), rel(h).cast("string") === ids("_id"), "left_semi")
+    }
+
+    BlockingDataset(
+      restrict(left, lIds), restrict(right, rIds),
+      leftRel.map(restrictRel(_, lIds)), rightRel.map(restrictRel(_, rIds)),
+      Some(g))
+  }
+}

@@ -76,13 +76,23 @@ object Dedup {
   /** N-gram (shingle) Jaccard near-dups: candidates share ≥ 1 shingle.
     * Sound (no misses above threshold > 0, unlike LSH) but candidate
     * volume is bounded only by shingle selectivity — shingles are
-    * n-token strings, so collisions are already rare. */
+    * n-token strings, so collisions are already rare.
+    *
+    * Single-pass: the shingle self-join that discovers a candidate pair
+    * IS its intersection count (group the matches), so no separate
+    * verification join runs. */
   def ngramJaccardPairs(shinglePairs: DataFrame, threshold: Double): DataFrame = {
-    val candidates = shinglePairs.withColumnRenamed("id", "id_a")
+    val sizes = shinglePairs.groupBy("id").agg(countDistinct("key").as("sz"))
+    val inter = shinglePairs.withColumnRenamed("id", "id_a")
       .join(shinglePairs.withColumnRenamed("id", "id_b"), Seq("key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(shinglePairs, candidates).filter(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dups: 60-bit fingerprints, candidates collide on one of

@@ -46,4 +46,18 @@ class GoldSpec extends SparkSpec {
     val usaBlock = m.values.find(_._1.contains("a1"))
     assert(usaBlock.isDefined && usaBlock.get._1.contains("a2"))
   }
+
+  test("BlockingDataset.sample restricts all frames to sampled gold entities") {
+    import graft.core.BlockingDataset
+    val gold = (1 to 5).map(i => (s"a$i", s"b$i")).toDF("A", "B")
+    val relA = Seq(("a1", "r", "a2"), ("a3", "r", "a4")).toDF("head", "rel", "tail")
+    val ds = BlockingDataset(tableA, tableB, Some(relA), None, Some(gold))
+    val sampled = ds.sample(2)
+    val keptGold = sampled.gold.get.collect().map(_.getString(0)).toSet
+    val keptLeft = sampled.left.df.collect().map(_.getString(0)).toSet
+    assert(keptLeft == keptGold) // left frame == sampled gold left ids
+    val keptRel = sampled.leftRel.get.collect().map(_.getString(0)).toSet
+    assert(keptRel.subsetOf(keptGold))
+    assert(keptGold.nonEmpty && keptGold.size < 5) // md5-mod actually sampled
+  }
 }
