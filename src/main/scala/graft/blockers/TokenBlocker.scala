@@ -46,6 +46,33 @@ final case class TokenBlocker(
   }
 }
 
+/** Partitioning token blocker (reference token_blocking.py:207-248, M2):
+  * the sparse count-matrix product `X_left @ X_right.T` in relational
+  * form — entities sharing at least `minOverlap` tokens form one block
+  * per left entity. Candidates come from the token equi-join (sparse
+  * path: only co-occurring tokens generate work), overlap counting is a
+  * packed-long aggregate.
+  */
+final case class PartitioningTokenBlocker(
+    minOverlap: Int = 1,
+    minTokenLength: Int = 3,
+    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+
+  override def assign(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
+    val tb = TokenBlocker(minTokenLength, stopwords)
+    val lt = tb.tokens(left)
+    val rt = tb.tokens(right).withColumnRenamed("id", "rid")
+    val pairs = lt.join(rt, Seq("key"))
+      .groupBy(col("id"), col("rid")).agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    Blocks.fromNN(
+      pairs.groupBy("id").agg(array_sort(collect_set(col("rid"))).as("rids")),
+      "id", "rids")
+  }
+}
+
 /** Unique-name blocking (token_blocking.py:168-204): attribute values held
   * by exactly one entity per side join into singleton blocks — the cheap,
   * high-precision first pass of the composite blockers.

@@ -7,6 +7,31 @@ import graft.functions.Text
 /** The full input bundle of a blocking task (reference
   * src/klinker/data/ea_dataset.py:18-110): left/right attribute frames,
   * optional relation-triple frames, optional gold standard. */
+object BlockingDataset {
+  import org.apache.spark.sql.SparkSession
+
+  /** S1: load a dataset bundle from a directory of parquet files
+    * (`left.parquet`, `right.parquet`, optional `left_rel.parquet`,
+    * `right_rel.parquet`, `gold.parquet`) — the Spark shape of the
+    * reference's sylloge loader (ea_dataset.py:28-110). Triple-form is
+    * detected by the 3-column (head, rel, tail) convention. */
+  def fromParquet(
+      spark: SparkSession, dir: String,
+      leftName: String = "left", rightName: String = "right",
+      idCol: String = "id"): BlockingDataset = {
+    def opt(name: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$dir/$name.parquet")) catch { case _: Throwable => None }
+    def frame(name: String, tableName: String): EntityFrame = {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val triple = df.columns.length == 3 && df.columns(0) == "head"
+      EntityFrame(df, tableName, if (triple) "head" else idCol, triple)
+    }
+    BlockingDataset(
+      frame("left", leftName), frame("right", rightName),
+      opt("left_rel"), opt("right_rel"), opt("gold"))
+  }
+}
+
 final case class BlockingDataset(
     left: EntityFrame,
     right: EntityFrame,

@@ -85,4 +85,29 @@ class BlockerSpec extends SparkSpec {
     val back = Blocks.read(spark, dir)
     assert(blockMap(back) == blockMap(got))
   }
+
+  test("PartitioningTokenBlocker: one NN block per left entity, overlap-thresholded") {
+    val got = blockMap(PartitioningTokenBlocker(minOverlap = 2).assign(tableA, tableB))
+    // a1/b1 share john+mcexample+1973 (3 tokens); a3/b3 share 4 tokens;
+    // a2/b2 share maggie+smith+1983+usa
+    assert(got("a1")._2 == Set("b1"))
+    assert(got("a3")._2.contains("b3"))
+    assert(got("a2")._2.contains("b2"))
+    // single-token overlaps (e.g. a4/b4 share only 1990) are excluded
+    assert(!got.get("a4").exists(_._2.contains("b4")))
+  }
+
+  test("BlockingDataset.fromParquet round-trips a bundle") {
+    import graft.core.BlockingDataset
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ds").toString
+    tableA.df.write.parquet(s"$dir/left.parquet")
+    tableB.df.write.parquet(s"$dir/right.parquet")
+    (1 to 3).map(i => (s"a$i", s"b$i")).toSeq.toDF("A", "B")
+      .write.parquet(s"$dir/gold.parquet")
+    val ds = BlockingDataset.fromParquet(spark, dir)
+    assert(ds.left.df.count() == 5 && ds.right.df.count() == 5)
+    assert(ds.gold.get.count() == 3)
+    assert(ds.leftRel.isEmpty)
+  }
 }
