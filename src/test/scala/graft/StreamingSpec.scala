@@ -95,4 +95,57 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
   }
+
+  test("watermark drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sq = StreamingOps.windowedEventAgg(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        windowDuration = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("wm_agg")
+      .outputMode("append").start()
+    try {
+      // batch 1 establishes event time up to 14:00 → watermark 13:00
+      mem.addData((ts("2024-01-01 10:30:00"), "click", 1.0))
+      sq.processAllAvailable()
+      mem.addData((ts("2024-01-01 14:00:00"), "click", 1.0))
+      sq.processAllAvailable()
+      // late event at 10:45 — its 10:00 window is far behind the 13:00
+      // watermark, so it must be dropped
+      mem.addData((ts("2024-01-01 10:45:00"), "click", 99.0))
+      sq.processAllAvailable()
+      mem.addData((ts("2024-01-01 16:00:00"), "click", 1.0))
+      sq.processAllAvailable()
+      val rows = spark.table("wm_agg").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      // the 10:00 window (epoch 1704103200) was finalized with ONLY the
+      // on-time event — the late 99.0 never appears anywhere
+      assert(rows.contains((1704103200L, 1L, 1.0)), rows.toString)
+      assert(!rows.exists(r => r._3 == 99.0 || r._3 == 100.0), rows.toString)
+    } finally sq.stop()
+  }
+
+  test("file-source streaming over the events table matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.queries.QueryDef.events(spark, dir)
+    val batch = StreamingOps.windowedEventAgg(batchDf).collect().toSet
+    // the streaming file source needs a DIRECTORY; stage the single file
+    val stream = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stream.resolve("events.parquet"))
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(stream.toString)
+    val converted = streamDf.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+    val sq = StreamingOps.windowedEventAgg(converted)
+      .writeStream.format("memory").queryName("file_agg")
+      .outputMode("complete").start()
+    try {
+      sq.processAllAvailable()
+      assert(spark.table("file_agg").collect().toSet == batch)
+    } finally sq.stop()
+  }
 }
