@@ -33,4 +33,18 @@ object Blocker {
       .agg(array_sort(collect_set(col("id").cast("string"))).as(Blocks.RightCol))
     Blocks(l.join(r, Seq(Blocks.KeyCol), "inner"))
   }
+
+  /** Salted two-phase variant of the A1 aggregate for HOT keys:
+    * collect_set first per (key, salt) — spreading one hot key's ids
+    * over `nSalt` reducers — then flatten the per-salt arrays per key.
+    * Same result as a direct collect_set; use when a single key's group
+    * would overwhelm one reducer (the 100 TB token-skew mitigation that
+    * complements capping). */
+  def saltedCollectIds(keyed: DataFrame, outCol: String, nSalt: Int = 16): DataFrame =
+    keyed
+      .withColumn("_salt", pmod(hash(col("id")), lit(nSalt)))
+      .groupBy(col("key"), col("_salt"))
+      .agg(collect_set(col("id").cast("string")).as("_part"))
+      .groupBy(col("key").as(Blocks.KeyCol))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("_part"))))).as(outCol))
 }

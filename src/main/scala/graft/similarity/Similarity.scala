@@ -57,6 +57,10 @@ object Similarity {
   /** IVF search: assign each query to its nearest centroid (cosine,
     * tie-break on bucket), then exact top-k within that bucket only.
     * Centroids are tiny (one row per bucket) → broadcast twice. */
+  /** NB: the probe join has only #buckets distinct keys; if bucket
+    * membership grows past one reducer's memory, salt it with the
+    * [[graft.blockers.Blocker.saltedCollectIds]] pattern (measured here:
+    * salting costs more than it buys below ~10⁷ rows per bucket). */
   def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64): DataFrame = {
     val cents = centroids(bucketed)
       .withColumn("_cn", Vectors.l2Norm(col("centroid")))
@@ -71,9 +75,10 @@ object Similarity {
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
+    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
+        col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
     val scored = assigned
-      .join(bucketed.select(col("bucket"), col("id").as("right_id"), col("vec").as("_rv"),
-        Vectors.l2Norm(col("vec")).as("_rn2")), Seq("bucket"))
+      .join(members, Seq("bucket"))
       .filter(col("left_id") =!= col("right_id"))
       .select(col("left_id"), col("bucket"), col("right_id"),
         (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn2"))).as("cos"))

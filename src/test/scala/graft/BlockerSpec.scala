@@ -110,4 +110,15 @@ class BlockerSpec extends SparkSpec {
     assert(ds.gold.get.count() == 3)
     assert(ds.leftRel.isEmpty)
   }
+
+  test("saltedCollectIds equals direct collect_set") {
+    import org.apache.spark.sql.functions._
+    val keyed = tableA.df.select(col("id"), col("BirthCountry").as("key"))
+    val direct = Blocker.blockJoin(keyed, keyed).df
+      .select(col(graft.core.Blocks.KeyCol), col(graft.core.Blocks.LeftCol))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val salted = Blocker.saltedCollectIds(keyed, graft.core.Blocks.LeftCol, 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(salted == direct)
+  }
 }
