@@ -162,18 +162,18 @@ object DedupQueries {
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeIshTokenCount(col("text")).as("bpe_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.qualityScore(col("text")).as("quality_e6"))
         .orderBy("doc_id"),
       Some {
         val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
         s"""SELECT doc_id,
            |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
            |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
-           |  round(
+           |  floor((
            |    least(len(toks) / 100.0, 1.0) * 0.4 +
            |    (1.0 - len(list_filter(toks, t -> list_contains($stop, t)))::double / len(toks)) * 0.3 +
-           |    least((list_sum(list_transform(toks, t -> length(t)))::double / len(toks)) / 8.0, 1.0) * 0.3,
-           |    6) AS quality
+           |    least((list_sum(list_transform(toks, t -> length(t)))::double / len(toks)) / 8.0, 1.0) * 0.3
+           |    ) * 1e6)::bigint AS quality_e6
            |FROM (SELECT doc_id, text,
            |        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
            |      FROM documents)

@@ -62,10 +62,13 @@ object TextAnalysis {
     val stopRatio = size(filter(toks,
       t => array_contains(typedLit(Text.Stopwords), t))).cast("double") / nTok
     val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
-    round(
+    // floor-scaled to micro-units rather than round(…, 6): both engines
+    // compute the identical double, but their ROUND implementations can
+    // disagree at a .5 boundary of the 6th decimal; floor cannot
+    floor((
       least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
         (lit(1.0) - stopRatio) * 0.3 +
-        least(meanLen / 8.0, lit(1.0)) * 0.3, 6)
+        least(meanLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long")
   }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over

@@ -87,13 +87,13 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
 
-  test("qualityScore lands in [0,1] and rewards longer, denser text") {
+  test("qualityScore lands in [0, 1e6] micro-units and rewards longer, denser text") {
     val df = Seq(
       ("short", "the a of to"),
       ("rich", Seq.fill(120)("substantive").mkString(" "))).toDF("id", "text")
     val got = df.select(col("id"), TextAnalysis.qualityScore(col("text")))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(v => v >= 0L && v <= 1000000L))
     assert(got("rich") > got("short"))
   }
 }
