@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import graft.blockers._
+import graft.core.EntityFrame
+
+/** ScalaCheck property tests — the blocking invariants SURVEY.md §5
+  * prescribes: every emitted id exists in the input; combine's pair set
+  * contains both inputs' pair sets; purge/cap only remove the largest
+  * blocks. Small generated tables keep each property cheap; properties
+  * hold for ANY input, which the fixture goldens can't show. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling from a ScalaCheck generator (the
+    * scalatestplus bridge isn't on the offline classpath). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(12)
+    (0 until n).flatMap(i => g.apply(params, rng.Seed(42L + i)))
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga, 5).zip(samples(gb, 5)).foreach { case (a, b) => f(a, b) }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    samples(ga, 5).foreach(f)
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+  private val rowGen = for {
+    n <- Gen.choose(1, 3)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def frame(name: String, rows: List[String]): EntityFrame =
+    EntityFrame(
+      rows.zipWithIndex.map { case (t, i) => (s"$name$i", t) }.toDF("id", "text"),
+      name, "id")
+
+  test("every id a blocker emits exists in its input side") {
+    forAll(Gen.nonEmptyListOf(rowGen), Gen.nonEmptyListOf(rowGen)) {
+      (ls: List[String], rs: List[String]) =>
+        val lf = frame("l", ls)
+        val rf = frame("r", rs)
+        val lIds = ls.indices.map(i => s"l$i").toSet
+        val rIds = rs.indices.map(i => s"r$i").toSet
+        Seq(TokenBlocker(), UniqueNameBlocker(), PartitioningTokenBlocker())
+          .foreach { blocker =>
+            blockMap(blocker.assign(lf, rf)).foreach { case (k, (l, r)) =>
+              // NN blocks key by left id; others must draw from inputs too
+              assert(l.subsetOf(lIds), s"$blocker $k left $l")
+              assert(r.subsetOf(rIds), s"$blocker $k right $r")
+            }
+          }
+    }
+  }
+
+  test("combine's pair set is a superset of both inputs' pair sets") {
+    val blocksGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 5)
+      l <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"a$i"))
+      r <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"b$i"))
+    } yield (s"k$k", (l.distinct, r.distinct)))
+    forAll(blocksGen, blocksGen) { (xs, ys) =>
+      val a = blocksOf(xs.toMap)
+      val b = blocksOf(ys.toMap)
+      val combined = a.combine(b)
+      def pairSet(bl: graft.core.Blocks) =
+        bl.distinctPairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val got = pairSet(combined)
+      assert(pairSet(a).subsetOf(got))
+      assert(pairSet(b).subsetOf(got))
+    }
+  }
+
+  test("cap and purge keep only blocks at-or-below a comparison threshold") {
+    val blocksGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 20)
+      l <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"a$i"))
+      r <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"b$i"))
+    } yield (s"k$k", (l.distinct, r.distinct)))
+    forAll(blocksGen) { xs =>
+      val blocks = blocksOf(xs.toMap)
+      val sizes = xs.toMap.map { case (k, (l, r)) => k -> l.size.toLong * r.size }
+      // cap: exact threshold semantics
+      val capped = blockMap(blocks.cap(2)).keySet
+      assert(capped == sizes.filter(_._2 <= 2).keySet)
+      // purge: the surviving set is downward-closed in comparisons —
+      // no removed block is smaller than a kept one
+      val kept = blockMap(blocks.purge()).keySet
+      assert(kept.nonEmpty)
+      val keptMax = kept.map(sizes).max
+      val removed = sizes.keySet -- kept
+      removed.foreach(k => assert(sizes(k) >= keptMax,
+        s"purge removed $k(${sizes(k)}) while keeping a block of $keptMax"))
+    }
+  }
+}
