@@ -52,6 +52,19 @@ object Relational {
       .distinct().count()
   }
 
+  /** A6 at 100 TB: importance scoring only needs n to a few percent, so
+    * the exact distinct-union count (a full shuffle of every entity id)
+    * can be replaced by HyperLogLog++ with `rsd` relative error — one
+    * pass, no shuffle of distinct values. */
+  def countEntitiesApprox(attr: EntityFrame, rel: DataFrame, rsd: Double = 0.01): Long = {
+    val (h, _, t) = cols(rel)
+    attr.ids.select(col(attr.idCol).cast("string").as("e"))
+      .unionByName(rel.select(col(h).cast("string").as("e")))
+      .unionByName(rel.select(col(t).cast("string").as("e")))
+      .agg(approx_count_distinct(col("e"), rsd))
+      .head.getLong(0)
+  }
+
   private def harmonic(a: Column, b: Column): Column =
     when(a + b === 0.0, 0.0).otherwise(lit(2.0) * a * b / (a + b))
 

@@ -77,4 +77,14 @@ class RelationalSpec extends SparkSpec {
     assert(got("nushi") == (Set("a4"), Set("b5")))
     assert(got.keySet == Set("11-12-1973", "02-02-1983", "Bulgaria", "1990", "nushi"))
   }
+
+  test("countEntitiesApprox tracks the exact count closely") {
+    import graft.relational.Relational
+    val rel = (1 to 50).map(i => (s"h$i", "r", s"t$i")).toDF("head", "rel", "tail")
+    val attr = graft.core.EntityFrame(
+      (1 to 30).map(i => (s"h$i", s"v$i")).toDF("id", "v"), "t", "id")
+    val exact = Relational.countEntities(attr, rel)
+    val approx = Relational.countEntitiesApprox(attr, rel, 0.05)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"$approx vs $exact")
+  }
 }
