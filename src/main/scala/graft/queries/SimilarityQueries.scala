@@ -204,6 +204,32 @@ object SimilarityQueries {
              |          JOIN norms nb ON nb.vec_id = id_b
              |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup scale path: sign-LSH-bucketed near-dup ---------------------
+    "dd_embedding_neardup_lsh" -> QueryDef(
+      (s, dir) => Similarity.bucketedNearDup(
+          embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH bucketed AS (
+              |  SELECT vec_id, ${Similarity.hyperplaneBucketSql("embedding", 6, 16)} AS b
+              |  FROM embeddings),
+              |expl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i)),
+              |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+              |cand AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM bucketed a JOIN bucketed b ON a.b = b.b AND a.vec_id < b.vec_id),
+              |dots AS (
+              |  SELECT c.id_a, c.id_b, sum(ea.v * eb.v) AS dot
+              |  FROM cand c JOIN expl ea ON ea.vec_id = c.id_a
+              |              JOIN expl eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+              |FROM dots JOIN norms na ON na.vec_id = id_a
+              |          JOIN norms nb ON nb.vec_id = id_b
+              |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- M11: cluster-label blocking --------------------------------------
     "m11_cluster_blocks" -> QueryDef(
       (s, dir) => {

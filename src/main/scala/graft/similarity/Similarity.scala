@@ -116,8 +116,29 @@ object Similarity {
       s"(CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END)"
     }.mkString("||")
 
+  /** Scale path of [[selfJoinNearDup]]: only pairs sharing a sign-LSH
+    * bucket are compared — the self-join becomes an equi-join on the
+    * bucket key (shuffle, no nested loop). Recall is bounded by bucket
+    * granularity: p planes ⇒ a pair at angle θ collides with probability
+    * (1−θ/π)^p; near-dups (θ≈0) almost always collide. */
+  def bucketedNearDup(
+      df: DataFrame, threshold: Double, dims: Int = 64,
+      numPlanes: Int = 6, planeDims: Int = 16): DataFrame = {
+    val withBucket = df.select(col("id"), col("vec"),
+      hyperplaneBucket(slice(col("vec"), 1, planeDims), numPlanes, planeDims).as("_b"),
+      Vectors.l2Norm(col("vec")).as("_n"))
+    val a = withBucket.select(col("_b"), col("id").as("id_a"),
+      col("vec").as("_va"), col("_n").as("_na"))
+    val b = withBucket.select(col("_b"), col("id").as("id_b"),
+      col("vec").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Vectors.dotStatic(col("_va"), col("_vb"), dims) / (col("_na") * col("_nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) self-join;
-    * the scale path buckets first (see callers). */
+    * the scale path buckets first ([[bucketedNearDup]]). */
   def selfJoinNearDup(df: DataFrame, threshold: Double, dims: Int = 64): DataFrame = {
     val a = df.select(col("id").as("id_a"), col("vec").as("_va"),
       Vectors.l2Norm(col("vec")).as("_na"))
