@@ -56,6 +56,18 @@ object SimilarityQueries {
            |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
       }),
 
+    // ---- M1 (MLlib variant): approxSimilarityJoin — rows-only (seeded
+    // MLlib hashes aren't SQL-reproducible; invariants in SimilaritySpec)
+    "mh_mllib_minhash_blocker" -> QueryDef(
+      (s, dir) => {
+        val b = MlLibMinHashBlocker(jaccardThreshold = 0.8, numHashTables = 8)
+          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        b.df.select(col(Blocks.KeyCol),
+          size(col(Blocks.LeftCol)).as("left_size"))
+          .orderBy(Blocks.KeyCol)
+      },
+      None),
+
     // ---- M3: TF-IDF filtered token blocker --------------------------------
     "m3_tfidf_token_blocker" -> QueryDef(
       (s, dir) => {

@@ -104,4 +104,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got("p") != got("r"))
     assert(got("p").length == 6 && got("p").forall(c => c == '0' || c == '1'))
   }
+
+  test("MlLibMinHashBlocker finds the near-identical fixture pair too") {
+    val b = MlLibMinHashBlocker(jaccardThreshold = 0.5, numHashTables = 16)
+      .assign(tableA, tableB)
+    val pairs = b.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a3/b3 share 4 of 5 tokens (jaccard 0.8 > 0.5)
+    assert(pairs.contains(("a3", "b3")))
+    // disjoint-token entities never pair: a5 shares nothing with b5
+    assert(!pairs.contains(("a5", "b5")))
+    // blocks are the probe shape: right id keys its own singleton side
+    blockMap(b).foreach { case (k, (_, r)) => assert(r == Set(k)) }
+  }
 }
