@@ -69,4 +69,15 @@ class EncoderSpec extends SparkSpec {
       assert(r.subsetOf(Set("b1", "b2", "b3", "b4", "b5")))
     }
   }
+
+  test("AttributeClusteringBlocker: shared values always co-block") {
+    val b = AttributeClusteringBlocker(HashTokenEncoder(8), numClusters = 4)
+      .assign(tableA, tableB)
+    val pairs = b.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // identical values land in the same cluster by construction:
+    // a1/a2 share "USA" with b2; a3 shares "Bulgaria"+"04-12-1990" with b3
+    assert(pairs.contains(("a1", "b2")))
+    assert(pairs.contains(("a2", "b2")))
+    assert(pairs.contains(("a3", "b3")))
+  }
 }
