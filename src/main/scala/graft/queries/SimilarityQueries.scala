@@ -60,8 +60,15 @@ object SimilarityQueries {
     // MLlib hashes aren't SQL-reproducible; invariants in SimilaritySpec)
     "mh_mllib_minhash_blocker" -> QueryDef(
       (s, dir) => {
-        val b = MlLibMinHashBlocker(jaccardThreshold = 0.8, numHashTables = 8)
-          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        // subset + tight threshold: MLlib's OR-amplified candidate set
+        // explodes on this dense corpus (every doc pair is similar)
+        def side(parity: Int) = EntityFrame(
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 10 === parity)
+            .select(col("doc_id"), col("text")),
+          s"docs_$parity", "doc_id")
+        val b = MlLibMinHashBlocker(jaccardThreshold = 0.9, numHashTables = 4)
+          .assign(side(0), side(1))
         b.df.select(col(Blocks.KeyCol),
           size(col(Blocks.LeftCol)).as("left_size"))
           .orderBy(Blocks.KeyCol)
