@@ -29,18 +29,28 @@ object Bench {
       if (only.exists(!_.contains(name))) None
       else {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-        Some(name -> dt)
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
+        Some((name, dt, ok))
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Print to stdout AND write to a file: under sbt, println goes through
+    // the [info] logger, which the driver's JSON-line scraper can't parse.
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.blockers
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{Blocks, EntityFrame}
@@ -45,8 +45,7 @@ final case class AttributeClusteringBlocker(
     val asFrame = EntityFrame(
       distinctVals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
     val emb = encoder.encode(asFrame, None)
-    val toMl = udf((a: Seq[Double]) => MLVectors.dense(a.toArray))
-    val feat = emb.withColumn("features", toMl(col("vec")))
+    val feat = emb.withColumn("features", array_to_vector(col("vec")))
     val labeled = new KMeans().setK(numClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("label")
       .fit(feat).transform(feat)

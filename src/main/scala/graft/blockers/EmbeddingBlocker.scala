@@ -1,7 +1,7 @@
 package graft.blockers
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,11 +9,28 @@ import graft.core.{Blocks, EntityFrame}
 import graft.encoders.FrameEncoder
 import graft.similarity.Similarity
 
+/** Candidate-generation strategy for [[EmbeddingKnnBlocker]] — the
+  * reference's n_candidates-then-re-rank shape (blockbuilder.py:51-206)
+  * with three candidate sources of increasing scale-fitness. */
+sealed trait AnnStrategy
+object AnnStrategy {
+  /** Exact brute force (correctness baseline): O(|L|·|R|), right side
+    * broadcast — only valid while it fits in executor memory. */
+  case object Brute extends AnnStrategy
+  /** IVF: KMeans-bucket the right side; queries probe only the nearest
+    * centroid's bucket, then exact re-rank within it. */
+  final case class Ivf(numBuckets: Int = 16, seed: Long = 42L) extends AnnStrategy
+  /** Sign-LSH: hyperplane buckets on both sides, equi-join candidates,
+    * exact re-rank. Fully shuffle-based — the 100 TB default. */
+  final case class SignLsh(numPlanes: Int = 4, planeDims: Int = 8) extends AnnStrategy
+}
+
 /** Embedding-based blocking (reference src/klinker/blockers/embedding/
   * blocker.py:28-239 + blockbuilder.py): encode both sides, then build
   * blocks from vector neighborhoods. Two builders:
   *   - kNN (J8/W4): each left entity blocks with its k nearest right
-  *     entities; optional Sinkhorn re-ranking (W5).
+  *     entities, candidates from [[AnnStrategy]] (brute | IVF | sign-LSH
+  *     + exact re-rank); optional Sinkhorn re-ranking (W5).
   *   - cluster (M11): KMeans labels replace the reference's HDBSCAN
   *     (no HDBSCAN on Spark — documented divergence); co-clustered
   *     entities share a block.
@@ -23,14 +40,27 @@ final case class EmbeddingKnnBlocker(
     k: Int = 5,
     dims: Int = 8,
     sinkhornIterations: Int = 0,
-    broadcastRight: Boolean = true) extends Blocker {
+    broadcastRight: Boolean = true,
+    strategy: AnnStrategy = AnnStrategy.Brute) extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
     val le = encoder.encode(left, leftRel)
     val re = encoder.encode(right, rightRel)
-    val base = Similarity.topKCosine(le, re, k, dims, broadcastRight)
+    val base = strategy match {
+      case AnnStrategy.Brute =>
+        Similarity.topKCosine(le, re, k, dims, broadcastRight)
+      case AnnStrategy.Ivf(numBuckets, seed) =>
+        val feat = re.withColumn("features", array_to_vector(col("vec")))
+        val bucketed = new KMeans().setK(numBuckets).setSeed(seed)
+          .setFeaturesCol("features").setPredictionCol("_bkt")
+          .fit(feat).transform(feat)
+          .select(col("_bkt").cast("string").as("bucket"), col("id"), col("vec"))
+        Similarity.ivfTopK(le, bucketed, k, dims, excludeSelf = false)
+      case AnnStrategy.SignLsh(numPlanes, planeDims) =>
+        Similarity.lshTopK(le, re, k, dims, numPlanes, planeDims)
+    }
     val ranked =
       if (sinkhornIterations > 0) {
         val scores = Sinkhorn.rescale(
@@ -81,8 +111,7 @@ final case class KMeansClusterBlocker(
     val le = encoder.encode(left, leftRel).withColumn("_side", lit("l"))
     val re = encoder.encode(right, rightRel).withColumn("_side", lit("r"))
     val all = le.unionByName(re)
-    val toMl = udf((a: Seq[Double]) => MLVectors.dense(a.toArray))
-    val feat = all.withColumn("features", toMl(col("vec")))
+    val feat = all.withColumn("features", array_to_vector(col("vec")))
     val model = new KMeans().setK(numClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("label")
     val labeled = model.fit(feat).transform(feat)

@@ -51,13 +51,20 @@ final case class TfIdfFilteredTokenBlocker(
     minTokenLength: Int = 3,
     stopwords: Seq[String] = Text.Stopwords) extends Blocker {
 
-  /** (id, key) pairs surviving the per-doc tf-idf threshold. */
+  /** (id, key) pairs surviving the per-doc tf-idf threshold.
+    *
+    * The term-frequency frame feeds four consumers (N scalar, doc
+    * frequencies, the weight join, the per-doc norms) — persist it so the
+    * tokenize+aggregate pipeline runs once, not 4×. The N count action
+    * doubles as the cache materializer; the cache is GC-unpersisted by
+    * Spark's ContextCleaner once the returned plan is unreachable. */
   private[graft] def filteredTokens(f: EntityFrame): DataFrame = {
     val tf = f.concatValues()
       .select(
         col(f.idCol).cast("string").as("id"),
         explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
       .groupBy("id", "key").agg(count(lit(1)).as("tf"))
+      .persist()
     val n = tf.select("id").distinct().count()
     val df = tf.groupBy("key").agg(count(lit(1)).as("df"))
     val weighted = tf.join(df, Seq("key"))

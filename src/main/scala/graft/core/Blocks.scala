@@ -53,29 +53,82 @@ final case class Blocks(df: DataFrame) {
   /** Drop blocks whose comparison count exceeds the CC-plateau threshold
     * (reference `purge`, blocks.py:172-244): blocks sorted by individual
     * cardinality; running cc = cum(assignments)/cum(comparisons); the
-    * first duplicated rounded cc marks the plateau; its cumulative
-    * cardinality is the threshold. Expressed as window cumsums — fully
-    * distributed, vs the reference's driver-side `.compute()`. */
+    * first row whose rounded cc duplicates ANY earlier cc (pandas
+    * `duplicated(keep="first")`, blocks.py:228-231 — not merely the
+    * adjacent predecessor) marks the plateau; its cumulative cardinality
+    * is the threshold.
+    *
+    * Scale: the cumulative sums are a two-phase cumsum — range-partition
+    * by cardinality, per-partition running totals under a pid-partitioned
+    * window, driver-side prefix sum over the ≤ #shuffle-partitions
+    * per-partition totals (bounded by config, not data — the
+    * RDD.zipWithIndex trick), offsets broadcast back. No unpartitioned
+    * window anywhere, so the plan survives billions of blocks, vs the
+    * reference's driver-side `.compute()`. */
   def purge(roundCc: Int = 2): Blocks = {
     val st = statistics
       .withColumn("card", col("comparisons"))
-    // keep first row per distinct cardinality (blocks.py:226)
+    // keep one row per distinct cardinality (blocks.py:226 dedup; the
+    // reference keeps frame-order-first — we pin min block_key for
+    // determinism, a documented divergence)
     val byCard = st
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("card")).orderBy(col(KeyCol))))
       .filter(col("rn") === 1).drop("rn")
-    val w = Window.orderBy(col("card")).rowsBetween(Window.unboundedPreceding, 0)
-    val cum = byCard
-      .withColumn("i_card", sum(col("card")).over(w))
-      .withColumn("cc", round(sum(col("assignments")).over(w) / sum(col("card")).over(w), roundCc))
-      .withColumn("prev_cc", lag(col("cc"), 1).over(Window.orderBy(col("card"))))
-    val plateau = cum.filter(col("cc") === col("prev_cc"))
-      .orderBy(col("card")).limit(1).select(col("i_card"))
-    val thrRow = plateau.collect()
-    val threshold: Long =
-      if (thrRow.nonEmpty) thrRow(0).getLong(0)
-      else cum.agg(max(col("i_card"))).head.getLong(0)
-    Blocks(df.filter(size(col(LeftCol)).cast("long") * size(col(RightCol)) <= threshold))
+    // phase 1: per-range-partition running totals (cards are distinct, so
+    // the range sort order is total and deterministic)
+    val parts = byCard.repartitionByRange(col("card"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("card"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // persist: `local` feeds two actions (offset collect + threshold scan),
+    // and pid assignments must be IDENTICAL in both — AQE may re-plan the
+    // range exchange between recomputations otherwise
+    val local = parts
+      .withColumn("l_card", sum(col("card")).over(wIn))
+      .withColumn("l_asg", sum(col("assignments")).over(wIn))
+      .persist()
+    // phase 2: prefix offsets per partition. The per-partition aggregate is
+    // ≤ #shuffle-partitions rows — bounded by config, not data — so the
+    // prefix sum runs on the driver (the same trick RDD.zipWithIndex uses)
+    // and the offsets go back as a broadcast join. No unpartitioned window
+    // anywhere in the plan.
+    val perPart = local.groupBy(col("pid"))
+      .agg(max(col("l_card")).as("p_card"), max(col("l_asg")).as("p_asg"))
+      .collect().sortBy(_.getInt(0))
+    val offRows = {
+      var c = 0L; var a = 0L
+      perPart.map { r =>
+        val row = (r.getInt(0), c, a)
+        c += r.getLong(1); a += r.getLong(2)
+        row
+      }.toSeq
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toDF("pid", "off_card", "off_asg")
+    val cum = local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("i_card", col("l_card") + col("off_card"))
+      .withColumn("cc", round(
+        (col("l_asg") + col("off_asg")).cast("double") / (col("l_card") + col("off_card")),
+        roundCc))
+      .persist()
+    try {
+      cum.count() // materialize before dropping the upstream cache
+      // duplicated(keep="first"): flagged iff an earlier (smaller-card) row
+      // carries the same rounded cc; threshold = smallest flagged i_card
+      val flagged = cum
+        .withColumn("first_card", min(col("card")).over(Window.partitionBy(col("cc"))))
+        .filter(col("card") > col("first_card"))
+      val thrRow = flagged.agg(min(col("i_card"))).head()
+      val threshold: Long =
+        if (!thrRow.isNullAt(0)) thrRow.getLong(0)
+        else cum.agg(max(col("i_card"))).head.getLong(0)
+      Blocks(df.filter(size(col(LeftCol)).cast("long") * size(col(RightCol)) <= threshold))
+    } finally {
+      cum.unpersist()
+      local.unpersist()
+    }
   }
 
   /** Drop blocks with more than `maxComparisons` candidate pairs —

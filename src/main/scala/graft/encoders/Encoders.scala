@@ -36,10 +36,15 @@ final case class HashTokenEncoder(
         explode(Text.tokenize(col(EntityFrame.ConcCol))).as("key"))
     val weighted =
       if (sif) {
-        val counts = toks.groupBy("key").agg(count(lit(1)).as("freq"))
-        val total = toks.count().toDouble
-        toks.join(broadcast(counts), Seq("key"))
-          .withColumn("w", lit(sifA) / (lit(sifA) + col("freq") / lit(total)))
+        // persist: the token stream feeds both the frequency aggregate and
+        // the weight join; total token count comes in-plan from the (tiny)
+        // counts frame — no driver-side count() action, no third scan
+        val cached = toks.persist()
+        val counts = cached.groupBy("key").agg(count(lit(1)).as("freq"))
+        val withTotal = counts.crossJoin(
+          broadcast(counts.agg(sum("freq").cast("double").as("total"))))
+        cached.join(broadcast(withTotal), Seq("key"))
+          .withColumn("w", lit(sifA) / (lit(sifA) + col("freq") / col("total")))
       } else toks.withColumn("w", lit(1.0))
     val dimCols = (0 until dims).map(d =>
       (sum(col("w") * ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))

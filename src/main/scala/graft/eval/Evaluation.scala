@@ -41,8 +41,11 @@ object Evaluation {
   /** gold: DataFrame(left_id, right_id) by position. */
   def evaluate(blocks: Blocks, gold: DataFrame, leftLen: Long, rightLen: Long): EvalResult = {
     val Array(gl, gr) = gold.columns.take(2)
+    // Gold is a SET (eval.py gold_pair_set): dedup before the join, else
+    // duplicate gold rows multiply candidate rows through the left join
+    // and inflate pairs/tp.
     val g = gold.select(col(gl).cast("string").as("left_id"),
-                        col(gr).cast("string").as("right_id"))
+                        col(gr).cast("string").as("right_id")).distinct()
     val cand = blocks.distinctPairs
     // one pass: candidate count + TP count (gold broadcast)
     val counts = cand
@@ -51,7 +54,7 @@ object Evaluation {
       .head()
     val pairs = counts.getLong(0)
     val tp = counts.getLong(1)
-    val goldCount = g.distinct().count()
+    val goldCount = g.count()
     EvalResult(
       truePositive = tp,
       falsePositive = pairs - tp,
@@ -82,27 +85,44 @@ object Evaluation {
     * the left side and its right id on the right side — two independent
     * single explodes (narrow rows, no arrays carried) joined through the
     * block key. Turns the O(Σ|L|·|R|) pair explosion into
-    * O(Σ|L| + Σ|R|) work. Requires unique block keys (true of every
-    * blocker here). */
+    * O(Σ|L| + Σ|R|) work.
+    *
+    * Safe under duplicate block keys ([[Blocks.unionAll]] allows them): the
+    * join key is a per-ROW fingerprint, not the block key alone, so a left
+    * id in one row can never pair with a right id from a different row that
+    * merely shares the key. (xxhash64 over the full row is deterministic —
+    * unlike monotonically_increasing_id — so the two explode scans agree
+    * without a persist; identical duplicate rows collide harmlessly since
+    * their pair sets are identical and the result is distinct'd.) */
   def truePositivePairs(blocks: Blocks, gold: DataFrame): DataFrame = {
     val Array(gl, gr) = gold.columns.take(2)
     val g = broadcast(gold.select(col(gl).cast("string").as("left_id"),
                                   col(gr).cast("string").as("right_id")))
-    val el = blocks.df.select(col(Blocks.KeyCol), explode(col(Blocks.LeftCol)).as("left_id"))
-    val er = blocks.df.select(col(Blocks.KeyCol), explode(col(Blocks.RightCol)).as("right_id"))
+    val rows = blocks.df.select(
+      xxhash64(col(Blocks.KeyCol), col(Blocks.LeftCol), col(Blocks.RightCol)).as("_row"),
+      col(Blocks.LeftCol), col(Blocks.RightCol))
+    val el = rows.select(col("_row"), explode(col(Blocks.LeftCol)).as("left_id"))
+    val er = rows.select(col("_row"), explode(col(Blocks.RightCol)).as("right_id"))
     el.join(g, Seq("left_id"))
-      .join(er, Seq(Blocks.KeyCol, "right_id"), "left_semi")
+      .join(er, Seq("_row", "right_id"), "left_semi")
       .select("left_id", "right_id").distinct()
   }
 
   /** Sørensen-Dice coefficient of two blockings' true-positive sets
-    * (eval.py:329-331) — distributed set algebra, no driver sets. */
+    * (eval.py:329-331) — distributed set algebra, no driver sets. The TP
+    * frames are persisted: each feeds two actions (own count + the
+    * intersection), and recomputing them costs a full explode+join each. */
   def diceOfTruePositives(a: Blocks, b: Blocks, gold: DataFrame): Double = {
-    val tpA = truePositivePairs(a, gold)
-    val tpB = truePositivePairs(b, gold)
-    val na = tpA.count()
-    val nb = tpB.count()
-    val inter = tpA.join(tpB, Seq("left_id", "right_id"), "left_semi").count()
-    if (na + nb == 0) 0.0 else 2.0 * inter / (na + nb)
+    val tpA = truePositivePairs(a, gold).persist()
+    val tpB = truePositivePairs(b, gold).persist()
+    try {
+      val na = tpA.count()
+      val nb = tpB.count()
+      val inter = tpA.join(tpB, Seq("left_id", "right_id"), "left_semi").count()
+      if (na + nb == 0) 0.0 else 2.0 * inter / (na + nb)
+    } finally {
+      tpA.unpersist()
+      tpB.unpersist()
+    }
   }
 }

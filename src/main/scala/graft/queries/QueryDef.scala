@@ -24,7 +24,11 @@ object QueryDef {
     val raw = table(spark, dir, "events")
     import org.apache.spark.sql.functions._
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // Integer division: `/` on a long column promotes to double, whose
+      // 53-bit mantissa cannot represent epoch-nanos (~1.7e18) exactly —
+      // the ±hundreds-of-ns rounding error can flip a second boundary vs
+      // DuckDB's native-nanos epoch(). `div` stays in long arithmetic.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

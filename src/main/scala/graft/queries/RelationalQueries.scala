@@ -326,9 +326,11 @@ object RelationalQueries {
               |    sum(card) OVER w AS i_card,
               |    round(sum(assignments) OVER w / (sum(card) OVER w), 2) AS cc
               |  FROM dedup WINDOW w AS (ORDER BY card ROWS UNBOUNDED PRECEDING)),
-              |lagged AS (SELECT *, lag(cc) OVER (ORDER BY card) AS prev_cc FROM cum),
+              |dupd AS (SELECT * FROM (
+              |    SELECT *, min(card) OVER (PARTITION BY cc) AS first_card FROM cum)
+              |  WHERE card > first_card),
               |thr AS (SELECT coalesce(
-              |    (SELECT i_card FROM lagged WHERE cc = prev_cc ORDER BY card LIMIT 1),
+              |    (SELECT min(i_card) FROM dupd),
               |    (SELECT max(i_card) FROM cum)) AS t)
               |SELECT block_key FROM st, thr WHERE card <= thr.t ORDER BY block_key""".stripMargin)),
 

@@ -100,19 +100,29 @@ object SimilarityQueries {
     // ---- J10/M2: token-overlap counts -------------------------------------
     "j10_token_overlap" -> QueryDef(
       (s, dir) => {
-        // the join stream is |Σ nl·nr| rows (dense on this corpus): pack
-        // both int ids into ONE long group key — hashing a long beats
-        // hashing two strings ~3× on the aggregate that dominates here
+        // The join stream is |Σ nl·nr| rows (dense worst case on this
+        // corpus: 31-token vocabulary ⇒ every doc pair co-occurs). Two-level
+        // aggregation: pre-partition the streamed side by lid BEFORE the
+        // join blowup and broadcast the (small) token stream of the other
+        // side — the broadcast join preserves lid partitioning, so every
+        // row of a given lid lands in one task and the partial aggregate
+        // is already final per group. Only ~|distinct pairs| rows reach
+        // the exchange instead of the full join stream. Group keys are the
+        // two long columns directly: no packed-key id-range assumption, no
+        // double-division unpack (both scale hazards of the old plan).
+        // At 100 TB the right-side token stream may exceed broadcast range;
+        // then the join shuffles on the token key and hot-token capping
+        // (TokenBlocker.maxBlockComparisons) bounds the dense case.
         val lt = TokenBlocker().tokens(docSide(s, dir, 0))
           .select(col("key"), col("id").cast("long").as("lid"))
+          .repartition(col("lid"))
         val rt = TokenBlocker().tokens(docSide(s, dir, 1))
           .select(col("key"), col("id").cast("long").as("rid"))
-        lt.join(rt, Seq("key"))
-          .select((col("lid") * 100000000L + col("rid")).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("overlap"))
+        lt.join(broadcast(rt), Seq("key"))
+          .groupBy(col("lid"), col("rid")).agg(count(lit(1)).as("overlap"))
           .filter(col("overlap") >= 10)
-          .select((col("pk") / 100000000L).cast("long").cast("string").as("left_id"),
-            (col("pk") % 100000000L).cast("string").as("right_id"), col("overlap"))
+          .select(col("lid").cast("string").as("left_id"),
+            col("rid").cast("string").as("right_id"), col("overlap"))
           .orderBy("left_id", "right_id")
       },
       Some(s"""WITH lt AS (SELECT DISTINCT * FROM (${docTokensSql(0)})),
@@ -204,6 +214,46 @@ object SimilarityQueries {
       Some(s"""SELECT vec_id, ${Similarity.hyperplaneBucketSql("embedding", 6, 16)} AS bucket
               |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ---- sign-LSH kNN: bucket equi-join candidates + exact re-rank --------
+    // the EmbeddingKnnBlocker SignLsh path, oracle-checked end-to-end
+    // (buckets are md5-deterministic, so DuckDB regenerates them exactly)
+    "ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.lshTopK(l, r, 3, numPlanes = 4, planeDims = 16)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH buck AS (
+              |  SELECT vec_id, ${Similarity.hyperplaneBucketSql("embedding", 4, 16)} AS b
+              |  FROM embeddings),
+              |expl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i)),
+              |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+              |cand AS (
+              |  SELECT l.vec_id AS left_id, r.vec_id AS right_id
+              |  FROM buck l JOIN buck r ON l.b = r.b
+              |  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1),
+              |dots AS (
+              |  SELECT c.left_id, c.right_id, sum(a.v * b.v) AS dot
+              |  FROM cand c JOIN expl a ON a.vec_id = c.left_id
+              |              JOIN expl b ON b.vec_id = c.right_id AND b.i = a.i
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT left_id, right_id, dot / (na.nrm * nb.nrm) AS cos,
+              |         row_number() OVER (PARTITION BY left_id
+              |             ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rank
+              |  FROM dots JOIN norms na ON na.vec_id = left_id
+              |            JOIN norms nb ON nb.vec_id = right_id)
+              |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- dedup: embedding-cosine near-duplicates --------------------------
     "dd_embedding_neardup" -> QueryDef(
       (s, dir) => Similarity.selfJoinNearDup(
@@ -280,10 +330,14 @@ object SimilarityQueries {
           .select(col("doc_id"),
             explode(Text.tokenize(col("text"))).as("key"))
         val counts = toks.groupBy("key").agg(count(lit(1)).as("freq"))
-        val total = toks.count()
+        // total token count in-plan as Σfreq over the (tiny) counts frame —
+        // no driver-side count() action, no third scan of the tokenize
+        // pipeline (the old plan paid it ~3×)
+        val withTotal = counts.crossJoin(
+          broadcast(counts.agg(sum("freq").cast("double").as("total"))))
         val a = 1e-3
-        val weighted = toks.join(broadcast(counts), Seq("key"))
-          .withColumn("w", lit(a) / (lit(a) + col("freq") / lit(total.toDouble)))
+        val weighted = toks.join(broadcast(withTotal), Seq("key"))
+          .withColumn("w", lit(a) / (lit(a) + col("freq") / col("total")))
         val dims = (0 until 8).map(d =>
           round(sum(col("w") *
             ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))

@@ -61,7 +61,8 @@ object Similarity {
     * membership grows past one reducer's memory, salt it with the
     * [[graft.blockers.Blocker.saltedCollectIds]] pattern (measured here:
     * salting costs more than it buys below ~10⁷ rows per bucket). */
-  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64): DataFrame = {
+  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64,
+              excludeSelf: Boolean = true): DataFrame = {
     val cents = centroids(bucketed)
       .withColumn("_cn", Vectors.l2Norm(col("centroid")))
     val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
@@ -77,9 +78,8 @@ object Similarity {
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
     val members = bucketed.select(col("bucket"), col("id").as("right_id"),
         col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
-    val scored = assigned
-      .join(members, Seq("bucket"))
-      .filter(col("left_id") =!= col("right_id"))
+    val joined = assigned.join(members, Seq("bucket"))
+    val scored = (if (excludeSelf) joined.filter(col("left_id") =!= col("right_id")) else joined)
       .select(col("left_id"), col("bucket"), col("right_id"),
         (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn2"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
@@ -115,6 +115,31 @@ object Similarity {
         .mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END)"
     }.mkString("||")
+
+  /** Sign-LSH kNN: candidate generation by hyperplane-bucket equi-join
+    * + exact cosine re-rank — the reference's n_candidates-then-re-rank
+    * shape (blockbuilder.py:51-206) with LSH as the candidate source.
+    * Fully shuffle-based: neither side is broadcast or nested-looped, so
+    * this is the 100 TB path when the corpus outgrows [[topKCosine]]'s
+    * broadcast. Recall: a pair at angle θ shares a bucket with
+    * probability (1−θ/π)^numPlanes — near neighbors (θ≈0) almost always
+    * collide; a query whose bucket holds < k corpus rows returns fewer
+    * than k results (by design — LSH trades completeness for scale). */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dims: Int = 64,
+      numPlanes: Int = 6, planeDims: Int = 16): DataFrame = {
+    def withBucket(df: DataFrame, idAs: String, vecAs: String, nAs: String) =
+      df.select(col("id").as(idAs), col("vec").as(vecAs),
+        hyperplaneBucket(slice(col("vec"), 1, planeDims), numPlanes, planeDims).as("_b"),
+        Vectors.l2Norm(col("vec")).as(nAs))
+    val q = withBucket(queries, "left_id", "_lv", "_ln")
+    val c = withBucket(corpus, "right_id", "_rv", "_rn")
+    val scored = q.join(c, Seq("_b"))
+      .select(col("left_id"), col("right_id"),
+        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn"))).as("cos"))
+    val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Scale path of [[selfJoinNearDup]]: only pairs sharing a sign-LSH
     * bucket are compared — the self-join becomes an equi-join on the
