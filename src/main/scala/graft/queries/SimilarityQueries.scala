@@ -321,6 +321,70 @@ object SimilarityQueries {
              |   AND len(list(DISTINCT vec_id) FILTER (vec_id % 2 = 1)) > 0
              |ORDER BY block_key""".stripMargin)),
 
+    // ---- M12: token-clustering blockers -----------------------------------
+    // cluster TOKENS (not attribute values), pseudo-token replacement, then
+    // block (attribute_clustering.py:256-393). HashBucketClusterAssigner is
+    // md5-deterministic, so the FULL pipeline — cluster sizes, noise-mode
+    // key mapping, downstream blocking — is oracle-checked; the KMeans
+    // assigner path is spec-covered (EncoderSpec).
+    "m12_token_cluster_blocker" -> QueryDef(
+      (s, dir) => {
+        val b = TokenClusteringTokenBlocker(
+          HashBucketClusterAssigner(16), minClusterSize = 3,
+          noise = NoiseHandling.Token)
+          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        b.df.select(col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        val lab = TokenClustering.labelsSql(
+          s"SELECT key AS v FROM lt UNION SELECT key FROM rt",
+          HashBucketClusterAssigner(16), 3, NoiseHandling.Token)
+        s"""WITH lt AS (SELECT DISTINCT * FROM (${docTokensSql(0)})),
+           |rt AS (SELECT DISTINCT * FROM (${docTokensSql(1)})),
+           |lab AS ($lab),
+           |lk AS (SELECT DISTINCT id, lab.key FROM lt JOIN lab ON lt.key = lab.v),
+           |rk AS (SELECT DISTINCT id, lab.key FROM rt JOIN lab ON rt.key = lab.v),
+           |lb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS left_ids
+           |       FROM lk GROUP BY key),
+           |rb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS right_ids
+           |       FROM rk GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
+    "m12_token_cluster_minhash" -> QueryDef(
+      (s, dir) => {
+        val b = TokenClusteringMinHashLSHBlocker(
+          HashBucketClusterAssigner(16), minClusterSize = 3,
+          noise = NoiseHandling.Remove, numPerm = 16, bands = 4)
+          .assign(docSide(s, dir, 0), docSide(s, dir, 1))
+        b.df.select(col(Blocks.KeyCol),
+          array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+          array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        val lab = TokenClustering.labelsSql(
+          s"SELECT key AS v FROM lt UNION SELECT key FROM rt",
+          HashBucketClusterAssigner(16), 3, NoiseHandling.Remove)
+        def side(tok: String) = {
+          val keyed = s"SELECT DISTINCT id, lab.key FROM $tok JOIN lab ON $tok.key = lab.v"
+          MinHash.bandBucketsSql(MinHash.signatureSql(keyed, 16), 4, 4)
+        }
+        s"""WITH lt AS (SELECT DISTINCT * FROM (${docTokensSql(0)})),
+           |rt AS (SELECT DISTINCT * FROM (${docTokensSql(1)})),
+           |lab AS ($lab),
+           |lb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS left_ids
+           |       FROM (${side("lt")}) GROUP BY key),
+           |rb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS right_ids
+           |       FROM (${side("rt")}) GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
     // ---- M4/M5: SIF-weighted word-embedding pooling -----------------------
     // token vectors are md5-derived 8-dim pseudo-embeddings; SIF weight
     // a/(a + freq/total) with a = 1e-3 (reference pretrained.py:486-515).

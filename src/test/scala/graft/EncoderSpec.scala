@@ -71,7 +71,7 @@ class EncoderSpec extends SparkSpec {
   }
 
   test("AttributeClusteringBlocker: shared values always co-block") {
-    val b = AttributeClusteringBlocker(HashTokenEncoder(8), numClusters = 4)
+    val b = AttributeClusteringBlocker(KMeansClusterAssigner(HashTokenEncoder(8), 4))
       .assign(tableA, tableB)
     val pairs = b.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
     // identical values land in the same cluster by construction:
@@ -79,5 +79,64 @@ class EncoderSpec extends SparkSpec {
     assert(pairs.contains(("a1", "b2")))
     assert(pairs.contains(("a2", "b2")))
     assert(pairs.contains(("a3", "b3")))
+  }
+
+  test("TokenClustering.labels: noise modes (remove | token | keep)") {
+    // 16 hash buckets over 5 tokens → most clusters have 1 member; with
+    // minClusterSize=2 any singleton cluster is noise
+    val vals = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("v")
+    def keys(noise: NoiseHandling): Map[String, String] =
+      TokenClustering.labels(vals, HashBucketClusterAssigner(16), 2, noise)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val kept = keys(NoiseHandling.Keep)
+    val tok = keys(NoiseHandling.Token)
+    val rem = keys(NoiseHandling.Remove)
+    assert(kept.size == 5 && tok.size == 5)
+    assert(rem.size < 5) // something was noise and removed
+    // token mode: noise values keep themselves
+    tok.foreach { case (v, k) =>
+      assert(k == v || k.startsWith(TokenClustering.LabelPrefix))
+    }
+    // keep mode: noise collapses into the shared -1 pseudo-cluster
+    assert(kept.values.forall(_.startsWith(TokenClustering.LabelPrefix)))
+    assert(kept.values.exists(_ == TokenClustering.LabelPrefix + "-1"))
+    // core clusters agree across modes
+    rem.foreach { case (v, k) => assert(tok(v) == k && kept(v) == k) }
+  }
+
+  test("TokenClusteringTokenBlocker: co-clustered tokens co-block") {
+    // one hash bucket = one cluster: with buckets=1 every token collapses
+    // into a single pseudo-token, so ALL entities co-block
+    val b = TokenClusteringTokenBlocker(
+      HashBucketClusterAssigner(1), minClusterSize = 1).assign(tableA, tableB)
+    val m = blockMap(b)
+    assert(m.size == 1)
+    val (l, r) = m.values.head
+    assert(l == Set("a1", "a2", "a3", "a4", "a5"))
+    assert(r == Set("b1", "b2", "b3", "b4", "b5"))
+  }
+
+  test("TokenClusteringTokenBlocker with KMeans assigner: shared tokens co-block") {
+    val b = TokenClusteringTokenBlocker(
+      KMeansClusterAssigner(HashTokenEncoder(8), 4), minClusterSize = 1,
+      noise = NoiseHandling.Keep).assign(tableA, tableB)
+    val pairs = b.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a1/a2 share token "usa" with b2 → same cluster by determinism
+    assert(pairs.contains(("a1", "b2")))
+    assert(pairs.contains(("a2", "b2")))
+  }
+
+  test("TokenClusteringMinHashLSHBlocker: identical pseudo-token sets collide") {
+    // buckets=1 → every entity has the same single pseudo-token → identical
+    // signatures → all entities share every band bucket
+    val b = TokenClusteringMinHashLSHBlocker(
+      HashBucketClusterAssigner(1), minClusterSize = 1,
+      numPerm = 8, bands = 2).assign(tableA, tableB)
+    val m = blockMap(b)
+    assert(m.nonEmpty)
+    m.values.foreach { case (l, r) =>
+      assert(l == Set("a1", "a2", "a3", "a4", "a5"))
+      assert(r == Set("b1", "b2", "b3", "b4", "b5"))
+    }
   }
 }
