@@ -159,6 +159,29 @@ final case class Blocks(df: DataFrame) {
     df.withColumnRenamed(LeftCol, leftName)
       .withColumnRenamed(RightCol, rightName)
       .write.mode("overwrite").parquet(path)
+
+  /** NN-layout parquet sink (NNBasedKlinkerBlockManager.to_parquet,
+    * blocks.py:484-486 + combine's string column names :519-528): one row
+    * per left entity — id column, then k scalar neighbor columns named
+    * "0".."k-1", null-padded. Requires NN-shaped blocks (key = left id,
+    * left = [left id]). The width scalar is one tiny aggregate. */
+  def writeNN(path: String): Unit = {
+    val kRow = df.agg(max(size(col(RightCol)))).head
+    val k = if (kRow.isNullAt(0)) 0 else kRow.getInt(0)
+    // get() is null-on-out-of-bounds (element_at throws under ANSI)
+    val cols = (0 until k).map(i => get(col(RightCol), lit(i)).as(s"$i"))
+    df.select(col(KeyCol).as("id") +: cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Composite sink (CompositeWithNNBasedKlinkerBlockManager.to_parquet,
+    * blocks.py:608-613): normal part under `blocks/`, NN part under the
+    * `nn_blocks/` sibling dir that [[Blocks.read]] dispatches on. */
+  def writeComposite(path: String, nn: Blocks,
+      leftName: String = Blocks.LeftCol, rightName: String = Blocks.RightCol): Unit = {
+    write(s"$path/blocks", leftName, rightName)
+    nn.writeNN(s"$path/nn_blocks")
+  }
 }
 
 object Blocks {
@@ -166,12 +189,45 @@ object Blocks {
   val LeftCol = "left"
   val RightCol = "right"
 
-  /** Parquet source (blocks.py:345-381): first column is the key, next
-    * two are the per-dataset id arrays. */
+  /** Parquet source with the reference's layout dispatch (blocks.py:345-381
+    * read_parquet + :614-636 CompositeWithNN.read_parquet):
+    *   - a `nn_blocks/` child dir → composite: read `blocks/` + `nn_blocks/`
+    *     and union them (≡ the reference's chained all_pairs);
+    *   - more than two non-key columns, or a scalar (non-array) second
+    *     column → NN layout (the reference probes the first CELL because
+    *     pandas loses the dtype; the parquet schema says it directly);
+    *   - otherwise the normal 3-column layout.
+    */
   def read(spark: SparkSession, path: String): Blocks = {
-    val raw = spark.read.parquet(path)
-    val Array(k, l, r) = raw.columns.take(3)
-    Blocks(raw.select(col(k).as(KeyCol), col(l).as(LeftCol), col(r).as(RightCol)))
+    import org.apache.hadoop.fs.Path
+    val nnPath = new Path(path, "nn_blocks")
+    val fs = nnPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(nnPath))
+      read(spark, new Path(path, "blocks").toString)
+        .unionAll(read(spark, nnPath.toString))
+    else {
+      val raw = spark.read.parquet(path)
+      val isNN = raw.columns.length > 3 ||
+        !raw.schema(raw.columns(1)).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      if (isNN) fromNNLayout(raw)
+      else {
+        val Array(k, l, r) = raw.columns.take(3)
+        Blocks(raw.select(col(k).as(KeyCol),
+          col(l).cast("array<string>").as(LeftCol),
+          col(r).cast("array<string>").as(RightCol)))
+      }
+    }
+  }
+
+  /** (id, n0..n{k-1} scalar neighbor columns) → normalized blocks. */
+  private def fromNNLayout(raw: DataFrame): Blocks = {
+    val id = raw.columns.head
+    val neighbors = raw.columns.tail.map(c => col(c).cast("string"))
+    Blocks(raw.select(
+      col(id).cast("string").as(KeyCol),
+      array(col(id).cast("string")).as(LeftCol),
+      filter(array(neighbors: _*), _.isNotNull).as(RightCol)))
   }
 
   /** NN-blocks layout (blocks.py:466-557) normalized to one row per left

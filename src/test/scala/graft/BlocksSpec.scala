@@ -51,6 +51,40 @@ class BlocksSpec extends SparkSpec {
     assert(blockMap(capped).keySet == Set("4", "5", "7", "11"))
   }
 
+  test("parquet round-trip: normal layout") {
+    val dir = java.nio.file.Files.createTempDirectory("blk").toString
+    val b = blocksOf(example)
+    b.write(s"$dir/normal", "A", "B")
+    assertBlocksEqual(Blocks.read(spark, s"$dir/normal"),
+      example.map { case (k, (l, r)) => k -> (l.toSet, r.toSet) })
+  }
+
+  test("parquet round-trip: NN layout (scalar neighbor columns, null-padded)") {
+    val dir = java.nio.file.Files.createTempDirectory("blk").toString
+    val nn = Map(
+      "a1" -> (Seq("a1"), Seq("b1", "b2", "b3")),
+      "a2" -> (Seq("a2"), Seq("b2")),
+      "a3" -> (Seq("a3"), Seq("b4", "b5")))
+    blocksOf(nn).writeNN(s"$dir/nn")
+    // written layout: id + k scalar columns (blocks.py:519-528 string names)
+    val raw = spark.read.parquet(s"$dir/nn")
+    assert(raw.columns.toSeq == Seq("id", "0", "1", "2"))
+    // read-back dispatches on the scalar second column
+    assertBlocksEqual(Blocks.read(spark, s"$dir/nn"),
+      nn.map { case (k, (l, r)) => k -> (l.toSet, r.toSet) })
+  }
+
+  test("parquet round-trip: composite layout with nn_blocks sibling dir") {
+    val dir = java.nio.file.Files.createTempDirectory("blk").toString
+    val nn = Map(
+      "a1" -> (Seq("a1"), Seq("b1", "b2")),
+      "a2" -> (Seq("a2"), Seq("b3")))
+    blocksOf(example).writeComposite(s"$dir/comp", blocksOf(nn))
+    val got = Blocks.read(spark, s"$dir/comp")
+    val want = (example ++ nn).map { case (k, (l, r)) => k -> (l.toSet, r.toSet) }
+    assertBlocksEqual(got, want)
+  }
+
   test("purge keeps a prefix of blocks by cardinality and never empties") {
     val purged = blocksOf(example).purge()
     val keys = blockMap(purged).keySet
