@@ -23,12 +23,17 @@ trait FrameEncoder {
 /** M4-style pooled token embedding with a deterministic md5-derived
   * token vector table (stands in for fasttext/gloVe lookups, which at
   * scale are themselves just a parquet join — reference
-  * pretrained.py:259-384). Optional SIF weighting (M5).
-  */
+  * pretrained.py:259-384). Optional SIF weighting (M5) with the
+  * reference's min_freq floor (pretrained.py:495-499: tokens below
+  * `minFreq` get weight 1.0) and first-principal-component removal
+  * (pretrained.py:517-531; the reference's default — off here so the
+  * plain pooled encoder stays available). */
 final case class HashTokenEncoder(
     dims: Int = 8,
     sif: Boolean = false,
-    sifA: Double = 1e-3) extends FrameEncoder {
+    sifA: Double = 1e-3,
+    minFreq: Int = 0,
+    removePc: Boolean = false) extends FrameEncoder {
 
   override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
     val toks = frame.concatValues()
@@ -44,13 +49,45 @@ final case class HashTokenEncoder(
         val withTotal = counts.crossJoin(
           broadcast(counts.agg(sum("freq").cast("double").as("total"))))
         cached.join(broadcast(withTotal), Seq("key"))
-          .withColumn("w", lit(sifA) / (lit(sifA) + col("freq") / col("total")))
+          .withColumn("w",
+            when(col("freq") >= minFreq,
+              lit(sifA) / (lit(sifA) + col("freq") / col("total")))
+            .otherwise(lit(1.0)))
       } else toks.withColumn("w", lit(1.0))
     val dimCols = (0 until dims).map(d =>
       (sum(col("w") * ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
         / sum(col("w"))).as(s"d$d"))
-    weighted.groupBy("id").agg(dimCols.head, dimCols.tail: _*)
+    val pooled = weighted.groupBy("id").agg(dimCols.head, dimCols.tail: _*)
       .select(col("id"), array((0 until dims).map(d => col(s"d$d")): _*).as("vec"))
+    if (removePc) PcRemoval.removeFirstPc(pooled, dims) else pooled
+  }
+}
+
+/** First-principal-component removal (SIF paper postprocessing; reference
+  * pretrained.py:517-531, TruncatedSVD n_components=1 — note TruncatedSVD
+  * does NOT center, so the top right-singular vector of the raw matrix is
+  * what's removed — exactly [[org.apache.spark.mllib.linalg.distributed.RowMatrix.computeSVD]]).
+  *
+  * Scale: computeSVD(k=1) at these widths goes through the d×d Gramian —
+  * ONE distributed pass over the rows, then an O(d²) driver solve; the
+  * subtraction is a codegen'd zip_with against the broadcast pc literal.
+  * Nothing quadratic in row count anywhere. */
+object PcRemoval {
+  import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+  import org.apache.spark.mllib.linalg.distributed.RowMatrix
+
+  /** emb(id, vec: array<double>) → same frame with x := x − (x·pc)pc.
+    * The sign ambiguity of the singular vector cancels (pc appears
+    * twice), so the result is deterministic. */
+  def removeFirstPc(emb: DataFrame, dims: Int): DataFrame = {
+    val rows = emb.select("vec").rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val svd = new RowMatrix(rows, 0L, dims).computeSVD(1, computeU = false)
+    val pc = typedLit(svd.V.toArray.toSeq) // d×1 column-major = the pc
+    emb
+      .withColumn("_dot", aggregate(zip_with(col("vec"), pc, _ * _), lit(0.0), _ + _))
+      .withColumn("vec", zip_with(col("vec"), pc, (x, p) => x - col("_dot") * p))
+      .drop("_dot")
   }
 }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
+import graft.encoders.HashTokenEncoder
 import graft.functions.{MinHash, Text}
 import graft.similarity.Similarity
 import QueryDef.{table, duckTokens}
@@ -422,6 +423,52 @@ object SimilarityQueries {
            |  FROM toks JOIN counts USING (key), total)
            |SELECT id AS doc_id, $dimExprs
            |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- M5: SIF with first-principal-component removal -------------------
+    // (pretrained.py:517-531). Spark side: the real operator — RowMatrix
+    // .computeSVD(k=1) + in-plan subtraction. Oracle side: at dims=2 the
+    // top singular vector of the (uncentered) Gramian has a closed form,
+    // so DuckDB reproduces the SVD exactly: λ = ((gxx+gyy)+√((gxx−gyy)²
+    // +4gxy²))/2, v ∝ (gxy, λ−gxx). Sign ambiguity cancels in x−(x·v̂)v̂.
+    "m4_sif_pc_embedding" -> QueryDef(
+      (s, dir) => {
+        val docs = EntityFrame(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          "docs", "doc_id")
+        HashTokenEncoder(2, sif = true, removePc = true).encode(docs, None)
+          .select(col("id").cast("long").as("doc_id"),
+            round(get(col("vec"), lit(0)), 6).as("d0"),
+            round(get(col("vec"), lit(1)), 6).as("d1"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = duckTokens("doc_id", "text", "documents", 3)
+        def h(d: Int) =
+          s"((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)"
+        s"""WITH toks AS ($toks),
+           |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
+           |total AS (SELECT count(*)::double AS t FROM toks),
+           |weighted AS (
+           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  FROM toks JOIN counts USING (key), total),
+           |emb AS (
+           |  SELECT id AS doc_id,
+           |         sum(w * ${h(0)}) / sum(w) AS d0,
+           |         sum(w * ${h(1)}) / sum(w) AS d1
+           |  FROM weighted GROUP BY id),
+           |g AS (SELECT sum(d0*d0) AS gxx, sum(d0*d1) AS gxy, sum(d1*d1) AS gyy FROM emb),
+           |pc AS (SELECT
+           |  CASE WHEN gxy = 0 THEN (CASE WHEN gxx >= gyy THEN 1.0 ELSE 0.0 END)
+           |       ELSE gxy END AS vx,
+           |  CASE WHEN gxy = 0 THEN (CASE WHEN gxx >= gyy THEN 0.0 ELSE 1.0 END)
+           |       ELSE ((gxx+gyy) + sqrt((gxx-gyy)*(gxx-gyy) + 4*gxy*gxy))/2 - gxx END AS vy
+           |  FROM g),
+           |pcn AS (SELECT vx/sqrt(vx*vx+vy*vy) AS px, vy/sqrt(vx*vx+vy*vy) AS py FROM pc)
+           |SELECT doc_id,
+           |  round(d0 - (d0*px + d1*py)*px, 6) AS d0,
+           |  round(d1 - (d0*px + d1*py)*py, 6) AS d1
+           |FROM emb, pcn ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -126,6 +126,28 @@ class EncoderSpec extends SparkSpec {
     assert(pairs.contains(("a2", "b2")))
   }
 
+  test("PcRemoval: output ⊥ removed direction; residuals rank-1") {
+    val f = EntityFrame(
+      Seq(("a", "alpha beta gamma"), ("b", "alpha delta"), ("c", "epsilon zeta"),
+          ("d", "alpha beta"), ("e", "omega psi chi")).toDF("id", "text"), "t", "id")
+    val before = HashTokenEncoder(4).encode(f, None).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val after = graft.encoders.PcRemoval
+      .removeFirstPc(HashTokenEncoder(4).encode(f, None), 4).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map(t => t._1 * t._2).sum
+    val resid = before.map { case (k, v) => k -> v.zip(after(k)).map(t => t._1 - t._2) }
+    // out ⊥ residual (residual is the projection onto the removed pc)
+    for (i <- after.keys; j <- resid.keys)
+      assert(math.abs(dot(after(i), resid(j))) < 1e-9, s"${i} vs resid(${j})")
+    // residuals are all parallel (rank-1): cross products vanish pairwise
+    val rs = resid.values.filter(r => dot(r, r) > 1e-18).toSeq
+    for (Seq(x, y) <- rs.combinations(2)) {
+      val cos2 = dot(x, y) * dot(x, y) / (dot(x, x) * dot(y, y))
+      assert(math.abs(cos2 - 1.0) < 1e-9)
+    }
+  }
+
   test("TokenClusteringMinHashLSHBlocker: identical pseudo-token sets collide") {
     // buckets=1 → every entity has the same single pseudo-token → identical
     // signatures → all entities share every band bucket
