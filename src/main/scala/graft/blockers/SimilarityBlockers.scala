@@ -35,6 +35,23 @@ final case class MinHashLSHBlocker(
       MinHash.buckets(tokens(right), numPerm, bands))
 }
 
+object MinHashLSHBlocker {
+  /** The reference's user-facing contract (lsh.py:127-141: give a Jaccard
+    * `threshold` and FP/FN `weights`, get tuned banding): derive (b, r)
+    * via [[MinHash.optimalParam]] and sign with exactly b·r permutations
+    * (datasketch signs with numPerm and bands over the b·r ≤ numPerm
+    * prefix — identical banding, fewer wasted hashes here). */
+  def fromThreshold(
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      weights: (Double, Double) = (0.5, 0.5),
+      minTokenLength: Int = 3,
+      stopwords: Seq[String] = Text.Stopwords): MinHashLSHBlocker = {
+    val (b, r) = MinHash.optimalParam(threshold, numPerm, weights._1, weights._2)
+    MinHashLSHBlocker(numPerm = b * r, bands = b, minTokenLength, stopwords)
+  }
+}
+
 /** TF-IDF filtered token blocking (reference token_blocking.py:251-384):
   * drop each document's low-signal tokens before blocking. Weight =
   * tf · idf with smooth idf = ln((1+N)/(1+df)) + 1, L2-normalized per

@@ -52,6 +52,36 @@ object MinHash {
     bandBuckets(signature(tokenPairs, numPerm), bands, numPerm / bands)
   }
 
+  /** datasketch's `_optimal_param` (the tuning MinHashLSH applies to the
+    * reference's `(threshold, weights)` contract, lsh.py:99-141): over
+    * all (b, r) with b·r ≤ numPerm, minimize
+    * `fpWeight·∫₀^t (1−(1−sʳ)ᵇ) ds + fnWeight·∫_t¹ (1−(1−(1−sʳ)ᵇ)) ds`
+    * where `1−(1−sʳ)ᵇ` is the band-collision probability at Jaccard s.
+    * Midpoint integration at 1e-3 step — the argmin over the discrete
+    * (b, r) grid is insensitive to quadrature error. Driver-side O(numPerm²)
+    * arithmetic, no data touched. */
+  def optimalParam(
+      threshold: Double, numPerm: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(math.abs(fpWeight + fnWeight - 1.0) < 1e-9, "weights must sum to 1")
+    def integrate(f: Double => Double, a: Double, b: Double): Double = {
+      val n = math.max(1, ((b - a) / 0.001).toInt)
+      val h = (b - a) / n
+      (0 until n).map(i => f(a + h * (i + 0.5))).sum * h
+    }
+    var best = (1, 1)
+    var bestErr = Double.MaxValue
+    for (b <- 1 to numPerm; r <- 1 to numPerm / b) {
+      def collide(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val fp = integrate(collide, 0.0, threshold)
+      val fn = integrate(s => 1.0 - collide(s), threshold, 1.0)
+      val err = fp * fpWeight + fn * fnWeight
+      if (err < bestErr) { bestErr = err; best = (b, r) }
+    }
+    best
+  }
+
   // ---------- DuckDB oracle SQL generators (kept in lockstep) ----------
 
   /** SQL mirroring [[signature]] over a `(id, key)` relation. */

@@ -62,4 +62,39 @@ class FunctionsSpec extends SparkSpec {
       assert(v.split(" ").toSet == trip(k).split(" ").toSet, s"entity $k")
     }
   }
+
+  test("MinHash.optimalParam: datasketch threshold->(b,r) tuning properties") {
+    import graft.functions.MinHash.optimalParam
+    // capacity respected
+    for (t <- Seq(0.2, 0.5, 0.8); np <- Seq(16, 64, 128)) {
+      val (b, r) = optimalParam(t, np)
+      assert(b >= 1 && r >= 1 && b * r <= np, s"t=$t np=$np -> ($b,$r)")
+    }
+    // higher threshold needs more selective bands (more rows per band)
+    val loR = optimalParam(0.2, 128)._2
+    val hiR = optimalParam(0.9, 128)._2
+    assert(hiR > loR)
+    // penalizing false positives pushes toward more selective bands too
+    val fpHeavy = optimalParam(0.5, 128, 0.9, 0.1)._2
+    val fnHeavy = optimalParam(0.5, 128, 0.1, 0.9)._2
+    assert(fpHeavy >= fnHeavy)
+    // at the threshold the tuned S-curve sits near its steep middle:
+    // collision probability strictly between the tails
+    val (b, r) = optimalParam(0.5, 128)
+    val p = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+    assert(p > 0.2 && p < 0.98, s"p@threshold=$p for ($b,$r)")
+  }
+
+  test("MinHashLSHBlocker.fromThreshold produces a runnable tuned blocker") {
+    val blocker = graft.blockers.MinHashLSHBlocker.fromThreshold(
+      threshold = 0.4, numPerm = 32)
+    assert(blocker.numPerm % blocker.bands == 0)
+    val blocks = blocker.assign(tableA, tableA)
+    // every entity collides with itself in every band (identical sets)
+    val selfPairs = blocks.pairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    Seq("a1", "a2", "a3", "a4", "a5").foreach { id =>
+      assert(selfPairs.contains((id, id)))
+    }
+  }
 }
