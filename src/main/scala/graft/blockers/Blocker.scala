@@ -34,6 +34,13 @@ object Blocker {
     Blocks(l.join(r, Seq(Blocks.KeyCol), "inner"))
   }
 
+  /** P6 `filter_with_unique` (composite.py:35-51): drop entities whose id
+    * appears in `ids` (one `_cid` column) — a left-anti join, never the
+    * reference's merge-indicator emulation. */
+  def antiFilter(f: EntityFrame, ids: DataFrame): EntityFrame =
+    f.copy(df = f.df.join(
+      ids, f.df(f.idCol).cast("string") === ids("_cid"), "left_anti"))
+
   /** Salted two-phase variant of the A1 aggregate for HOT keys:
     * collect_set first per (key, salt) — spreading one hot key's ids
     * over `nSalt` reducers — then flatten the per-salt arrays per key.

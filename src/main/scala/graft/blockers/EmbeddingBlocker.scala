@@ -45,9 +45,26 @@ final case class EmbeddingKnnBlocker(
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
-      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
-    val le = encoder.encode(left, leftRel)
-    val re = encoder.encode(right, rightRel)
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks =
+    assignExcluding(left, right, leftRel, rightRel, None)
+
+  /** Like assign, but drops `exclude` ids (frames with one `_cid` column)
+    * from the EMBEDDINGS, after encoding — the reference hybrid's
+    * `_filter_emb` (hybrid.py:155-178): graph encoders must see the full
+    * neighborhood even for entities the unique-name pass already covered,
+    * so the filter cannot run before the encoder. */
+  def assignExcluding(
+      left: EntityFrame, right: EntityFrame,
+      leftRel: Option[DataFrame], rightRel: Option[DataFrame],
+      exclude: Option[(DataFrame, DataFrame)]): Blocks = {
+    val le0 = encoder.encode(left, leftRel)
+    val re0 = encoder.encode(right, rightRel)
+    val (le, re) = exclude match {
+      case Some((cl, cr)) =>
+        (le0.join(cl, le0("id") === cl("_cid"), "left_anti"),
+         re0.join(cr, re0("id") === cr("_cid"), "left_anti"))
+      case None => (le0, re0)
+    }
     val base = strategy match {
       case AnnStrategy.Brute =>
         Similarity.topKCosine(le, re, k, dims, broadcastRight)

@@ -69,12 +69,9 @@ final case class CompositeUniqueNameBlocker(
     topNR: Option[Int] = None,
     useUniqueName: Boolean = true) extends Blocker {
 
-  /** P6 `filter_with_unique` (composite.py:35-51): drop entities whose id
-    * already appears in a unique-name block — a left-anti join, never the
-    * reference's merge-indicator emulation. */
+  /** P6 `filter_with_unique` — see [[Blocker.antiFilter]]. */
   private def filterCovered(f: EntityFrame, coveredIds: DataFrame): EntityFrame =
-    f.copy(df = f.df.join(
-      coveredIds, f.df(f.idCol).cast("string") === coveredIds("_cid"), "left_anti"))
+    Blocker.antiFilter(f, coveredIds)
 
   override def assign(
       left: EntityFrame, right: EntityFrame,

@@ -126,6 +126,44 @@ class EncoderSpec extends SparkSpec {
     assert(pairs.contains(("a2", "b2")))
   }
 
+  test("hybrid composites: exact wiring runs end-to-end (hybrid.py:15-178)") {
+    val relA = Seq(("a5", "knows", "a4")).toDF("head", "rel", "tail")
+    val relB = Seq(("b4", "knows", "b5")).toDF("head", "rel", "tail")
+    // CompositeEmbeddingBlocker: unique + token attr + embedding rel
+    val ceb = CompositeEmbeddingBlocker(HashTokenEncoder(8), k = 2)
+      .assign(tableA, tableB, Some(relA), Some(relB))
+    // unique-name pass catches the shared birthdates/countries; embedding
+    // kNN adds per-left-entity NN blocks for the uncovered rest
+    assert(blockMap(ceb).nonEmpty)
+    val cebPairs = ceb.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cebPairs.contains(("a3", "b3"))) // Rebecca Smith / Bulgaria / 04-12-1990
+    // CompositeRelationalDeepBlocker: reference defaults use_unique_name=false
+    val crd = CompositeRelationalDeepBlocker(HashTokenEncoder(8), k = 2)
+      .assign(tableA, tableB, Some(relA), Some(relB))
+    assert(blockMap(crd).nonEmpty)
+    // CompositeLightEABlocker: graph-propagated encoder + post-encode filter
+    val cle = CompositeLightEABlocker(HashTokenEncoder(8), depth = 1, k = 2)
+      .assign(tableA, tableB, Some(relA), Some(relB))
+    assert(blockMap(cle).nonEmpty)
+    assert(cle.pairs.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet.contains(("a3", "b3")))
+  }
+
+  test("CompositeLightEABlocker filters covered ids AFTER encoding") {
+    val relA = Seq(("a5", "knows", "a4")).toDF("head", "rel", "tail")
+    val relB = Seq(("b4", "knows", "b5")).toDF("head", "rel", "tail")
+    val unique = UniqueNameBlocker().assign(tableA, tableB)
+    val coveredL = unique.df.select(explode(col("left")).as("_cid"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val cle = CompositeLightEABlocker(HashTokenEncoder(8), depth = 1, k = 2)
+      .assign(tableA, tableB, Some(relA), Some(relB))
+    // NN blocks (key = left id) must exist only for UNCOVERED left ids
+    val nnKeys = blockMap(cle).keySet.filter(_.startsWith("a"))
+    assert(nnKeys.nonEmpty)
+    assert(nnKeys.intersect(coveredL).isEmpty,
+      s"covered ids $coveredL leaked into NN keys $nnKeys")
+  }
+
   test("PcRemoval: output ⊥ removed direction; residuals rank-1") {
     val f = EntityFrame(
       Seq(("a", "alpha beta gamma"), ("b", "alpha delta"), ("c", "epsilon zeta"),
