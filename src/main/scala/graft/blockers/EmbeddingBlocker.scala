@@ -69,7 +69,9 @@ final case class EmbeddingKnnBlocker(
       case AnnStrategy.Brute =>
         Similarity.topKCosine(le, re, k, dims, broadcastRight)
       case AnnStrategy.Ivf(numBuckets, seed) =>
-        val feat = re.withColumn("features", array_to_vector(col("vec")))
+        // persist: KMeans re-evaluates its input every iteration, and the
+        // feature frame is the whole encode pipeline
+        val feat = re.withColumn("features", array_to_vector(col("vec"))).persist()
         val bucketed = new KMeans().setK(numBuckets).setSeed(seed)
           .setFeaturesCol("features").setPredictionCol("_bkt")
           .fit(feat).transform(feat)
@@ -128,7 +130,9 @@ final case class KMeansClusterBlocker(
     val le = encoder.encode(left, leftRel).withColumn("_side", lit("l"))
     val re = encoder.encode(right, rightRel).withColumn("_side", lit("r"))
     val all = le.unionByName(re)
-    val feat = all.withColumn("features", array_to_vector(col("vec")))
+    // persist: KMeans re-evaluates its input every iteration, and the
+    // feature frame is both sides' whole encode pipeline
+    val feat = all.withColumn("features", array_to_vector(col("vec"))).persist()
     val model = new KMeans().setK(numClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("label")
     val labeled = model.fit(feat).transform(feat)

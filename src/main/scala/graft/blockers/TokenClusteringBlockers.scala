@@ -51,8 +51,9 @@ final case class KMeansClusterAssigner(
   override def assign(vals: DataFrame): DataFrame = {
     val asFrame = EntityFrame(
       vals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
+    // persist: KMeans re-evaluates its input every iteration
     val feat = encoder.encode(asFrame, None)
-      .withColumn("features", array_to_vector(col("vec")))
+      .withColumn("features", array_to_vector(col("vec"))).persist()
     new KMeans().setK(numClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("label")
       .fit(feat).transform(feat)

@@ -101,6 +101,12 @@ object Dedup {
     * hamming ≤ `maxHamming`. */
   def simHashNearDupPairs(tokenPairs: DataFrame, maxHamming: Int): DataFrame = {
     val fp = SimHash.fingerprint(tokenPairs)
+    // NB on partitioning: the fingerprint frame is tiny (one row per doc),
+    // so AQE coalesces the pre-join exchange aggressively and the
+    // candidate blowup after the equi-join runs under-parallel on this
+    // corpus. An explicit repartition(par, chunk) was measured WORSE
+    // (chunk keys are skewed; pinning the partitioning disables AQE's
+    // skew-join splitting, which matters more). Left to AQE on purpose.
     val chunks = fp.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         concat(lit(s"$c:"),

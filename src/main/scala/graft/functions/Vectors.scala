@@ -3,30 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over plain `array<float>`/`array<double>` columns via
-  * built-in higher-order functions — codegen'd, no UDFs, no MLlib Vector
-  * boxing on the hot path. Accumulation is in double regardless of the
-  * element type so Spark and the DuckDB oracle agree.
+/** Dense-vector math over plain `array<float>`/`array<double>` columns.
+  * The hot-path kernel is the native [[org.apache.spark.sql.graft.DotProduct]]
+  * Catalyst expression — compact-loop codegen (JIT-friendly, zero
+  * per-pair allocation); see its scaladoc for why both built-in
+  * formulations (zip_with/aggregate, unrolled getItem chain) lose by an
+  * order of magnitude on O(n²) similarity joins. Accumulation is in
+  * double regardless of the element type so Spark and the DuckDB oracle
+  * agree.
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ */
+  /** Σ aᵢ·bᵢ — native loop expression. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorOps.dotProduct(a, b)
 
-  /** Σ aᵢ·bᵢ with a statically-known dimension: unrolled into a flat
-    * multiply-add chain of getItem expressions. Whole-stage codegen turns
-    * this into straight-line code with ZERO per-row array allocations —
-    * the zip_with/aggregate form allocates an intermediate array per
-    * pair, which dominates cost on O(n²) similarity joins. Same left-to-
-    * right summation order as [[dot]] (oracle-identical results). */
-  def dotStatic(a: Column, b: Column, dims: Int): Column =
-    (0 until dims)
-      .map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
-      .reduce(_ + _)
+  /** Σ aᵢ·bᵢ; `dims` is no longer needed (kept for call-site stability —
+    * the native kernel loops over min-length at runtime). */
+  def dotStatic(a: Column, b: Column, dims: Int): Column = dot(a, b)
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -108,7 +108,11 @@ object EncoderQueries {
         val w = Window.partitionBy("left_id").orderBy(col("s").desc, col("right_id").asc)
         scaled.withColumn("rank", row_number().over(w))
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("s") * 1e6, 6).as("s_scaled"))
+            // round-2 on the 1e5-magnitude value: round-6 demanded 12
+            // significant digits of cross-engine float reproducibility,
+            // and Sinkhorn's groupBy-sum order is not deterministic —
+            // a 1-ulp difference occasionally flipped the boundary
+            round(col("s") * 1e6, 2).as("s_scaled"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -135,7 +139,7 @@ object EncoderQueries {
              |    s / sum(s) OVER (PARTITION BY right_id) AS s FROM i2r)
              |SELECT left_id,
              |  row_number() OVER (PARTITION BY left_id ORDER BY s DESC, right_id ASC)::int AS rank,
-             |  right_id, round(s * 1e6, 6) AS s_scaled
+             |  right_id, round(s * 1e6, 2) AS s_scaled
              |FROM i2c ORDER BY left_id, rank""".stripMargin)),
 
     // ---- A10: dice overlap of two blockings' true-positive sets -----------

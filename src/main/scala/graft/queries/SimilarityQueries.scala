@@ -102,21 +102,25 @@ object SimilarityQueries {
     "j10_token_overlap" -> QueryDef(
       (s, dir) => {
         // The join stream is |Σ nl·nr| rows (dense worst case on this
-        // corpus: 31-token vocabulary ⇒ every doc pair co-occurs). Two-level
-        // aggregation: pre-partition the streamed side by lid BEFORE the
-        // join blowup and broadcast the (small) token stream of the other
-        // side — the broadcast join preserves lid partitioning, so every
-        // row of a given lid lands in one task and the partial aggregate
-        // is already final per group. Only ~|distinct pairs| rows reach
-        // the exchange instead of the full join stream. Group keys are the
-        // two long columns directly: no packed-key id-range assumption, no
-        // double-division unpack (both scale hazards of the old plan).
+        // corpus: small shared vocabulary ⇒ every doc pair co-occurs;
+        // 108M rows at sf0.1). Pre-partition the streamed side by lid
+        // BEFORE the join blowup and broadcast the (small) token stream
+        // of the other side — the broadcast join preserves lid
+        // partitioning, so the aggregate runs in one stage with no
+        // post-blowup exchange. Group keys are the two long columns
+        // directly: no packed-key id-range assumption.
+        //
+        // The partition count is EXPLICIT: the pre-join input is tiny
+        // (~56k rows), so AQE would coalesce a bare repartition(col) to
+        // one partition and the 108M-row blowup would run on one core
+        // (measured: 52 s vs 6 s). Explicit numPartitions pins the
+        // parallelism to the blowup's needs, not the input's size.
         // At 100 TB the right-side token stream may exceed broadcast range;
         // then the join shuffles on the token key and hot-token capping
         // (TokenBlocker.maxBlockComparisons) bounds the dense case.
         val lt = TokenBlocker().tokens(docSide(s, dir, 0))
           .select(col("key"), col("id").cast("long").as("lid"))
-          .repartition(col("lid"))
+          .repartition(s.sparkContext.defaultParallelism, col("lid"))
         val rt = TokenBlocker().tokens(docSide(s, dir, 1))
           .select(col("key"), col("id").cast("long").as("rid"))
         lt.join(broadcast(rt), Seq("key"))
@@ -384,6 +388,38 @@ object SimilarityQueries {
            |       FROM (${side("rt")}) GROUP BY key)
            |SELECT key AS block_key, left_ids, right_ids
            |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
+    // ---- §2.10: incremental token blocker, batch-parity oracle ------------
+    // flatMapGroupsWithState on a BATCH dataset = one mega-batch: the
+    // stateful operator must emit exactly the full token-join pair set —
+    // the same SQL the TokenBlocker answers. Multi-batch incrementality
+    // (only-new-pairs per batch) is spec-tested in StreamingSpec.
+    "st_incremental_token_pairs" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        // doc_id < 200 bound: the pair set is quadratic on this dense
+        // corpus; 100 docs/side (~170k pairs) exercises the operator
+        // without a 1M-row gate artifact
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"),
+            when(col("doc_id") % 2 === 0, "left").otherwise("right").as("side"))
+        val recs = graft.streaming.StreamingOps.tokenize(docs, "doc_id", "text", "side")
+        graft.streaming.StreamingOps.incrementalTokenBlocks(recs)
+          .toDF()
+          .select(col("key").as("block_key"), col("leftId").as("left_id"),
+            col("rightId").as("right_id"))
+          .distinct()
+          .orderBy("block_key", "left_id", "right_id")
+      },
+      Some {
+        def side(parity: Int) = duckTokens("cast(doc_id AS varchar)", "text",
+          s"(SELECT * FROM documents WHERE doc_id < 200 AND doc_id % 2 = $parity)")
+        s"""WITH lt AS (SELECT DISTINCT * FROM (${side(0)})),
+           |rt AS (SELECT DISTINCT * FROM (${side(1)}))
+           |SELECT lt.key AS block_key, lt.id AS left_id, rt.id AS right_id
+           |FROM lt JOIN rt USING (key)
+           |ORDER BY block_key, left_id, right_id""".stripMargin
       }),
 
     // ---- M4/M5: SIF-weighted word-embedding pooling -----------------------

@@ -63,7 +63,14 @@ object Similarity {
     * salting costs more than it buys below ~10⁷ rows per bucket). */
   def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64,
               excludeSelf: Boolean = true): DataFrame = {
-    val cents = centroids(bucketed)
+    // ONE normalized projection of the bucketed side, persisted: it feeds
+    // both the centroid aggregate and the probe join — without it each
+    // consumer re-scans the source (the bench's measured 3×-read cost).
+    // GC-unpersisted by the ContextCleaner when the plan goes unreachable.
+    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
+        col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
+      .persist()
+    val cents = centroids(members.select(col("bucket"), col("_rv").as("vec")))
       .withColumn("_cn", Vectors.l2Norm(col("centroid")))
     val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
       Vectors.l2Norm(col("vec")).as("_ln"))
@@ -76,8 +83,6 @@ object Similarity {
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
-    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
-        col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
     val joined = assigned.join(members, Seq("bucket"))
     val scored = (if (excludeSelf) joined.filter(col("left_id") =!= col("right_id")) else joined)
       .select(col("left_id"), col("bucket"), col("right_id"),
