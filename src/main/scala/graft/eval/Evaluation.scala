@@ -109,20 +109,22 @@ object Evaluation {
   }
 
   /** Sørensen-Dice coefficient of two blockings' true-positive sets
-    * (eval.py:329-331) — distributed set algebra, no driver sets. The TP
-    * frames are persisted: each feeds two actions (own count + the
-    * intersection), and recomputing them costs a full explode+join each. */
+    * (eval.py:329-331) — distributed set algebra, no driver sets. All
+    * three scalars (|A|, |B|, |A∩B|) come from ONE full-outer join with
+    * presence flags in a single action, so each TP plan (a full
+    * explode+join per blocking) is evaluated exactly once — no persists,
+    * no triple execution. TP frames are distinct, so the outer join is
+    * key-unique per side and the flag sums are exact set cardinalities. */
   def diceOfTruePositives(a: Blocks, b: Blocks, gold: DataFrame): Double = {
-    val tpA = truePositivePairs(a, gold).persist()
-    val tpB = truePositivePairs(b, gold).persist()
-    try {
-      val na = tpA.count()
-      val nb = tpB.count()
-      val inter = tpA.join(tpB, Seq("left_id", "right_id"), "left_semi").count()
-      if (na + nb == 0) 0.0 else 2.0 * inter / (na + nb)
-    } finally {
-      tpA.unpersist()
-      tpB.unpersist()
-    }
+    val tpA = truePositivePairs(a, gold).withColumn("_a", lit(1L))
+    val tpB = truePositivePairs(b, gold).withColumn("_b", lit(1L))
+    val r = tpA.join(tpB, Seq("left_id", "right_id"), "full_outer")
+      .agg(
+        count(col("_a")).as("na"),
+        count(col("_b")).as("nb"),
+        count(when(col("_a").isNotNull && col("_b").isNotNull, 1)).as("ni"))
+      .head()
+    val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (na + nb == 0) 0.0 else 2.0 * ni / (na + nb)
   }
 }
