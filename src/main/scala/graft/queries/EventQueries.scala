@@ -73,6 +73,36 @@ object EventQueries {
              |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
              |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- session windows (built-in session_window, batch form) ------------
+    // new-session rule is ts >= prev + gap at MICRO precision (Spark's
+    // session merge compares event time against session end = last+gap),
+    // so the oracle compares integer epoch-micros, not floored seconds.
+    "ev_session_windows" -> QueryDef(
+      (s, dir) => StreamingOps.sessionWindowAgg(QueryDef.events(s, dir))
+        .orderBy("user_id", "sess_start"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, epoch_ns(ts) // 1000 AS us FROM events),
+             |lagged AS (
+             |  SELECT user_id, ts, us,
+             |         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+             |  FROM e),
+             |flags AS (
+             |  SELECT user_id, ts, us,
+             |         CASE WHEN prev_us IS NULL OR us >= prev_us + 1800000000
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM lagged),
+             |sess AS (
+             |  SELECT user_id, ts, us,
+             |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             |             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags)
+             |SELECT user_id,
+             |       (min(us) // 1000000) AS sess_start,
+             |       ((max(us) + 1800000000) // 1000000) AS sess_end,
+             |       count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
     // ---- multimodal: metadata decode over binary columns ------------------
     "mm_decode_meta" -> QueryDef(
       (s, dir) => Multimodal.decodeMeta(

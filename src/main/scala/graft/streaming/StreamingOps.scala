@@ -44,6 +44,25 @@ object StreamingOps {
       .agg(sum("_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Per-(user, session) rows via the built-in `session_window` (gap-based
+    * merge; a new session starts when ts ≥ previous ts + gap, at
+    * MICROsecond precision — the oracle must compare integer micros, not
+    * floored seconds). Works identically on batch and streaming; on a
+    * stream the watermark bounds session state and sessions emit on
+    * watermark passage (append mode). */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("sess_start"),
+        col("session_window.end").cast("long").as("sess_end"),
+        col("n_events"))
+  }
+
   // ---------- incremental token blocking (stateful streaming) ----------
 
   /** One tokenized record on one side of the stream. */
