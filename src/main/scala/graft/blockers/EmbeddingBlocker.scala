@@ -82,10 +82,14 @@ final case class EmbeddingKnnBlocker(
     }
     val ranked =
       if (sinkhornIterations > 0) {
-        val scores = Sinkhorn.rescale(
-          base.select(col("left_id"), col("right_id"),
-            ((col("cos") + 1.0) / 2.0).as("s")), // shift to ≥ 0 for scaling
-          sinkhornIterations)
+        // persist: rescale joins the candidate frame against its own
+        // aggregates twice per iteration — uncached, every join would
+        // re-execute the whole encode + candidate pipeline and the plan
+        // grows geometrically with the iteration count
+        val cand = base.select(col("left_id"), col("right_id"),
+          ((col("cos") + 1.0) / 2.0).as("s")) // shift to ≥ 0 for scaling
+          .persist()
+        val scores = Sinkhorn.rescale(cand, sinkhornIterations)
         val w = Window.partitionBy("left_id").orderBy(col("s").desc, col("right_id").asc)
         scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       } else base
@@ -101,15 +105,20 @@ final case class EmbeddingKnnBlocker(
   * alternating groupBy-sum + broadcast-join divisions, never a collected
   * matrix. The matrix is already sparse (k candidates per left id). */
 object Sinkhorn {
+  /** Callers should pass a persisted `scores` frame — each iteration
+    * joins it against its own aggregates twice, and every intermediate
+    * round is persisted here so the plan stays flat in the iteration
+    * count instead of growing geometrically. */
   def rescale(scores: DataFrame, iterations: Int): DataFrame = {
     var s = scores
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rowSums = s.groupBy("left_id").agg(sum(col("s")).as("_rs"))
-      s = s.join(rowSums, Seq("left_id"))
+      val r = s.join(rowSums, Seq("left_id"))
         .select(col("left_id"), col("right_id"), (col("s") / col("_rs")).as("s"))
-      val colSums = s.groupBy("right_id").agg(sum(col("s")).as("_cs"))
-      s = s.join(colSums, Seq("right_id"))
+      val colSums = r.groupBy("right_id").agg(sum(col("s")).as("_cs"))
+      val next = r.join(colSums, Seq("right_id"))
         .select(col("left_id"), col("right_id"), (col("s") / col("_cs")).as("s"))
+      s = if (i < iterations) next.persist() else next
     }
     s
   }

@@ -124,12 +124,15 @@ final case class GraphPropagationEncoder(
 
     var f = f0
     for (_ <- 1 to rounds) {
-      // exploded features of the source side
+      // exploded features of the source side. deg is one row per VERTEX —
+      // no broadcast hint: at billions of vertices a forced broadcast
+      // cannot fit an executor; AQE broadcasts while it is small and
+      // falls back to a shuffle join when it is not.
       val srcFeat = f.select(col("id").as("src"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .join(broadcast(deg), Seq("src"))
+        .join(deg, Seq("src"))
       val msgs = edges
         .join(srcFeat, Seq("src"))
-        .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("deg_dst"))), Seq("dst"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
         .groupBy(col("dst").as("id"), col("pos"))
         .agg(sum(col("v") / (sqrt(col("deg") * col("deg_dst")) * 2.0)).as("nbr"))
       val own = f.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))

@@ -60,17 +60,21 @@ object EventQueries {
     "ev_sessionize" -> QueryDef(
       (s, dir) => StreamingOps.sessionize(QueryDef.events(s, dir), 30)
         .orderBy("user_id"),
-      Some("""WITH lagged AS (
-             |  SELECT user_id, ts,
-             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-             |  FROM events),
+      // integer epoch_ns arithmetic end-to-end (no double rounding), and
+      // sum(..)::bigint — DuckDB's HUGEINT sum renders as float64 in the
+      // driver's hasher while Spark emits int64 (values were identical).
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, epoch_ns(ts) // 1000000000 AS sec FROM events),
+             |lagged AS (
+             |  SELECT user_id, sec,
+             |         lag(sec) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM e),
              |flags AS (
              |  SELECT user_id,
-             |         CASE WHEN prev IS NULL
-             |                   OR floor(epoch(ts))::bigint - floor(epoch(prev))::bigint > 1800
+             |         CASE WHEN prev IS NULL OR sec - prev > 1800
              |              THEN 1 ELSE 0 END AS new_session
              |  FROM lagged)
-             |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+             |SELECT user_id, sum(new_session)::bigint AS n_sessions, count(*) AS n_events
              |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- session windows (built-in session_window, batch form) ------------
