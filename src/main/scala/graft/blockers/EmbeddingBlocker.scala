@@ -38,7 +38,6 @@ object AnnStrategy {
 final case class EmbeddingKnnBlocker(
     encoder: FrameEncoder,
     k: Int = 5,
-    dims: Int = 8,
     sinkhornIterations: Int = 0,
     broadcastRight: Boolean = true,
     strategy: AnnStrategy = AnnStrategy.Brute) extends Blocker {
@@ -67,7 +66,7 @@ final case class EmbeddingKnnBlocker(
     }
     val base = strategy match {
       case AnnStrategy.Brute =>
-        Similarity.topKCosine(le, re, k, dims, broadcastRight)
+        Similarity.topKCosine(le, re, k, broadcastRight)
       case AnnStrategy.Ivf(numBuckets, seed) =>
         // persist: KMeans re-evaluates its input every iteration, and the
         // feature frame is the whole encode pipeline
@@ -76,9 +75,9 @@ final case class EmbeddingKnnBlocker(
           .setFeaturesCol("features").setPredictionCol("_bkt")
           .fit(feat).transform(feat)
           .select(col("_bkt").cast("string").as("bucket"), col("id"), col("vec"))
-        Similarity.ivfTopK(le, bucketed, k, dims, excludeSelf = false)
+        Similarity.ivfTopK(le, bucketed, k, excludeSelf = false)
       case AnnStrategy.SignLsh(numPlanes, planeDims) =>
-        Similarity.lshTopK(le, re, k, dims, numPlanes, planeDims)
+        Similarity.lshTopK(le, re, k, numPlanes, planeDims)
     }
     val ranked =
       if (sinkhornIterations > 0) {

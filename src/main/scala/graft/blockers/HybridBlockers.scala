@@ -22,14 +22,13 @@ object CompositeEmbeddingBlocker {
   def apply(
       encoder: FrameEncoder,
       k: Int = 5,
-      dims: Int = 8,
       strategy: AnnStrategy = AnnStrategy.Brute,
       topNA: Option[Int] = None,
       topNR: Option[Int] = None,
       minTokenLength: Int = 3): CompositeUniqueNameBlocker =
     CompositeUniqueNameBlocker(
       attributeBlocker = TokenBlocker(minTokenLength),
-      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k, dims, strategy = strategy)),
+      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k, strategy = strategy)),
       topNA = topNA, topNR = topNR, useUniqueName = true)
 }
 
@@ -41,14 +40,13 @@ object CompositeRelationalDeepBlocker {
   def apply(
       encoder: FrameEncoder,
       k: Int = 5,
-      dims: Int = 8,
       topNA: Option[Int] = None,
       topNR: Option[Int] = None,
       useUniqueName: Boolean = false,
       minTokenLength: Int = 3): CompositeUniqueNameBlocker =
     CompositeUniqueNameBlocker(
       attributeBlocker = TokenBlocker(minTokenLength),
-      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k, dims)),
+      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k)),
       topNA = topNA, topNR = topNR, useUniqueName = useUniqueName)
 }
 
@@ -60,7 +58,6 @@ final case class CompositeLightEABlocker(
     innerEncoder: FrameEncoder = HashTokenEncoder(),
     depth: Int = 2,
     k: Int = 5,
-    dims: Int = 8,
     strategy: AnnStrategy = AnnStrategy.Brute,
     minTokenLength: Int = 3) extends Blocker {
 
@@ -77,7 +74,7 @@ final case class CompositeLightEABlocker(
         Blocker.antiFilter(left, coveredL), Blocker.antiFilter(right, coveredR)))
     val lightEa = GraphPropagationEncoder(
       innerEncoder, rounds = depth, l2NormalizeEachRound = true)
-    val rel = EmbeddingKnnBlocker(lightEa, k, dims, strategy = strategy)
+    val rel = EmbeddingKnnBlocker(lightEa, k, strategy = strategy)
       .assignExcluding(left, right, leftRel, rightRel, Some((coveredL, coveredR)))
     attr.combine(rel)
   }

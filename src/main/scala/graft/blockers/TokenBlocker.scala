@@ -50,8 +50,8 @@ final case class TokenBlocker(
   * the sparse count-matrix product `X_left @ X_right.T` in relational
   * form — entities sharing at least `minOverlap` tokens form one block
   * per left entity. Candidates come from the token equi-join (sparse
-  * path: only co-occurring tokens generate work), overlap counting is a
-  * packed-long aggregate.
+  * path: only co-occurring tokens generate work); overlap counting
+  * groups directly on the (left id, right id) pair.
   */
 final case class PartitioningTokenBlocker(
     minOverlap: Int = 1,

@@ -38,6 +38,8 @@ object EmbeddingStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  def exists(spark: SparkSession, path: String): Boolean =
-    try { spark.read.parquet(path); true } catch { case _: Throwable => false }
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

@@ -18,10 +18,6 @@ object Vectors {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorOps.dotProduct(a, b)
 
-  /** Σ aᵢ·bᵢ; `dims` is no longer needed (kept for call-site stability —
-    * the native kernel loops over min-length at runtime). */
-  def dotStatic(a: Column, b: Column, dims: Int): Column = dot(a, b)
-
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

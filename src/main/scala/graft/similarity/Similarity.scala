@@ -27,7 +27,7 @@ object Similarity {
     * whenever the right side fits in executor memory (the planner then
     * turns the cross join into BroadcastNestedLoopJoin — no shuffle). */
   def topKCosine(
-      left: DataFrame, right: DataFrame, k: Int, dims: Int = 64,
+      left: DataFrame, right: DataFrame, k: Int,
       broadcastRight: Boolean = true): DataFrame = {
     // norms once per ROW (not per pair); pair score is an unrolled
     // multiply-add chain — no per-pair array allocation
@@ -41,7 +41,7 @@ object Similarity {
     val r = if (broadcastRight) broadcast(r0) else r0
     val scored = l.crossJoin(r)
       .select(col("left_id"), col("right_id"),
-        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn"))).as("cos"))
+        (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -61,7 +61,7 @@ object Similarity {
     * membership grows past one reducer's memory, salt it with the
     * [[graft.blockers.Blocker.saltedCollectIds]] pattern (measured here:
     * salting costs more than it buys below ~10⁷ rows per bucket). */
-  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64,
+  def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int,
               excludeSelf: Boolean = true): DataFrame = {
     // ONE normalized projection of the bucketed side, persisted: it feeds
     // both the centroid aggregate and the probe join — without it each
@@ -79,14 +79,14 @@ object Similarity {
       .orderBy(col("_ccos").desc, col("bucket").asc)
     val assigned = q.crossJoin(broadcast(cents))
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
-        (Vectors.dotStatic(col("_lv"), col("centroid"), dims) / (col("_ln") * col("_cn"))).as("_ccos"))
+        (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
     val joined = assigned.join(members, Seq("bucket"))
     val scored = (if (excludeSelf) joined.filter(col("left_id") =!= col("right_id")) else joined)
       .select(col("left_id"), col("bucket"), col("right_id"),
-        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn2"))).as("cos"))
+        (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn2"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -131,7 +131,7 @@ object Similarity {
     * collide; a query whose bucket holds < k corpus rows returns fewer
     * than k results (by design — LSH trades completeness for scale). */
   def lshTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int, dims: Int = 64,
+      queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 6, planeDims: Int = 16): DataFrame = {
     def withBucket(df: DataFrame, idAs: String, vecAs: String, nAs: String) =
       df.select(col("id").as(idAs), col("vec").as(vecAs),
@@ -141,7 +141,7 @@ object Similarity {
     val c = withBucket(corpus, "right_id", "_rv", "_rn")
     val scored = q.join(c, Seq("_b"))
       .select(col("left_id"), col("right_id"),
-        (Vectors.dotStatic(col("_lv"), col("_rv"), dims) / (col("_ln") * col("_rn"))).as("cos"))
+        (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -152,7 +152,7 @@ object Similarity {
     * granularity: p planes ⇒ a pair at angle θ collides with probability
     * (1−θ/π)^p; near-dups (θ≈0) almost always collide. */
   def bucketedNearDup(
-      df: DataFrame, threshold: Double, dims: Int = 64,
+      df: DataFrame, threshold: Double,
       numPlanes: Int = 6, planeDims: Int = 16): DataFrame = {
     val withBucket = df.select(col("id"), col("vec"),
       hyperplaneBucket(slice(col("vec"), 1, planeDims), numPlanes, planeDims).as("_b"),
@@ -163,13 +163,13 @@ object Similarity {
       col("vec").as("_vb"), col("_n").as("_nb"))
     a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (Vectors.dotStatic(col("_va"), col("_vb"), dims) / (col("_na") * col("_nb"))).as("cos"))
+        (Vectors.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) self-join;
     * the scale path buckets first ([[bucketedNearDup]]). */
-  def selfJoinNearDup(df: DataFrame, threshold: Double, dims: Int = 64): DataFrame = {
+  def selfJoinNearDup(df: DataFrame, threshold: Double): DataFrame = {
     val a = df.select(col("id").as("id_a"), col("vec").as("_va"),
       Vectors.l2Norm(col("vec")).as("_na"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -177,7 +177,7 @@ object Similarity {
       Vectors.l2Norm(col("vec")).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (Vectors.dotStatic(col("_va"), col("_vb"), dims) / (col("_na") * col("_nb"))).as("cos"))
+        (Vectors.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

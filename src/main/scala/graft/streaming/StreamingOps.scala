@@ -63,6 +63,30 @@ object StreamingOps {
         col("n_events"))
   }
 
+  /** Event-time interval join (stream-stream): for each left event, every
+    * right event with the same key and r.ts ∈ [l.ts, l.ts + bound].
+    * On streams both sides carry watermarks and the time-range predicate
+    * lets Spark bound the join state (each side's buffered rows are
+    * dropped once the other side's watermark passes the bound); on batch
+    * the same plan is a plain equi-join with a range predicate. New
+    * design — the reference has no streaming (SURVEY §2.10 charter). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String = "user_id",
+      boundSeconds: Long = 1800L,
+      watermark: String = "2 hours"): DataFrame = {
+    val l0 = if (left.isStreaming) left.withWatermark("ts", watermark) else left
+    val r0 = if (right.isStreaming) right.withWatermark("ts", watermark) else right
+    val l = l0.select(col(key).as("_lk"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = r0.select(col(key).as("_rk"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+        col("_lk") === col("_rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $boundSeconds SECONDS"))
+      .select(col("_lk").as(key), col("l_id"), col("r_id"),
+        col("l_ts").cast("long").as("l_sec"), col("r_ts").cast("long").as("r_sec"))
+  }
+
   // ---------- incremental token blocking (stateful streaming) ----------
 
   /** One tokenized record on one side of the stream. */

@@ -77,7 +77,7 @@ class SimilaritySpec extends SparkSpec {
       ("c", Seq(0.0f, 1.0f)),   // cos 0
       ("d", Seq(-1.0f, 0.0f))). // cos -1
       toDF("id", "vec")
-    val got = Similarity.topKCosine(l, r, 2, dims = 2).collect()
+    val got = Similarity.topKCosine(l, r, 2).collect()
       .map(r => (r.getString(0), r.getInt(3), r.getString(1))).sorted
     assert(got.toSeq == Seq(("q", 1, "a"), ("q", 2, "b")))
   }
@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkSpec {
       ("by", "y1", Seq(0.0f, 1.0f)), ("by", "y2", Seq(0.1f, 0.9f)))
       .toDF("bucket", "id", "vec")
     val q = Seq(("q1", Seq(1.0f, 0.05f))).toDF("id", "vec")
-    val got = Similarity.ivfTopK(q, buckets, 10, dims = 2).collect()
+    val got = Similarity.ivfTopK(q, buckets, 10).collect()
       .map(r => r.getString(2)).toSet
     assert(got == Set("x1", "x2")) // never y1/y2
   }

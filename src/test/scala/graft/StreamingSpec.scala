@@ -84,6 +84,63 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("intervalJoin: streaming result equals batch result") {
+    // clicks (left) and purchases (right); bound 30 min
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 10:00:00"), 102L))
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:20:00"), 200L), // 20 min after click 100 → match
+      (1L, ts("2024-01-01 11:00:00"), 201L), // 60 min after click 100 → no
+      (2L, ts("2024-01-01 10:40:00"), 202L)) // 40 min after click 102 → no
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id")
+    val batch = StreamingOps.intervalJoin(df(clicks), df(buys)).collect().toSet
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Set((1L, 100L, 200L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ml = MemoryStream[(Long, Timestamp, Long)]
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val sq = StreamingOps.intervalJoin(
+        ml.toDF().toDF("user_id", "ts", "event_id"),
+        mr.toDF().toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      ml.addData(clicks: _*)
+      mr.addData(buys: _*)
+      sq.processAllAvailable()
+      assert(spark.table("ij").collect().toSet == batch)
+    } finally sq.stop()
+  }
+
+  test("intervalJoin drops right-side state behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ml = MemoryStream[(Long, Timestamp, Long)]
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val sq = StreamingOps.intervalJoin(
+        ml.toDF().toDF("user_id", "ts", "event_id"),
+        mr.toDF().toDF("user_id", "ts", "event_id"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ij_wm")
+      .outputMode("append").start()
+    try {
+      // advance both watermarks far past 10:00
+      ml.addData((9L, ts("2024-01-02 10:00:00"), 900L))
+      mr.addData((9L, ts("2024-01-02 10:00:00"), 901L))
+      sq.processAllAvailable()
+      // a click arriving a DAY late cannot match anything: the right
+      // side's matching purchases were never buffered this far back
+      ml.addData((9L, ts("2024-01-01 10:00:00"), 999L))
+      sq.processAllAvailable()
+      val got = spark.table("ij_wm").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((900L, 901L)), got.toString)
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
