@@ -52,11 +52,49 @@ final case class TokenBlocker(
   * per left entity. Candidates come from the token equi-join (sparse
   * path: only co-occurring tokens generate work); overlap counting
   * groups directly on the (left id, right id) pair.
+  *
+  * Join strategy switches on the right token stream's measured size:
+  * under `broadcastThresholdRows` it is broadcast and the left stream's
+  * explicit pre-partitioning by id carries through the join into the
+  * overlap aggregate (one stage, no post-blowup exchange — AQE would
+  * size partitions by the tiny pre-join input, not the blowup);
+  * over it, the join shuffles on the token key and the hot-token cap
+  * (`maxBlockComparisons`) bounds the dense blowup — the 100 TB path.
   */
 final case class PartitioningTokenBlocker(
     minOverlap: Int = 1,
     minTokenLength: Int = 3,
-    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+    stopwords: Seq[String] = Text.Stopwords,
+    broadcastThresholdRows: Long = 4000000L,
+    maxBlockComparisons: Long = 0L) extends Blocker {
+
+  /** (id, rid, overlap) candidate pairs from (key, id) / (key, rid)
+    * token streams, with the size-switched join. */
+  private[graft] def overlapPairs(lt0: DataFrame, rt0: DataFrame): DataFrame = {
+    val par = lt0.sparkSession.sparkContext.defaultParallelism
+    // one cheap count action decides the strategy; persisted so the
+    // decision scan is not paid again by the join
+    val rt = rt0.persist()
+    val joined =
+      if (rt.count() <= broadcastThresholdRows) {
+        val lt = lt0.repartition(par, col("id"))
+        lt.join(broadcast(rt), Seq("key"))
+      } else {
+        val lt = lt0
+        val (l, r) =
+          if (maxBlockComparisons > 0) {
+            val hot = lt.groupBy("key").agg(count(lit(1)).as("nl"))
+              .join(rt.groupBy("key").agg(count(lit(1)).as("nr")), Seq("key"))
+              .filter(col("nl") * col("nr") > maxBlockComparisons)
+              .select("key")
+            (lt.join(hot, Seq("key"), "left_anti"),
+             rt.join(hot, Seq("key"), "left_anti"))
+          } else (lt, rt)
+        l.join(r, Seq("key"))
+      }
+    joined.groupBy(col("id"), col("rid")).agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
@@ -64,9 +102,7 @@ final case class PartitioningTokenBlocker(
     val tb = TokenBlocker(minTokenLength, stopwords)
     val lt = tb.tokens(left)
     val rt = tb.tokens(right).withColumnRenamed("id", "rid")
-    val pairs = lt.join(rt, Seq("key"))
-      .groupBy(col("id"), col("rid")).agg(count(lit(1)).as("overlap"))
-      .filter(col("overlap") >= minOverlap)
+    val pairs = overlapPairs(lt, rt)
     Blocks.fromNN(
       pairs.groupBy("id").agg(array_sort(collect_set(col("rid"))).as("rids")),
       "id", "rids")

@@ -103,30 +103,19 @@ object SimilarityQueries {
       (s, dir) => {
         // The join stream is |Σ nl·nr| rows (dense worst case on this
         // corpus: small shared vocabulary ⇒ every doc pair co-occurs;
-        // 108M rows at sf0.1). Pre-partition the streamed side by lid
-        // BEFORE the join blowup and broadcast the (small) token stream
-        // of the other side — the broadcast join preserves lid
-        // partitioning, so the aggregate runs in one stage with no
-        // post-blowup exchange. Group keys are the two long columns
-        // directly: no packed-key id-range assumption.
-        //
-        // The partition count is EXPLICIT: the pre-join input is tiny
-        // (~56k rows), so AQE would coalesce a bare repartition(col) to
-        // one partition and the 108M-row blowup would run on one core
-        // (measured: 52 s vs 6 s). Explicit numPartitions pins the
-        // parallelism to the blowup's needs, not the input's size.
-        // At 100 TB the right-side token stream may exceed broadcast range;
-        // then the join shuffles on the token key and hot-token capping
-        // (TokenBlocker.maxBlockComparisons) bounds the dense case.
+        // 108M rows at sf0.1). The broadcast-vs-shuffle choice lives in
+        // PartitioningTokenBlocker.overlapPairs: the right token stream
+        // is measured, broadcast under the size threshold (preserving the
+        // left side's explicit pre-partitioning through the join — the
+        // aggregate runs in one stage, no post-blowup exchange), and
+        // shuffled on the token key with the hot-token cap above it.
+        // Group keys are the two long columns directly.
         val lt = TokenBlocker().tokens(docSide(s, dir, 0))
-          .select(col("key"), col("id").cast("long").as("lid"))
-          .repartition(s.sparkContext.defaultParallelism, col("lid"))
+          .select(col("key"), col("id").cast("long").as("id"))
         val rt = TokenBlocker().tokens(docSide(s, dir, 1))
           .select(col("key"), col("id").cast("long").as("rid"))
-        lt.join(broadcast(rt), Seq("key"))
-          .groupBy(col("lid"), col("rid")).agg(count(lit(1)).as("overlap"))
-          .filter(col("overlap") >= 10)
-          .select(col("lid").cast("string").as("left_id"),
+        PartitioningTokenBlocker(minOverlap = 10).overlapPairs(lt, rt)
+          .select(col("id").cast("string").as("left_id"),
             col("rid").cast("string").as("right_id"), col("overlap"))
           .orderBy("left_id", "right_id")
       },

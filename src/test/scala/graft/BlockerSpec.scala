@@ -97,6 +97,47 @@ class BlockerSpec extends SparkSpec {
     assert(!got.get("a4").exists(_._2.contains("b4")))
   }
 
+  test("PartitioningTokenBlocker switches join strategy on the size knob") {
+    // threshold 0 forces the shuffle path; a huge threshold forces the
+    // broadcast path — identical results, different physical joins
+    val small = PartitioningTokenBlocker(minOverlap = 2, broadcastThresholdRows = 0L)
+    val big = PartitioningTokenBlocker(minOverlap = 2)
+    assert(blockMap(small.assign(tableA, tableB)) == blockMap(big.assign(tableA, tableB)))
+
+    // with auto-broadcast off, ONLY the explicit hint of the
+    // under-threshold path may produce a broadcast join — the
+    // over-threshold path must shuffle on the token key
+    def tokens(f: graft.core.EntityFrame, idAs: String) =
+      TokenBlocker().tokens(f).withColumnRenamed("id", idAs)
+    def planOf(b: PartitioningTokenBlocker) =
+      b.overlapPairs(tokens(tableA, "id"), tokens(tableB, "rid"))
+        .queryExecution.executedPlan.toString
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      assert(planOf(big).contains("BroadcastHashJoin"), "small right side must broadcast")
+      assert(!planOf(small).contains("BroadcastHashJoin"), "over-threshold right side must shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("PartitioningTokenBlocker shuffle path applies the hot-token cap") {
+    // token "john" appears on both sides; cap of 0 comparisons with
+    // maxBlockComparisons=1 removes any token with nl*nr > 1
+    val capped = PartitioningTokenBlocker(
+      minOverlap = 1, broadcastThresholdRows = 0L, maxBlockComparisons = 1L)
+    val uncapped = PartitioningTokenBlocker(minOverlap = 1, broadcastThresholdRows = 0L)
+    val cm = blockMap(capped.assign(tableA, tableB))
+    val um = blockMap(uncapped.assign(tableA, tableB))
+    // capping can only shrink candidate sets
+    assert(cm.keySet.subsetOf(um.keySet))
+    assert(cm.forall { case (k, (_, rs)) => rs.subsetOf(um(k)._2) })
+  }
+
   test("BlockingDataset.fromParquet round-trips a bundle") {
     import graft.core.BlockingDataset
     import spark.implicits._
