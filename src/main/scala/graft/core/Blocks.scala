@@ -160,6 +160,23 @@ final case class Blocks(df: DataFrame) {
       .withColumnRenamed(RightCol, rightName)
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed parquet sink: a path-backed table bucketed (and sorted)
+    * on `block_key`. Downstream joins between tables bucketed with the
+    * same bucket count — combine, eval-vs-gold, cross-job block reuse —
+    * read co-located and need NO exchange (and no sort for sort-merge),
+    * which at 100 TB turns every repeated block-key join from a full
+    * shuffle into a local zip. Spark bucketing requires the table
+    * catalog, hence a table name + explicit path rather than a bare
+    * parquet dir ([[write]] stays the plain interchange sink). */
+  def writeBucketed(
+      spark: SparkSession, table: String, path: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, Blocks.KeyCol)
+      .sortBy(Blocks.KeyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** NN-layout parquet sink (NNBasedKlinkerBlockManager.to_parquet,
     * blocks.py:484-486 + combine's string column names :519-528): one row
     * per left entity — id column, then k scalar neighbor columns named
@@ -219,6 +236,13 @@ object Blocks {
       }
     }
   }
+
+  /** Source for [[Blocks.writeBucketed]] tables: resolves through the
+    * catalog so the scan carries the bucket spec — a later join on
+    * `block_key` against an equally-bucketed table plans with no
+    * Exchange and no Sort. */
+  def readBucketed(spark: SparkSession, table: String): Blocks =
+    Blocks(spark.table(table))
 
   /** (id, n0..n{k-1} scalar neighbor columns) → normalized blocks. */
   private def fromNNLayout(raw: DataFrame): Blocks = {

@@ -85,6 +85,33 @@ class BlocksSpec extends SparkSpec {
     assertBlocksEqual(got, want)
   }
 
+  test("bucketed round-trip: post-read block-key join plans with no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("blk").toString
+    val other = Map(
+      "2" -> (Seq("9"), Seq("9")),
+      "4" -> (Seq("8"), Seq("8")),
+      "99" -> (Seq("7"), Seq("7")))
+    blocksOf(example).writeBucketed(spark, "bkt_a", s"$dir/a", 4)
+    blocksOf(other).writeBucketed(spark, "bkt_b", s"$dir/b", 4)
+    try {
+      val a = Blocks.readBucketed(spark, "bkt_a")
+      val b = Blocks.readBucketed(spark, "bkt_b")
+      // values round-trip
+      assertBlocksEqual(a, example.map { case (k, (l, r)) => k -> (l.toSet, r.toSet) })
+      // the combine join consumes the bucket spec: no shuffle, no sort
+      val combined = a.combine(b)
+      val plan = combined.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assertBlocksEqual(combined, (example.map { case (k, (l, r)) => k -> (l.toSet, r.toSet) } ++ Map(
+        "2" -> (Set("3", "9"), Set("3", "5", "9")),
+        "4" -> (Set("4", "8"), Set("5", "8")),
+        "99" -> (Set("7"), Set("7")))))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("purge keeps a prefix of blocks by cardinality and never empties") {
     val purged = blocksOf(example).purge()
     val keys = blockMap(purged).keySet
