@@ -140,6 +140,31 @@ object RelationalQueries {
               |SEMI JOIN keep k ON t.head = k.head AND t.rel = k.rel
               |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // ---- W1 named API: top-n name properties per entity -------------------
+    "w1_top_name_props" -> QueryDef(
+      (s, dir) => Relational
+        .topNNameProperties(attrFrame(s, dir), relFrame(s, dir), 1)
+        .orderBy("head", "rel", "tail"),
+      Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
+              |    SELECT head AS e FROM ($attrSql)
+              |    UNION ALL SELECT head FROM ($relSql)
+              |    UNION ALL SELECT tail FROM ($relSql))),
+              |imp AS (SELECT rel,
+              |    CASE WHEN (hc/n.n + tc/rc) = 0 THEN 0
+              |         ELSE 2*(hc/n.n)*(tc/rc)/((hc/n.n) + (tc/rc)) END AS importance
+              |  FROM (SELECT rel, count(head) AS hc, count(*) AS rc,
+              |               count(DISTINCT tail) AS tc
+              |        FROM ($attrSql) GROUP BY rel) c, n),
+              |pairs AS (SELECT DISTINCT head, rel FROM ($attrSql)),
+              |ranked AS (SELECT p.head, p.rel,
+              |    row_number() OVER (PARTITION BY p.head
+              |                       ORDER BY i.importance DESC, p.rel ASC) AS rn
+              |  FROM pairs p LEFT JOIN imp i USING (rel)),
+              |keep AS (SELECT head, rel FROM ranked WHERE rn <= 1)
+              |SELECT t.head, t.rel, t.tail FROM ($attrSql) t
+              |SEMI JOIN keep k ON t.head = k.head AND t.rel = k.rel
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
     // ---- J5: neighbor attribute concat ------------------------------------
     "j5_neighbor_concat" -> QueryDef(
       (s, dir) => Relational

@@ -117,6 +117,24 @@ object Relational {
     triples.join(topRels, Seq(h, r), "left_semi")
   }
 
+  /** W1 as a named API — the reference's `filtered_names`
+    * (graph_statistics.py:106-126 + name_property :61-78): per entity,
+    * keep only the attribute triples whose property ranks in that
+    * entity's top-n by name importance. Pure wiring of A5 + P8. */
+  def topNNameProperties(attr: EntityFrame, rel: DataFrame, n: Int): DataFrame = {
+    val attrTriple = if (attr.isTriple) attr else EntityFrame.unpivot(attr)
+    val imp = nameImportance(attrTriple.df, countEntities(attr, rel))
+    filterImportance(attrTriple.df, imp, n)
+  }
+
+  /** The reference's `filtered_concated` (graph_statistics.py:88-103):
+    * [[topNNameProperties]] then per-entity concatenated distinct values
+    * (sorted for determinism — the reference joins an unordered set). */
+  def topNNamePropertiesConcat(attr: EntityFrame, rel: DataFrame, n: Int): DataFrame = {
+    val attrTriple = if (attr.isTriple) attr else EntityFrame.unpivot(attr)
+    attrTriple.copy(df = topNNameProperties(attr, rel, n)).concatValues()
+  }
+
   /** J5: per entity, the concatenated attribute text of its relation
     * neighbors (relation_aware.py:156-247). Returns (idCol, _conc).
     *

@@ -78,6 +78,27 @@ class RelationalSpec extends SparkSpec {
     assert(got.keySet == Set("11-12-1973", "02-02-1983", "Bulgaria", "1990", "nushi"))
   }
 
+  test("topNNameProperties keeps each entity's most important property") {
+    import graft.relational.Relational
+    // e1 has a high-discriminability "name" (distinct tails) and a
+    // low-discriminability "type" (one shared tail) → n=1 keeps "name"
+    val attr = graft.core.EntityFrame(
+      Seq(
+        ("e1", "name", "alice"), ("e1", "type", "person"),
+        ("e2", "name", "bob"), ("e2", "type", "person"),
+        ("e3", "name", "carol"), ("e3", "type", "person"))
+        .toDF("head", "rel", "tail"),
+      "t", "head", isTriple = true)
+    val rel = Seq(("e1", "knows", "e2")).toDF("head", "rel", "tail")
+    val kept = Relational.topNNameProperties(attr, rel, 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("e1", "name"), ("e2", "name"), ("e3", "name")))
+    // the concat variant returns one text row per entity
+    val conc = Relational.topNNamePropertiesConcat(attr, rel, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(conc == Map("e1" -> "alice", "e2" -> "bob", "e3" -> "carol"))
+  }
+
   test("countEntitiesApprox tracks the exact count closely") {
     import graft.relational.Relational
     val rel = (1 to 50).map(i => (s"h$i", "r", s"t$i")).toDF("head", "rel", "tail")
