@@ -3,7 +3,7 @@ package graft.blockers
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{Blocks, EntityFrame}
-import graft.encoders.{FrameEncoder, GraphPropagationEncoder, HashTokenEncoder}
+import graft.encoders.{FrameEncoder, HashTokenEncoder, LightEAEncoder}
 
 /** Hybrid composite blockers (reference src/klinker/blockers/hybrid.py:
   * 15-178): the CompositeUniqueName pipeline with an embedding kNN
@@ -50,14 +50,16 @@ object CompositeRelationalDeepBlocker {
       topNA = topNA, topNR = topNR, useUniqueName = useUniqueName)
 }
 
-/** hybrid.py:117-178: LightEA-flavored propagation encoder over attr
-  * text + relation triples; unique-covered entities are removed from the
+/** hybrid.py:117-178: LightEA propagation encoder over attr text +
+  * relation triples; unique-covered entities are removed from the
   * EMBEDDINGS (post-encode), not from the frames — the propagation must
-  * see the whole graph. */
+  * see the whole graph. `dims` is the inner encoder's output width
+  * (LightEA stacks per-round channels of that width). */
 final case class CompositeLightEABlocker(
     innerEncoder: FrameEncoder = HashTokenEncoder(),
     depth: Int = 2,
     k: Int = 5,
+    dims: Int = 8,
     strategy: AnnStrategy = AnnStrategy.Brute,
     minTokenLength: Int = 3) extends Blocker {
 
@@ -72,8 +74,7 @@ final case class CompositeLightEABlocker(
     val attr = unique.combine(
       TokenBlocker(minTokenLength).assign(
         Blocker.antiFilter(left, coveredL), Blocker.antiFilter(right, coveredR)))
-    val lightEa = GraphPropagationEncoder(
-      innerEncoder, rounds = depth, l2NormalizeEachRound = true)
+    val lightEa = LightEAEncoder(innerEncoder, depth = depth, dims = dims)
     val rel = EmbeddingKnnBlocker(lightEa, k, strategy = strategy)
       .assignExcluding(left, right, leftRel, rightRel, Some((coveredL, coveredR)))
     attr.combine(rel)

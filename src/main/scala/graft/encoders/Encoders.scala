@@ -106,6 +106,8 @@ final case class GraphPropagationEncoder(
     base: FrameEncoder,
     rounds: Int = 2,
     l2NormalizeEachRound: Boolean = false) extends FrameEncoder {
+  // (the l2NormalizeEachRound flavor is the SIMPLIFIED LightEA
+  // propagation; the faithful three-view version is [[LightEAEncoder]])
 
   override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
     require(rel.isDefined, "graph encoder needs relation triples")
@@ -152,5 +154,111 @@ final case class GraphPropagationEncoder(
         .select(col("id"), transform(col("pv"), x => x("v")).as("vec"))
     }
     f
+  }
+}
+
+/** M9: LightEA three-view label propagation (reference
+  * src/klinker/encoders/light_ea.py:55-248; Mao et al., EMNLP 2022 —
+  * "LightEA: A Scalable, Robust, and Interpretable Entity Alignment
+  * Framework via Three-view Label Propagation") re-expressed as joins +
+  * aggregates over exploded `(id, pos, v)` features — the reference's
+  * sparse matmuls become groupBy-sums, nothing is ever collected:
+  *
+  *   - direction-tagged edges `(h,t,r>)` ∪ `(t,h,r<)` stand in for the
+  *     reference's 2r / 2r+1 relation doubling (:120-131);
+  *   - `ent_ent` carries the distinct-relation count per (src,dst) pair
+  *     plus the per-node incident-triple diagonal (:137-155);
+  *   - per round (:221-236): rel features ← row-normalized sum of head
+  *     features (the rel_ent view); ent features ← row-normalized
+  *     (ent_ent ⋅ ent + ent_rel ⋅ rel_prev) — the relation channel
+  *     enters with one round of lag, zeros in round 1 (:199);
+  *   - output concatenates the per-round entity channels
+  *     ((depth+1)·dims wide, or depth·dims with `onlyNeighborInfo`) and
+  *     L2-normalizes each row (:242-248). Entities missing a channel
+  *     (disconnected nodes) get dense zero fill at assembly.
+  *
+  * Scale: every step is an equi-join + aggregate on entity/relation
+  * keys — shuffle-partitioned, no broadcast of per-vertex state; each
+  * round's features persist because round r+1 and the channel concat
+  * both consume them. */
+final case class LightEAEncoder(
+    base: FrameEncoder,
+    depth: Int = 2,
+    dims: Int = 8,
+    onlyNeighborInfo: Boolean = false) extends FrameEncoder {
+  import LightEAEncoder.l2Rows
+
+  override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
+    require(rel.isDefined, "LightEA needs relation triples")
+    val (h, r, t) = {
+      val Array(a, b, c) = rel.get.columns.take(3)
+      (a, b, c)
+    }
+    val fwd = rel.get.select(col(h).cast("string").as("src"),
+      col(t).cast("string").as("dst"), concat(col(r), lit(">")).as("r"))
+    val bwd = rel.get.select(col(t).cast("string").as("src"),
+      col(h).cast("string").as("dst"), concat(col(r), lit("<")).as("r"))
+    val edges = fwd.unionByName(bwd).distinct().persist()
+
+    // ent_ent view: off-diagonal = #distinct direction-tagged relations
+    // per (src,dst); diagonal = #incident direction-tagged triples
+    val offDiag = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    val diag = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).cast("double").as("w"))
+      .select(col("n").as("src"), col("n").as("dst"), col("w"))
+    val entEnt = offDiag.unionByName(diag)
+      .groupBy("src", "dst").agg(sum("w").as("w")).persist()
+    val relEnt = edges.select(col("r"), col("src")).distinct().persist()
+    val entRel = edges.select(col("dst").as("id"), col("r")).distinct().persist()
+
+    var entF = base.encode(frame, None)
+      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v"))).persist()
+    var relF: Option[DataFrame] = None // rel features start at zero (:199)
+    val channels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (!onlyNeighborInfo) channels += entF
+    for (_ <- 1 to depth) {
+      val newRel = l2Rows(
+        relEnt.join(entF.select(col("id").as("src"), col("pos"), col("v")), Seq("src"))
+          .groupBy("r", "pos").agg(sum("v").as("v")), "r").persist()
+      val neigh = entEnt
+        .join(entF.select(col("id").as("dst"), col("pos"), col("v")), Seq("dst"))
+        .groupBy(col("src").as("id"), col("pos"))
+        .agg(sum(col("w") * col("v")).as("v"))
+      val mixed = relF match {
+        case Some(rf) =>
+          val relMix = entRel.join(rf, Seq("r"))
+            .groupBy("id", "pos").agg(sum("v").as("v"))
+          neigh.unionByName(relMix).groupBy("id", "pos").agg(sum("v").as("v"))
+        case None => neigh
+      }
+      entF = l2Rows(mixed, "id").persist()
+      relF = Some(newRel)
+      channels += entF
+    }
+    val width = channels.size * dims
+    val stacked = channels.zipWithIndex.map { case (c, i) =>
+      c.select(col("id"), (col("pos") + i * dims).as("pos"), col("v"))
+    }.reduce(_ unionByName _)
+    // dense assembly: missing (id, pos) cells — disconnected nodes'
+    // propagation channels — fill with 0.0 (try_element_at: null, not
+    // ANSI error, on absent map keys)
+    l2Rows(stacked, "id")
+      .groupBy("id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("pos"), col("v"))))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(width - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0.0))).as("vec"))
+  }
+}
+
+object LightEAEncoder {
+  /** L2-normalize `v` within each `key` group of exploded rows (the
+    * reference's _my_norm / F.normalize; zero rows pass unchanged). */
+  private def l2Rows(f: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val norms = f.groupBy(key).agg(sqrt(sum(col("v") * col("v"))).as("_nrm"))
+    f.join(norms, Seq(key))
+      .select(col(key), col("pos"),
+        when(col("_nrm") === 0.0, col("v")).otherwise(col("v") / col("_nrm")).as("v"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
-import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder}
+import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder, LightEAEncoder}
 import graft.eval.Evaluation
 import QueryDef.{table, duckTokens}
 
@@ -39,6 +39,11 @@ object EncoderQueries {
 
   private val relSql =
     """SELECT 'o'||l_orderkey AS head, 'p'||l_partkey AS tail
+      |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
+
+  /** Same restricted graph WITH relation names (LightEA needs them). */
+  private val rel3Sql =
+    """SELECT 'o'||l_orderkey AS head, 'ln_'||l_linenumber AS rel, 'p'||l_partkey AS tail
       |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
 
   /** conc text + tokens + md5 pseudo-embedding f0 per graph entity. */
@@ -93,6 +98,63 @@ object EncoderQueries {
               |${roundSql("f1", "f2")}
               |SELECT id, pos::int AS pos, round(v, 6) AS v
               |FROM f2 ORDER BY id, pos""".stripMargin)),
+
+    // ---- M9: LightEA three-view propagation, depth 2 ----------------------
+    // oracle replays the three views in SQL: direction-tagged edges,
+    // ent_ent (distinct-rel counts + incident-triple diagonal), rel_ent /
+    // ent_rel; the round-2 rel features are never consumed (the reference
+    // only concatenates ENTITY channels), so the oracle computes rel
+    // features once.
+    "m9_lightea_embedding" -> QueryDef(
+      (s, dir) => {
+        LightEAEncoder(HashTokenEncoder(8), depth = 2, dims = 8)
+          .encode(attrFrame(s, dir), Some(relFrame(s, dir)))
+          .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+          .select(col("id"), col("pos"), round(col("v"), 6).as("v"))
+          .orderBy("id", "pos")
+      },
+      Some(s"""$f0Sql,
+              |rel3 AS ($rel3Sql),
+              |tedges AS (
+              |  SELECT head AS src, tail AS dst, rel||'>' AS r FROM rel3
+              |  UNION SELECT tail, head, rel||'<' FROM rel3),
+              |offd AS (SELECT src, dst, count(*)::double AS w FROM tedges GROUP BY 1, 2),
+              |ddiag AS (SELECT n AS src, n AS dst, count(*)::double AS w FROM (
+              |    SELECT src AS n FROM tedges UNION ALL SELECT dst FROM tedges) GROUP BY n),
+              |ee AS (SELECT src, dst, sum(w) AS w FROM (
+              |    SELECT * FROM offd UNION ALL SELECT * FROM ddiag) GROUP BY 1, 2),
+              |re AS (SELECT DISTINCT r, src FROM tedges),
+              |er AS (SELECT DISTINCT dst AS id, r FROM tedges),
+              |r1raw AS (SELECT re.r, f.pos, sum(f.v) AS v
+              |          FROM re JOIN f0 f ON f.id = re.src GROUP BY 1, 2),
+              |r1n AS (SELECT r, sqrt(sum(v*v)) AS nrm FROM r1raw GROUP BY r),
+              |r1 AS (SELECT a.r, a.pos,
+              |           CASE WHEN b.nrm = 0 THEN a.v ELSE a.v / b.nrm END AS v
+              |       FROM r1raw a JOIN r1n b USING (r)),
+              |e1raw AS (SELECT ee.src AS id, f.pos, sum(ee.w * f.v) AS v
+              |          FROM ee JOIN f0 f ON f.id = ee.dst GROUP BY 1, 2),
+              |e1n AS (SELECT id, sqrt(sum(v*v)) AS nrm FROM e1raw GROUP BY id),
+              |e1 AS (SELECT a.id, a.pos,
+              |           CASE WHEN b.nrm = 0 THEN a.v ELSE a.v / b.nrm END AS v
+              |       FROM e1raw a JOIN e1n b USING (id)),
+              |e2raw AS (SELECT id, pos, sum(v) AS v FROM (
+              |    SELECT ee.src AS id, f.pos, ee.w * f.v AS v
+              |    FROM ee JOIN e1 f ON f.id = ee.dst
+              |    UNION ALL
+              |    SELECT er.id, r1.pos, r1.v FROM er JOIN r1 USING (r)
+              |  ) GROUP BY 1, 2),
+              |e2n AS (SELECT id, sqrt(sum(v*v)) AS nrm FROM e2raw GROUP BY id),
+              |e2 AS (SELECT a.id, a.pos,
+              |           CASE WHEN b.nrm = 0 THEN a.v ELSE a.v / b.nrm END AS v
+              |       FROM e2raw a JOIN e2n b USING (id)),
+              |stack AS (
+              |  SELECT id, pos, v FROM f0
+              |  UNION ALL SELECT id, pos + 8, v FROM e1
+              |  UNION ALL SELECT id, pos + 16, v FROM e2),
+              |fn AS (SELECT id, sqrt(sum(v*v)) AS nrm FROM stack GROUP BY id)
+              |SELECT s.id, s.pos::int AS pos,
+              |       round(CASE WHEN fn.nrm = 0 THEN s.v ELSE s.v / fn.nrm END, 6) AS v
+              |FROM stack s JOIN fn USING (id) ORDER BY id, pos""".stripMargin)),
 
     // ---- W5: Sinkhorn re-ranking over kNN candidates ----------------------
     "w5_sinkhorn_rerank" -> QueryDef(

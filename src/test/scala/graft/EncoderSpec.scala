@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.blockers._
 import graft.core.EntityFrame
-import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder}
+import graft.encoders.{FrameEncoder, GraphPropagationEncoder, HashTokenEncoder, LightEAEncoder}
 
 /** Encoder + embedding-blocker invariants (the reference's own ML-path
   * test style: shapes and structural properties, not exact floats). */
@@ -35,6 +35,46 @@ class EncoderSpec extends SparkSpec {
     (0 until 4).foreach { d =>
       assert(math.abs(prop("x")(d) - (base("x")(d) / 2 + base("y")(d) / 2)) < 1e-12)
     }
+  }
+
+  test("LightEAEncoder: hand-computed single-edge graph, depth 1") {
+    // base features pinned: f(a)=[1,0], f(b)=[0,1]
+    val fixed: FrameEncoder = (frame: EntityFrame, _: Option[org.apache.spark.sql.DataFrame]) =>
+      Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0))).toDF("id", "vec")
+    val attr = EntityFrame(Seq(("a", "x"), ("b", "y")).toDF("id", "text"), "t", "id")
+    val rel = Seq(("a", "r", "b")).toDF("head", "rel", "tail")
+    val got = LightEAEncoder(fixed, depth = 1, dims = 2)
+      .encode(attr, Some(rel)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    // edges (a,b,r>) (b,a,r<); ent_ent: diag(a)=diag(b)=2, (a,b)=1, (b,a)=1
+    // round 1 (rel channel zero): e1(a)=norm(2·f(a)+f(b))=[2,1]/√5
+    // output = norm(concat(f0, e1)): ‖concat‖ = √2
+    val s5 = math.sqrt(5); val s2 = math.sqrt(2)
+    val want = Map(
+      "a" -> List(1 / s2, 0.0, 2 / (s5 * s2), 1 / (s5 * s2)),
+      "b" -> List(0.0, 1 / s2, 1 / (s5 * s2), 2 / (s5 * s2)))
+    want.foreach { case (id, w) =>
+      got(id).zip(w).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12, s"$id: $g vs $e") }
+    }
+  }
+
+  test("LightEAEncoder: channel widths, row norms, rel-channel lag") {
+    val attr = EntityFrame(
+      Seq(("x", "alpha"), ("y", "omega"), ("z", "zeta")).toDF("id", "text"), "t", "id")
+    val rel = Seq(("x", "r", "y")).toDF("head", "rel", "tail") // z disconnected
+    def norms(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    val d2 = norms(LightEAEncoder(HashTokenEncoder(4), depth = 2, dims = 4)
+      .encode(attr, Some(rel)))
+    assert(d2.values.forall(_.length == 12)) // (depth+1)·dims
+    // every row L2-normalized
+    d2.values.foreach(v => assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+    // disconnected z: propagation channels are dense zero fill
+    assert(d2("z").drop(4).forall(_ == 0.0))
+    assert(d2("z").take(4).exists(_ != 0.0))
+    val dOnly = norms(LightEAEncoder(HashTokenEncoder(4), depth = 2, dims = 4,
+      onlyNeighborInfo = true).encode(attr, Some(rel)))
+    assert(dOnly.values.forall(_.length == 8)) // depth·dims, no f0 channel
   }
 
   test("EmbeddingKnnBlocker emits one block per left entity with ≤ k neighbors") {
