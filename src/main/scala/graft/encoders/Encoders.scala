@@ -1,6 +1,6 @@
 package graft.encoders
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.EntityFrame
 import graft.functions.Text
@@ -105,7 +105,8 @@ object PcRemoval {
 final case class GraphPropagationEncoder(
     base: FrameEncoder,
     rounds: Int = 2,
-    l2NormalizeEachRound: Boolean = false) extends FrameEncoder {
+    l2NormalizeEachRound: Boolean = false,
+    dims: Int = 8) extends FrameEncoder {
   // (the l2NormalizeEachRound flavor is the SIMPLIFIED LightEA
   // propagation; the faithful three-view version is [[LightEAEncoder]])
 
@@ -126,32 +127,31 @@ final case class GraphPropagationEncoder(
 
     var f = f0
     for (_ <- 1 to rounds) {
-      // exploded features of the source side. deg is one row per VERTEX —
-      // no broadcast hint: at billions of vertices a forced broadcast
-      // cannot fit an executor; AQE broadcasts while it is small and
-      // falls back to a shuffle join when it is not.
-      val srcFeat = f.select(col("id").as("src"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .join(deg, Seq("src"))
+      // features stay in ARRAY form: the neighbor aggregate is one join +
+      // one groupBy with `dims` per-element sums (no ×dims row explosion).
+      // deg is one row per VERTEX — no broadcast hint: at billions of
+      // vertices a forced broadcast cannot fit an executor; AQE
+      // broadcasts while it is small and shuffles when it is not.
+      val srcFeat = f.select(col("id").as("src"), col("vec")).join(deg, Seq("src"))
+      val sums = (0 until dims).map(i =>
+        sum(col("vec")(i) / (sqrt(col("deg") * col("deg_dst")) * 2.0)).as(s"_d$i"))
       val msgs = edges
         .join(srcFeat, Seq("src"))
         .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
-        .groupBy(col("dst").as("id"), col("pos"))
-        .agg(sum(col("v") / (sqrt(col("deg") * col("deg_dst")) * 2.0)).as("nbr"))
-      val own = f.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
-      val combined = own.join(msgs, Seq("id", "pos"), "left")
-        .select(col("id"), col("pos"),
-          (col("v") / 2.0 + coalesce(col("nbr"), lit(0.0))).as("v"))
-      val renorm =
+        .groupBy(col("dst").as("id"))
+        .agg(sums.head, sums.tail: _*)
+      val combined = f.select(col("id"), col("vec"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), array((0 until dims).map(i =>
+          col("vec")(i) / 2.0 + coalesce(col(s"_d$i"), lit(0.0))): _*).as("vec"))
+      f =
         if (l2NormalizeEachRound) {
-          val norms = combined.groupBy("id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-          combined.join(norms, Seq("id"))
-            .select(col("id"), col("pos"),
-              when(col("nrm") === 0.0, col("v")).otherwise(col("v") / col("nrm")).as("v"))
+          // row-local norm: no extra stage
+          val nrm = sqrt(aggregate(transform(col("vec"), x => x * x), lit(0.0), _ + _))
+          combined.select(col("id"),
+            when(nrm === 0.0, col("vec"))
+              .otherwise(transform(col("vec"), _ / nrm)).as("vec"))
         } else combined
-      f = renorm
-        .groupBy("id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("id"), transform(col("pv"), x => x("v")).as("vec"))
     }
     f
   }
@@ -161,7 +161,7 @@ final case class GraphPropagationEncoder(
   * src/klinker/encoders/light_ea.py:55-248; Mao et al., EMNLP 2022 —
   * "LightEA: A Scalable, Robust, and Interpretable Entity Alignment
   * Framework via Three-view Label Propagation") re-expressed as joins +
-  * aggregates over exploded `(id, pos, v)` features — the reference's
+  * per-dimension aggregates over `(id, vec)` rows — the reference's
   * sparse matmuls become groupBy-sums, nothing is ever collected:
   *
   *   - direction-tagged edges `(h,t,r>)` ∪ `(t,h,r<)` stand in for the
@@ -177,16 +177,18 @@ final case class GraphPropagationEncoder(
   *     L2-normalizes each row (:242-248). Entities missing a channel
   *     (disconnected nodes) get dense zero fill at assembly.
   *
-  * Scale: every step is an equi-join + aggregate on entity/relation
-  * keys — shuffle-partitioned, no broadcast of per-vertex state; each
-  * round's features persist because round r+1 and the channel concat
-  * both consume them. */
+  * Scale/plan shape: features stay in ARRAY form — each matmul is one
+  * equi-join + one groupBy with `dims` per-element sum aggregates (no
+  * ×dims row explosion, no (id, pos) shuffle keys), and every L2
+  * normalization is row-local expression work (zero extra stages). The
+  * only shuffles are the per-view join+aggregate pairs; no broadcast of
+  * per-vertex state anywhere. Each round's features persist because
+  * round r+1 and the channel concat both consume them. */
 final case class LightEAEncoder(
     base: FrameEncoder,
     depth: Int = 2,
     dims: Int = 8,
     onlyNeighborInfo: Boolean = false) extends FrameEncoder {
-  import LightEAEncoder.l2Rows
 
   override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
     require(rel.isDefined, "LightEA needs relation triples")
@@ -212,53 +214,56 @@ final case class LightEAEncoder(
     val relEnt = edges.select(col("r"), col("src")).distinct().persist()
     val entRel = edges.select(col("dst").as("id"), col("r")).distinct().persist()
 
-    var entF = base.encode(frame, None)
-      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v"))).persist()
+    // row-local L2 norm (the reference's _my_norm / F.normalize)
+    def l2(vec: Column): Column = {
+      val nrm = sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
+      when(nrm === 0.0, vec).otherwise(transform(vec, _ / nrm))
+    }
+    // per-dimension sum aggregates of `expr(vec[i])` → reassembled array
+    def dimAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+               term: Int => Column): DataFrame = {
+      val sums = (0 until dims).map(i => sum(term(i)).as(s"_d$i"))
+      grouped.agg(sums.head, sums.tail: _*)
+    }
+    def vecOf(df: DataFrame): Column =
+      array((0 until dims).map(i => col(s"_d$i")): _*)
+
+    val f0 = base.encode(frame, None).select(col("id"), col("vec")).persist()
+    var entF = f0
     var relF: Option[DataFrame] = None // rel features start at zero (:199)
     val channels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (!onlyNeighborInfo) channels += entF
     for (_ <- 1 to depth) {
-      val newRel = l2Rows(
-        relEnt.join(entF.select(col("id").as("src"), col("pos"), col("v")), Seq("src"))
-          .groupBy("r", "pos").agg(sum("v").as("v")), "r").persist()
-      val neigh = entEnt
-        .join(entF.select(col("id").as("dst"), col("pos"), col("v")), Seq("dst"))
-        .groupBy(col("src").as("id"), col("pos"))
-        .agg(sum(col("w") * col("v")).as("v"))
+      val relSums = dimAgg(
+        relEnt.join(entF.select(col("id").as("src"), col("vec")), Seq("src"))
+          .groupBy("r"), i => col("vec")(i))
+      val newRel = relSums.select(col("r"), l2(vecOf(relSums)).as("vec")).persist()
+      val neigh = dimAgg(
+        entEnt.join(entF.select(col("id").as("dst"), col("vec")), Seq("dst"))
+          .groupBy(col("src").as("id")), i => col("w") * col("vec")(i))
       val mixed = relF match {
         case Some(rf) =>
-          val relMix = entRel.join(rf, Seq("r"))
-            .groupBy("id", "pos").agg(sum("v").as("v"))
-          neigh.unionByName(relMix).groupBy("id", "pos").agg(sum("v").as("v"))
+          val relMix = dimAgg(
+            entRel.join(rf, Seq("r")).groupBy("id"), i => col("vec")(i))
+            .select(col("id") +: (0 until dims).map(i => col(s"_d$i").as(s"_r$i")): _*)
+          // relMix ids ⊆ neigh ids (both are edge endpoints) → left join
+          neigh.join(relMix, Seq("id"), "left")
+            .select(col("id") +: (0 until dims).map(i =>
+              (col(s"_d$i") + coalesce(col(s"_r$i"), lit(0.0))).as(s"_d$i")): _*)
         case None => neigh
       }
-      entF = l2Rows(mixed, "id").persist()
+      entF = mixed.select(col("id"), l2(vecOf(mixed)).as("vec")).persist()
       relF = Some(newRel)
       channels += entF
     }
-    val width = channels.size * dims
-    val stacked = channels.zipWithIndex.map { case (c, i) =>
-      c.select(col("id"), (col("pos") + i * dims).as("pos"), col("v"))
-    }.reduce(_ unionByName _)
-    // dense assembly: missing (id, pos) cells — disconnected nodes'
-    // propagation channels — fill with 0.0 (try_element_at: null, not
-    // ANSI error, on absent map keys)
-    l2Rows(stacked, "id")
-      .groupBy("id")
-      .agg(map_from_entries(array_sort(collect_list(struct(col("pos"), col("v"))))).as("m"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(width - 1)),
-          i => coalesce(try_element_at(col("m"), i), lit(0.0))).as("vec"))
-  }
-}
-
-object LightEAEncoder {
-  /** L2-normalize `v` within each `key` group of exploded rows (the
-    * reference's _my_norm / F.normalize; zero rows pass unchanged). */
-  private def l2Rows(f: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
-    val norms = f.groupBy(key).agg(sqrt(sum(col("v") * col("v"))).as("_nrm"))
-    f.join(norms, Seq(key))
-      .select(col(key), col("pos"),
-        when(col("_nrm") === 0.0, col("v")).otherwise(col("v") / col("_nrm")).as("v"))
+    // assembly over the full id universe (f0): left joins + zero fill for
+    // entities without propagation rows (disconnected nodes), concat,
+    // row-local final normalization
+    val zero = array_repeat(lit(0.0), lit(dims))
+    val joined = channels.zipWithIndex
+      .map { case (c, i) => c.select(col("id"), col("vec").as(s"_c$i")) }
+      .foldLeft(f0.select(col("id")))((acc, c) => acc.join(c, Seq("id"), "left"))
+    val catVec = concat(channels.indices.map(i => coalesce(col(s"_c$i"), zero)): _*)
+    joined.select(col("id"), l2(catVec).as("vec"))
   }
 }

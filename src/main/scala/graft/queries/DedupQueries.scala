@@ -53,6 +53,28 @@ object DedupQueries {
               |FROM canon GROUP BY dup_key HAVING count(DISTINCT id) >= 2
               |ORDER BY dup_key""".stripMargin)),
 
+    // ---- streaming exact dedup (batch form of the stateful operator) -----
+    // single-batch run of streamExactDedup ≡ keep the (seq, id)-minimal
+    // record per content key; multi-batch first-arrival-wins semantics is
+    // spec-tested in StreamingSpec.
+    "st_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val canon = docTokens(s, dir).groupBy("id")
+          .agg(md5(concat_ws(" ", array_sort(collect_set(col("key"))))).as("key"))
+          .select(col("key"), col("id"), col("id").cast("long").as("seq"))
+          .as[graft.streaming.StreamingOps.DedupRecord]
+        graft.streaming.StreamingOps.streamExactDedup(canon)
+          .toDF().select(col("key").as("dup_key"), col("id").as("keep_id"))
+          .orderBy("dup_key")
+      },
+      Some(s"""WITH canon AS (
+              |  SELECT id, md5(array_to_string(list_sort(list(DISTINCT key)), ' ')) AS dup_key
+              |  FROM ($docTokensSql) GROUP BY id)
+              |SELECT dup_key, min(id::bigint)::varchar AS keep_id
+              |FROM canon GROUP BY dup_key ORDER BY dup_key""".stripMargin)),
+
     // ---- MinHash-LSH near-dup (3-token shingles, jaccard ≥ 0.2) ----------
     // Shingles, not tokens: a tiny shared vocabulary makes token-set
     // MinHash collide on nearly every pair (the corpus's avg token-set

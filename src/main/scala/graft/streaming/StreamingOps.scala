@@ -134,6 +134,44 @@ object StreamingOps {
       }
   }
 
+  // ---------- streaming exact dedup (stateful) ----------
+
+  /** One keyed record for streaming dedup: `key` is the content hash
+    * (e.g. the canonical token-set md5), `seq` the arrival order. */
+  final case class DedupRecord(key: String, id: String, seq: Long)
+
+  /** The record kept for a content key. */
+  final case class DedupKeep(key: String, id: String)
+
+  /** Kept-id state per content key (public: janino-generated encoder
+    * code cannot touch private member classes). */
+  final case class DedupState(kept: String)
+
+  /** First-occurrence exact dedup over a stream: per content key, emit
+    * only the first record ever seen — (seq, id)-minimal within a
+    * batch, arrival order across batches. The streaming analog of
+    * [[graft.dedup.Dedup.exactDuplicates]]'s groupBy: state is one kept
+    * id per key, bounded by the distinct-key count (at larger horizons
+    * add a state TTL and re-admit — exactness then holds within the
+    * TTL window, the standard streaming-dedup contract). A single-batch
+    * run over a static frame equals the batch rule `row_number() OVER
+    * (PARTITION BY key ORDER BY seq, id) = 1` — the oracle. */
+  def streamExactDedup(records: Dataset[DedupRecord])(
+      implicit spark: SparkSession): Dataset[DedupKeep] = {
+    import spark.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[DedupState, DedupKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[DedupRecord], state: GroupState[DedupState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.minBy(r => (r.seq, r.id))
+            state.update(DedupState(first.id))
+            Iterator.single(DedupKeep(key, first.id))
+          }
+      }
+  }
+
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
       implicit spark: SparkSession): Dataset[TokenRecord] = {

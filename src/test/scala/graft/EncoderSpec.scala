@@ -28,7 +28,7 @@ class EncoderSpec extends SparkSpec {
     val rel = Seq(("x", "r", "y")).toDF("head", "rel", "tail")
     val base = HashTokenEncoder(4).encode(attr, None).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
-    val prop = GraphPropagationEncoder(HashTokenEncoder(4), rounds = 1)
+    val prop = GraphPropagationEncoder(HashTokenEncoder(4), rounds = 1, dims = 4)
       .encode(attr, Some(rel)).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
     // deg(x)=deg(y)=1 → f'(x) = f(x)/2 + f(y)/2

@@ -141,6 +141,29 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamExactDedup keeps the first occurrence across batches") {
+    import graft.streaming.StreamingOps.{DedupKeep, DedupRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[DedupRecord]
+    val sq = StreamingOps.streamExactDedup(mem.toDS())
+      .writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    try {
+      // batch 1: two records for k1 → the (seq, id)-minimal one wins
+      mem.addData(DedupRecord("k1", "b", 2L), DedupRecord("k1", "a", 1L))
+      sq.processAllAvailable()
+      assert(spark.table("sd").as[DedupKeep].collect().toSet ==
+        Set(DedupKeep("k1", "a")))
+      // batch 2: an even earlier k1 record arrives late → already kept,
+      // nothing emitted; a new key emits
+      mem.addData(DedupRecord("k1", "z", 0L), DedupRecord("k2", "c", 5L))
+      sq.processAllAvailable()
+      assert(spark.table("sd").as[DedupKeep].collect().toSet ==
+        Set(DedupKeep("k1", "a"), DedupKeep("k2", "c")))
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
