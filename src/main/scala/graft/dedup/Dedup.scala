@@ -120,4 +120,38 @@ object Dedup {
         SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate-cluster formation — the step after any near-dup pair
+    * operator in a corpus pipeline: connected components over the pair
+    * graph, labeling every id with its component's lexicographic-min
+    * member id (the canonical document to KEEP; everything else in the
+    * component is droppable).
+    *
+    * Iterative min-label propagation: each round is one join + one
+    * groupBy-min, shuffling on the id key only — no driver-side
+    * union-find, nothing collected. Converges in graph-eccentricity
+    * rounds from the min node; near-dup components are near-cliques
+    * (diameter ≈ 2), so the default iteration budget is generous.
+    * Components with longer chains than `iterations` would need more —
+    * raise the knob or run to fixpoint with a count-action early-stop
+    * at the cost of one job per round. */
+  def components(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("string").as("src"), col("id_a").cast("string").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("component").as("_nc"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nc"), col("component"))).as("component"))
+        .persist()
+    }
+    labels
+  }
 }

@@ -129,6 +129,37 @@ object DedupQueries {
               |WHERE i / (sa.sz + sb.sz - i) >= 0.1
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- duplicate-cluster formation over the near-dup pair graph --------
+    // connected components via min-label propagation; oracle = recursive
+    // CTE computing min reachable id over the same threshold graph.
+    "dd_dup_components" -> QueryDef(
+      (s, dir) => Dedup.components(
+          Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE sh AS ($docShinglesSql),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+              |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+              |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+              |  WHERE i / (sa.sz + sb.sz - i) >= 0.1),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+              |  UNION
+              |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
+              |SELECT id, min(lbl) AS component
+              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(
       (s, dir) => SimHash.fingerprint(docTokens(s, dir))

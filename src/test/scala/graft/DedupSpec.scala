@@ -87,6 +87,16 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
 
+  test("components merges multi-hop chains and keeps singletons apart") {
+    // chain a-b-c-d (diameter 3) + isolated pair x-y; min-id label wins
+    val pairs = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.components(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("qualityScore lands in [0, 1e6] micro-units and rewards longer, denser text") {
     val df = Seq(
       ("short", "the a of to"),
