@@ -52,13 +52,15 @@ final case class BlockingDataset(
     val lIds = g.select(col(gl).cast("string").as("_id")).distinct()
     val rIds = g.select(col(gr).cast("string").as("_id")).distinct()
 
+    // no broadcast hint on the id lists: they scale with |gold|/mod —
+    // AQE broadcasts while small, shuffles when not
     def restrict(f: EntityFrame, ids: DataFrame): EntityFrame =
-      f.copy(df = f.df.join(broadcast(ids),
+      f.copy(df = f.df.join(ids,
         f.df(f.idCol).cast("string") === ids("_id"), "left_semi"))
 
     def restrictRel(rel: DataFrame, ids: DataFrame): DataFrame = {
       val Array(h, _, t) = rel.columns.take(3)
-      rel.join(broadcast(ids), rel(h).cast("string") === ids("_id"), "left_semi")
+      rel.join(ids, rel(h).cast("string") === ids("_id"), "left_semi")
     }
 
     BlockingDataset(

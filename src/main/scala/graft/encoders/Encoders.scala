@@ -48,7 +48,9 @@ final case class HashTokenEncoder(
         val counts = cached.groupBy("key").agg(count(lit(1)).as("freq"))
         val withTotal = counts.crossJoin(
           broadcast(counts.agg(sum("freq").cast("double").as("total"))))
-        cached.join(broadcast(withTotal), Seq("key"))
+        // withTotal is one row per DISTINCT TOKEN — no broadcast hint: a
+        // 100 TB vocab outgrows an executor; AQE broadcasts while small
+        cached.join(withTotal, Seq("key"))
           .withColumn("w",
             when(col("freq") >= minFreq,
               lit(sifA) / (lit(sifA) + col("freq") / col("total")))

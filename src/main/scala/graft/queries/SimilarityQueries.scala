@@ -426,7 +426,7 @@ object SimilarityQueries {
         val withTotal = counts.crossJoin(
           broadcast(counts.agg(sum("freq").cast("double").as("total"))))
         val a = 1e-3
-        val weighted = toks.join(broadcast(withTotal), Seq("key"))
+        val weighted = toks.join(withTotal, Seq("key"))
           .withColumn("w", lit(a) / (lit(a) + col("freq") / col("total")))
         val dims = (0 until 8).map(d =>
           round(sum(col("w") *
