@@ -75,8 +75,8 @@ object RelationalQueries {
     "a4_rel_importance" -> QueryDef(
       (s, dir) => {
         val rel = relFrame(s, dir)
-        val n = Relational.countEntities(attrFrame(s, dir), rel)
-        Relational.relationImportance(rel, n)
+        Relational.relationImportance(rel,
+            Relational.countEntitiesFrame(attrFrame(s, dir), rel))
           .select(col("rel"), round(col("importance"), 6).as("importance"))
           .orderBy("rel")
       },
@@ -96,8 +96,8 @@ object RelationalQueries {
     "a5_name_importance" -> QueryDef(
       (s, dir) => {
         val attr = attrFrame(s, dir)
-        val n = Relational.countEntities(attr, relFrame(s, dir))
-        Relational.nameImportance(attr.df, n)
+        Relational.nameImportance(attr.df,
+            Relational.countEntitiesFrame(attr, relFrame(s, dir)))
           .select(col("rel"), round(col("importance"), 6).as("importance"))
           .orderBy("rel")
       },
@@ -118,8 +118,8 @@ object RelationalQueries {
     "p8_filter_importance" -> QueryDef(
       (s, dir) => {
         val rel = relFrame(s, dir)
-        val n = Relational.countEntities(attrFrame(s, dir), rel)
-        val imp = Relational.relationImportance(rel, n)
+        val imp = Relational.relationImportance(rel,
+          Relational.countEntitiesFrame(attrFrame(s, dir), rel))
         Relational.filterImportance(rel, imp, 2)
           .orderBy("head", "rel", "tail")
       },

@@ -68,32 +68,58 @@ object Relational {
   private def harmonic(a: Column, b: Column): Column =
     when(a + b === 0.0, 0.0).otherwise(lit(2.0) * a * b / (a + b))
 
+  /** The distinct entity count as a ONE-ROW frame (`_n: double`) for
+    * in-plan use: importance pipelines crossJoin(broadcast) it instead
+    * of running a separate driver-side count job per query. */
+  def countEntitiesFrame(attr: EntityFrame, rel: DataFrame): DataFrame = {
+    val (h, _, t) = cols(rel)
+    attr.ids.select(col(attr.idCol).cast("string").as("e"))
+      .unionByName(rel.select(col(h).cast("string").as("e")))
+      .unionByName(rel.select(col(t).cast("string").as("e")))
+      .agg(countDistinct(col("e")).cast("double").as("_n"))
+  }
+
   /** A4: per-relation importance = harmonic(support, discriminability),
     * support = count/n², discriminability = distinct tails / count
     * (relation_aware.py:83-92). The reference's pandas `count` is
     * non-distinct there (≈1.0 discriminability for non-null tails) but
     * set-based in graph_statistics.py:30-47; we pin DISTINCT tails —
     * SURVEY.md A4 documents the divergence. Output: (rel, importance). */
-  def relationImportance(rel: DataFrame, numEntities: Long): DataFrame = {
+  def relationImportance(rel: DataFrame, numEntities: Long): DataFrame =
+    relationImportance(rel, oneRowN(rel, numEntities))
+
+  /** In-plan variant: `nFrame` is a one-row (`_n: double`) frame —
+    * [[countEntitiesFrame]] — broadcast into the aggregate, so the
+    * whole importance computation is a single job. */
+  def relationImportance(rel: DataFrame, nFrame: DataFrame): DataFrame = {
     val (_, r, t) = cols(rel)
     rel.groupBy(col(r).as("rel"))
       .agg(count(lit(1)).as("rel_count"), countDistinct(col(t)).as("tail_count"))
+      .crossJoin(broadcast(nFrame))
       .select(col("rel"), harmonic(
-        col("rel_count") / lit(numEntities.toDouble * numEntities),
+        col("rel_count") / (col("_n") * col("_n")),
         col("tail_count").cast("double") / col("rel_count")).as("importance"))
   }
 
+  private def oneRowN(any: DataFrame, n: Long): DataFrame =
+    any.sparkSession.range(1).select(lit(n.toDouble).as("_n"))
+
   /** A5: per-attribute-property importance, support = heads/n
     * (relation_aware.py:95-103). Input must be triple-form attributes. */
-  def nameImportance(attrTriples: DataFrame, numEntities: Long): DataFrame = {
+  def nameImportance(attrTriples: DataFrame, numEntities: Long): DataFrame =
+    nameImportance(attrTriples, oneRowN(attrTriples, numEntities))
+
+  /** In-plan variant of A5 (see [[relationImportance]]). */
+  def nameImportance(attrTriples: DataFrame, nFrame: DataFrame): DataFrame = {
     val (h, r, t) = cols(attrTriples)
     attrTriples.groupBy(col(r).as("rel"))
       .agg(
         count(col(h)).as("head_count"),
         count(lit(1)).as("rel_count"),
         countDistinct(col(t)).as("tail_count"))
+      .crossJoin(broadcast(nFrame))
       .select(col("rel"), harmonic(
-        col("head_count") / lit(numEntities.toDouble),
+        col("head_count") / col("_n"),
         col("tail_count").cast("double") / col("rel_count")).as("importance"))
   }
 
@@ -123,7 +149,7 @@ object Relational {
     * entity's top-n by name importance. Pure wiring of A5 + P8. */
   def topNNameProperties(attr: EntityFrame, rel: DataFrame, n: Int): DataFrame = {
     val attrTriple = if (attr.isTriple) attr else EntityFrame.unpivot(attr)
-    val imp = nameImportance(attrTriple.df, countEntities(attr, rel))
+    val imp = nameImportance(attrTriple.df, countEntitiesFrame(attr, rel))
     filterImportance(attrTriple.df, imp, n)
   }
 
@@ -152,12 +178,13 @@ object Relational {
       topNA: Option[Int] = None,
       topNR: Option[Int] = None): DataFrame = {
     val (h, _, t) = cols(rel)
-    lazy val numEntities = countEntities(attr, rel)
+    // in-plan one-row count: no separate driver job
+    lazy val nFrame = countEntitiesFrame(attr, rel)
 
     val attrTriple: EntityFrame = if (attr.isTriple) attr else EntityFrame.unpivot(attr)
     val filteredAttr = topNA match {
       case Some(n) =>
-        val imp = nameImportance(attrTriple.df, numEntities)
+        val imp = nameImportance(attrTriple.df, nFrame)
         attrTriple.copy(df = filterImportance(attrTriple.df, imp, n))
       case None => attrTriple
     }
@@ -166,7 +193,7 @@ object Relational {
 
     val inv = withInverse(rel)
     val filteredRel = topNR match {
-      case Some(n) => filterImportance(inv, relationImportance(rel, numEntities), n)
+      case Some(n) => filterImportance(inv, relationImportance(rel, nFrame), n)
       case None => inv
     }
 
