@@ -36,6 +36,12 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist intermediates and rely on ContextCleaner GC to
+        // unpersist; across 65 queries in ONE JVM the storage pool fills
+        // and later queries pay eviction + GC. Clear between queries so
+        // each is measured independently (the cleanup is outside the
+        // query's own timer on purpose — a real pipeline runs one job).
+        spark.catalog.clearCache()
         System.err.println(f"[bench] $name%-28s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
         Some((name, dt, ok))
       }

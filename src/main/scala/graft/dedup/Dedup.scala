@@ -127,15 +127,16 @@ object Dedup {
     * member id (the canonical document to KEEP; everything else in the
     * component is droppable).
     *
-    * Iterative min-label propagation: each round is one join + one
-    * groupBy-min, shuffling on the id key only — no driver-side
-    * union-find, nothing collected. Converges in graph-eccentricity
-    * rounds from the min node; near-dup components are near-cliques
-    * (diameter ≈ 2), so the default iteration budget is generous.
-    * Components with longer chains than `iterations` would need more —
-    * raise the knob or run to fixpoint with a count-action early-stop
-    * at the cost of one job per round. */
-  def components(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    * Iterative min-label propagation TO FIXPOINT: each round is one
+    * join + one groupBy-min shuffling on the id key only — no
+    * driver-side union-find, nothing collected. A cheap per-round
+    * changed-row probe (limit-1 over the cached label frames) detects
+    * convergence, so components of ANY diameter finish correctly while
+    * clique-like near-dup clusters stop after ~2 rounds; rounds needed
+    * = eccentricity from each component's min node, `maxIterations` is
+    * only a runaway guard. Superseded label frames unpersist eagerly —
+    * storage stays flat however many rounds run. */
+  def components(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
       .unionByName(pairs
@@ -143,14 +144,23 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist()
-    for (_ <- 1 to iterations) {
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("_nc"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nc"), col("component"))).as("component"))
         .persist()
+      converged = next.select(col("id"), col("component").as("_new"))
+        .join(labels, Seq("id"))
+        .filter(col("_new") =!= col("component"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
     }
     labels
   }
