@@ -17,9 +17,10 @@ object AnnStrategy {
   /** Exact brute force (correctness baseline): O(|L|·|R|), right side
     * broadcast — only valid while it fits in executor memory. */
   case object Brute extends AnnStrategy
-  /** IVF: KMeans-bucket the right side; queries probe only the nearest
-    * centroid's bucket, then exact re-rank within it. */
-  final case class Ivf(numBuckets: Int = 16, seed: Long = 42L) extends AnnStrategy
+  /** IVF: KMeans-bucket the right side; queries probe the `probes`
+    * nearest centroids' buckets (multi-probe recall knob), then exact
+    * re-rank within them. */
+  final case class Ivf(numBuckets: Int = 16, seed: Long = 42L, probes: Int = 1) extends AnnStrategy
   /** Sign-LSH: hyperplane buckets on both sides, equi-join candidates,
     * exact re-rank. Fully shuffle-based — the 100 TB default. */
   final case class SignLsh(numPlanes: Int = 4, planeDims: Int = 8) extends AnnStrategy
@@ -67,7 +68,7 @@ final case class EmbeddingKnnBlocker(
     val base = strategy match {
       case AnnStrategy.Brute =>
         Similarity.topKCosine(le, re, k, broadcastRight)
-      case AnnStrategy.Ivf(numBuckets, seed) =>
+      case AnnStrategy.Ivf(numBuckets, seed, probes) =>
         // persist: KMeans re-evaluates its input every iteration, and the
         // feature frame is the whole encode pipeline
         val feat = re.withColumn("features", array_to_vector(col("vec"))).persist()
@@ -75,7 +76,7 @@ final case class EmbeddingKnnBlocker(
           .setFeaturesCol("features").setPredictionCol("_bkt")
           .fit(feat).transform(feat)
           .select(col("_bkt").cast("string").as("bucket"), col("id"), col("vec"))
-        Similarity.ivfTopK(le, bucketed, k, excludeSelf = false)
+        Similarity.ivfTopK(le, bucketed, k, excludeSelf = false, probes = probes)
       case AnnStrategy.SignLsh(numPlanes, planeDims) =>
         Similarity.lshTopK(le, re, k, numPlanes, planeDims)
     }

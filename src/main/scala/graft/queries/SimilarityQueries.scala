@@ -199,6 +199,48 @@ object SimilarityQueries {
              |       round(cos, 6) AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // ---- IVF multi-probe: top-2 centroid buckets searched ------------------
+    "ann_ivf_multiprobe" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val bucketed = e.select(col("label").cast("string").as("bucket"),
+          col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.ivfTopK(q, bucketed, 3, probes = 2)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("left_id", "rank")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |cents AS (SELECT label, i, avg(v) AS c FROM expl GROUP BY label, i),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+             |qdots AS (
+             |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+             |  FROM expl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+             |assign AS (SELECT vec_id, label FROM (
+             |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+             |  FROM qdots q JOIN norms n ON n.vec_id = q.vec_id
+             |               JOIN cnorms cn ON cn.label = q.label) WHERE rn <= 2),
+             |dots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             |         sum(a.v * b.v) AS dot
+             |  FROM assign s JOIN expl a ON a.vec_id = s.vec_id
+             |  JOIN expl b ON b.i = a.i AND b.label = s.label
+             |  WHERE b.vec_id != a.vec_id GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT left_id, right_id,
+             |         dot / (na.nrm * nb.nrm) AS cos,
+             |         row_number() OVER (PARTITION BY left_id
+             |             ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rank
+             |  FROM dots JOIN norms na ON na.vec_id = left_id
+             |            JOIN norms nb ON nb.vec_id = right_id)
+             |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- sign-LSH bucketing (first 16 dims, 6 planes) ---------------------
     "ann_hyperplane_lsh" -> QueryDef(
       (s, dir) => embs(s, dir)

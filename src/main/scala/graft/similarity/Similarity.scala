@@ -54,15 +54,18 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("bucket"), transform(col("pm"), x => x("m")).as("centroid"))
 
-  /** IVF search: assign each query to its nearest centroid (cosine,
-    * tie-break on bucket), then exact top-k within that bucket only.
+  /** IVF search: assign each query to its `probes` nearest centroids
+    * (cosine, tie-break on bucket), then exact top-k within those
+    * buckets only. probes=1 is classic IVF; raising it trades search
+    * cost for recall (the standard multi-probe knob) — buckets are
+    * disjoint, so probing more buckets just widens the candidate union.
     * Centroids are tiny (one row per bucket) → broadcast twice. */
   /** NB: the probe join has only #buckets distinct keys; if bucket
     * membership grows past one reducer's memory, salt it with the
     * [[graft.blockers.Blocker.saltedCollectIds]] pattern (measured here:
     * salting costs more than it buys below ~10⁷ rows per bucket). */
   def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true, probes: Int = 1): DataFrame = {
     // ONE normalized projection of the bucketed side, persisted: it feeds
     // both the centroid aggregate and the probe join — without it each
     // consumer re-scans the source (the bench's measured 3×-read cost).
@@ -81,7 +84,7 @@ object Similarity {
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
         (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
       .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= probes)
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
     val joined = assigned.join(members, Seq("bucket"))
     val scored = (if (excludeSelf) joined.filter(col("left_id") =!= col("right_id")) else joined)

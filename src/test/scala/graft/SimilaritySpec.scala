@@ -91,6 +91,11 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.ivfTopK(q, buckets, 10).collect()
       .map(r => r.getString(2)).toSet
     assert(got == Set("x1", "x2")) // never y1/y2
+
+    // multi-probe widens the candidate union to the 2nd-nearest bucket
+    val mp = Similarity.ivfTopK(q, buckets, 10, probes = 2).collect()
+      .map(r => r.getString(2)).toSet
+    assert(mp == Set("x1", "x2", "y1", "y2"))
   }
 
   test("hyperplane buckets are deterministic and split vectors") {
