@@ -172,6 +172,54 @@ object StreamingOps {
       }
   }
 
+  /** [[streamExactDedup]] record with an event time, for the TTL
+    * variant (the watermark needs a time column). */
+  final case class TimedDedupRecord(key: String, id: String, ts: java.sql.Timestamp)
+
+  /** TTL variant of [[streamExactDedup]] — the unbounded-horizon
+    * version keeps one state row per distinct key forever; here each
+    * key's state expires once the watermark passes `ttl` beyond its
+    * last sighting (sliding TTL), after which the key is RE-ADMITTED
+    * and emits again. This is the standard streaming-dedup contract at
+    * corpus scale: exact within the TTL horizon, state bounded by the
+    * number of keys seen within it. Streaming-only semantics (timeouts
+    * never fire in a single batch) — covered by multi-batch specs, the
+    * unbounded variant carries the batch oracle. */
+  def streamExactDedupWithTtl(
+      records: Dataset[TimedDedupRecord],
+      ttl: String = "1 hour",
+      watermark: String = "1 hour")(implicit spark: SparkSession): Dataset[DedupKeep] = {
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      .extractAsDuration().toMillis
+    records.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DedupState, DedupKeep](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, batch: Iterator[TimedDedupRecord], state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed → future sightings re-admit
+            Iterator.empty
+          } else {
+            val recs = batch.toSeq
+            if (recs.isEmpty) Iterator.empty
+            else {
+              val out =
+                if (state.exists) Iterator.empty
+                else {
+                  val first = recs.minBy(r => (r.ts.getTime, r.id))
+                  state.update(DedupState(first.id))
+                  Iterator.single(DedupKeep(key, first.id))
+                }
+              // sliding TTL: extend from this batch's latest sighting
+              state.setTimeoutTimestamp(recs.map(_.ts.getTime).max + ttlMs)
+              out
+            }
+          }
+      }
+  }
+
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
       implicit spark: SparkSession): Dataset[TokenRecord] = {

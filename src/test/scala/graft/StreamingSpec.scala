@@ -164,6 +164,37 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamExactDedupWithTtl re-admits a key after its TTL expires") {
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TimedDedupRecord]
+    val sq = StreamingOps.streamExactDedupWithTtl(
+        mem.toDS(), ttl = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sd_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1: k emits; TTL runs to 11:00
+      mem.addData(TimedDedupRecord("k", "a", ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      // batch 2: duplicate within the horizon → suppressed (TTL slides to 11:30)
+      mem.addData(TimedDedupRecord("k", "b", ts("2024-01-01 10:30:00")))
+      sq.processAllAvailable()
+      assert(spark.table("sd_ttl").as[DedupKeep].collect().toSeq ==
+        Seq(DedupKeep("k", "a")))
+      // batch 3: another key far ahead pushes the watermark past 11:30
+      // → k's state times out and is removed
+      mem.addData(TimedDedupRecord("other", "x", ts("2024-01-01 14:00:00")))
+      sq.processAllAvailable()
+      // batch 4: k re-admitted → emits again with the new id
+      mem.addData(TimedDedupRecord("k", "c", ts("2024-01-01 14:10:00")))
+      sq.processAllAvailable()
+      val got = spark.table("sd_ttl").as[DedupKeep].collect().toSeq
+      assert(got.count(r => r.key == "k") == 2, got.toString)
+      assert(got.contains(DedupKeep("k", "c")), got.toString)
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
