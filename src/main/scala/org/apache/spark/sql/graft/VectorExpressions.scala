@@ -92,3 +92,34 @@ object VectorOps {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Exposes the native expressions to SQL users. Two entry points:
+  *   - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *     at session build (the standard SparkSessionExtensions route);
+  *   - [[GraftExtensions.register]] on an already-built session.
+  * Either way `SELECT dot_product(a, b)` resolves to the codegen'd
+  * [[DotProduct]] kernel. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotProductFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[graft] val dotProductFunction = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(children.head, children(1)): Expression
+    })
+
+  /** Register on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotProductFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -51,6 +51,17 @@ class FunctionsSpec extends SparkSpec {
     assert(arr[Double](Vectors.normalize(array(lit(0.0)))) == Seq(0.0))
   }
 
+  test("dot_product is callable from SQL after extension registration") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(got == 11.0)
+    // idempotent re-registration
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_product(array(1.0D), array(2.0D))").head.getDouble(0) == 2.0)
+  }
+
   test("concatValues wide vs triple agree on fixture A") {
     val wide = tableA.concatValues().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
