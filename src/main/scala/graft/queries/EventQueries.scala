@@ -100,6 +100,26 @@ object EventQueries {
              |  AND p.us >= c.us AND p.us <= c.us + 1800000000
              |ORDER BY c.user_id, l_id, r_id""".stripMargin)),
 
+    // ---- event-time interval join, LEFT OUTER (unmatched clicks kept) -----
+    "ev_interval_join_outer" -> QueryDef(
+      (s, dir) => {
+        val ev = QueryDef.events(s, dir)
+        StreamingOps.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", 1800L, joinType = "left_outer")
+          .orderBy("user_id", "l_id", "r_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id AS user_id, c.event_id AS l_id, p.event_id AS r_id,
+             |       c.us // 1000000 AS l_sec, p.us // 1000000 AS r_sec
+             |FROM c LEFT JOIN p ON c.user_id = p.user_id
+             |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+             |ORDER BY c.user_id, l_id, r_id""".stripMargin)),
+
     // ---- session windows (built-in session_window, batch form) ------------
     // new-session rule is ts >= prev + gap at MICRO precision (Spark's
     // session merge compares event time against session end = last+gap),

@@ -74,15 +74,19 @@ object StreamingOps {
       left: DataFrame, right: DataFrame,
       key: String = "user_id",
       boundSeconds: Long = 1800L,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val l0 = if (left.isStreaming) left.withWatermark("ts", watermark) else left
     val r0 = if (right.isStreaming) right.withWatermark("ts", watermark) else right
     val l = l0.select(col(key).as("_lk"), col("ts").as("l_ts"), col("event_id").as("l_id"))
     val r = r0.select(col(key).as("_rk"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    // left_outer on streams: unmatched left rows emit once the right
+    // watermark passes the bound (Spark's stream-stream outer contract)
     l.join(r,
         col("_lk") === col("_rk") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $boundSeconds SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $boundSeconds SECONDS"),
+        joinType)
       .select(col("_lk").as(key), col("l_id"), col("r_id"),
         col("l_ts").cast("long").as("l_sec"), col("r_ts").cast("long").as("r_sec"))
   }

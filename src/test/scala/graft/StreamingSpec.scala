@@ -116,6 +116,34 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("intervalJoin left_outer emits unmatched lefts after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ml = MemoryStream[(Long, Timestamp, Long)]
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val sq = StreamingOps.intervalJoin(
+        ml.toDF().toDF("user_id", "ts", "event_id"),
+        mr.toDF().toDF("user_id", "ts", "event_id"),
+        watermark = "1 hour", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      // a click with no purchase; matched pair for another user
+      ml.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:00:00"), 101L))
+      mr.addData((2L, ts("2024-01-01 10:10:00"), 200L))
+      sq.processAllAvailable()
+      // push both watermarks far past 10:00 + bound so the unmatched
+      // left row can be finalized and emitted with a null right side
+      ml.addData((9L, ts("2024-01-01 20:00:00"), 900L))
+      mr.addData((9L, ts("2024-01-01 20:00:00"), 901L))
+      sq.processAllAvailable()
+      val got = spark.table("ij_outer").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got.contains((101L, 200L)), got.toString) // matched pair
+      assert(got.contains((100L, -1L)), got.toString)  // unmatched click
+    } finally sq.stop()
+  }
+
   test("intervalJoin drops right-side state behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ml = MemoryStream[(Long, Timestamp, Long)]
