@@ -241,6 +241,68 @@ object SimilarityQueries {
              |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // ---- PQ encode: 64 float dims → 8 codebook ids ------------------------
+    "ann_pq_encode" -> QueryDef(
+      (s, dir) => Similarity.pqEncode(
+          embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .select(col("id"), array_join(col("codes"), ",").as("codes"))
+        .orderBy("id"),
+      Some(s"""WITH g AS (
+              |  SELECT vec_id, s.s AS s, c.c AS c,
+              |         round(sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2)), 6) AS dist
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  GROUP BY 1, 2, 3),
+              |best AS (
+              |  SELECT vec_id, s, c FROM (
+              |    SELECT vec_id, s, c, row_number() OVER (
+              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |    FROM g) WHERE rn = 1)
+              |SELECT vec_id AS id, string_agg(c, ',' ORDER BY s) AS codes
+              |FROM best GROUP BY vec_id ORDER BY id""".stripMargin)),
+
+    // ---- PQ/ADC top-k: exact queries against the compressed corpus --------
+    "ann_pq_adc_topk" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val codes = Similarity.pqEncode(e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        Similarity.pqTopK(q, codes, 3, rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("adc"), 6).as("adc"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT vec_id, s.s AS s, c.c AS c,
+              |         round(sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2)), 6) AS dist
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3),
+              |codes AS (
+              |  SELECT vec_id AS right_id, s, c FROM (
+              |    SELECT vec_id, s, c, row_number() OVER (
+              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |    FROM g) WHERE rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS left_id, s.s AS s, c.c AS c,
+              |         sum(embedding[s.s*8 + d.d + 1]::double
+              |             * ${Similarity.pqComponentSql("s.s", "c.c", "d.d")})) AS part
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT l.left_id, cd.right_id, sum(l.part) AS adc
+              |  FROM codes cd JOIN lut l USING (s, c)
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT left_id, right_id, adc, row_number() OVER (
+              |      PARTITION BY left_id
+              |      ORDER BY round(adc, 6) DESC, right_id ASC) AS rank
+              |  FROM scored)
+              |SELECT left_id, rank::int AS rank, right_id, round(adc, 6) AS adc
+              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- sign-LSH bucketing (first 16 dims, 6 planes) ---------------------
     "ann_hyperplane_lsh" -> QueryDef(
       (s, dir) => embs(s, dir)

@@ -183,4 +183,84 @@ object Similarity {
         (Vectors.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ---------------- product quantization (PQ / ADC) ----------------
+
+  /** Deterministic pseudo-random PQ codebook component (same md5 family
+    * as [[planeComponent]], namespaced): value ∈ [-1, 1]. */
+  def pqComponent(sub: Int, code: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq:$sub:$code:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  /** DuckDB expression for [[pqComponent]] with SQL variables `s`,`c`,`d`. */
+  def pqComponentSql(sub: String, code: String, dim: String): String =
+    s"((('0x'||substr(md5('pq:'||$sub||':'||$code||':'||$dim), 1, 15))::bigint % 2001 - 1000)/1000.0"
+
+  /** Product-quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 — the billion-scale ANN
+    * compression standard): the vector splits into `subspaces` blocks of
+    * `dims/subspaces` dims; each block is replaced by the id of its
+    * L2-nearest codebook centroid → `dims` floats compress to
+    * `subspaces` small ints. Codebooks here are the deterministic
+    * md5-derived family (k-means-trained books are a drop-in swap; the
+    * fixed family keeps the operator DuckDB-oracle-checkable, the same
+    * trade [[hyperplaneBucket]] makes). Output: (id, codes: array<int>).
+    *
+    * Everything is row-local expression work over a literal codebook —
+    * no join, no shuffle; the encode scan is embarrassingly parallel. */
+  def pqEncode(df: DataFrame, dims: Int = 64,
+               subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val w = dims / subspaces
+    val codeCols = (0 until subspaces).map { sp =>
+      val cands = (0 until codebookSize).map { c =>
+        val dist = round((0 until w).map { d =>
+          val x = col("vec")(sp * w + d).cast("double") - lit(pqComponent(sp, c, d))
+          x * x
+        }.reduce(_ + _), 6) // rounded argmin: ulp-stable across engines
+        struct(dist.as("dist"), lit(c).as("c"))
+      }
+      // array_min on struct = lexicographic: min dist, tie-break min c
+      array_min(array(cands: _*)).getField("c")
+    }
+    df.select(col("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the approximate
+    * inner product of query q and a coded vector is Σ_s ⟨q_s,
+    * centroid(s, code_s)⟩ — queries stay exact, the corpus stays
+    * compressed. Plan: per-query lookup tables (|Q|·subspaces·K rows,
+    * built by a broadcast cross join against the literal codebook) are
+    * equi-joined to the exploded codes on (subspace, code) and summed —
+    * one shuffle on the pair key, no full-vector corpus reads. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, k: Int, dims: Int = 64,
+             subspaces: Int = 8, codebookSize: Int = 16,
+             rankScale: Int = -1): DataFrame = {
+    val w = dims / subspaces
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val book = (0 until subspaces).flatMap(sp => (0 until codebookSize).map(c =>
+      (sp, c, (0 until w).map(d => pqComponent(sp, c, d)))))
+      .toDF("s", "c", "cent")
+    val lut = queries.select(col("id").as("left_id"), col("vec"))
+      .crossJoin(broadcast(book))
+      .select(col("left_id"), col("s"), col("c"),
+        (0 until w).map(d =>
+          col("vec")(col("s") * w + lit(d)).cast("double") * col("cent")(d))
+          .reduce(_ + _).as("part"))
+    val expl = codes.select(col("id").as("right_id"),
+      posexplode(col("codes")).as(Seq("s", "c")))
+    val scored = expl.join(lut, Seq("s", "c"))
+      .groupBy("left_id", "right_id").agg(sum("part").as("adc"))
+    // rankScale >= 0: rank on the ROUNDED score — groupBy-sum order is
+    // nondeterministic, so raw doubles differ by ±ulp between engines
+    // (and runs); rounding + the right_id tie-break pins the ranking
+    // for oracle comparison
+    val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
+    val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
 }

@@ -98,6 +98,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mp == Set("x1", "x2", "y1", "y2"))
   }
 
+  test("pqEncode/pqTopK agree with a driver-side reference computation") {
+    val dims = 4; val sub = 2; val K = 4; val w = 2
+    val vecs = Seq(
+      "7" -> Seq(0.5f, -0.2f, 0.9f, 0.1f),
+      "8" -> Seq(-0.3f, 0.8f, -0.5f, 0.4f),
+      "9" -> Seq(0.5f, -0.2f, 0.9f, 0.1f)) // duplicate of 7
+    val df = vecs.toDF("id", "vec")
+    def refEnc(v: Seq[Float]): Seq[Int] = (0 until sub).map { sp =>
+      (0 until K).minBy { c =>
+        (0 until w).map(d =>
+          math.pow(v(sp * w + d).toDouble - Similarity.pqComponent(sp, c, d), 2)).sum
+      }
+    }
+    val got = Similarity.pqEncode(df, dims, sub, K).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    vecs.foreach { case (id, v) => assert(got(id) == refEnc(v).toList, id) }
+    assert(got("7") == got("9")) // identical vectors → identical codes
+    assert(got.values.forall(cs => cs.length == sub && cs.forall(c => c >= 0 && c < K)))
+
+    // ADC value check: Σ_sp ⟨q_sp, centroid(sp, code_sp)⟩
+    val codes = Similarity.pqEncode(df, dims, sub, K)
+    val top = Similarity.pqTopK(df, codes, K, dims, sub, K).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((qid, qv) <- vecs; (cid, cv) <- vecs) {
+      val want = (0 until sub).map { sp =>
+        val code = refEnc(cv)(sp)
+        (0 until w).map(d => qv(sp * w + d).toDouble * Similarity.pqComponent(sp, code, d)).sum
+      }.sum
+      assert(math.abs(top((qid, cid)) - want) < 1e-9, s"$qid->$cid")
+    }
+  }
+
   test("hyperplane buckets are deterministic and split vectors") {
     val df = Seq(
       ("p", Seq.fill(16)(1.0f)), ("q", Seq.fill(16)(1.0f)),
