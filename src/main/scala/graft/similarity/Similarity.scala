@@ -186,6 +186,59 @@ object Similarity {
 
   // ---------------- product quantization (PQ / ADC) ----------------
 
+  /** IVF-PQ: the billion-scale composition (Jégou et al. 2011, §IV) —
+    * queries probe their `probes` nearest centroid buckets (IVF) and
+    * score ONLY those buckets' vectors, which are stored as PQ codes
+    * and compared via ADC. Corpus state per vector: one bucket id +
+    * `subspaces` small ints — the layout that fits a billion vectors
+    * where raw floats cannot. Search cost: |probed buckets| · ADC
+    * lookups; no full-vector corpus reads anywhere.
+    *
+    * `bucketed`: (bucket, id, vec) — any bucketing (label column,
+    * KMeans via [[graft.blockers.AnnStrategy.Ivf]], …). Codes are
+    * computed here from the same md5 codebook family as [[pqEncode]]. */
+  def ivfPqTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64,
+                subspaces: Int = 8, codebookSize: Int = 16,
+                probes: Int = 1, rankScale: Int = -1): DataFrame = {
+    val w = dims / subspaces
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // persist: feeds the centroid aggregate AND the code encode
+    val members = bucketed.select(col("bucket"), col("id"), col("vec")).persist()
+    val cents = centroids(members.select(col("bucket"), col("vec")))
+      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val q = queries.select(col("id").as("left_id"), col("vec"),
+      Vectors.l2Norm(col("vec")).as("_ln"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val assignW = Window.partitionBy("left_id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("left_id"), col("vec"), col("bucket"),
+        (Vectors.dot(col("vec"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") <= probes)
+      .select(col("left_id"), col("vec"), col("bucket"))
+    val codes = pqEncode(members.select(col("id"), col("vec")), dims, subspaces, codebookSize)
+      .join(members.select(col("id"), col("bucket")), Seq("id"))
+      .select(col("bucket"), col("id").as("right_id"),
+        posexplode(col("codes")).as(Seq("s", "c")))
+    val book = (0 until subspaces).flatMap(sp => (0 until codebookSize).map(c =>
+      (sp, c, (0 until w).map(d => pqComponent(sp, c, d)))))
+      .toDF("s", "c", "cent")
+    val lut = assigned.crossJoin(broadcast(book))
+      .select(col("left_id"), col("bucket"), col("s"), col("c"),
+        (0 until w).map(d =>
+          col("vec")(col("s") * w + lit(d)).cast("double") * col("cent")(d))
+          .reduce(_ + _).as("part"))
+    val scored = codes.join(lut, Seq("bucket", "s", "c"))
+      .groupBy("left_id", "right_id").agg(sum("part").as("adc"))
+    val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
+    val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+
+
   /** Deterministic pseudo-random PQ codebook component (same md5 family
     * as [[planeComponent]], namespaced): value ∈ [-1, 1]. */
   def pqComponent(sub: Int, code: Int, dim: Int): Double = {
