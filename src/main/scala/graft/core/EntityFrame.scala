@@ -65,11 +65,34 @@ final case class EntityFrame(
   /** Entity ids as a single-column frame. */
   def ids: DataFrame =
     if (isTriple) df.select(col(idCol)).distinct() else df.select(col(idCol))
+
+  /** Bucketed sink on the id column (the [[Blocks.writeBucketed]]
+    * treatment for entity tables): frames bucketed with the same count
+    * join/semi-join on entity id across jobs with no exchange — the
+    * sample restriction, anti-filter, and neighbor-concat joins all key
+    * on it. */
+  def writeBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 object EntityFrame {
   /** Canonical name of the concatenated-values column. */
   val ConcCol = "_conc"
+
+  /** Source for [[EntityFrame.writeBucketed]] tables — resolves through
+    * the catalog so the scan keeps the bucket spec. */
+  def readBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, tableName: String, idCol: String,
+      isTriple: Boolean = false): EntityFrame =
+    EntityFrame(spark.table(table), tableName, idCol, isTriple)
 
   /** Build a triple-form frame from a wide frame by unpivoting attribute
     * columns (reference fixture shape: tests/conftest.py:48-72). Null

@@ -112,6 +112,32 @@ class BlocksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed entity frames join on id with no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("ef").toString
+    tableA.writeBucketed(spark, "ef_a", s"$dir/a", 4)
+    tableA.writeBucketed(spark, "ef_b", s"$dir/b", 4)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // tiny tables would broadcast; force the shuffle-free bucketed
+      // sort-merge path the sink exists for
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val a = graft.core.EntityFrame.readBucketed(spark, "ef_a", "A", "id")
+      val b = graft.core.EntityFrame.readBucketed(spark, "ef_b", "B", "id")
+      val joined = a.df.join(b.df.select("id"), Seq("id"), "left_semi")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(joined.count() == 5)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS ef_a")
+      spark.sql("DROP TABLE IF EXISTS ef_b")
+    }
+  }
+
   test("purge keeps a prefix of blocks by cardinality and never empties") {
     val purged = blocksOf(example).purge()
     val keys = blockMap(purged).keySet
