@@ -218,20 +218,18 @@ object Similarity {
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") <= probes)
       .select(col("left_id"), col("vec"), col("bucket"))
+    import org.apache.spark.sql.graft.PqOps
+    val book = pqCodebook(subspaces, codebookSize, w)
     val codes = pqEncode(members.select(col("id"), col("vec")), dims, subspaces, codebookSize)
       .join(members.select(col("id"), col("bucket")), Seq("id"))
-      .select(col("bucket"), col("id").as("right_id"),
-        posexplode(col("codes")).as(Seq("s", "c")))
-    val book = (0 until subspaces).flatMap(sp => (0 until codebookSize).map(c =>
-      (sp, c, (0 until w).map(d => pqComponent(sp, c, d)))))
-      .toDF("s", "c", "cent")
-    val lut = assigned.crossJoin(broadcast(book))
-      .select(col("left_id"), col("bucket"), col("s"), col("c"),
-        (0 until w).map(d =>
-          col("vec")(col("s") * w + lit(d)).cast("double") * col("cent")(d))
-          .reduce(_ + _).as("part"))
-    val scored = codes.join(lut, Seq("bucket", "s", "c"))
-      .groupBy("left_id", "right_id").agg(sum("part").as("adc"))
+      .select(col("bucket"), col("id").as("right_id"), col("codes"))
+    // probed-bucket equi-join on the compressed codes + 8-lookup ADC
+    // kernel per surviving pair — the IVF scoping is what bounds pairs
+    val lut = assigned.select(col("left_id"), col("bucket"),
+      PqOps.pqLut(col("vec"), book).as("_lut"))
+    val scored = lut.join(codes, Seq("bucket"))
+      .select(col("left_id"), col("right_id"),
+        PqOps.pqAdc(col("_lut"), col("codes"), codebookSize).as("adc"))
     val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
@@ -248,6 +246,11 @@ object Similarity {
     val h = java.lang.Long.parseLong(hex, 16)
     (h % 2001 - 1000) / 1000.0
   }
+
+  /** Materialized md5 codebook (sub)(code)(dim) for the native kernels. */
+  def pqCodebook(subspaces: Int, codebookSize: Int, width: Int): Array[Array[Array[Double]]] =
+    org.apache.spark.sql.graft.PqKernels.codebook(
+      subspaces, codebookSize, width, pqComponent)
 
   /** DuckDB expression for [[pqComponent]] with SQL variables `s`,`c`,`d`. */
   def pqComponentSql(sub: String, code: String, dim: String): String =
@@ -267,19 +270,13 @@ object Similarity {
     * no join, no shuffle; the encode scan is embarrassingly parallel. */
   def pqEncode(df: DataFrame, dims: Int = 64,
                subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
-    val w = dims / subspaces
-    val codeCols = (0 until subspaces).map { sp =>
-      val cands = (0 until codebookSize).map { c =>
-        val dist = round((0 until w).map { d =>
-          val x = col("vec")(sp * w + d).cast("double") - lit(pqComponent(sp, c, d))
-          x * x
-        }.reduce(_ + _), 6) // rounded argmin: ulp-stable across engines
-        struct(dist.as("dist"), lit(c).as("c"))
-      }
-      // array_min on struct = lexicographic: min dist, tie-break min c
-      array_min(array(cands: _*)).getField("c")
-    }
-    df.select(col("id"), array(codeCols: _*).as("codes"))
+    // native kernel: the expression-tree formulation is ~1024 unrolled
+    // multiply-adds — over the JIT budget, runs interpreted (the
+    // DotProduct lesson); the kernel is one compact counted loop with
+    // the same rounded-argmin / lowest-code tie-break contract
+    val book = pqCodebook(subspaces, codebookSize, dims / subspaces)
+    df.select(col("id"),
+      org.apache.spark.sql.graft.PqOps.pqEncode(col("vec"), book).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the approximate
@@ -292,26 +289,21 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, k: Int, dims: Int = 64,
              subspaces: Int = 8, codebookSize: Int = 16,
              rankScale: Int = -1): DataFrame = {
-    val w = dims / subspaces
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val book = (0 until subspaces).flatMap(sp => (0 until codebookSize).map(c =>
-      (sp, c, (0 until w).map(d => pqComponent(sp, c, d)))))
-      .toDF("s", "c", "cent")
-    val lut = queries.select(col("id").as("left_id"), col("vec"))
-      .crossJoin(broadcast(book))
-      .select(col("left_id"), col("s"), col("c"),
-        (0 until w).map(d =>
-          col("vec")(col("s") * w + lit(d)).cast("double") * col("cent")(d))
-          .reduce(_ + _).as("part"))
-    val expl = codes.select(col("id").as("right_id"),
-      posexplode(col("codes")).as(Seq("s", "c")))
-    val scored = expl.join(lut, Seq("s", "c"))
-      .groupBy("left_id", "right_id").agg(sum("part").as("adc"))
-    // rankScale >= 0: rank on the ROUNDED score — groupBy-sum order is
-    // nondeterministic, so raw doubles differ by ±ulp between engines
-    // (and runs); rounding + the right_id tie-break pins the ranking
-    // for oracle comparison
+    import org.apache.spark.sql.graft.PqOps
+    val book = pqCodebook(subspaces, codebookSize, dims / subspaces)
+    // per-query lookup table once (native kernel), then the compressed
+    // codes BROADCAST (that is the point of PQ: 8 ints per corpus row)
+    // and scored with the 8-lookup ADC kernel — no (s, c) explode, no
+    // |Q|·|C|·subspaces shuffle
+    val lut = queries.select(col("id").as("left_id"),
+      PqOps.pqLut(col("vec"), book).as("_lut"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val scored = lut.crossJoin(broadcast(codes.select(col("id").as("right_id"), col("codes"))))
+      .select(col("left_id"), col("right_id"),
+        PqOps.pqAdc(col("_lut"), col("codes"), codebookSize).as("adc"))
+    // rankScale >= 0: rank on the ROUNDED score — summation order
+    // differs between engines, so raw doubles differ by ±ulp; rounding
+    // + the right_id tie-break pins the ranking for oracle comparison
     val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
