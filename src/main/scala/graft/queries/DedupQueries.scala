@@ -233,6 +233,50 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    "tx_repetition" -> QueryDef(
+      (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH stats AS (
+          |  SELECT doc_id, toks, len(toks) AS m,
+          |         len(list_distinct(toks)) AS m_distinct,
+          |         list_sum(list_transform(toks, t -> length(t)))::bigint AS total_chars
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          |        FROM documents)),
+          |grams AS (
+          |  SELECT doc_id, total_chars, m, m_distinct, 2 AS n,
+          |         unnest(CASE WHEN m >= 2
+          |           THEN list_transform(range(1, m), i -> toks[i] || ' ' || toks[i+1])
+          |           ELSE [] END) AS gram
+          |  FROM stats
+          |  UNION ALL
+          |  SELECT doc_id, total_chars, m, m_distinct, 3 AS n,
+          |         unnest(CASE WHEN m >= 3
+          |           THEN list_transform(range(1, m-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |           ELSE [] END) AS gram
+          |  FROM stats),
+          |counts AS (
+          |  SELECT doc_id, total_chars, m, m_distinct, n, gram, count(*) AS c
+          |  FROM grams GROUP BY ALL),
+          |top2 AS (
+          |  SELECT doc_id, gram AS top_bigram, c AS top_c FROM (
+          |    SELECT doc_id, gram, c,
+          |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+          |    FROM counts WHERE n = 2) WHERE rn = 1),
+          |dup3 AS (
+          |  SELECT doc_id,
+          |         coalesce(sum(CASE WHEN c >= 2 THEN c * (length(gram) - 2) END), 0)::bigint AS dup3_chars
+          |  FROM counts WHERE n = 3 GROUP BY doc_id)
+          |SELECT s.doc_id,
+          |  floor(((m - m_distinct)::double / m) * 1e6)::bigint AS dup_token_frac_e6,
+          |  top_bigram,
+          |  floor((top_c * (length(top_bigram) - 1))::double / total_chars * 1e6)::bigint AS top_bigram_frac_e6,
+          |  floor(dup3_chars::double / total_chars * 1e6)::bigint AS dup_trigram_frac_e6
+          |FROM (SELECT DISTINCT doc_id, total_chars, m, m_distinct FROM stats) s
+          |JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     "tx_fingerprint" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),

@@ -120,6 +120,37 @@ object EventQueries {
              |  AND p.us >= c.us AND p.us <= c.us + 1800000000
              |ORDER BY c.user_id, l_id, r_id""".stripMargin)),
 
+    // ---- per-key event-time rate limiting (batch form of the stateful op) --
+    // single-batch run of StreamingOps.rateLimit ≡ row_number per
+    // (key, tumbling window) in (ts µs, id) order, capped; cross-batch
+    // state persistence + late-drop are spec-tested in StreamingSpec.
+    "ev_rate_limit" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        StreamingOps.rateLimit(
+          QueryDef.events(s, dir)
+            .select(col("user_id").cast("string").as("key"),
+              col("event_id").cast("string").as("id"), col("ts"))
+            .as[StreamingOps.RateRecord],
+          maxPerWindow = 2, windowSeconds = 3600L)
+          .toDF("key", "id", "win_start", "seq_in_win")
+          .orderBy("key", "win_start", "seq_in_win")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id::varchar AS key, event_id::varchar AS id,
+             |         epoch_ns(ts) // 1000 AS us
+             |  FROM events),
+             |ranked AS (
+             |  SELECT key, id,
+             |         us // 3600000000 * 3600 AS win_start,
+             |         row_number() OVER (PARTITION BY key, us // 3600000000
+             |             ORDER BY us, id) AS seq
+             |  FROM r)
+             |SELECT key, id, win_start, seq::int AS seq_in_win
+             |FROM ranked WHERE seq <= 2
+             |ORDER BY key, win_start, seq_in_win""".stripMargin)),
+
     // ---- session windows (built-in session_window, batch form) ------------
     // new-session rule is ts >= prev + gap at MICRO precision (Spark's
     // session merge compares event time against session end = last+gap),

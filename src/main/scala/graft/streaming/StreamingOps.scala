@@ -224,6 +224,64 @@ object StreamingOps {
       }
   }
 
+  // ---------- per-key event-time rate limiting (stateful) ----------
+
+  /** One keyed record for rate limiting. */
+  final case class RateRecord(key: String, id: String, ts: java.sql.Timestamp)
+
+  /** An admitted record: its tumbling window start (epoch seconds) and
+    * 1-based admission sequence within that (key, window). */
+  final case class RateAdmit(key: String, id: String, winStart: Long, seqInWin: Int)
+
+  /** Rate-limiter state: the key's latest window and its admit count.
+    * Public: janino-generated encoder code cannot touch private member
+    * classes. */
+  final case class RateState(winStart: Long, count: Int)
+
+  /** Per-key event-time rate limiting: admit at most `maxPerWindow`
+    * records per key per tumbling `windowSeconds` window, in
+    * (event-time µs, id) order — the streaming throttle a training-data
+    * pipeline puts in front of a crawl (cap documents per domain, events
+    * per user) so one hot key cannot flood downstream state.
+    *
+    * State is O(1) per key (latest window + count). Records for a window
+    * older than the key's latest are late beyond the per-key horizon and
+    * are dropped — the standard lateness contract; within a batch records
+    * are processed in (ts, id) order so windows advance monotonically.
+    * A single-batch run over a static frame therefore equals the batch
+    * rule `row_number() OVER (PARTITION BY key, window ORDER BY ts, id)
+    * <= maxPerWindow` — the oracle; cross-batch state persistence is
+    * spec-tested with MemoryStream.
+    */
+  def rateLimit(
+      records: Dataset[RateRecord],
+      maxPerWindow: Int = 2,
+      windowSeconds: Long = 3600L)(
+      implicit spark: SparkSession): Dataset[RateAdmit] = {
+    import spark.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[RateState, RateAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[RateRecord], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0))
+          // order by event-time µs then id (timestamps are µs-precision;
+          // getTime alone would tie where sub-millis differ)
+          val micros = (r: RateRecord) =>
+            r.ts.toInstant.getEpochSecond * 1000000L + r.ts.toInstant.getNano / 1000L
+          val out = batch.toSeq.sortBy(r => (micros(r), r.id)).flatMap { r =>
+            val win = Math.floorDiv(micros(r), windowSeconds * 1000000L) * windowSeconds
+            if (win > st.winStart) st = RateState(win, 0)
+            if (win < st.winStart || st.count >= maxPerWindow) None
+            else {
+              st = RateState(st.winStart, st.count + 1)
+              Some(RateAdmit(key, r.id, win, st.count))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
       implicit spark: SparkSession): Dataset[TokenRecord] = {

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -79,4 +79,71 @@ object TextAnalysis {
   def fingerprint(tokens: Column): Column =
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * 31 + Text.md5Long(t), lit(FingerprintMod)))
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, App. A1.1)
+    * over whitespace tokens, one row per document:
+    *
+    *   - `dup_token_frac_e6`   — fraction of tokens that repeat an
+    *     earlier token: (m − m_distinct)/m.
+    *   - `top_bigram` / `top_bigram_frac_e6` — the most frequent word
+    *     2-gram (ties → lexicographically smallest) and the fraction of
+    *     non-space characters its occurrences cover: c·charlen/total.
+    *   - `dup_trigram_frac_e6` — fraction of non-space characters covered
+    *     by word 3-grams occurring ≥ 2×, occurrences counted with
+    *     overlap (the cheap standard variant of Gopher's duplicate-n-gram
+    *     character fraction): Σ_{c(g)≥2} c(g)·charlen(g) / total.
+    *
+    * Fractions are emitted as `floor(f·1e6)` longs (cross-engine-stable;
+    * see qualityScore). n-gram char length excludes the joiner spaces:
+    * charlen(g) = length(g) − (n−1).
+    *
+    * Shape for scale: n-gram construction is row-local (array slice over
+    * the token array — no self-join); the only shuffle is the
+    * groupBy (doc, n, gram) count plus the per-doc rollup, both keyed by
+    * doc id, so hot documents cannot skew a global key.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("total_chars"),
+        size(col("toks")).as("m"),
+        size(array_distinct(col("toks"))).as("m_distinct"))
+
+    def gramRows(n: Int): DataFrame = base
+      .select(col("id"), col("total_chars"), col("m"), col("m_distinct"),
+        lit(n).as("n"),
+        explode(when(col("m") >= n,
+          transform(sequence(lit(1), col("m") - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+          .otherwise(array())).as("gram"))
+
+    val counts = gramRows(2).unionByName(gramRows(3))
+      .groupBy("id", "total_chars", "m", "m_distinct", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+
+    // min(struct(-c, gram)) = (max count, then lexicographically-smallest
+    // gram) — a deterministic argmax without a window.
+    val perDoc = counts
+      .groupBy("id", "total_chars", "m", "m_distinct")
+      .agg(
+        min(when(col("n") === 2, struct((-col("c")).as("negc"), col("gram"))))
+          .as("top2"),
+        coalesce(sum(when(col("n") === 3 && col("c") >= 2,
+          col("c") * (length(col("gram")) - 2))), lit(0L)).as("dup3_chars"))
+
+    def e6(f: Column): Column = floor(f * 1e6).cast("long")
+    perDoc.select(
+      col("id").as(idCol),
+      e6((col("m") - col("m_distinct")).cast("double") / col("m"))
+        .as("dup_token_frac_e6"),
+      col("top2.gram").as("top_bigram"),
+      e6((-col("top2.negc") * (length(col("top2.gram")) - 1)).cast("double")
+        / col("total_chars")).as("top_bigram_frac_e6"),
+      e6(col("dup3_chars").cast("double") / col("total_chars"))
+        .as("dup_trigram_frac_e6"))
+  }
 }

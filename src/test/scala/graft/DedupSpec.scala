@@ -106,4 +106,19 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0L && v <= 1000000L))
     assert(got("rich") > got("short"))
   }
+
+  test("repetitionSignals: hand-computed fractions, overlap counting, tie-break") {
+    val df = Seq(
+      // toks [a b a b a b c]: m=7 distinct=3 chars=7; top bigram "a b"×3
+      // (charlen 2); dup trigrams "a b a"×2 + "b a b"×2 (charlen 3 each,
+      // overlap-counted → 12/7 exceeds 1e6 by design)
+      ("d1", "a b a b a b c"),
+      // all bigrams count 1 → tie broken to lexicographically smallest "a a"
+      ("d2", "b a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("d1") == ((571428L, "a b", 857142L, 1714285L)))
+    assert(got("d2") == ((500000L, "a a", 500000L, 0L)))
+  }
 }

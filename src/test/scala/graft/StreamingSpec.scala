@@ -223,6 +223,77 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("rateLimit admits maxPerWindow per key-window across batches and drops late windows") {
+    import graft.streaming.StreamingOps.{RateAdmit, RateRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[RateRecord]
+    val sq = StreamingOps.rateLimit(mem.toDS(), maxPerWindow = 2, windowSeconds = 3600L)
+      .writeStream.format("memory").queryName("rl")
+      .outputMode("append").start()
+    try {
+      val win10 = ts("2024-01-01 10:00:00").toInstant.getEpochSecond // hour-aligned
+      val win11 = win10 + 3600L
+      // batch 1: three records in the 10:00 window → first two admitted
+      mem.addData(
+        RateRecord("u", "c", ts("2024-01-01 10:20:00")),
+        RateRecord("u", "a", ts("2024-01-01 10:00:00")),
+        RateRecord("u", "b", ts("2024-01-01 10:10:00")))
+      sq.processAllAvailable()
+      assert(spark.table("rl").as[RateAdmit].collect().toSet ==
+        Set(RateAdmit("u", "a", win10, 1), RateAdmit("u", "b", win10, 2)))
+      // batch 2: same window → still capped (state persists); next window
+      // admits afresh
+      mem.addData(
+        RateRecord("u", "d", ts("2024-01-01 10:30:00")),
+        RateRecord("u", "e", ts("2024-01-01 11:10:00")))
+      sq.processAllAvailable()
+      assert(spark.table("rl").as[RateAdmit].collect().toSet ==
+        Set(RateAdmit("u", "a", win10, 1), RateAdmit("u", "b", win10, 2),
+          RateAdmit("u", "e", win11, 1)))
+      // batch 3: a record for the now-stale 10:00 window → late, dropped
+      mem.addData(RateRecord("u", "f", ts("2024-01-01 10:40:00")))
+      sq.processAllAvailable()
+      assert(spark.table("rl").count() == 3)
+    } finally sq.stop()
+  }
+
+  test("streamExactDedupWithTtl agrees with built-in dropDuplicatesWithinWatermark on suppress-then-readmit") {
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    // same scenario through both operators: duplicate inside the horizon
+    // is suppressed, the key re-admits once the horizon has passed
+    val m1 = MemoryStream[TimedDedupRecord]
+    val m2 = MemoryStream[TimedDedupRecord]
+    val sqTtl = StreamingOps.streamExactDedupWithTtl(
+        m1.toDS(), ttl = "30 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("cmp_ttl")
+      .outputMode("append").start()
+    val sqBuiltin = m2.toDS().toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("memory").queryName("cmp_builtin")
+      .outputMode("append").start()
+    val batches = Seq(
+      Seq(TimedDedupRecord("k", "a", ts("2024-01-01 10:00:00"))),
+      Seq(TimedDedupRecord("k", "b", ts("2024-01-01 10:10:00"))), // dup in-horizon
+      Seq(TimedDedupRecord("adv", "x", ts("2024-01-01 15:00:00"))), // advance watermark
+      Seq(TimedDedupRecord("k", "c", ts("2024-01-01 15:10:00")))) // re-admit
+    try {
+      batches.foreach { b =>
+        m1.addData(b: _*); m2.addData(b: _*)
+        sqTtl.processAllAvailable(); sqBuiltin.processAllAvailable()
+      }
+      val ttlIds = spark.table("cmp_ttl").as[DedupKeep].collect()
+        .filter(_.key == "k").map(_.id).toSet
+      val builtinIds = spark.table("cmp_builtin").collect()
+        .filter(_.getString(0) == "k").map(_.getString(1)).toSet
+      assert(ttlIds == Set("a", "c"), ttlIds.toString)
+      assert(builtinIds == ttlIds, s"builtin=$builtinIds ttl=$ttlIds")
+    } finally { sqTtl.stop(); sqBuiltin.stop() }
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
