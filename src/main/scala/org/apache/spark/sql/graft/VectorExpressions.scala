@@ -101,7 +101,7 @@ object VectorOps {
   * [[DotProduct]] kernel. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotProductFunction)
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -117,11 +117,24 @@ object GraftExtensions {
       DotProduct(children.head, children(1)): Expression
     })
 
+  /** The native kernel plus the whole scalar surface from
+    * [[graft.functions.SqlFunctions]] (tokenize, q-grams, shingles,
+    * hashes, language-ID, quality, fingerprint, hamming) — one
+    * `spark.sql.extensions=…GraftExtensions` makes the library fully
+    * SQL-usable. */
+  private[graft] val allFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    dotProductFunction +: graft.functions.SqlFunctions.all.map {
+      case (name, builder) =>
+        (FunctionIdentifier(name),
+          new ExpressionInfo(GraftExtensions.getClass.getName, name), builder)
+    }
+
   /** Register on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProductFunction
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    allFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** PQ kernels. The naive formulations repeat the DotProduct failure
