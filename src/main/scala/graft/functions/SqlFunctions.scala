@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.classic.ExpressionUtils.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.types.IntegerType
 import graft.text.TextAnalysis
 

@@ -62,6 +62,43 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_product(array(1.0D), array(2.0D))").head.getDouble(0) == 2.0)
   }
 
+  test("graft_* scalar surface is callable from SQL and matches the Column API") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val df = Seq(("The small RING-bearer, of 1990!", "42^^xsd:int"))
+      .toDF("text", "lit")
+    df.createOrReplaceTempView("sqlfn_probe")
+    val viaSql = spark.sql(
+      """SELECT graft_tokenize(text)       AS toks,
+        |       graft_tokenize(text, 5)    AS toks5,
+        |       graft_qgrams(text, 4)      AS qg,
+        |       graft_strip_datatype(lit)  AS stripped,
+        |       graft_md5_long(text)       AS h,
+        |       graft_lang_id(text)        AS lang,
+        |       graft_ws_tokens(text)      AS ws,
+        |       graft_bpe_tokens(text)     AS bpe,
+        |       graft_fingerprint(graft_tokenize(text)) AS fp,
+        |       graft_hamming(5L, 6L)      AS ham
+        |FROM sqlfn_probe""".stripMargin).head
+    val viaCol = df.select(
+      graft.functions.Text.tokenize(col("text")),
+      graft.functions.Text.tokenize(col("text"), 5),
+      graft.functions.Text.qgrams(col("text"), 4),
+      graft.functions.Text.stripDatatype(col("lit")),
+      graft.functions.Text.md5Long(col("text")),
+      graft.text.TextAnalysis.langId(col("text")),
+      graft.text.TextAnalysis.wsTokenCount(col("text")),
+      graft.text.TextAnalysis.bpeIshTokenCount(col("text")),
+      graft.text.TextAnalysis.fingerprint(graft.functions.Text.tokenize(col("text"))),
+      graft.functions.SimHash.hamming(lit(5L), lit(6L))).head
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.getSeq[String](0) == Seq("small", "ring", "bearer", "1990"))
+    // non-literal parameter where a literal is required → clear error
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_tokenize(text, length(text)) FROM sqlfn_probe")
+        .collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("concatValues wide vs triple agree on fixture A") {
     val wide = tableA.concatValues().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
