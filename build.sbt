@@ -15,6 +15,9 @@ run / fork := true
 // this the forked process's output goes through sbt's [info] logger and
 // the line never parses.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's "[success] Total time:" trailer would otherwise print
+// AFTER the JSON line, so the driver's last-line scrape never parses.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,7 +86,8 @@ object EncoderQueries {
         val enc = GraphPropagationEncoder(HashTokenEncoder(8), rounds = 2)
         enc.encode(attrFrame(s, dir), Some(relFrame(s, dir)))
           .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
-          .select(col("id"), col("pos"), round(col("v"), 6).as("v"))
+          // "+ 0.0" folds IEEE -0.0 to +0.0, mirroring the oracle SQL
+          .select(col("id"), col("pos"), (round(col("v"), 6) + lit(0.0)).as("v"))
           .orderBy("id", "pos")
       },
       Some(s"""$f0Sql,
@@ -96,7 +97,9 @@ object EncoderQueries {
               |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
               |${roundSql("f0", "f1")},
               |${roundSql("f1", "f2")}
-              |SELECT id, pos::int AS pos, round(v, 6) AS v
+              |-- "+ 0.0" folds IEEE -0.0 (DuckDB keeps the sign of a negative
+              |-- value that rounds to zero) to +0.0, matching Spark's output.
+              |SELECT id, pos::int AS pos, round(v, 6) + 0.0 AS v
               |FROM f2 ORDER BY id, pos""".stripMargin)),
 
     // ---- M9: LightEA three-view propagation, depth 2 ----------------------
@@ -110,7 +113,8 @@ object EncoderQueries {
         LightEAEncoder(HashTokenEncoder(8), depth = 2, dims = 8)
           .encode(attrFrame(s, dir), Some(relFrame(s, dir)))
           .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
-          .select(col("id"), col("pos"), round(col("v"), 6).as("v"))
+          // "+ 0.0" folds IEEE -0.0 to +0.0, mirroring the oracle SQL
+          .select(col("id"), col("pos"), (round(col("v"), 6) + lit(0.0)).as("v"))
           .orderBy("id", "pos")
       },
       Some(s"""$f0Sql,
@@ -152,8 +156,10 @@ object EncoderQueries {
               |  UNION ALL SELECT id, pos + 8, v FROM e1
               |  UNION ALL SELECT id, pos + 16, v FROM e2),
               |fn AS (SELECT id, sqrt(sum(v*v)) AS nrm FROM stack GROUP BY id)
+              |-- "+ 0.0" folds IEEE -0.0 (DuckDB keeps the sign of a negative
+              |-- value that rounds to zero) to +0.0, matching Spark's output.
               |SELECT s.id, s.pos::int AS pos,
-              |       round(CASE WHEN fn.nrm = 0 THEN s.v ELSE s.v / fn.nrm END, 6) AS v
+              |       round(CASE WHEN fn.nrm = 0 THEN s.v ELSE s.v / fn.nrm END, 6) + 0.0 AS v
               |FROM stack s JOIN fn USING (id) ORDER BY id, pos""".stripMargin)),
 
     // ---- W5: Sinkhorn re-ranking over kNN candidates ----------------------
