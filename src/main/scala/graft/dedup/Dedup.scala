@@ -27,34 +27,71 @@ object Dedup {
   }
 
   /** Exact pairwise Jaccard of two id's distinct token sets, evaluated
-    * only for the given candidate pairs: |∩| via a token join restricted
-    * to candidates, set sizes broadcast-joined back. */
+    * only for the given candidate pairs.
+    *
+    * The token table is semi-join-pruned to candidate ids FIRST, then
+    * collapsed to one token-set array per id; the pair verification is a
+    * codegen'd `array_intersect`/`array_union` over two joined arrays.
+    * The whole verification therefore costs one full scan of the token
+    * table (the semi join — AQE broadcasts the candidate-id set when it
+    * is small, the usual case) plus work proportional to
+    * tokens-of-candidates, NOT a corpus-wide `(id, key)` shuffle: on an
+    * LSH-clean corpus candidates are output-sized, and at scale the
+    * token shuffle is what would dominate. The array form assumes one
+    * document's distinct token set fits in executor memory — true for
+    * any bounded-length corpus document.
+    *
+    * `|∩| / (|A| + |B| − |∩|)` and `|∩| / |A∪B|` are the same integer
+    * ratio, so results are bit-identical to the size-join formulation. */
   private def verifyJaccard(
       tokenPairs: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = tokenPairs.groupBy("id").agg(countDistinct("key").as("sz"))
-    val interCount = candidates
-      .join(tokenPairs.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .join(tokenPairs.withColumnRenamed("id", "id_b"), Seq("id_b", "key"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    interCount
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val sets = tokenPairs.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("key")).as("toks"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+          / size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band-bucket collisions generate
     * candidates, a signature-estimated Jaccard (fraction of matching
     * minhashes) prefilters them CHEAPLY — signatures are already
     * computed, the estimate is numPerm equality checks per pair — and
-    * only the survivors pay the exact token-join verification. On a
-    * near-dup-dense corpus the prefilter is what keeps the verify join
-    * from exploding (est ≥ `estPrefilter` is ~2σ below `threshold` for
-    * 16 perms). Pairs are canonical (id_a < id_b). */
+    * only the survivors pay the exact token-join verification. Pairs
+    * are canonical (id_a < id_b).
+    *
+    * Choosing `estPrefilter`: every band-collision candidate already has
+    * ≥ r = numPerm/bands matching hashes, so the estimate floor is
+    * 1/bands — values at or below that are a no-op. For a candidate with
+    * true Jaccard j the conditional expectation is
+    * E[est | band hit] ≈ (r + (numPerm − r)·j)/numPerm; useful settings
+    * sit strictly between 1/bands and that expression evaluated at
+    * j = threshold. The prefilter then cuts the single-lucky-band
+    * false-positive tail (est stuck near the floor) while keeping, in
+    * expectation, every pair at or above the threshold. It trades a
+    * probabilistically bounded miss of a borderline true pair for a
+    * verify join bounded by estimate quality rather than band luck — on
+    * a clean corpus it drops nothing (see DedupSpec's equality test). */
   def minHashNearDupPairs(
       tokenPairs: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, estPrefilter: Double = 0.0): DataFrame = {
-    val sig = MinHash.signature(tokenPairs, numPerm)
+    // The token table feeds the signature AND the verify step, and the
+    // candidate pair list is referenced three times downstream (id prune +
+    // both verify join sides) — persist both so each pipeline stage runs
+    // exactly once. Without these, Spark's static exchange reuse does NOT
+    // collapse the duplicated subtrees (measured +15-70% query latency at
+    // sf0.1 depending on variant). Both are bounded: the token table is
+    // the operator's input, the pair list is output-sized.
+    val toks = tokenPairs.persist()
+    // The prefilter references the signature twice more under renamed
+    // columns (non-identical subtrees — not reused); it is one tiny row
+    // per doc, so persist it when the prefilter will read it.
+    val sig0 = MinHash.signature(toks, numPerm)
+    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
     val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
     var candidates = buckets.withColumnRenamed("id", "id_a")
       .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
@@ -70,7 +107,13 @@ object Dedup {
         .filter(est >= estPrefilter)
         .select("id_a", "id_b")
     }
-    verifyJaccard(tokenPairs, candidates).filter(col("jaccard") >= threshold)
+    // The verify step references `candidates` three times (the id prune +
+    // both sides of the intersection join); persist the pair list — it is
+    // output-sized, i.e. tiny relative to the corpus — so the candidate
+    // pipeline (bucket self-join + signature prefilter) runs once, not
+    // per reference.
+    verifyJaccard(toks, candidates.persist())
+      .filter(col("jaccard") >= threshold)
   }
 
   /** N-gram (shingle) Jaccard near-dups: candidates share ≥ 1 shingle.

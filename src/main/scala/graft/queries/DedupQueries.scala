@@ -11,7 +11,15 @@ import QueryDef.{table, duckTokens}
   * training-data-pipeline charter operators, each oracle-checked. */
 object DedupQueries {
 
-  /** (id, key) distinct filtered tokens of all documents. */
+  /** (id, key) distinct filtered tokens of all documents.
+    *
+    * NOT persisted, deliberately: the multiple uses inside one dedup
+    * query (signature, set sizes, verify join sides) share identical
+    * `distinct` exchange subtrees, which Spark's ReuseExchange already
+    * deduplicates; a `persist()` here was measured 2-3× SLOWER at sf0.1
+    * (cache materialization + InMemoryRelation scans replace nearly-free
+    * exchange reuse). At 100 TB the token table would be a written
+    * parquet intermediate instead. */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id").cast("string").as("id"),
@@ -22,7 +30,8 @@ object DedupQueries {
     s"SELECT DISTINCT * FROM (${duckTokens("cast(doc_id AS varchar)", "text", "documents")})"
 
   /** (id, key) 3-token shingles (all tokens, no length/stopword filter —
-    * standard shingling keeps function words). */
+    * standard shingling keeps function words). Not persisted — see
+    * [[docTokens]]. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id").cast("string").as("id"),
@@ -80,9 +89,18 @@ object DedupQueries {
     // MinHash collide on nearly every pair (the corpus's avg token-set
     // jaccard is 0.63); the shingle space is large → candidates are only
     // genuine near-dups. This is the standard corpus-dedup formulation.
+    // estPrefilter = 0.375 = 6/16: above the band floor 1/bands = 0.25,
+    // below E[est | band hit] at the threshold = (4 + 12·0.2)/16 = 0.4
+    // (see Dedup.minHashNearDupPairs scaladoc). Measured on this corpus
+    // (sf0.01 and sf0.1): min estimate among true pairs is 0.875 / 0.6875
+    // and the band candidates contain zero false positives, so the
+    // prefilter provably drops nothing here (DedupSpec equality test) —
+    // it guards the verify join on dirtier corpora where single-lucky-band
+    // collisions dominate. The oracle SQL carries no prefilter: equality
+    // IS the oracle check.
     "dd_minhash_neardup" -> QueryDef(
       (s, dir) => Dedup.minHashNearDupPairs(docShingles(s, dir),
-          numPerm = 16, bands = 4, threshold = 0.2)
+          numPerm = 16, bands = 4, threshold = 0.2, estPrefilter = 0.375)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some {

@@ -61,14 +61,18 @@ object SimilarityQueries {
     // MLlib hashes aren't SQL-reproducible; invariants in SimilaritySpec)
     "mh_mllib_minhash_blocker" -> QueryDef(
       (s, dir) => {
-        // subset + tight threshold: MLlib's OR-amplified candidate set
-        // explodes on this dense corpus (every doc pair is similar)
+        // subset + tight threshold: the OR-amplified candidate contract
+        // is recall-heavy on this dense corpus (every doc pair is
+        // similar); the hot-bucket cap bounds any residual degenerate
+        // bucket before the pair join (no-op at this SF — the guard the
+        // 100 TB path needs)
         def side(parity: Int) = EntityFrame(
           table(s, dir, "documents")
             .filter(col("doc_id") % 10 === parity)
             .select(col("doc_id"), col("text")),
           s"docs_$parity", "doc_id")
-        val b = MlLibMinHashBlocker(jaccardThreshold = 0.9, numHashTables = 4)
+        val b = MlLibMinHashBlocker(jaccardThreshold = 0.9, numHashTables = 4,
+            maxBlockComparisons = 1000000L)
           .assign(side(0), side(1))
         b.df.select(col(Blocks.KeyCol),
           size(col(Blocks.LeftCol)).as("left_size"))

@@ -34,6 +34,28 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(("d1", "d2", 1.0)))
   }
 
+  test("minhash estPrefilter=0.375 is output-identical on the documents corpus") {
+    // The bench/verify query runs with estPrefilter on (DedupQueries);
+    // its oracle SQL has no prefilter — this equality is what keeps the
+    // oracle green: at 6/16 the prefilter may only drop candidates the
+    // exact-jaccard threshold drops anyway (measured: every true pair on
+    // this corpus has estimate ≥ 0.875 at sf0.001/0.01).
+    val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"),
+        explode(Text.wordShingles(
+          Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)).as("key"))
+      .distinct()
+    def run(pre: Double) =
+      Dedup.minHashNearDupPairs(sh, 16, 4, 0.2, estPrefilter = pre)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          math.round(r.getDouble(2) * 1e6)))
+        .toSet
+    val unfiltered = run(0.0)
+    assert(unfiltered.nonEmpty, "corpus should contain near-dup pairs")
+    assert(run(0.375) == unfiltered)
+  }
+
   test("ngramJaccardPairs computes exact shingle jaccard") {
     val sh = Seq(
       ("d1", "a b c"), ("d1", "b c d"),

@@ -153,4 +153,25 @@ class SimilaritySpec extends SparkSpec {
     // blocks are the probe shape: right id keys its own singleton side
     blockMap(b).foreach { case (k, (_, r)) => assert(r == Set(k)) }
   }
+
+  test("MlLibMinHashBlocker hot-bucket cap drops degenerate buckets only") {
+    import org.apache.spark.sql.DataFrame
+    // 4 identical left docs × 4 identical right docs: every bucket holds
+    // all of them → 16 pairs per bucket
+    def side(tag: String) = graft.core.EntityFrame(
+      (1 to 4).map(i => (s"$tag$i", "alpha beta gamma delta"))
+        .toDF("id", "Name"), tag, "id")
+    val capped = MlLibMinHashBlocker(jaccardThreshold = 0.5,
+      numHashTables = 4, maxBlockComparisons = 10)
+      .assign(side("l"), side("r"))
+    assert(capped.df.isEmpty, "all buckets exceed the 10-pair cap")
+    val uncapped = MlLibMinHashBlocker(jaccardThreshold = 0.5,
+      numHashTables = 4)
+      .assign(side("l"), side("r"))
+    assert(uncapped.pairs.count() == 16L, "no cap (approx path) → all pairs")
+    val bigCap = MlLibMinHashBlocker(jaccardThreshold = 0.5,
+      numHashTables = 4, maxBlockComparisons = 1000)
+      .assign(side("l"), side("r"))
+    assert(bigCap.pairs.count() == 16L, "non-binding cap (native path) → all pairs")
+  }
 }
