@@ -8,21 +8,27 @@ import graft.functions.Text
   * pipelines: media travels as opaque `binary` columns + typed metadata;
   * decode/feature-extraction runs per-partition over the binary batches.
   *
-  * The container has no media codecs, so the decode kernels are
-  * DETERMINISTIC STUBS (clearly marked below) — but everything Spark
-  * cares about is real and tested: schemas, partitioning, the
-  * per-partition batch iteration shape (`mapPartitions` over a typed
-  * Dataset — the Scala analog of pandas-batched UDFs), and the
-  * column-level metadata path.
+  * Image metadata decode is REAL — [[decodeImageMeta]] reads true
+  * width/height for any format the JDK's `javax.imageio` registry
+  * understands (PNG, JPEG, GIF, BMP, WBMP — header-only, no pixel
+  * decode), falling back to a deterministic hash stand-in for payloads
+  * that aren't images. The remaining kernels (feature extraction,
+  * resize) are DETERMINISTIC STUBS (clearly marked below) since the
+  * container carries no ML codecs — but everything Spark cares about is
+  * real and tested: schemas, partitioning, the per-partition batch
+  * iteration shape (`mapPartitions` over a typed Dataset — the Scala
+  * analog of pandas-batched UDFs), and the column-level metadata path.
   */
 object Multimodal {
 
   /** Typed record for one media blob. */
   final case class MediaRecord(id: Long, data: Array[Byte])
 
-  /** Decoded metadata (what a real image decode would yield). */
+  /** Decoded metadata. `decoded` is true when width/height came from a
+    * real image header, false when from the hash fallback. */
   final case class MediaMeta(
-      id: Long, nBytes: Long, contentHash: String, width: Int, height: Int)
+      id: Long, nBytes: Long, contentHash: String, width: Int, height: Int,
+      decoded: Boolean)
 
   /** Feature vector per media item (what a real feature extractor —
     * CLIP, mel-spectrogram, … — would yield). */
@@ -36,8 +42,10 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("data"))
 
   /** Column-level metadata "decode": sizes, content hash, and pseudo
-    * dimensions derived from the hash — pure codegen'd expressions.
-    * STUB: width/height of a real decoder would come from the codec. */
+    * dimensions derived from the hash — pure codegen'd expressions for
+    * pipelines that only need stable per-blob identifiers, not real
+    * dimensions. [[decodeImageMeta]] is the real decode; its non-image
+    * fallback reproduces these exact values. */
   def decodeMeta(df: DataFrame): DataFrame =
     df.select(
       col("id"),
@@ -45,6 +53,57 @@ object Multimodal {
       md5(col("data")).as("content_hash"),
       (Text.md5Long(col("data").cast("string")) % 1280 + 1).cast("int").as("width"),
       (Text.md5Long(concat(col("data").cast("string"), lit("h"))) % 720 + 1).cast("int").as("height"))
+
+  /** Header-only image dimension read via the JDK ImageIO registry: the
+    * matching `ImageReader` parses only the header (`getWidth/getHeight`
+    * on an unread image index) — no pixel decode, so cost per blob is
+    * O(header), not O(pixels). None when no installed reader recognizes
+    * the payload. */
+  private[multimodal] def imageDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Per-partition typed image-metadata decode — REAL width/height for
+    * anything `javax.imageio` can read (PNG/JPEG/GIF/BMP headers ship
+    * with every JDK), deterministic hash fallback (bit-identical to
+    * [[decodeMeta]]'s columns) otherwise, flagged via `decoded`. The
+    * digest instance is allocated once per partition — the init-once
+    * shape a heavier codec needs. */
+  def decodeImageMeta(ds: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(b: Array[Byte]): String =
+        digest.digest(b).map(x => f"$x%02x").mkString
+      // first 15 hex chars of md5 as a non-negative long — must stay in
+      // lockstep with functions.Text.md5Long
+      def md5Long15(b: Array[Byte]): Long =
+        java.lang.Long.parseLong(md5Hex(b).substring(0, 15), 16)
+      it.map { r =>
+        val (w, h, real) = imageDimensions(r.data) match {
+          case Some((w, h)) => (w, h, true)
+          case None =>
+            ((md5Long15(r.data) % 1280 + 1).toInt,
+             (md5Long15(r.data ++ "h".getBytes("UTF-8")) % 720 + 1).toInt,
+             false)
+        }
+        MediaMeta(r.id, r.data.length.toLong, md5Hex(r.data), w, h, real)
+      }
+    }
+  }
 
   /** Per-partition typed decode — the batch-iteration shape a real codec
     * needs (one codec instance per partition, streaming over records).

@@ -182,10 +182,23 @@ object EventQueries {
              |ORDER BY user_id, sess_start""".stripMargin)),
 
     // ---- multimodal: metadata decode over binary columns ------------------
+    // runs the REAL per-partition ImageIO decode path; the synthetic
+    // corpus payloads are text, so every row takes the deterministic
+    // fallback (bit-identical to the column stub — the oracle covers it);
+    // real-PNG decoding is asserted in MultimodalSpec. `decoded` is
+    // projected away: DuckDB sees only the text-reproducible columns.
     "mm_decode_meta" -> QueryDef(
-      (s, dir) => Multimodal.decodeMeta(
-          Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text"))
-        .orderBy("id"),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        Multimodal.decodeImageMeta(
+            Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text")
+              .as[Multimodal.MediaRecord])
+          .toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"),
+            col("contentHash").as("content_hash"), col("width"), col("height"))
+          .orderBy("id")
+      },
       Some("""SELECT doc_id AS id, octet_length(encode(text))::bigint AS n_bytes,
              |       md5(text) AS content_hash,
              |       (('0x'||substr(md5(text), 1, 15))::bigint % 1280 + 1)::int AS width,

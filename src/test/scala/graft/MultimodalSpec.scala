@@ -22,6 +22,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImageMeta reads true dimensions from real PNG/JPEG bytes") {
+    implicit val s = spark
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+      out.toByteArray
+    }
+    val ds = Seq(
+      MediaRecord(1L, imageBytes("png", 17, 9)),
+      MediaRecord(2L, imageBytes("jpg", 33, 21)),
+      MediaRecord(3L, "not an image at all".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.decodeImageMeta(ds).collect()
+      .map(m => m.id -> m).toMap
+    assert(got(1L).width == 17 && got(1L).height == 9 && got(1L).decoded)
+    assert(got(2L).width == 33 && got(2L).height == 21 && got(2L).decoded)
+    assert(!got(3L).decoded)
+  }
+
+  test("decodeImageMeta fallback is bit-identical to the decodeMeta columns") {
+    implicit val s = spark
+    val typed = Multimodal.decodeImageMeta(
+        media.select(col("id"), col("data")).as[MediaRecord])
+      .collect().map(m => (m.id, m.nBytes, m.contentHash, m.width, m.height)).toSet
+    val columnar = Multimodal.decodeMeta(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(typed == columnar)
+  }
+
   test("decodeFeatures runs per-partition over typed records") {
     implicit val s = spark
     val ds = media.select(col("id"), col("data")).as[MediaRecord]
