@@ -25,6 +25,33 @@ object Gold {
       .select(col(c).as("_c"), col(e).cast("string").as("right_id"))
     l.join(r, Seq("_c")).select("left_id", "right_id").distinct()
   }
+
+  /** Bucketed sink for gold pair tables (the [[Blocks.writeBucketed]]
+    * treatment): bucketed + sorted on BOTH pair columns — the TP join
+    * ([[graft.eval.Evaluation]]) keys on the full pair, and Spark only
+    * consumes a bucket spec when the join keys match the bucket keys
+    * exactly (subset co-partitioning is off by default). Candidate-pair
+    * tables written with the same bucket count join with no exchange and
+    * no sort. [[Evaluation]] broadcasts gold when it is small (the usual
+    * case); this is the path for gold standards too large to
+    * broadcast. */
+  def writeBucketed(
+      pairs: DataFrame, table: String, path: String, buckets: Int): Unit = {
+    val Array(l, r) = pairs.columns.take(2)
+    pairs.select(col(l).cast("string").as("left_id"),
+        col(r).cast("string").as("right_id"))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "left_id", "right_id")
+      .sortBy("left_id", "right_id")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Source for [[writeBucketed]] tables — resolves through the catalog
+    * so the scan keeps the bucket spec. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }
 
 /** S7: persist/restore entity embeddings as parquet — replaces the

@@ -16,15 +16,24 @@ import graft.text.TextAnalysis
   * wrapper), so SQL use keeps whole-stage codegen.
   *
   * Optional numeric parameters (tokenizer min length, q-gram width,
-  * shingle size) must be foldable int literals — they parameterize the
-  * generated expression tree, they are not runtime values.
+  * shingle size) must be foldable int expressions — they parameterize
+  * the generated expression tree, they are not runtime values. Foldable
+  * covers both bare literals and constant arithmetic (`2 + 1`): builders
+  * run BEFORE the optimizer's constant folding, so [[intLit]] evaluates
+  * the foldable tree itself.
   */
 object SqlFunctions {
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval() match {
+        case v: Int => v
+        case _ => throw new IllegalArgumentException(
+          s"$fn expects a non-null foldable int parameter, got $other")
+      }
     case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int parameter, got $other")
+      s"$fn expects a foldable int parameter, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], allowed: Range): Unit =

@@ -18,6 +18,15 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
   * function-registry builder must return a plain unresolved Catalyst tree
   * for the analyzer to resolve — a deferred column-node wrapper survives
   * analysis unconverted and fails at codegen with INTERNAL_ERROR.
+  *
+  * Scope note: the default converter resolves its parser/SQLConf from the
+  * ACTIVE session (bare `SparkSqlParser` fallback when none). `toExpr` is
+  * therefore intended for ANALYSIS-TIME use — function-registry builders
+  * run by the analyzer, where the active session is the right one by
+  * construction. Calling it with no active session, or under another
+  * extension that installs a custom converter for its own column nodes,
+  * bypasses that converter — don't use it as a general-purpose eager
+  * Column unwrapper outside the builder path.
   */
 object ColumnBridge {
   def toCol(e: Expression): Column = ExpressionUtils.column(e)

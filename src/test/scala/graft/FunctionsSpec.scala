@@ -92,11 +92,17 @@ class FunctionsSpec extends SparkSpec {
       graft.functions.SimHash.hamming(lit(5L), lit(6L))).head
     assert(viaSql.toSeq == viaCol.toSeq)
     assert(viaSql.getSeq[String](0) == Seq("small", "ring", "bearer", "1990"))
-    // non-literal parameter where a literal is required → clear error
+    // foldable (but non-literal) parameter: builders run before constant
+    // folding, so intLit must evaluate it itself
+    val folded = spark.sql(
+      "SELECT graft_qgrams(text, 2 + 2) AS qg FROM sqlfn_probe").head
+    assert(folded.getSeq[String](0) ==
+      viaSql.getSeq[String](2), "2 + 2 must behave as literal 4")
+    // non-foldable parameter where a constant is required → clear error
     val err = intercept[Exception](
       spark.sql("SELECT graft_tokenize(text, length(text)) FROM sqlfn_probe")
         .collect())
-    assert(err.getMessage.toLowerCase.contains("literal"))
+    assert(err.getMessage.toLowerCase.contains("foldable"))
   }
 
   test("concatValues wide vs triple agree on fixture A") {

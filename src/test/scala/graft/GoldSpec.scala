@@ -31,6 +31,38 @@ class GoldSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("bucketed gold joins candidate pairs with no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("gold").toString
+    val gold = (1 to 5).map(i => (s"a$i", s"b$i")).toDF("A", "B")
+    // a materialized candidate-pair table, bucketed like the gold sink
+    val cand = Seq(("a1", "b1"), ("a2", "b9"), ("a3", "b3"))
+      .toDF("left_id", "right_id")
+    Gold.writeBucketed(gold, "gold_bkt", s"$dir/g", 4)
+    Gold.writeBucketed(cand, "cand_bkt", s"$dir/c", 4)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // tiny tables would broadcast; force the shuffle-free bucketed path
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val g = Gold.readBucketed(spark, "gold_bkt")
+      val c = Gold.readBucketed(spark, "cand_bkt")
+      // the TP join keys on (left_id, right_id) ⊇ the bucket key, so the
+      // bucket spec satisfies the join's required distribution
+      val tp = c.join(g, Seq("left_id", "right_id"))
+      assert(!tp.queryExecution.executedPlan.toString.contains("Exchange"),
+        tp.queryExecution.executedPlan.toString)
+      assert(tp.count() == 2)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS gold_bkt")
+      spark.sql("DROP TABLE IF EXISTS cand_bkt")
+    }
+  }
+
   test("M12 composition: cluster distinct attribute values, block on labels") {
     // attribute-clustering blocker = encode distinct values → cluster →
     // label as pseudo-token → standard block join (SURVEY M12 shape)

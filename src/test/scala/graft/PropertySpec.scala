@@ -72,6 +72,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("purge threshold matches a driver-side reference of the cc-plateau rule") {
+    // reference semantics (blocks.py:172-244, SURVEY W3): distinct-card
+    // rows sorted ascending, cc = round(cumAsg/cumCard, 2); the first row
+    // whose cc duplicates ANY earlier cc (pandas duplicated(keep="first"))
+    // sets threshold = its cumulative card; no duplicate → keep all.
+    // Representative per duplicate card = min block_key (the documented
+    // determinism divergence from the reference's frame order).
+    val blocksGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 40)
+      l <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"a$i"))
+      r <- Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"b$i"))
+    } yield (f"k$k%02d", (l.distinct, r.distinct)))
+    forAll(blocksGen) { xs =>
+      val m = xs.toMap
+      val stats = m.map { case (k, (l, r)) =>
+        (k, l.size.toLong * r.size, l.size.toLong + r.size) }.toSeq
+      val rep = stats.groupBy(_._2).toSeq
+        .map { case (card, rows) => (card, rows.minBy(_._1)._3) }
+        .sortBy(_._1)
+      var c = 0L
+      var a = 0L
+      val cum = rep.map { case (card, asg) =>
+        c += card; a += asg
+        // Spark's round(): BigDecimal HALF_UP, not scala.math.round
+        (c, BigDecimal(a.toDouble / c)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val seen = scala.collection.mutable.Set.empty[Double]
+      val flagged = cum.filter { case (_, cc) =>
+        val dup = seen.contains(cc); seen += cc; dup }
+      val threshold =
+        if (flagged.nonEmpty) flagged.map(_._1).min else cum.last._1
+      val wantKept = stats.filter(_._2 <= threshold).map(_._1).toSet
+      val kept = blockMap(blocksOf(m).purge()).keySet
+      assert(kept == wantKept,
+        s"threshold=$threshold cum=$cum kept=$kept want=$wantKept")
+    }
+  }
+
   test("cap and purge keep only blocks at-or-below a comparison threshold") {
     val blocksGen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0, 20)
