@@ -223,6 +223,46 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamExactDedupWithTtl agrees with dropDuplicatesWithinWatermark on in-horizon duplicates") {
+    // Spark's built-in is the reference semantics for TTL-scoped
+    // first-occurrence dedup: run the SAME input through both operators
+    // (ttl == watermark delay) and compare the kept keys. Ours
+    // additionally carries WHICH id was kept — asserted separately.
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val feed = Seq(
+      Seq(TimedDedupRecord("k", "a", ts("2024-01-01 10:00:00")),
+          TimedDedupRecord("u", "x", ts("2024-01-01 10:05:00"))),
+      Seq(TimedDedupRecord("k", "b", ts("2024-01-01 10:10:00")), // dup in horizon
+          TimedDedupRecord("v", "y", ts("2024-01-01 10:12:00"))))
+    val memOurs = MemoryStream[TimedDedupRecord]
+    val memRef = MemoryStream[TimedDedupRecord]
+    val sqOurs = StreamingOps.streamExactDedupWithTtl(
+        memOurs.toDS(), ttl = "30 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ddw_ours")
+      .outputMode("append").start()
+    val sqRef = memRef.toDS()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("memory").queryName("ddw_ref")
+      .outputMode("append").start()
+    try {
+      feed.foreach { batch =>
+        memOurs.addData(batch)
+        memRef.addData(batch)
+        sqOurs.processAllAvailable()
+        sqRef.processAllAvailable()
+      }
+      val ours = spark.table("ddw_ours").as[DedupKeep].collect().toSet
+      val ref = spark.table("ddw_ref").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(ours.map(_.key) == ref.keySet)
+      assert(ours == Set(DedupKeep("k", "a"), DedupKeep("u", "x"), DedupKeep("v", "y")))
+      assert(ref("k") == "a", "built-in also keeps the first arrival")
+    } finally { sqOurs.stop(); sqRef.stop() }
+  }
+
   test("rateLimit admits maxPerWindow per key-window across batches and drops late windows") {
     import graft.streaming.StreamingOps.{RateAdmit, RateRecord}
     implicit val sqlCtx = spark.sqlContext
