@@ -160,6 +160,58 @@ object SimilarityQueries {
              |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // ---- M13: CSLS hubness-reduced kNN over brute candidates --------------
+    // candidate stream = exact top-10 (so the candidate-graph scales are
+    // reproducible in SQL); scaleK = 5, final k = 3
+    "m13_csls_knn" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cand = Similarity.topKCosine(l, r, 10)
+        Similarity.cslsRerank(cand, k = 3, scaleK = 5)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            round(col("csls"), 6).as("csls"))
+          .orderBy("left_id", "rank")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |dots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT left_id, right_id, dot / (na.nrm * nb.nrm) AS cos
+             |  FROM dots JOIN norms na ON na.vec_id = left_id
+             |            JOIN norms nb ON nb.vec_id = right_id),
+             |cand AS (
+             |  SELECT left_id, right_id, cos FROM (
+             |    SELECT left_id, right_id, cos, row_number() OVER (
+             |      PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS r
+             |    FROM scored) WHERE r <= 10),
+             |rl AS (
+             |  SELECT left_id, avg(cos) AS rq FROM (
+             |    SELECT left_id, cos, row_number() OVER (
+             |      PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS r
+             |    FROM cand) WHERE r <= 5 GROUP BY left_id),
+             |rr AS (
+             |  SELECT right_id, avg(cos) AS rt FROM (
+             |    SELECT right_id, cos, row_number() OVER (
+             |      PARTITION BY right_id ORDER BY cos DESC, left_id ASC) AS r
+             |    FROM cand) WHERE r <= 5 GROUP BY right_id),
+             |cs AS (
+             |  SELECT c.left_id, c.right_id, 2 * c.cos - rl.rq - rr.rt AS csls
+             |  FROM cand c JOIN rl USING (left_id) JOIN rr USING (right_id)),
+             |ranked AS (SELECT left_id, right_id, csls, row_number() OVER (
+             |    PARTITION BY left_id ORDER BY csls DESC, right_id ASC) AS rank
+             |  FROM cs)
+             |SELECT left_id, rank::int AS rank, right_id, round(csls, 6) AS csls
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- IVF kNN: label buckets, nearest-centroid probe -------------------
     "ann_ivf_label" -> QueryDef(
       (s, dir) => {

@@ -149,6 +149,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** M13: CSLS hubness-reduced re-rank (reference: kiez hubness
+    * reduction inside KiezEmbeddingBlockBuilder,
+    * blockers/embedding/blockbuilder.py:107-167; method: cross-domain
+    * similarity local scaling, Lample et al., ICLR'18 — the standard
+    * hubness correction for entity-alignment kNN). Hubs — vectors that
+    * appear in everyone's neighbor list — are demoted by subtracting
+    * each side's local similarity scale:
+    *
+    *   csls(q, x) = 2·cos(q, x) − r_L(q) − r_R(x)
+    *
+    * where r_L(q) = mean of q's top-`scaleK` candidate cosines and
+    * r_R(x) = mean of x's top-`scaleK` cosines over the REVERSE view of
+    * the same candidate stream. Input is any (left_id, right_id, cos)
+    * candidate stream — brute force, IVF, or LSH — so hubness reduction
+    * composes with every candidate strategy, like kiez layers it over
+    * any NN algorithm. Like kiez (which fits on the n_candidates
+    * neighbor graph), the scales are computed on the given candidate
+    * graph, not a separate exact search: over a brute-force stream the
+    * two coincide exactly.
+    *
+    * Scale shape: two window-rank passes + two per-id aggregates + two
+    * joins, all keyed on candidate ids — cost is O(candidates), the
+    * stream is persisted because four subplans consume it (bounded:
+    * candidate-stream-sized). Output keeps raw `cos` alongside `csls`
+    * and re-ranks per left id by csls (tie-break right id). */
+  def cslsRerank(candidates: DataFrame, k: Int, scaleK: Int): DataFrame = {
+    val cand = candidates.select("left_id", "right_id", "cos").persist()
+    val wL = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
+    val wR = Window.partitionBy("right_id").orderBy(col("cos").desc, col("left_id").asc)
+    val rL = cand.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") <= scaleK)
+      .groupBy("left_id").agg(avg("cos").as("_rq"))
+    val rR = cand.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= scaleK)
+      .groupBy("right_id").agg(avg("cos").as("_rt"))
+    val scored = cand.join(rL, Seq("left_id")).join(rR, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("cos"),
+        (lit(2.0) * col("cos") - col("_rq") - col("_rt")).as("csls"))
+    val w = Window.partitionBy("left_id").orderBy(col("csls").desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Scale path of [[selfJoinNearDup]]: only pairs sharing a sign-LSH
     * bucket are compared — the self-join becomes an equi-join on the
     * bucket key (shuffle, no nested loop). Recall is bounded by bucket

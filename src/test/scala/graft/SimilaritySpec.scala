@@ -154,6 +154,29 @@ class SimilaritySpec extends SparkSpec {
     blockMap(b).foreach { case (k, (_, r)) => assert(r == Set(k)) }
   }
 
+  test("cslsRerank demotes a hub target that raw cosine ranks first") {
+    // 2D fixture by angle: queries q1@0°, q2@20°; targets hub@10°
+    // (near BOTH queries) and t2@-15° (near q1 only). Raw cosine ranks
+    // the hub first for q1 (cos10° > cos15°); CSLS subtracts the hub's
+    // high local scale r_R(hub)=cos10° and flips q1's top-1 to t2:
+    //   csls(q1,hub) = 2cos10° − (cos10°+cos15°)/2 − cos10°     ≈ 0.010
+    //   csls(q1,t2)  = 2cos15° − (cos10°+cos15°)/2 − (cos15°+cos35°)/2 ≈ 0.064
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val qs = Seq(("q1", at(0)), ("q2", at(20))).toDF("id", "vec")
+    val ts = Seq(("hub", at(10)), ("t2", at(-15))).toDF("id", "vec")
+    val cand = Similarity.topKCosine(qs, ts, k = 2)
+    val raw1 = cand.filter(col("left_id") === "q1" && col("rank") === 1)
+      .head.getString(1)
+    assert(raw1 == "hub", "raw cosine must rank the hub first")
+    val csls = Similarity.cslsRerank(cand, k = 1, scaleK = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap // left -> right
+    assert(csls("q1") == "t2", s"CSLS must demote the hub: $csls")
+    assert(csls("q2") == "hub", "hub stays best where it truly is nearest")
+  }
+
   test("MlLibMinHashBlocker hot-bucket cap drops degenerate buckets only") {
     import org.apache.spark.sql.DataFrame
     // 4 identical left docs × 4 identical right docs: every bucket holds
