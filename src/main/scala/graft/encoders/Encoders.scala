@@ -91,6 +91,41 @@ object PcRemoval {
       .withColumn("vec", zip_with(col("vec"), pc, (x, p) => x - col("_dot") * p))
       .drop("_dot")
   }
+
+  /** M5's dim-reduce step, substituted: the reference reduces SIF
+    * embeddings with UMAP (pretrained.py:427-596, no Spark equivalent —
+    * neighbor-graph optimization on the driver); this is the documented
+    * linear stand-in, a TruncatedSVD-style PCA projection onto the top
+    * `outDims` right-singular vectors (uncentered, like the reference's
+    * own TruncatedSVD usage and [[removeFirstPc]]).
+    *
+    * Unlike PC removal, projection COORDINATES flip sign with the
+    * singular vector, so each component is canonicalized: the entry with
+    * the largest |value| (first such index on ties) is made positive —
+    * output is deterministic across eigensolvers.
+    *
+    * Scale: same shape as [[removeFirstPc]] — one distributed Gramian
+    * pass (d×d), O(d²·outDims) driver solve, projection is codegen'd
+    * zip_with against broadcast literals. */
+  def pcaProject(emb: DataFrame, dims: Int, outDims: Int): DataFrame = {
+    require(outDims <= dims, "outDims must be <= dims")
+    val rows = emb.select("vec").rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val svd = new RowMatrix(rows, 0L, dims).computeSVD(outDims, computeU = false)
+    // computeSVD keeps only components above its rCond cutoff — a
+    // rank-deficient input yields fewer columns; the missing coordinates
+    // are exactly zero (the data has no extent in those directions)
+    val avail = svd.V.numCols
+    emb.withColumn("vec", array((0 until outDims).map { c =>
+      if (c >= avail) lit(0.0)
+      else {
+        val comp = (0 until dims).map(r => svd.V(r, c))
+        val maxIdx = comp.indices.maxBy(i => math.abs(comp(i)))
+        val canon = if (comp(maxIdx) < 0) comp.map(-_) else comp
+        aggregate(zip_with(col("vec"), typedLit(canon), _ * _), lit(0.0), _ + _)
+      }
+    }: _*))
+  }
 }
 
 /** Graph message passing (M8 GCN / M9 LightEA, reference encoders/

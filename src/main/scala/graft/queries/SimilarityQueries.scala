@@ -716,6 +716,54 @@ object SimilarityQueries {
            |  round(d0 - (d0*px + d1*py)*px, 6) AS d0,
            |  round(d1 - (d0*px + d1*py)*py, 6) AS d1
            |FROM emb, pcn ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- M5: PCA dim-reduce (the documented UMAP substitution) ------------
+    // 2D SIF embeddings → 1D coordinate on the top singular vector, sign
+    // canonicalized (largest-|entry| positive) so Spark's ARPACK/dense
+    // solve and DuckDB's closed form agree exactly.
+    "m5_pca_reduce" -> QueryDef(
+      (s, dir) => {
+        val docs = EntityFrame(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          "docs", "doc_id")
+        val emb = HashTokenEncoder(2, sif = true).encode(docs, None)
+        graft.encoders.PcRemoval.pcaProject(emb, dims = 2, outDims = 1)
+          .select(col("id").cast("long").as("doc_id"),
+            round(get(col("vec"), lit(0)), 6).as("c0"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = duckTokens("doc_id", "text", "documents", 3)
+        def h(d: Int) =
+          s"((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)"
+        s"""WITH toks AS ($toks),
+           |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
+           |total AS (SELECT count(*)::double AS t FROM toks),
+           |weighted AS (
+           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  FROM toks JOIN counts USING (key), total),
+           |emb AS (
+           |  SELECT id AS doc_id,
+           |         sum(w * ${h(0)}) / sum(w) AS d0,
+           |         sum(w * ${h(1)}) / sum(w) AS d1
+           |  FROM weighted GROUP BY id),
+           |g AS (SELECT sum(d0*d0) AS gxx, sum(d0*d1) AS gxy, sum(d1*d1) AS gyy FROM emb),
+           |pc AS (SELECT
+           |  CASE WHEN gxy = 0 THEN (CASE WHEN gxx >= gyy THEN 1.0 ELSE 0.0 END)
+           |       ELSE gxy END AS vx,
+           |  CASE WHEN gxy = 0 THEN (CASE WHEN gxx >= gyy THEN 0.0 ELSE 1.0 END)
+           |       ELSE ((gxx+gyy) + sqrt((gxx-gyy)*(gxx-gyy) + 4*gxy*gxy))/2 - gxx END AS vy
+           |  FROM g),
+           |pcn AS (SELECT vx/sqrt(vx*vx+vy*vy) AS px, vy/sqrt(vx*vx+vy*vy) AS py FROM pc),
+           |canon AS (SELECT
+           |  CASE WHEN (CASE WHEN abs(px) >= abs(py) THEN px ELSE py END) < 0
+           |       THEN -px ELSE px END AS px,
+           |  CASE WHEN (CASE WHEN abs(px) >= abs(py) THEN px ELSE py END) < 0
+           |       THEN -py ELSE py END AS py
+           |  FROM pcn)
+           |SELECT doc_id, round(d0*px + d1*py, 6) AS c0
+           |FROM emb, canon ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -10,6 +10,22 @@ import graft.encoders.{FrameEncoder, GraphPropagationEncoder, HashTokenEncoder, 
 class EncoderSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pcaProject maps line data to signed lengths; rank-deficient residual is zero") {
+    // points are exact multiples of v = (0.6, 0.8): the top singular
+    // vector is ±v, canonicalized to +v (largest |entry| 0.8 positive),
+    // so component 0 recovers the signed multiple; the data has rank 1,
+    // so component 1 is exactly zero (padded past the numerical rank)
+    val df = Seq(-2.0, -1.0, 1.0, 2.0, 3.0).zipWithIndex
+      .map { case (m, i) => (s"p$i", Seq(m * 0.6, m * 0.8)) }
+      .toDF("id", "vec")
+    val got = graft.encoders.PcRemoval.pcaProject(df, dims = 2, outDims = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    Seq(-2.0, -1.0, 1.0, 2.0, 3.0).zipWithIndex.foreach { case (m, i) =>
+      assert(math.abs(got(s"p$i")(0) - m) < 1e-9, s"c0 of p$i: ${got(s"p$i")}")
+      assert(math.abs(got(s"p$i")(1)) < 1e-9, s"c1 of p$i: ${got(s"p$i")}")
+    }
+  }
+
   test("HashTokenEncoder: deterministic, fixed dims, same text → same vec") {
     val f = EntityFrame(
       Seq(("a", "alpha beta"), ("b", "alpha beta"), ("c", "gamma delta"))
