@@ -121,9 +121,13 @@ final case class Blocks(df: DataFrame) {
         .withColumn("first_card", min(col("card")).over(Window.partitionBy(col("cc"))))
         .filter(col("card") > col("first_card"))
       val thrRow = flagged.agg(min(col("i_card"))).head()
+      val maxRow = cum.agg(max(col("i_card"))).head()
       val threshold: Long =
         if (!thrRow.isNullAt(0)) thrRow.getLong(0)
-        else cum.agg(max(col("i_card"))).head.getLong(0)
+        // no flagged row → keep everything; empty input → max is NULL,
+        // any threshold works (nothing to filter)
+        else if (!maxRow.isNullAt(0)) maxRow.getLong(0)
+        else 0L
       Blocks(df.filter(size(col(LeftCol)).cast("long") * size(col(RightCol)) <= threshold))
     } finally {
       cum.unpersist()

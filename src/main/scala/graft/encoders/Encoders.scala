@@ -84,6 +84,7 @@ object PcRemoval {
   def removeFirstPc(emb: DataFrame, dims: Int): DataFrame = {
     val rows = emb.select("vec").rdd
       .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    if (rows.isEmpty()) return emb // computeSVD NPEs on an empty matrix
     val svd = new RowMatrix(rows, 0L, dims).computeSVD(1, computeU = false)
     val pc = typedLit(svd.V.toArray.toSeq) // d×1 column-major = the pc
     emb
@@ -111,6 +112,8 @@ object PcRemoval {
     require(outDims <= dims, "outDims must be <= dims")
     val rows = emb.select("vec").rdd
       .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    if (rows.isEmpty()) // computeSVD NPEs on an empty matrix
+      return emb.withColumn("vec", array_repeat(lit(0.0), lit(outDims)))
     val svd = new RowMatrix(rows, 0L, dims).computeSVD(outDims, computeU = false)
     // computeSVD keeps only components above its rCond cutoff — a
     // rank-deficient input yields fewer columns; the missing coordinates

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Blocks
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Empty-input edge cases: every operator must return an empty result
+  * (not throw) on an empty corpus — the degenerate partition a real
+  * pipeline hits constantly (an empty date partition, a filter that
+  * matches nothing). purge and the SVD-backed encoders originally threw
+  * here (null aggregate / empty RowMatrix). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyTok = Seq.empty[(String, String)].toDF("id", "key")
+
+  test("dedup operators return empty on an empty corpus") {
+    val emptyPairs = Seq.empty[(String, String)].toDF("id_a", "id_b")
+    assert(Dedup.exactDuplicates(emptyTok).isEmpty)
+    assert(Dedup.minHashNearDupPairs(emptyTok, 16, 4, 0.2, 0.375).isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyTok, 0.1).isEmpty)
+    assert(Dedup.simHashNearDupPairs(emptyTok, 3).isEmpty)
+    assert(Dedup.components(emptyPairs).isEmpty)
+  }
+
+  test("similarity operators return empty on empty inputs") {
+    val emptyVec = Seq.empty[(String, Seq[Float])].toDF("id", "vec")
+    val emptyCand = Seq.empty[(String, String, Double)]
+      .toDF("left_id", "right_id", "cos")
+    assert(Similarity.topKCosine(emptyVec, emptyVec, 3).isEmpty)
+    assert(Similarity.cslsRerank(emptyCand, 3, 5).isEmpty)
+  }
+
+  test("SVD-backed encoders pass empty frames through") {
+    val emptyEmb = Seq.empty[(String, Seq[Double])].toDF("id", "vec")
+    assert(graft.encoders.PcRemoval.removeFirstPc(emptyEmb, 2).isEmpty)
+    assert(graft.encoders.PcRemoval.pcaProject(emptyEmb, 2, 1).isEmpty)
+  }
+
+  test("purge of an empty blocks table is empty, not an error") {
+    val empty = Blocks(Seq.empty[(String, Seq[String], Seq[String])]
+      .toDF(Blocks.KeyCol, Blocks.LeftCol, Blocks.RightCol))
+    assert(empty.purge().df.isEmpty)
+    assert(empty.cap(10).df.isEmpty)
+  }
+}
