@@ -170,39 +170,51 @@ object Dedup {
     * member id (the canonical document to KEEP; everything else in the
     * component is droppable).
     *
-    * Iterative min-label propagation TO FIXPOINT: each round is one
-    * join + one groupBy-min shuffling on the id key only — no
-    * driver-side union-find, nothing collected. A cheap per-round
-    * changed-row probe (limit-1 over the cached label frames) detects
-    * convergence, so components of ANY diameter finish correctly while
-    * clique-like near-dup clusters stop after ~2 rounds; rounds needed
-    * = eccentricity from each component's min node, `maxIterations` is
-    * only a runaway guard. Superseded label frames unpersist eagerly —
-    * storage stays flat however many rounds run. */
+    * FRONTIER-based min-label propagation to fixpoint (Pregel-style
+    * vote-to-halt): each round joins the edge list against only the
+    * labels that CHANGED last round, not the full label table. Labels
+    * decrease monotonically, so an unchanged source's contribution was
+    * already folded into its neighbors in an earlier round — propagating
+    * it again is a no-op (invariant: after round k, label(v) ≤
+    * label_{k−1}(u) for every edge u→v; induction over rounds). On a
+    * near-dup graph the frontier collapses after ~2 rounds to the few
+    * long-chain nodes, so at 100 TB the steady-state round cost is
+    * frontier-sized, not corpus-sized — while components of ANY diameter
+    * still finish correctly (rounds = eccentricity from each component's
+    * min node; `maxIterations` is only a runaway guard).
+    *
+    * The change flag rides along in the computed frame, so convergence
+    * detection is a filter over the about-to-be-cached result — no extra
+    * join, and the probe action doubles as the round's materialization.
+    * Nothing is ever collected to the driver; superseded label frames
+    * unpersist eagerly so storage stays flat however many rounds run. */
   def components(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
       .unionByName(pairs
         .select(col("id_b").cast("string").as("src"), col("id_a").cast("string").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    val init = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist()
-    var converged = false
+    var cached = init                                   // persisted handle to unpersist
+    var labels = init                                   // full (id, component) view
+    var frontier = init                                 // labels changed last round
+    var done = frontier.isEmpty                         // no edges → no rounds
     var i = 0
-    while (!converged && i < maxIterations) {
+    while (!done && i < maxIterations) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .join(frontier.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("_nc"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("_nc"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("_nc"), col("component"))).as("component"),
+          coalesce(col("_nc") < col("component"), lit(false)).as("_chg"))
         .persist()
-      converged = next.select(col("id"), col("component").as("_new"))
-        .join(labels, Seq("id"))
-        .filter(col("_new") =!= col("component"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      frontier = next.filter(col("_chg")).select("id", "component")
+      done = frontier.isEmpty                           // materializes `next`
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "component")
       i += 1
     }
     labels
