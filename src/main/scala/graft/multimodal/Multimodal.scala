@@ -139,10 +139,65 @@ object Multimodal {
 
   /** STUB resize: a real implementation decodes, scales, re-encodes; the
     * stub keeps a deterministic prefix proportional to the scale factor
-    * (shape-preserving for pipeline tests). */
+    * (shape-preserving for pipeline tests). [[resizeImages]] is the real
+    * path; its non-image fallback reproduces these exact bytes. */
   def resizeStub(df: DataFrame, scalePercent: Int): DataFrame =
     df.select(col("id"),
       col("data").substr(lit(1),
         greatest((length(col("data")) * scalePercent / 100).cast("int"), lit(1)))
         .as("data"))
+
+  /** One resized blob; `resized` is true when a real decode→scale→encode
+    * ran, false when the payload wasn't an image and the deterministic
+    * prefix fallback (bit-identical to [[resizeStub]]) applied. */
+  final case class MediaResized(id: Long, data: Array[Byte], resized: Boolean)
+
+  /** Real image resize via the JDK: decode with the ImageIO registry,
+    * bilinear-scale through `Graphics2D`, re-encode as PNG (the one
+    * format every JDK writes losslessly — a deterministic output format
+    * keeps results reproducible across executor JVMs). None when no
+    * installed reader recognizes the payload. */
+  private[multimodal] def resizeImage(
+      bytes: Array[Byte], scalePercent: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = math.max(1, img.getWidth * scalePercent / 100)
+        val h = math.max(1, img.getHeight * scalePercent / 100)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-partition typed image resize — REAL decode→scale→PNG-re-encode
+    * for anything `javax.imageio` can read, deterministic prefix fallback
+    * (bit-identical to [[resizeStub]]) otherwise, flagged via `resized`.
+    * Unlike [[decodeImageMeta]] this pays full pixel decode per blob —
+    * the cost profile of a real media pipeline stage — so it belongs
+    * after any metadata-level filtering, not before. */
+  def resizeImages(ds: Dataset[MediaRecord], scalePercent: Int)(
+      implicit spark: SparkSession): Dataset[MediaResized] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        resizeImage(r.data, scalePercent) match {
+          case Some(b) => MediaResized(r.id, b, resized = true)
+          case None =>
+            val keep = math.max(1, r.data.length * scalePercent / 100)
+            MediaResized(r.id, r.data.take(keep), resized = false)
+        }
+      }
+    }
+  }
 }

@@ -225,15 +225,26 @@ object EventQueries {
              |       least(32, nb - frame_idx * 32)::int AS frame_bytes
              |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
 
-    // ---- multimodal: resize stub keeps proportional prefix ----------------
+    // ---- multimodal: real resize path (JDK ImageIO decode→scale→encode);
+    // the synthetic corpus is text, so every blob takes the deterministic
+    // prefix fallback (bit-identical to resizeStub) — which the oracle can
+    // replicate, and the pinned `resized = false` flag proves the real
+    // dispatch ran. MultimodalSpec covers the true-image branch.
     "mm_resize" -> QueryDef(
-      (s, dir) => Multimodal.resizeStub(
-          Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text"), 50)
-        .select(col("id"), length(col("data")).as("n_bytes"), md5(col("data")).as("hash"))
-        .orderBy("id"),
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        Multimodal.resizeImages(
+            Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text")
+              .as[Multimodal.MediaRecord], 50)
+          .select(col("id"), length(col("data")).as("n_bytes"),
+            md5(col("data")).as("hash"), col("resized"))
+          .orderBy("id")
+      },
       Some("""SELECT doc_id AS id,
              |       greatest((octet_length(encode(text)) * 50) // 100, 1)::int AS n_bytes,
-             |       md5(substring(text, 1, greatest((octet_length(encode(text)) * 50) // 100, 1))) AS hash
+             |       md5(substring(text, 1, greatest((octet_length(encode(text)) * 50) // 100, 1))) AS hash,
+             |       false AS resized
              |FROM documents ORDER BY id""".stripMargin))
   )
 }

@@ -79,4 +79,36 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 40, 2L -> 1))
   }
+
+  test("resizeImages scales real image dimensions and re-encodes as PNG") {
+    implicit val s = spark
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x3366ff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val ds = Seq(
+      MediaRecord(1L, pngBytes(40, 22)),
+      MediaRecord(2L, "definitely not pixels".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resizeImages(ds, 50).collect().map(m => m.id -> m).toMap
+    assert(out(1L).resized)
+    // round-trip the resized bytes through the metadata decoder: true dims
+    val meta = Multimodal.decodeImageMeta(
+      Seq(MediaRecord(1L, out(1L).data)).toDS()).collect().head
+    assert(meta.decoded && meta.width == 20 && meta.height == 11)
+    assert(!out(2L).resized)
+  }
+
+  test("resizeImages fallback is bit-identical to resizeStub") {
+    implicit val s = spark
+    val typed = Multimodal.resizeImages(
+        media.select(col("id"), col("data")).as[MediaRecord], 50)
+      .collect().map(m => (m.id, m.data.toSeq)).toSet
+    val columnar = Multimodal.resizeStub(media, 50).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(typed == columnar)
+  }
 }
