@@ -111,6 +111,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components matches a driver-side union-find on random graphs") {
+    // validates the frontier-propagation loop (labels that stopped
+    // changing are never re-propagated) against ground truth: for ANY
+    // edge set, every node's label must equal its component's min id.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0, 25)
+      b <- Gen.choose(0, 25)
+    } yield (f"n$a%02d", f"n$b%02d"))
+    forAll(edgeGen) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val got = graft.dedup.Dedup.components(pairs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val want = parent.keys.toSeq
+        .groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }
+      assert(got == want, s"edges=$es")
+    }
+  }
+
   test("cap and purge keep only blocks at-or-below a comparison threshold") {
     val blocksGen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0, 20)
