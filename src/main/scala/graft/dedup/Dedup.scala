@@ -226,4 +226,24 @@ object Dedup {
     }
     labels
   }
+
+  /** The end of the dedup pipeline: which documents to KEEP. Every id in
+    * `ids` (one column, any name) that is either untouched by the pair
+    * graph (singleton — no near-dup found) or its component's canonical
+    * minimum survives; everything else is droppable, labeled with the id
+    * that shadows it. One broadcast-friendly left join against the
+    * component labels (component count ≤ pair count — output-sized, tiny
+    * next to the corpus), so the corpus table itself is scanned once and
+    * never shuffled. */
+  def keepList(ids: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val idCol = ids.columns.head
+    val labels = components(pairs, maxIterations)
+      .select(col("id"), col("component"))
+    ids.select(col(idCol).cast("string").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        (col("component").isNull || col("component") === col("id")).as("keep"),
+        when(col("component") === col("id"), lit(null))
+          .otherwise(col("component")).as("kept_by"))
+  }
 }

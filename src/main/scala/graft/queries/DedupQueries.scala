@@ -178,6 +178,44 @@ object DedupQueries {
               |SELECT id, min(lbl) AS component
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // ---- corpus keep-list: the dedup pipeline's final answer --------------
+    // every doc survives unless a component's non-minimal member; the
+    // corpus table is scanned once and joined against the (tiny,
+    // output-sized) component labels.
+    "dd_keep_list" -> QueryDef(
+      (s, dir) => Dedup.keepList(
+          table(s, dir, "documents").select(col("doc_id")),
+          Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE sh AS ($docShinglesSql),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+              |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+              |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+              |  WHERE i / (sa.sz + sb.sz - i) >= 0.1),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+              |  UNION
+              |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+              |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+              |SELECT cast(d.doc_id AS varchar) AS id,
+              |       (c.component IS NULL OR c.component = cast(d.doc_id AS varchar)) AS keep,
+              |       CASE WHEN c.component = cast(d.doc_id AS varchar) THEN NULL
+              |            ELSE c.component END AS kept_by
+              |FROM documents d LEFT JOIN comp c ON c.id = cast(d.doc_id AS varchar)
+              |ORDER BY id""".stripMargin)),
+
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(
       (s, dir) => SimHash.fingerprint(docTokens(s, dir))

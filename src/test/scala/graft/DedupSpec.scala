@@ -119,6 +119,17 @@ class DedupSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("keepList keeps singletons and component minima, labels the rest") {
+    val ids = Seq("a", "b", "c", "x", "y", "solo").toDF("doc")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.keepList(ids, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      "a" -> ((true, None)), "b" -> ((false, Some("a"))),
+      "c" -> ((false, Some("a"))), "x" -> ((true, None)),
+      "y" -> ((false, Some("x"))), "solo" -> ((true, None))))
+  }
+
   test("qualityScore lands in [0, 1e6] micro-units and rewards longer, denser text") {
     val df = Seq(
       ("short", "the a of to"),
