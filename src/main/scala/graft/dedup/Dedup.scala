@@ -161,14 +161,21 @@ object Dedup {
       explode(array((0 until 4).map(c =>
         concat(lit(s"$c:"),
           shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))): _*)).as("chunk"))
-    val cand = chunks.select(col("id").as("id_a"), col("simhash").as("fp_a"), col("chunk"))
+    // hamming is codegen'd bit math — evaluate it BEFORE the distinct, so
+    // the dedup shuffle carries only pairs that already pass the verify
+    // (filter commutes with distinct: fp is a function of id, so the
+    // distinct cardinality is unchanged). Measured neutral at sf0.1 —
+    // this corpus is near-dup dense, so most chunk collisions pass the
+    // hamming cut anyway — but on a real corpus the cut drops most
+    // collisions and the exchange shrinks by that fraction.
+    chunks.select(col("id").as("id_a"), col("simhash").as("fp_a"), col("chunk"))
       .join(chunks.select(col("id").as("id_b"), col("simhash").as("fp_b"), col("chunk")),
         Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
-    cand.select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Duplicate-cluster formation — the step after any near-dup pair
