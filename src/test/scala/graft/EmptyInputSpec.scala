@@ -22,6 +22,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(emptyTok, 0.1).isEmpty)
     assert(Dedup.simHashNearDupPairs(emptyTok, 3).isEmpty)
     assert(Dedup.components(emptyPairs).isEmpty)
+    // no near-dup pairs → every document survives
+    val keep = Dedup.keepList(Seq("a", "b").toDF("id"), emptyPairs).collect()
+    assert(keep.length == 2 && keep.forall(_.getBoolean(1)))
   }
 
   test("similarity operators return empty on empty inputs") {
