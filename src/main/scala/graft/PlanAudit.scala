@@ -1,0 +1,83 @@
+package graft
+
+/** Dev tool: sweep every registered query's physical plan for scale
+  * anti-patterns — operators that are O(n²) or single-node at 100 TB:
+  *
+  *   - `CartesianProduct` (unbounded pair blowup);
+  *   - `BroadcastNestedLoopJoin` (per-row scan of a broadcast side —
+  *     fine only when that side is provably tiny);
+  *   - single-partition `Exchange SinglePartition` outside a final
+  *     global aggregate/sort is NOT flagged here: top-level one-row
+  *     results legitimately end there.
+  *
+  * Queries whose DESIGN is a documented exact baseline (brute-force
+  * cosine top-k, small-side crossJoin re-ranks) are allow-listed with
+  * the reason inline. Exits non-zero when an unexpected pattern shows,
+  * so the audit can gate a round. Usage:
+  *   sbt 'runMain graft.PlanAudit'           # all queries
+  *   sbt 'runMain graft.PlanAudit ann_brute_topk'
+  */
+object PlanAudit {
+
+  /** name -> why an O(n·m) operator is acceptable THERE. */
+  private val allow: Map[String, String] = Map(
+    "ann_brute_topk" -> "documented exact baseline: brute-force cosine over a broadcast query side",
+    "dd_embedding_neardup" -> "documented exact O(n²) baseline (the _lsh variant is the scale path)",
+    "a8_eval_metrics" -> "one-row totals frame joined to one-row TP counts",
+    "a10_dice_tp" -> "one-row scalar assembly after distributed TP set algebra",
+    "w5_sinkhorn_rerank" -> "per-block dense re-rank over broadcast-small candidate lists",
+    "m13_csls_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "m4_sif_pc_embedding" -> "one-row first-PC vector broadcast into the projection",
+    "m5_pca_reduce" -> "one-row PCA basis broadcast into the projection",
+    "m8_graph_propagation" -> "one-row degree-normalization scalar broadcast",
+    "m9_lightea_embedding" -> "one-row norm scalars broadcast per channel",
+    "ann_pq_adc_topk" -> "PQ codebook (k×m floats) broadcast to every partition",
+    "ann_ivf_pq_topk" -> "PQ codebook + centroid table broadcast (both tiny by construction)",
+    "ann_pq_encode" -> "PQ codebook broadcast to every partition",
+    "ann_ivf_label" -> "centroid table broadcast (k rows)",
+    "ann_ivf_multiprobe" -> "centroid table broadcast (k rows)",
+    "ann_hyperplane_lsh" -> "hyperplane matrix broadcast (bits×dims floats)",
+    "ann_lsh_topk" -> "hyperplane matrix broadcast (bits×dims floats)",
+    "emb_knn_blocker" -> "strategy-selected ANN path; small-side broadcast by construction",
+    "m11_cluster_blocks" -> "centroid table broadcast (k rows)",
+    "m11_kmeans_blocker" -> "MLlib KMeans internals broadcast centroids",
+    "dd_embedding_neardup_lsh" -> "sign-LSH hyperplane matrix broadcast",
+    "a4_rel_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:98)",
+    "a5_name_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:120)",
+    "m4_sif_embedding" -> "one-row token-count total crossJoin for SIF weighting (Encoders.scala:49)",
+    "p8_filter_importance" -> "consumes a4's importance pipeline (one-row total broadcast)",
+    "w1_top_name_props" -> "consumes a5's importance pipeline (one-row total broadcast)")
+
+  private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    var unexpected = 0
+    names.foreach { n =>
+      val plan =
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN-FAILED: ${e.getMessage}" }
+      val hits = patterns.filter(plan.contains)
+      if (hits.nonEmpty || plan.startsWith("PLAN-FAILED")) {
+        allow.get(n) match {
+          case Some(reason) => println(f"ALLOW $n%-28s ${hits.mkString(",")} — $reason")
+          case None =>
+            unexpected += 1
+            println(f"FLAG  $n%-28s ${hits.mkString(",")}${if (plan.startsWith("PLAN-FAILED")) " " + plan.linesIterator.next() else ""}")
+        }
+      }
+    }
+    println(s"\n${names.size} plans audited, $unexpected unexpected")
+    spark.stop()
+    if (unexpected > 0) sys.exit(1)
+  }
+}

@@ -10,19 +10,33 @@ import graft.functions.Text
 object BlockingDataset {
   import org.apache.spark.sql.SparkSession
 
-  /** S1: load a dataset bundle from a directory of parquet files
-    * (`left.parquet`, `right.parquet`, optional `left_rel.parquet`,
-    * `right_rel.parquet`, `gold.parquet`) — the Spark shape of the
-    * reference's sylloge loader (ea_dataset.py:28-110). Triple-form is
-    * detected by the 3-column (head, rel, tail) convention. */
-  def fromParquet(
+  /** S1: load a dataset bundle from a directory of data files
+    * (`left.<ext>`, `right.<ext>`, optional `left_rel.<ext>`,
+    * `right_rel.<ext>`, `gold.<ext>`) — the Spark shape of the
+    * reference's sylloge loader (ea_dataset.py:28-110), for any
+    * DataSource format. Parquet is the scale path (columnar, predicate
+    * pushdown, splittable); CSV (header + schema inference by default —
+    * how sylloge benchmark dumps ship) and JSON-lines ride the same
+    * DataSourceV2 machinery, so partitioned reads and column pruning
+    * where the format allows come free. Triple-form is detected by the
+    * 3-column (head, rel, tail) convention. */
+  def load(
       spark: SparkSession, dir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
       leftName: String = "left", rightName: String = "right",
       idCol: String = "id"): BlockingDataset = {
+    val defaults = format match {
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case _     => Map.empty[String, String]
+    }
+    def read(name: String): DataFrame =
+      spark.read.format(format).options(defaults ++ options)
+        .load(s"$dir/$name.$format")
     def opt(name: String): Option[DataFrame] =
-      try Some(spark.read.parquet(s"$dir/$name.parquet")) catch { case _: Throwable => None }
+      try Some(read(name)) catch { case _: Throwable => None }
     def frame(name: String, tableName: String): EntityFrame = {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = read(name)
       val triple = df.columns.length == 3 && df.columns(0) == "head"
       EntityFrame(df, tableName, if (triple) "head" else idCol, triple)
     }
@@ -30,6 +44,13 @@ object BlockingDataset {
       frame("left", leftName), frame("right", rightName),
       opt("left_rel"), opt("right_rel"), opt("gold"))
   }
+
+  /** S1, parquet shorthand (the original entry point). */
+  def fromParquet(
+      spark: SparkSession, dir: String,
+      leftName: String = "left", rightName: String = "right",
+      idCol: String = "id"): BlockingDataset =
+    load(spark, dir, "parquet", Map.empty, leftName, rightName, idCol)
 }
 
 final case class BlockingDataset(

@@ -152,6 +152,23 @@ class BlockerSpec extends SparkSpec {
     assert(ds.leftRel.isEmpty)
   }
 
+  test("BlockingDataset.load reads csv and json bundles") {
+    import graft.core.BlockingDataset
+    import spark.implicits._
+    for (fmt <- Seq("csv", "json")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ds_$fmt").toString
+      tableA.df.write.format(fmt).option("header", "true").save(s"$dir/left.$fmt")
+      tableB.df.write.format(fmt).option("header", "true").save(s"$dir/right.$fmt")
+      (1 to 3).map(i => (s"a$i", s"b$i")).toSeq.toDF("A", "B")
+        .write.format(fmt).option("header", "true").save(s"$dir/gold.$fmt")
+      val ds = BlockingDataset.load(spark, dir, fmt)
+      assert(ds.left.df.count() == 5 && ds.right.df.count() == 5, fmt)
+      // json infers fields alphabetically — compare as sets
+      assert(ds.left.df.columns.toSet == tableA.df.columns.toSet, fmt)
+      assert(ds.gold.get.count() == 3 && ds.leftRel.isEmpty, fmt)
+    }
+  }
+
   test("saltedCollectIds equals direct collect_set") {
     import org.apache.spark.sql.functions._
     val keyed = tableA.df.select(col("id"), col("BirthCountry").as("key"))
