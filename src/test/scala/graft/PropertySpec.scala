@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, rng}
+import org.apache.spark.sql.functions.col
 import graft.blockers._
 import graft.core.EntityFrame
 
@@ -139,6 +140,52 @@ class PropertySpec extends SparkSpec {
           members.map(_ -> m)
         }
       assert(got == want, s"edges=$es")
+    }
+  }
+
+  test("minhash signatures are set-functions; identical sets collide in every band") {
+    // signature depends only on the distinct token SET (order/duplication
+    // invariant), so two ids with equal sets share all numPerm hashes and
+    // land in every band bucket together — the property LSH recall rests on.
+    val docGen = Gen.nonEmptyListOf(word)
+    forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+      val rows = docs.zipWithIndex.flatMap { case (ws, i) =>
+        ws.map(w => (s"d$i", w)) :+ ((s"dup$i", ws.head)) // dup shares 1st token only
+      } ++ docs.zipWithIndex.flatMap { case (ws, i) =>
+        // mirror doc with the same token SET, reversed + repeated
+        (ws.reverse ++ ws).map(w => (s"m$i", w))
+      }
+      val sig = graft.functions.MinHash.signature(rows.toDF("id", "key"), 8)
+      val byId = sig.collect().map(r => r.getString(0) ->
+        (1 to 8).map(j => r.getLong(j)).toList).toMap
+      docs.indices.foreach { i =>
+        assert(byId(s"d$i") == byId(s"m$i"), s"set-equal docs d$i/m$i must collide")
+      }
+      val buckets = graft.functions.MinHash.bandBuckets(sig, bands = 4, rows = 2)
+        .collect().groupBy(_.getString(0)).map { case (id, rs) =>
+          id -> rs.map(_.getString(1)).toSet }
+      docs.indices.foreach { i =>
+        assert(buckets(s"d$i") == buckets(s"m$i"))
+      }
+    }
+  }
+
+  test("simhash fingerprints: hamming is a bounded metric on 60-bit prints") {
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(word))) { docs =>
+      val rows = docs.zipWithIndex.flatMap { case (ws, i) => ws.map(w => (s"d$i", w)) }
+      val fp = graft.functions.SimHash.fingerprint(rows.toDF("id", "key"))
+      val pairs = fp.toDF("id_a", "fa")
+        .crossJoin(fp.toDF("id_b", "fb"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.SimHash.hamming(col("fa"), col("fb")).as("h"),
+          graft.functions.SimHash.hamming(col("fb"), col("fa")).as("hr"))
+        .collect()
+      pairs.foreach { r =>
+        val (a, b, h, hr) = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+        assert(h == hr, "symmetric")
+        assert(h >= 0 && h <= 60, "bounded by print width")
+        if (a == b) assert(h == 0, "identity")
+      }
     }
   }
 
