@@ -188,8 +188,11 @@ object Relational {
         attrTriple.copy(df = filterImportance(attrTriple.df, imp, n))
       case None => attrTriple
     }
-    // (id, text) of own attributes
-    val concAttr = filteredAttr.concatValues()
+    // (id, text) of own attributes — one bounded row per entity,
+    // referenced by two renamed subtrees below (the neighbor join side
+    // and the own-text union), which static exchange reuse does not
+    // collapse; persist so the concat aggregation runs once
+    val concAttr = filteredAttr.concatValues().persist()
 
     val inv = withInverse(rel)
     val filteredRel = topNR match {
