@@ -25,6 +25,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    // untimed warm-up: session/codegen/parquet-footer cold-start otherwise
+    // lands on whichever query sorts first (~2-7 s of noise on its number)
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (only.exists(!_.contains(name))) None
       else {
