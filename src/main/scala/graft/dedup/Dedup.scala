@@ -116,6 +116,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: MinHash-LSH pairs of a NEW document batch
+    * against an existing corpus (plus within the batch itself), never
+    * generating corpus×corpus candidates — the refresh shape of a
+    * training-data pipeline, where the corpus is enormous and the
+    * delta is small. Band buckets are built over the union, but the
+    * pair join keeps only (corpus, new) and canonical (new, new)
+    * collisions, so candidate volume is bounded by the NEW side's
+    * collisions: the corpus contributes only rows that collide with a
+    * new document. Verification then scans tokens of candidate ids
+    * only (see [[verifyJaccard]]) — corpus-sized state is touched once
+    * (signature build), shuffled never. Output: (id_a, id_b, jaccard)
+    * with id_b always from the new batch; id_a may be either side.
+    *
+    * At 100 TB the corpus signature table (numPerm longs per doc) is
+    * the thing to precompute and store — this operator takes the raw
+    * token form for oracle parity, but the band-bucket/verify shape is
+    * identical once signatures are a stored table. */
+  def minHashNearDupAgainst(
+      corpusToks: DataFrame, newToks: DataFrame, numPerm: Int, bands: Int,
+      threshold: Double, estPrefilter: Double = 0.0): DataFrame = {
+    val all = corpusToks.select(col("id"), col("key"), lit(false).as("_new"))
+      .unionByName(newToks.select(col("id"), col("key"), lit(true).as("_new")))
+      .persist()
+    val sides = all.select("id", "_new").distinct()
+    val sig0 = MinHash.signature(all.select("id", "key"), numPerm)
+    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
+    val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
+      .join(sides, Seq("id"))
+    var candidates = buckets
+      .select(col("key"), col("id").as("id_a"), col("_new").as("_new_a"))
+      .join(buckets.filter(col("_new"))
+        .select(col("key"), col("id").as("id_b")), Seq("key"))
+      // corpus→new always; new→new canonically once
+      .filter((!col("_new_a") && col("id_a") =!= col("id_b")) ||
+              (col("_new_a") && col("id_a") < col("id_b")))
+      .select("id_a", "id_b").distinct()
+    if (estPrefilter > 0.0) {
+      val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"${c}_a"): _*)
+      val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"${c}_b"): _*)
+      val est = (0 until numPerm)
+        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / numPerm
+      candidates = candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .filter(est >= estPrefilter)
+        .select("id_a", "id_b")
+    }
+    verifyJaccard(all.select("id", "key"), candidates.persist())
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** N-gram (shingle) Jaccard near-dups: candidates share ≥ 1 shingle.
     * Sound (no misses above threshold > 0, unlike LSH) but candidate
     * volume is bounded only by shingle selectivity — shingles are

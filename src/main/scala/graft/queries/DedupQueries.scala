@@ -126,6 +126,45 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ---- incremental near-dup: new batch (doc_id % 4 = 0) vs corpus -------
+    // corpus×corpus candidates never form; id_b is always from the new
+    // batch, id_a from either side (new-new pairs canonical once).
+    "dd_incremental_neardup" -> QueryDef(
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+        Dedup.minHashNearDupAgainst(
+            sh.filter(col("id").cast("long") % 4 =!= 0),
+            sh.filter(col("id").cast("long") % 4 === 0),
+            numPerm = 16, bands = 4, threshold = 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sig = MinHash.signatureSql(docShinglesSql, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        s"""WITH sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key
+           |  WHERE cast(b.id AS bigint) % 4 = 0
+           |    AND ((cast(a.id AS bigint) % 4 <> 0 AND a.id <> b.id)
+           |      OR (cast(a.id AS bigint) % 4 = 0 AND a.id < b.id))),
+           |toks AS ($docShinglesSql),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM toks GROUP BY id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN toks ta ON ta.id = c.id_a
+           |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.id = id_a
+           |           JOIN sizes sb ON sb.id = id_b
+           |WHERE i / (sa.sz + sb.sz - i) >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ---- n-gram (3-shingle) Jaccard near-dup ------------------------------
     "dd_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)

@@ -119,6 +119,19 @@ class DedupSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("incremental near-dup pairs new docs against corpus, never corpus against itself") {
+    def toks(id: String, ws: String*) = ws.map(w => (id, w))
+    // c1 ≡ c2 (identical corpus docs — must NOT pair); n1 ≡ c1; n2 ≡ n3
+    val corpus = (toks("c1", "a", "b", "c") ++ toks("c2", "a", "b", "c") ++
+      toks("c3", "x", "y", "z")).toDF("id", "key")
+    val fresh = (toks("n1", "a", "b", "c") ++ toks("n2", "p", "q") ++
+      toks("n3", "p", "q")).toDF("id", "key")
+    val got = graft.dedup.Dedup
+      .minHashNearDupAgainst(corpus, fresh, numPerm = 16, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("c1", "n1"), ("c2", "n1"), ("n2", "n3")))
+  }
+
   test("keepList keeps singletons and component minima, labels the rest") {
     val ids = Seq("a", "b", "c", "x", "y", "solo").toDF("doc")
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
