@@ -57,6 +57,26 @@ object Dedup {
           / size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
   }
 
+  /** Signature-estimated Jaccard prefilter over candidate pairs: keeps
+    * pairs whose fraction of matching minhashes is ≥ `minEst`. The
+    * signatures are already computed, so the cost is numPerm equality
+    * checks per candidate — see [[minHashNearDupPairs]]'s scaladoc for
+    * how to choose `minEst`. No-op (and no extra joins) at ≤ 0. */
+  private def estimatePrefilter(
+      candidates: DataFrame, sig: DataFrame, numPerm: Int,
+      minEst: Double): DataFrame =
+    if (minEst <= 0.0) candidates
+    else {
+      val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"${c}_a"): _*)
+      val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"${c}_b"): _*)
+      val est = (0 until numPerm)
+        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / numPerm
+      candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .filter(est >= minEst)
+        .select("id_a", "id_b")
+    }
+
   /** MinHash-LSH near-duplicate pairs: band-bucket collisions generate
     * candidates, a signature-estimated Jaccard (fraction of matching
     * minhashes) prefilters them CHEAPLY — signatures are already
@@ -93,20 +113,12 @@ object Dedup {
     val sig0 = MinHash.signature(toks, numPerm)
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
     val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
-    var candidates = buckets.withColumnRenamed("id", "id_a")
-      .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    if (estPrefilter > 0.0) {
-      val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"${c}_a"): _*)
-      val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"${c}_b"): _*)
-      val est = (0 until numPerm)
-        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / numPerm
-      candidates = candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-        .filter(est >= estPrefilter)
-        .select("id_a", "id_b")
-    }
+    val candidates = estimatePrefilter(
+      buckets.withColumnRenamed("id", "id_a")
+        .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct(),
+      sig, numPerm, estPrefilter)
     // The verify step references `candidates` three times (the id prune +
     // both sides of the intersection join); persist the pair list — it is
     // output-sized, i.e. tiny relative to the corpus — so the candidate
@@ -144,24 +156,16 @@ object Dedup {
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
     val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
       .join(sides, Seq("id"))
-    var candidates = buckets
-      .select(col("key"), col("id").as("id_a"), col("_new").as("_new_a"))
-      .join(buckets.filter(col("_new"))
-        .select(col("key"), col("id").as("id_b")), Seq("key"))
-      // corpus→new always; new→new canonically once
-      .filter((!col("_new_a") && col("id_a") =!= col("id_b")) ||
-              (col("_new_a") && col("id_a") < col("id_b")))
-      .select("id_a", "id_b").distinct()
-    if (estPrefilter > 0.0) {
-      val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"${c}_a"): _*)
-      val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"${c}_b"): _*)
-      val est = (0 until numPerm)
-        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / numPerm
-      candidates = candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-        .filter(est >= estPrefilter)
-        .select("id_a", "id_b")
-    }
+    val candidates = estimatePrefilter(
+      buckets
+        .select(col("key"), col("id").as("id_a"), col("_new").as("_new_a"))
+        .join(buckets.filter(col("_new"))
+          .select(col("key"), col("id").as("id_b")), Seq("key"))
+        // corpus→new always; new→new canonically once
+        .filter((!col("_new_a") && col("id_a") =!= col("id_b")) ||
+                (col("_new_a") && col("id_a") < col("id_b")))
+        .select("id_a", "id_b").distinct(),
+      sig, numPerm, estPrefilter)
     verifyJaccard(all.select("id", "key"), candidates.persist())
       .filter(col("jaccard") >= threshold)
   }
