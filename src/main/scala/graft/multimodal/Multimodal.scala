@@ -8,16 +8,19 @@ import graft.functions.Text
   * pipelines: media travels as opaque `binary` columns + typed metadata;
   * decode/feature-extraction runs per-partition over the binary batches.
   *
-  * Image metadata decode is REAL — [[decodeImageMeta]] reads true
-  * width/height for any format the JDK's `javax.imageio` registry
-  * understands (PNG, JPEG, GIF, BMP, WBMP — header-only, no pixel
-  * decode), falling back to a deterministic hash stand-in for payloads
-  * that aren't images. The remaining kernels (feature extraction,
-  * resize) are DETERMINISTIC STUBS (clearly marked below) since the
-  * container carries no ML codecs — but everything Spark cares about is
-  * real and tested: schemas, partitioning, the per-partition batch
-  * iteration shape (`mapPartitions` over a typed Dataset — the Scala
-  * analog of pandas-batched UDFs), and the column-level metadata path.
+  * All three image kernels are REAL for any format the JDK's
+  * `javax.imageio` registry understands (PNG, JPEG, GIF, BMP, WBMP):
+  * [[decodeImageMeta]] reads true width/height header-only,
+  * [[resizeImages]] does a full decode→bilinear-scale→PNG-re-encode, and
+  * [[decodeFeatures]] computes pixel-level luminance-histogram features.
+  * Payloads no installed reader recognizes take deterministic
+  * byte-level fallbacks (hash dims / prefix slice / byte histogram),
+  * each flagged and bit-identical to the corresponding column stub. ML
+  * codecs beyond the JDK (video, audio, learned encoders) aren't in the
+  * container; the per-partition init slot in each `mapPartitions` kernel
+  * is where such a codec/model load would go — the Spark side (schemas,
+  * partitioning, typed batch iteration — the Scala analog of
+  * pandas-batched UDFs) is what this module locks down.
   */
 object Multimodal {
 
@@ -31,8 +34,10 @@ object Multimodal {
       decoded: Boolean)
 
   /** Feature vector per media item (what a real feature extractor —
-    * CLIP, mel-spectrogram, … — would yield). */
-  final case class MediaFeatures(id: Long, features: Array[Double])
+    * CLIP, mel-spectrogram, … — would yield). `decoded` is true when the
+    * features came from real pixel data, false when from the byte-level
+    * fallback. */
+  final case class MediaFeatures(id: Long, features: Array[Double], decoded: Boolean)
 
   /** Attach a fake binary payload derived from a text column — stands in
     * for reading real image bytes; everything downstream treats it as
@@ -105,22 +110,59 @@ object Multimodal {
     }
   }
 
-  /** Per-partition typed decode — the batch-iteration shape a real codec
-    * needs (one codec instance per partition, streaming over records).
-    * STUB: the "decode" is a deterministic byte-histogram; a real
-    * implementation would replace ONLY the body of `decodeOne`. */
+  /** 8-bucket luminance histogram over real decoded pixels, L1-normalized
+    * — deterministic integer Rec.601 luma (`(299r + 587g + 114b) / 1000`,
+    * floor division) so results are identical across executor JVMs.
+    * None when no installed ImageIO reader recognizes the payload. */
+  private[multimodal] def pixelFeatures(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+              + 114 * (rgb & 0xFF)) / 1000
+            hist(lum / 32) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1.0, (img.getWidth.toLong * img.getHeight).toDouble)
+        Some(hist.map(_ / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-partition typed feature extraction — REAL pixel-level features
+    * (L1-normalized 8-bucket luminance histogram, [[pixelFeatures]]) for
+    * anything `javax.imageio` can read, deterministic byte-histogram
+    * fallback (the byte-level analog: 8 buckets of `byte / 32`,
+    * L1-normalized — the original stub, bit-identical) otherwise, flagged
+    * via `decoded`. Like [[resizeImages]] this pays full pixel decode per
+    * blob — place it after metadata-level filtering. A heavier extractor
+    * (CLIP, mel-spectrogram, …) would replace only the per-record body;
+    * the per-partition init slot is where its model load belongs. */
   def decodeFeatures(ds: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       // per-partition init happens here (codec/model load in real life)
-      def decodeOne(r: MediaRecord): MediaFeatures = {
-        // STUB decode: 8-bucket byte histogram, L1-normalized
+      def fallback(r: MediaRecord): Array[Double] = {
+        // byte-level stand-in: 8-bucket byte histogram, L1-normalized
         val hist = new Array[Double](8)
         r.data.foreach(b => hist((b & 0xFF) / 32) += 1.0)
         val n = math.max(1.0, r.data.length.toDouble)
-        MediaFeatures(r.id, hist.map(_ / n))
+        hist.map(_ / n)
       }
-      it.map(decodeOne)
+      it.map { r =>
+        pixelFeatures(r.data) match {
+          case Some(f) => MediaFeatures(r.id, f, decoded = true)
+          case None    => MediaFeatures(r.id, fallback(r), decoded = false)
+        }
+      }
     }
   }
 

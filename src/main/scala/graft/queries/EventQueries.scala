@@ -245,6 +245,43 @@ object EventQueries {
              |       greatest((octet_length(encode(text)) * 50) // 100, 1)::int AS n_bytes,
              |       md5(substring(text, 1, greatest((octet_length(encode(text)) * 50) // 100, 1))) AS hash,
              |       false AS resized
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // ---- multimodal: per-partition feature extraction ---------------------
+    // runs the REAL decodeFeatures path (pixel luminance histograms for
+    // images); the synthetic corpus is text → every row takes the
+    // byte-histogram fallback, which the oracle replicates byte-for-byte
+    // (ASCII corpus → DuckDB codepoints == bytes). Long format
+    // (id, bucket, v) keeps the oracle join-shaped instead of
+    // array-building; v is count/n — the same integer division on both
+    // sides, so doubles are bit-identical. Pinned `decoded = false`
+    // proves the real dispatch ran; the pixel branch is spec-asserted.
+    "mm_features" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        Multimodal.decodeFeatures(
+            Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text")
+              .as[Multimodal.MediaRecord])
+          .toDF()
+          .select(col("id"), posexplode(col("features")), col("decoded"))
+          .select(col("id"), col("pos").cast("int").as("bucket"),
+            col("col").as("v"), col("decoded"))
+          .orderBy("id", "bucket")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id AS id, unnest(split(text, '')) AS ch FROM documents),
+             |counts AS (
+             |  SELECT id, ord(ch) // 32 AS bucket, count(*)::double AS c
+             |  FROM chars GROUP BY id, bucket),
+             |grid AS (
+             |  SELECT doc_id AS id,
+             |         greatest(octet_length(encode(text)), 1)::double AS n,
+             |         r.range AS bucket
+             |  FROM documents CROSS JOIN range(8) r)
+             |SELECT g.id, g.bucket::int AS bucket,
+             |       coalesce(c.c, 0) / g.n AS v, false AS decoded
+             |FROM grid g LEFT JOIN counts c ON g.id = c.id AND g.bucket = c.bucket
+             |ORDER BY g.id, g.bucket""".stripMargin))
   )
 }

@@ -54,16 +54,33 @@ class MultimodalSpec extends SparkSpec {
     assert(typed == columnar)
   }
 
-  test("decodeFeatures runs per-partition over typed records") {
+  test("decodeFeatures falls back to the byte histogram on non-images") {
     implicit val s = spark
     val ds = media.select(col("id"), col("data")).as[MediaRecord]
     val feats = Multimodal.decodeFeatures(ds).collect()
-      .map(f => f.id -> f.features).toMap
+      .map(f => f.id -> f).toMap
     assert(feats.keySet == Set(1L, 2L))
-    assert(feats(1L).length == 8)
-    assert(math.abs(feats(1L).sum - 1.0) < 1e-9) // L1-normalized histogram
-    // ASCII letters land in buckets 3 ('a'=97/32=3) — deterministic stub
-    assert(feats(2L)(3) == 1.0)
+    assert(feats.values.forall(!_.decoded)) // text payloads → fallback
+    assert(feats(1L).features.length == 8)
+    assert(math.abs(feats(1L).features.sum - 1.0) < 1e-9) // L1-normalized
+    // ASCII letters land in bucket 3 ('a'=97/32=3) — deterministic fallback
+    assert(feats(2L).features(3) == 1.0)
+  }
+
+  test("decodeFeatures computes real luminance histograms from pixels") {
+    implicit val s = spark
+    // 2×2 PNG: two black pixels (lum 0 → bucket 0), one white (255 → 7),
+    // one pure red (lum = 299*255/1000 = 76 → bucket 2)
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xffffff); img.setRGB(1, 1, 0xff0000)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val got = Multimodal.decodeFeatures(
+      Seq(MediaRecord(7L, out.toByteArray)).toDS()).collect().head
+    assert(got.decoded)
+    assert(got.features.toSeq == Seq(0.5, 0.0, 0.25, 0.0, 0.0, 0.0, 0.0, 0.25))
   }
 
   test("sampleFrames keeps every 2nd fixed-size frame with correct bytes") {
