@@ -255,8 +255,19 @@ object Dedup {
     * detection is a filter over the about-to-be-cached result — no extra
     * join, and the probe action doubles as the round's materialization.
     * Nothing is ever collected to the driver; superseded label frames
-    * unpersist eagerly so storage stays flat however many rounds run. */
-  def components(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    * unpersist eagerly so storage stays flat however many rounds run.
+    *
+    * Long-diameter graphs: every `checkpointInterval`-th round the label
+    * frame is local-checkpointed instead of persisted, truncating the
+    * logical plan — otherwise round k's plan nests all k−1 predecessors,
+    * so analysis cost grows O(rounds²) and an evicted cache partition
+    * recomputes through every earlier round (the standard iterative-
+    * algorithm hazard; same default shape as GraphFrames' connected
+    * components). Near-dup graphs converge in 2–4 rounds and never hit
+    * it; it exists for the chain-shaped tail. 0 disables. */
+  def components(
+      pairs: DataFrame, maxIterations: Int = 20,
+      checkpointInterval: Int = 5): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
       .unionByName(pairs
@@ -273,13 +284,25 @@ object Dedup {
       val nbrMin = edges
         .join(frontier.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("_nc"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val computed = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nc"), col("component"))).as("component"),
           coalesce(col("_nc") < col("component"), lit(false)).as("_chg"))
-        .persist()
+      // eager localCheckpoint both materializes and cuts lineage; safe to
+      // drop the previous round below because this round's data is real
+      // (not a recomputable view) by the time we unpersist.
+      val next =
+        if (checkpointInterval > 0 && (i + 1) % checkpointInterval == 0)
+          computed.localCheckpoint()
+        else computed.persist()
       frontier = next.filter(col("_chg")).select("id", "component")
-      done = frontier.isEmpty                           // materializes `next`
+      // count(), NOT isEmpty: isEmpty is a take(1) probe that stops at the
+      // first changed row, caching only the `next` partitions it touched —
+      // later rounds then recompute the rest from lineage (cascading back
+      // through every earlier round's partially-cached frame). count()
+      // scans every partition, so the convergence probe doubles as a FULL
+      // materialization of the round's cache.
+      done = frontier.count() == 0L
       cached.unpersist()
       cached = next
       labels = next.select("id", "component")

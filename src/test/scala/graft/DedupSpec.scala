@@ -119,6 +119,19 @@ class DedupSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("components crosses checkpoint rounds on a long chain") {
+    // path of 14 nodes: min label walks 13 hops → 13 rounds, crossing the
+    // every-other-round lineage truncation several times; labels must be
+    // unaffected by where the checkpoints land
+    val ids = (0 until 14).map(i => f"n$i%02d")
+    val pairs = ids.sliding(2).map { case Seq(a, b) => (b, a) }.toSeq
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup
+      .components(pairs, maxIterations = 20, checkpointInterval = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == ids.map(_ -> "n00").toMap)
+  }
+
   test("incremental near-dup pairs new docs against corpus, never corpus against itself") {
     def toks(id: String, ws: String*) = ws.map(w => (id, w))
     // c1 ≡ c2 (identical corpus docs — must NOT pair); n1 ≡ c1; n2 ≡ n3
