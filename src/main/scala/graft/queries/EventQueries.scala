@@ -134,7 +134,9 @@ object EventQueries {
               col("event_id").cast("string").as("id"), col("ts"))
             .as[StreamingOps.RateRecord],
           maxPerWindow = 2, windowSeconds = 3600L)
-          .toDF("key", "id", "win_start", "seq_in_win")
+          .toDF()
+          .select(col("key"), col("id"), col("winStart").as("win_start"),
+            col("seqInWin").as("seq_in_win"))
           .orderBy("key", "win_start", "seq_in_win")
       },
       Some("""WITH r AS (
@@ -150,6 +152,41 @@ object EventQueries {
              |SELECT key, id, win_start, seq::int AS seq_in_win
              |FROM ranked WHERE seq <= 2
              |ORDER BY key, win_start, seq_in_win""".stripMargin)),
+
+    // ---- rate-limited interval join (composed pipeline front door) --------
+    // clicks capped at 2/user/hour, survivors interval-joined to purchases
+    // within 30 min — the batch form of the two-query streaming
+    // composition (see rateLimitedIntervalJoin's scaladoc + StreamingSpec)
+    "ev_rate_limited_join" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val ev = QueryDef.events(s, dir)
+        StreamingOps.rateLimitedIntervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", maxPerWindow = 2, windowSeconds = 3600L,
+          boundSeconds = 1800L)
+          .orderBy("user_id", "l_id", "r_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id::varchar AS user_id, event_id::varchar AS event_id,
+             |         epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE event_type = 'click'),
+             |capped AS (
+             |  SELECT user_id, event_id, us,
+             |         row_number() OVER (PARTITION BY user_id, us // 3600000000
+             |             ORDER BY us, event_id) AS seq
+             |  FROM c),
+             |p AS (
+             |  SELECT user_id::varchar AS user_id, event_id::varchar AS event_id,
+             |         epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id AS user_id, c.event_id AS l_id, p.event_id AS r_id,
+             |       c.us // 1000000 AS l_sec, p.us // 1000000 AS r_sec
+             |FROM capped c JOIN p ON c.user_id = p.user_id
+             |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+             |WHERE c.seq <= 2
+             |ORDER BY c.user_id, l_id, r_id""".stripMargin)),
 
     // ---- session windows (built-in session_window, batch form) ------------
     // new-session rule is ts >= prev + gap at MICRO precision (Spark's

@@ -229,9 +229,12 @@ object StreamingOps {
   /** One keyed record for rate limiting. */
   final case class RateRecord(key: String, id: String, ts: java.sql.Timestamp)
 
-  /** An admitted record: its tumbling window start (epoch seconds) and
-    * 1-based admission sequence within that (key, window). */
-  final case class RateAdmit(key: String, id: String, winStart: Long, seqInWin: Int)
+  /** An admitted record: its original event time (so downstream
+    * event-time operators can re-watermark the admitted stream), its
+    * tumbling window start (epoch seconds) and 1-based admission
+    * sequence within that (key, window). */
+  final case class RateAdmit(
+      key: String, id: String, ts: java.sql.Timestamp, winStart: Long, seqInWin: Int)
 
   /** Rate-limiter state: the key's latest window and its admit count.
     * Public: janino-generated encoder code cannot touch private member
@@ -274,12 +277,48 @@ object StreamingOps {
             if (win < st.winStart || st.count >= maxPerWindow) None
             else {
               st = RateState(st.winStart, st.count + 1)
-              Some(RateAdmit(key, r.id, win, st.count))
+              Some(RateAdmit(key, r.id, r.ts, win, st.count))
             }
           }
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Rate-limited interval join — the composed front-door of an event
+    * pipeline: cap the LEFT side at `maxPerWindow` events per key per
+    * tumbling window (so one hot key cannot flood join state), then
+    * event-time interval-join the survivors against the right side.
+    *
+    * On batch the two stages compose directly in one plan (the capped
+    * left is a single-pass stateful projection, the join a range
+    * equi-join). On streams the same chain runs as ONE query — Spark 4
+    * supports a stream-stream join downstream of
+    * `flatMapGroupsWithState` (multiple stateful operators; [[RateAdmit]]
+    * re-exposes the admitted event time so [[intervalJoin]] can
+    * re-watermark it) — or as TWO queries with a durable handoff
+    * (rate-limit into files/Kafka, `readStream` that into the join),
+    * which decouples checkpoints so the throttle restarts without
+    * rebuilding join state. StreamingSpec drives both compositions
+    * against this batch form. */
+  def rateLimitedIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String = "user_id",
+      maxPerWindow: Int = 2, windowSeconds: Long = 3600L,
+      boundSeconds: Long = 1800L, watermark: String = "2 hours",
+      joinType: String = "inner")(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val limited = rateLimit(
+        left.select(col(key).cast("string").as("key"),
+          col("event_id").cast("string").as("id"), col("ts")).as[RateRecord],
+        maxPerWindow, windowSeconds)
+      .toDF()
+      .select(col("key").as(key), col("ts"), col("id").as("event_id"))
+    intervalJoin(
+      limited,
+      right.select(col(key).cast("string").as(key), col("ts"),
+        col("event_id").cast("string").as("event_id")),
+      key, boundSeconds, watermark, joinType)
   }
 
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */

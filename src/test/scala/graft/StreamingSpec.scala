@@ -274,23 +274,25 @@ class StreamingSpec extends SparkSpec {
     try {
       val win10 = ts("2024-01-01 10:00:00").toInstant.getEpochSecond // hour-aligned
       val win11 = win10 + 3600L
+      val (tsA, tsB, tsE) = (ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:10:00"), ts("2024-01-01 11:10:00"))
       // batch 1: three records in the 10:00 window → first two admitted
       mem.addData(
         RateRecord("u", "c", ts("2024-01-01 10:20:00")),
-        RateRecord("u", "a", ts("2024-01-01 10:00:00")),
-        RateRecord("u", "b", ts("2024-01-01 10:10:00")))
+        RateRecord("u", "a", tsA),
+        RateRecord("u", "b", tsB))
       sq.processAllAvailable()
       assert(spark.table("rl").as[RateAdmit].collect().toSet ==
-        Set(RateAdmit("u", "a", win10, 1), RateAdmit("u", "b", win10, 2)))
+        Set(RateAdmit("u", "a", tsA, win10, 1), RateAdmit("u", "b", tsB, win10, 2)))
       // batch 2: same window → still capped (state persists); next window
       // admits afresh
       mem.addData(
         RateRecord("u", "d", ts("2024-01-01 10:30:00")),
-        RateRecord("u", "e", ts("2024-01-01 11:10:00")))
+        RateRecord("u", "e", tsE))
       sq.processAllAvailable()
       assert(spark.table("rl").as[RateAdmit].collect().toSet ==
-        Set(RateAdmit("u", "a", win10, 1), RateAdmit("u", "b", win10, 2),
-          RateAdmit("u", "e", win11, 1)))
+        Set(RateAdmit("u", "a", tsA, win10, 1), RateAdmit("u", "b", tsB, win10, 2),
+          RateAdmit("u", "e", tsE, win11, 1)))
       // batch 3: a record for the now-stale 10:00 window → late, dropped
       mem.addData(RateRecord("u", "f", ts("2024-01-01 10:40:00")))
       sq.processAllAvailable()
@@ -332,6 +334,98 @@ class StreamingSpec extends SparkSpec {
       assert(ttlIds == Set("a", "c"), ttlIds.toString)
       assert(builtinIds == ttlIds, s"builtin=$builtinIds ttl=$ttlIds")
     } finally { sqTtl.stop(); sqBuiltin.stop() }
+  }
+
+  test("rate-limited interval join: two-query streaming handoff equals the batch composition") {
+    import graft.streaming.StreamingOps.{RateAdmit, RateRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    // u clicks 3× in one hour (cap 2 → click 102 dropped pre-join);
+    // purchases within 30 min of an ADMITTED click match
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:05:00"), 101L),
+      (1L, ts("2024-01-01 10:20:00"), 102L)) // capped out
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 200L), // matches 100 + 101
+      (1L, ts("2024-01-01 10:45:00"), 201L)) // matches 102 ONLY → must vanish
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id")
+    val batch = StreamingOps.rateLimitedIntervalJoin(df(clicks), df(buys))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(batch == Set(("1", "100", "200"), ("1", "101", "200")))
+
+    // stage 1: stream rate-limit → durable parquet handoff
+    val handoff = java.nio.file.Files.createTempDirectory("rl_handoff")
+    val ckpt = java.nio.file.Files.createTempDirectory("rl_ckpt")
+    val ml = MemoryStream[RateRecord]
+    val sq1 = StreamingOps.rateLimit(ml.toDS())
+      .writeStream.format("parquet")
+      .option("path", handoff.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      ml.addData(clicks.map { case (u, t, e) => RateRecord(u.toString, e.toString, t) }: _*)
+      sq1.processAllAvailable()
+    } finally sq1.stop()
+
+    // stage 2: readStream the handoff → interval join against purchases
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val admitted = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[RateAdmit].schema)
+      .parquet(handoff.toString)
+      .select(col("key").as("user_id"), col("ts"), col("id").as("event_id"))
+    val sq2 = StreamingOps.intervalJoin(
+        admitted,
+        mr.toDF().toDF("user_id", "ts", "event_id")
+          .select(col("user_id").cast("string").as("user_id"), col("ts"),
+            col("event_id").cast("string").as("event_id")))
+      .writeStream.format("memory").queryName("rl_ij")
+      .outputMode("append").start()
+    try {
+      mr.addData(buys: _*)
+      sq2.processAllAvailable()
+      val streamed = spark.table("rl_ij").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally sq2.stop()
+  }
+
+  test("rate-limited interval join chains in ONE streaming query and matches batch") {
+    // Spark 4 supports a stream-stream join downstream of
+    // flatMapGroupsWithState (multiple stateful operators in one query):
+    // rateLimit re-exposes the admitted event time, intervalJoin
+    // re-watermarks it, and the chained single-query plan must equal the
+    // batch composition. The two-query handoff (previous test) remains
+    // the operationally decoupled deployment.
+    import graft.streaming.StreamingOps.RateRecord
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:05:00"), 101L),
+      (1L, ts("2024-01-01 10:20:00"), 102L)) // capped out
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 200L),
+      (1L, ts("2024-01-01 10:45:00"), 201L)) // matches only the capped 102
+    val ml = MemoryStream[RateRecord]
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val chained = StreamingOps.intervalJoin(
+      StreamingOps.rateLimit(ml.toDS()).toDF()
+        .select(col("key").as("user_id"), col("ts"), col("id").as("event_id")),
+      mr.toDF().toDF("user_id", "ts", "event_id")
+        .select(col("user_id").cast("string").as("user_id"), col("ts"),
+          col("event_id").cast("string").as("event_id")))
+    val sq = chained.writeStream.format("memory").queryName("rl_chain")
+      .outputMode("append").start()
+    try {
+      ml.addData(clicks.map { case (u, t, e) => RateRecord(u.toString, e.toString, t) }: _*)
+      mr.addData(buys: _*)
+      sq.processAllAvailable()
+      val got = spark.table("rl_chain").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("1", "100", "200"), ("1", "101", "200")), got.toString)
+    } finally sq.stop()
   }
 
   test("sessionize counts gap-separated sessions") {
