@@ -328,6 +328,35 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- composite quality GATE (C4/Gopher-style keep/drop decision) ------
+    // first-failing rule names the drop reason; thresholds chosen so the
+    // synthetic corpus splits across all three active reasons (~52% keep)
+    "tx_quality_filter" -> QueryDef(
+      (s, dir) => TextAnalysis.qualityFilter(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, len(toks) AS m,
+           |         list_sum(list_transform(toks, t -> length(t)))::double / len(toks) AS mean_len,
+           |         len(list_filter(toks, t -> list_contains($stop, t))) AS stop_cnt,
+           |         (len(toks) - len(list_distinct(toks)))::double / len(toks) AS dup_frac
+           |  FROM t),
+           |r AS (
+           |  SELECT doc_id, m::bigint AS n_tokens,
+           |         floor(dup_frac * 1e6)::bigint AS dup_frac_e6,
+           |         CASE WHEN m < 20 OR m > 100000 THEN 'n_tokens'
+           |              WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
+           |              WHEN stop_cnt < 1 THEN 'stopwords'
+           |              WHEN dup_frac > 0.6 THEN 'repetition' END AS reason
+           |  FROM s)
+           |SELECT doc_id, n_tokens, dup_frac_e6, reason, reason IS NULL AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     "tx_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))
         .orderBy("doc_id"),

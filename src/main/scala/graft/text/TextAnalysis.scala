@@ -71,6 +71,47 @@ object TextAnalysis {
         least(meanLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long")
   }
 
+  /** Composite C4/Gopher-style document-quality GATE — the keep/drop
+    * decision a training-data pipeline runs after signal extraction
+    * (Raffel et al. 2020 §2.2; Rae et al. 2021 App. A1.1 give the rule
+    * families). Rules evaluate in a fixed order and the FIRST failure
+    * names the drop reason (deterministic, so the decision is
+    * SQL-mirrorable): token count outside [minWords, maxWords] →
+    * `n_tokens`; mean word length outside [minMeanLen, maxMeanLen] →
+    * `mean_word_len`; fewer than `minStopwords` stopword hits →
+    * `stopwords`; duplicate-token fraction above `maxDupFrac` →
+    * `repetition`; otherwise keep (reason null).
+    *
+    * Output: (idCol, n_tokens, dup_frac_e6, reason, keep). Row-local
+    * column expressions only — no shuffle, no join; at 100 TB this is a
+    * single codegen'd projection over the corpus scan. */
+  def qualityFilter(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 20, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopwords: Int = 1, maxDupFrac: Double = 0.6): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .select(col(idCol),
+        size(col("_toks")).as("_m"),
+        (aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("_toks"))).as("_mean"),
+        size(filter(col("_toks"),
+          t => array_contains(typedLit(Text.Stopwords), t))).as("_stop"),
+        ((size(col("_toks")) - size(array_distinct(col("_toks")))).cast("double")
+          / size(col("_toks"))).as("_dup"))
+      .select(col(idCol),
+        col("_m").cast("long").as("n_tokens"),
+        floor(col("_dup") * 1e6).cast("long").as("dup_frac_e6"),
+        when(col("_m") < minWords || col("_m") > maxWords, "n_tokens")
+          .when(col("_mean") < minMeanLen || col("_mean") > maxMeanLen, "mean_word_len")
+          .when(col("_stop") < minStopwords, "stopwords")
+          .when(col("_dup") > maxDupFrac, "repetition")
+          .as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the token-hash sequence, acc ← (31·acc + md5Long(tok)) mod 2⁴⁰.
     * Bounded accumulator keeps 31·acc + h < 2⁶³ (no overflow). */

@@ -166,6 +166,25 @@ class DedupSpec extends SparkSpec {
     assert(got("rich") > got("short"))
   }
 
+  test("qualityFilter names the first failing rule; clean docs keep") {
+    val clean = (Seq("the") ++ (1 to 30).map(i => s"word$i")).mkString(" ")
+    val df = Seq(
+      ("ok", clean),                                           // keep
+      ("tiny", "the and tiny"),                                // < minWords
+      ("syms", Seq.fill(25)("xy").mkString(" ")),              // mean len 2 < 3
+      ("nostop", (1 to 30).map(i => s"word$i").mkString(" ")), // no stopword
+      ("loop", ("the " + Seq.fill(30)("spam spam").mkString(" "))) // dup > 0.6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(df).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(4), Option(r.getString(3))))).toMap
+    assert(got == Map(
+      "ok" -> ((true, None)),
+      "tiny" -> ((false, Some("n_tokens"))),
+      "syms" -> ((false, Some("mean_word_len"))),
+      "nostop" -> ((false, Some("stopwords"))),
+      "loop" -> ((false, Some("repetition")))), got.toString)
+  }
+
   test("repetitionSignals: hand-computed fractions, overlap counting, tie-break") {
     val df = Seq(
       // toks [a b a b a b c]: m=7 distinct=3 chars=7; top bigram "a b"×3
