@@ -319,6 +319,29 @@ object Dedup {
     * component labels (component count ≤ pair count — output-sized, tiny
     * next to the corpus), so the corpus table itself is scanned once and
     * never shuffled. */
+  /** Deterministic shard assignment — the export tail of the pipeline:
+    * shard = md5-long(id) mod numShards. Content-addressed, so re-runs
+    * and incremental refreshes land a document in the SAME shard (no
+    * round-robin/task-order nondeterminism), and md5 uniformity keeps
+    * shards balanced for any id distribution. Row-local expression —
+    * no shuffle; the shuffle happens once, in [[writeSharded]]. */
+  def shardAssignment(ids: DataFrame, idCol: String, numShards: Int): DataFrame =
+    ids.select(col(idCol).cast("string").as("id"))
+      .select(col("id"),
+        pmod(Text.md5Long(col("id")), lit(numShards.toLong)).cast("int").as("shard"))
+
+  /** Write a corpus as `numShards` stable shards: one exchange keyed on
+    * the shard column (so each task writes only its own shards — no
+    * numShards × tasks small-file blowup), then a partitioned parquet
+    * layout readable shard-at-a-time by a training loader. */
+  def writeSharded(
+      docs: DataFrame, idCol: String, numShards: Int, path: String): Unit =
+    docs
+      .withColumn("shard",
+        pmod(Text.md5Long(col(idCol).cast("string")), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def keepList(ids: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val idCol = ids.columns.head
     val labels = components(pairs, maxIterations)

@@ -255,6 +255,17 @@ object DedupQueries {
               |FROM documents d LEFT JOIN comp c ON c.id = cast(d.doc_id AS varchar)
               |ORDER BY id""".stripMargin)),
 
+    // ---- deterministic export sharding (pipeline tail) --------------------
+    // content-addressed shard per id (md5-long mod 16), mirroring
+    // Text.md5Long's first-15-hex-chars construction in the oracle
+    "dd_shard_assign" -> QueryDef(
+      (s, dir) => Dedup.shardAssignment(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id", 16)
+        .orderBy("id"),
+      Some("""SELECT cast(doc_id AS varchar) AS id,
+             |       (('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 16)::int AS shard
+             |FROM documents ORDER BY id""".stripMargin)),
+
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(
       (s, dir) => SimHash.fingerprint(docTokens(s, dir))

@@ -166,6 +166,27 @@ class DedupSpec extends SparkSpec {
     assert(got("rich") > got("short"))
   }
 
+  test("writeSharded round-trips with stable content-addressed shards") {
+    val docs = (1 to 40).map(i => (s"doc$i", s"payload $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.dedup.Dedup.writeSharded(docs, "doc_id", numShards = 4, dir)
+    val back = spark.read.parquet(dir)
+    // every doc lands in the shard the assignment rule names, none lost
+    val assign = graft.dedup.Dedup
+      .shardAssignment(docs.select(col("doc_id")), "doc_id", 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val got = back.select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == assign)
+    assert(got.values.toSet.size > 1, "several shards populated")
+    // a re-written corpus (re-run) assigns identically — content-addressed
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    graft.dedup.Dedup.writeSharded(docs.orderBy(col("text").desc), "doc_id", 4, dir2)
+    val again = spark.read.parquet(dir2).select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(again == got)
+  }
+
   test("qualityFilter names the first failing rule; clean docs keep") {
     val clean = (Seq("the") ++ (1 to 30).map(i => s"word$i")).mkString(" ")
     val df = Seq(
