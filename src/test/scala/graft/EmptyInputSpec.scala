@@ -27,6 +27,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(keep.length == 2 && keep.forall(_.getBoolean(1)))
   }
 
+  test("quality gate, shard assignment, and incremental near-dup handle empty input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.TextAnalysis.qualityFilter(emptyDocs).isEmpty)
+    assert(Dedup.shardAssignment(emptyDocs.select(col("doc_id")), "doc_id", 8).isEmpty)
+    // empty new batch against a corpus → no pairs; empty corpus → batch self-pairs only
+    assert(Dedup.minHashNearDupAgainst(
+      Seq(("c", "x")).toDF("id", "key"), emptyTok, 16, 4, 0.2).isEmpty)
+    val selfOnly = Dedup.minHashNearDupAgainst(
+      emptyTok, Seq(("n1", "x"), ("n2", "x")).toDF("id", "key"), 16, 4, 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(selfOnly == Set(("n1", "n2")))
+  }
+
   test("similarity operators return empty on empty inputs") {
     val emptyVec = Seq.empty[(String, Seq[Float])].toDF("id", "vec")
     val emptyCand = Seq.empty[(String, String, Double)]

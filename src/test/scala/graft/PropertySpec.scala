@@ -189,6 +189,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shardAssignment matches a driver-side md5 reference and stays in range") {
+    // the content-addressed rule (first 15 md5 hex chars as a long, mod N)
+    // must be engine-independent: recompute it with plain MessageDigest
+    val idsGen = for {
+      ids <- Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+      n <- Gen.choose(1, 32)
+    } yield (ids.distinct, n)
+    forAll(idsGen) { case (ids, n) =>
+      val got = graft.dedup.Dedup
+        .shardAssignment(ids.toDF("id"), "id", n)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = ids.map { id =>
+        val hex = md.digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        id -> (java.lang.Long.parseLong(hex.take(15), 16) % n).toInt
+      }.toMap
+      assert(got == want)
+      assert(got.values.forall(s => s >= 0 && s < n))
+    }
+  }
+
   test("cap and purge keep only blocks at-or-below a comparison threshold") {
     val blocksGen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0, 20)
