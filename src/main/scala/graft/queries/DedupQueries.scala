@@ -84,6 +84,46 @@ object DedupQueries {
               |SELECT dup_key, min(id::bigint)::varchar AS keep_id
               |FROM canon GROUP BY dup_key ORDER BY dup_key""".stripMargin)),
 
+    // ---- streaming NEAR-dup (batch form of the stateful operator) --------
+    // single-batch run of streamMinHashNearDup ≡ band-bucket self-join +
+    // signature-estimate filter, distinct'd across shared buckets (same
+    // shingle space and hash family as dd_minhash_neardup; est = n/16 is
+    // an exact binary fraction, so doubles hash identically). Multi-batch
+    // incrementality and the hot-bucket cap are spec-tested.
+    "st_stream_neardup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            Text.wordShingles(
+              Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)
+              .as("tokens"))
+          .as[graft.streaming.StreamingOps.DocRecord]
+        graft.streaming.StreamingOps
+          .streamMinHashNearDup(docs, numPerm = 16, bands = 4, minEst = 0.375)
+          .toDF().select(col("idA").as("id_a"), col("idB").as("id_b"), col("est"))
+          .distinct().orderBy("id_a", "id_b")
+      },
+      Some {
+        val sig = MinHash.signatureSql(docShinglesSql, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        val estTerms = (0 until 16)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
+           |est AS (
+           |  SELECT c.id_a, c.id_b, ($estTerms)::double / 16 AS est
+           |  FROM cand c JOIN sig sa ON sa.id = c.id_a
+           |              JOIN sig sb ON sb.id = c.id_b)
+           |SELECT id_a, id_b, est FROM est WHERE est >= 0.375
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ---- MinHash-LSH near-dup (3-token shingles, jaccard ≥ 0.2) ----------
     // Shingles, not tokens: a tiny shared vocabulary makes token-set
     // MinHash collide on nearly every pair (the corpus's avg token-set

@@ -224,6 +224,100 @@ object StreamingOps {
       }
   }
 
+  // ---------- streaming MinHash near-dup (stateful) ----------
+
+  /** One complete tokenized document on the stream (tokens as produced by
+    * the corpus tokenizer — duplicates are harmless, signature mins
+    * ignore them). */
+  final case class DocRecord(id: String, tokens: Seq[String])
+
+  /** (band bucket, id, signature) after row-local signing/banding. */
+  final case class BandedDoc(bucket: String, id: String, sig: Seq[Long])
+
+  /** A near-dup candidate with its signature-estimated Jaccard (fraction
+    * of matching minhashes — `matches/numPerm`, an exact binary fraction). */
+  final case class NearDupPair(idA: String, idB: String, est: Double)
+
+  /** Per-bucket state: parallel id/signature lists (public + Seq-only for
+    * the janino-compiled encoder). */
+  final case class BucketState(ids: Seq[String], sigs: Seq[Seq[Long]])
+
+  /** Streaming MinHash-LSH near-duplicate detection — the near-dup
+    * analog of [[streamExactDedup]]: as documents stream in, each is
+    * signed and banded ROW-LOCALLY (md5 hash family in lockstep with
+    * [[graft.functions.MinHash.signature]] — no shuffle before the
+    * bucket key), then each band bucket's state keeps the (id,
+    * signature) list seen so far and emits a pair for every new document
+    * whose signature-estimated Jaccard against a stored one reaches
+    * `minEst`. Verification-by-estimate keeps per-bucket state bounded
+    * (signatures only — never token sets); `maxIdsPerBucket` is the
+    * hot-bucket guard: full buckets stop admitting (and emitting), the
+    * streaming form of the blockers' hot-token cap.
+    *
+    * A pair sharing several bands emits once per shared bucket —
+    * downstream, dedupe by (idA, idB) (`dropDuplicates` on a bounded
+    * horizon, or [[streamExactDedup]] keyed on the pair). A single-batch
+    * run over a static corpus therefore equals the batch band-bucket
+    * self-join + estimate filter, distinct'd — the DuckDB-oracled
+    * `st_stream_neardup` query. At corpus scale, pair state across
+    * restarts rides in the checkpoint; re-admission policy (TTL) would
+    * compose exactly as in [[streamExactDedupWithTtl]]. */
+  def streamMinHashNearDup(
+      docs: Dataset[DocRecord], numPerm: Int = 16, bands: Int = 4,
+      minEst: Double = 0.375, maxIdsPerBucket: Int = 10000)(
+      implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rows = numPerm / bands
+    val banded: Dataset[BandedDoc] = docs.mapPartitions { it =>
+      // one digest per partition; md5Long semantics in lockstep with
+      // functions.Text.md5Long (first 15 md5 hex chars as a long)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      def md5Long15(s: String): Long =
+        java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+      it.flatMap { d =>
+        if (d.tokens.isEmpty) Iterator.empty
+        else {
+          val sig = Array.tabulate(numPerm) { i =>
+            d.tokens.iterator.map(t => md5Long15(s"$i:$t")).min
+          }
+          (0 until bands).iterator.map { j =>
+            val key = s"$j:" + md5Hex(
+              (j * rows until (j + 1) * rows).map(sig(_).toString).mkString(","))
+            BandedDoc(key, d.id, sig.toSeq)
+          }
+        }
+      }
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, batch: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Seq.empty, Seq.empty))
+          var ids = st.ids
+          var sigs = st.sigs
+          val out = Seq.newBuilder[NearDupPair]
+          batch.foreach { d =>
+            if (!ids.contains(d.id) && ids.size < maxIdsPerBucket) {
+              ids.iterator.zip(sigs.iterator).foreach { case (oid, osig) =>
+                val matches = (0 until numPerm).count(i => osig(i) == d.sig(i))
+                val est = matches.toDouble / numPerm
+                if (est >= minEst) {
+                  val (a, b) = if (oid < d.id) (oid, d.id) else (d.id, oid)
+                  out += NearDupPair(a, b, est)
+                }
+              }
+              ids = ids :+ d.id
+              sigs = sigs :+ d.sig
+            }
+          }
+          state.update(BucketState(ids, sigs))
+          out.result().iterator
+      }
+  }
+
   // ---------- per-key event-time rate limiting (stateful) ----------
 
   /** One keyed record for rate limiting. */

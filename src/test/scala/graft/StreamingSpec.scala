@@ -428,6 +428,56 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamMinHashNearDup pairs new docs against bucket state across batches") {
+    import graft.streaming.StreamingOps.{DocRecord, NearDupPair}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val shared = Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")
+    val mem = MemoryStream[DocRecord]
+    val sq = StreamingOps.streamMinHashNearDup(mem.toDS())
+      .writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      // batch 1: one doc + an unrelated one → no pairs
+      mem.addData(DocRecord("a", shared), DocRecord("x", Seq("zig zag zoo")))
+      sq.processAllAvailable()
+      assert(spark.table("snd").isEmpty)
+      // batch 2: an identical doc arrives → pairs with a (est 1.0), not x
+      mem.addData(DocRecord("b", shared))
+      sq.processAllAvailable()
+      val b2 = spark.table("snd").as[NearDupPair].collect().toSet
+      assert(b2.map(p => (p.idA, p.idB, p.est)) == Set(("a", "b", 1.0)))
+      // identical signatures share all 4 band buckets → 4 emissions
+      assert(spark.table("snd").count() == 4)
+      // batch 3: another copy → pairs with BOTH stored docs
+      mem.addData(DocRecord("c", shared))
+      sq.processAllAvailable()
+      val b3 = spark.table("snd").as[NearDupPair].collect().toSet
+        .map((p: NearDupPair) => (p.idA, p.idB))
+      assert(b3 == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    } finally sq.stop()
+  }
+
+  test("streamMinHashNearDup hot-bucket cap stops admissions") {
+    import graft.streaming.StreamingOps.{DocRecord, NearDupPair}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val shared = Seq("alpha beta gamma")
+    val mem = MemoryStream[DocRecord]
+    val sq = StreamingOps.streamMinHashNearDup(mem.toDS(), maxIdsPerBucket = 1)
+      .writeStream.format("memory").queryName("snd_cap")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocRecord("a", shared))
+      sq.processAllAvailable()
+      // every bucket already holds its one admitted id → b neither
+      // pairs nor enters state (the oversized-block contract)
+      mem.addData(DocRecord("b", shared))
+      sq.processAllAvailable()
+      assert(spark.table("snd_cap").isEmpty)
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
