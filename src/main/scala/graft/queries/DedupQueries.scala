@@ -94,11 +94,17 @@ object DedupQueries {
       (s, dir) => {
         implicit val sp: SparkSession = s
         import s.implicits._
+        // repartition BEFORE signing: the corpus is one parquet file →
+        // one input partition, and all numPerm×shingle md5 work happens
+        // pre-shuffle — without this the signing stage runs on a single
+        // core (measured 36 s vs ~2 s at sf0.1). At real scale the scan
+        // has many splits and the exchange is a cheap skinny shuffle.
         val docs = table(s, dir, "documents")
           .select(col("doc_id").cast("string").as("id"),
             Text.wordShingles(
               Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)
               .as("tokens"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
           .as[graft.streaming.StreamingOps.DocRecord]
         graft.streaming.StreamingOps
           .streamMinHashNearDup(docs, numPerm = 16, bands = 4, minEst = 0.375)

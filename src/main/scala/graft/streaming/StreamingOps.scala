@@ -271,21 +271,47 @@ object StreamingOps {
     val rows = numPerm / bands
     val banded: Dataset[BandedDoc] = docs.mapPartitions { it =>
       // one digest per partition; md5Long semantics in lockstep with
-      // functions.Text.md5Long (first 15 md5 hex chars as a long)
+      // functions.Text.md5Long (first 15 md5 hex chars as a long). The
+      // hot loop (numPerm md5s per token) never builds hex strings:
+      // the first 15 hex chars ARE the first 8 digest bytes big-endian
+      // shifted right a nibble. Token bytes encode once, not per perm.
       val md = java.security.MessageDigest.getInstance("MD5")
-      def md5Hex(s: String): String =
-        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      def md5Long15(s: String): Long =
-        java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+      val hexChars = "0123456789abcdef".toCharArray
+      def hex(bytes: Array[Byte]): String = {
+        val out = new Array[Char](bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
+          out(2 * i + 1) = hexChars(bytes(i) & 0xF)
+          i += 1
+        }
+        new String(out)
+      }
+      def md5Long15(prefix: Array[Byte], token: Array[Byte]): Long = {
+        md.update(prefix); md.update(token)
+        val d = md.digest()
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+        v >>> 4
+      }
+      val prefixes = Array.tabulate(numPerm)(i => s"$i:".getBytes("UTF-8"))
       it.flatMap { d =>
         if (d.tokens.isEmpty) Iterator.empty
         else {
+          val tokBytes = d.tokens.map(_.getBytes("UTF-8"))
           val sig = Array.tabulate(numPerm) { i =>
-            d.tokens.iterator.map(t => md5Long15(s"$i:$t")).min
+            var m = Long.MaxValue
+            tokBytes.foreach { tb =>
+              val h = md5Long15(prefixes(i), tb)
+              if (h < m) m = h
+            }
+            m
           }
           (0 until bands).iterator.map { j =>
-            val key = s"$j:" + md5Hex(
-              (j * rows until (j + 1) * rows).map(sig(_).toString).mkString(","))
+            val key = s"$j:" + hex(md.digest(
+              (j * rows until (j + 1) * rows).map(sig(_).toString)
+                .mkString(",").getBytes("UTF-8")))
             BandedDoc(key, d.id, sig.toSeq)
           }
         }
