@@ -312,6 +312,70 @@ object DedupQueries {
              |       (('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 16)::int AS shard
              |FROM documents ORDER BY id""".stripMargin)),
 
+    // ---- END-TO-END corpus refinement (the charter in one plan) ----------
+    // quality gate → near-dup keep-list over survivors → content-addressed
+    // shard manifest: the full training-data pipeline as ONE composed
+    // query, every stage reusing an independently-oracled operator
+    // (tx_quality_filter rules, dd_keep_list dedup, dd_shard_assign
+    // sharding). Output: the final corpus manifest (id, shard).
+    "pipe_refine_corpus" -> QueryDef(
+      (s, dir) => {
+        val kept = TextAnalysis.qualityFilter(table(s, dir, "documents"))
+          .filter(col("keep"))
+          .select(col("doc_id").cast("string").as("id"))
+        val pairs = Dedup.ngramJaccardPairs(
+            docShingles(s, dir).join(kept, Seq("id"), "left_semi"), 0.1)
+          .select(col("id_a"), col("id_b"))
+        Dedup.shardAssignment(
+            Dedup.keepList(kept, pairs).filter(col("keep")).select(col("id")),
+            "id", 16)
+          .orderBy("id")
+      },
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH RECURSIVE
+           |qt AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |qs AS (
+           |  SELECT doc_id, len(toks) AS m,
+           |         list_sum(list_transform(toks, t -> length(t)))::double / len(toks) AS mean_len,
+           |         len(list_filter(toks, t -> list_contains($stop, t))) AS stop_cnt,
+           |         (len(toks) - len(list_distinct(toks)))::double / len(toks) AS dup_frac
+           |  FROM qt),
+           |q AS (
+           |  SELECT cast(doc_id AS varchar) AS id FROM qs
+           |  WHERE m >= 20 AND m <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+           |    AND stop_cnt >= 1 AND dup_frac <= 0.6),
+           |sh0 AS ($docShinglesSql),
+           |sh AS (SELECT sh0.id, sh0.key FROM sh0 JOIN q ON sh0.id = q.id),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+           |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+           |  WHERE i / (sa.sz + sb.sz - i) >= 0.1),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+           |SELECT q.id,
+           |       (('0x'||substr(md5(q.id), 1, 15))::bigint % 16)::int AS shard
+           |FROM q LEFT JOIN comp c ON c.id = q.id
+           |WHERE c.component IS NULL OR c.component = q.id
+           |ORDER BY q.id""".stripMargin
+      }),
+
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(
       (s, dir) => SimHash.fingerprint(docTokens(s, dir))
