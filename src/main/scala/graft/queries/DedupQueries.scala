@@ -478,6 +478,45 @@ object DedupQueries {
            |FROM r ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- per-source document cap (batch crawl throttle) -------------------
+    // keep the 10 highest-quality docs per source (the batch analog of the
+    // streaming per-key rate limiter, quality-ranked instead of
+    // arrival-ranked); deterministic tiebreak on doc_id. Per-source
+    // windows shuffle on the source key — at corpus scale sources are
+    // many, so no single window serializes.
+    "tx_source_cap" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality_e6").desc, col("doc_id"))
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality_e6"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("source"), col("quality_e6"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH q AS (
+           |  SELECT doc_id, source,
+           |    floor((
+           |      least(len(toks) / 100.0, 1.0) * 0.4 +
+           |      (1.0 - len(list_filter(toks, t -> list_contains($stop, t)))::double / len(toks)) * 0.3 +
+           |      least((list_sum(list_transform(toks, t -> length(t)))::double / len(toks)) / 8.0, 1.0) * 0.3
+           |      ) * 1e6)::bigint AS quality_e6
+           |  FROM (SELECT doc_id, source,
+           |          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |        FROM documents)),
+           |ranked AS (
+           |  SELECT doc_id, source, quality_e6,
+           |         row_number() OVER (PARTITION BY source
+           |             ORDER BY quality_e6 DESC, doc_id) AS rk
+           |  FROM q)
+           |SELECT doc_id, source, quality_e6, rk::int AS rk
+           |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+      }),
+
     "tx_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))
         .orderBy("doc_id"),
