@@ -210,6 +210,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("qualityFilter matches a driver-side reference on random token soups") {
+    // rule ORDER matters (first failure names the reason): replicate the
+    // gate rules in plain Scala over random documents and require exact
+    // (keep, reason) agreement
+    val wordGen = Gen.oneOf(
+      Gen.oneOf(graft.functions.Text.Stopwords),
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)))
+    val docGen = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.text.TextAnalysis.qualityFilter(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(4), Option(r.getString(3))))).toMap
+      val want = docs.map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        val m = toks.size
+        val meanLen = toks.map(_.length).sum.toDouble / m
+        val stops = toks.count(graft.functions.Text.Stopwords.contains)
+        val dupFrac = (m - toks.distinct.size).toDouble / m
+        val reason =
+          if (m < 20 || m > 100000) Some("n_tokens")
+          else if (meanLen < 3.0 || meanLen > 10.0) Some("mean_word_len")
+          else if (stops < 1) Some("stopwords")
+          else if (dupFrac > 0.6) Some("repetition")
+          else None
+        id -> ((reason.isEmpty, reason))
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("cap and purge keep only blocks at-or-below a comparison threshold") {
     val blocksGen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0, 20)

@@ -478,6 +478,31 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("qualityFilter runs unchanged on a document stream") {
+    // the gate is a pure row-local projection, so the SAME call works on
+    // a readStream frame — the C4-style filter in streaming ingest
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (Seq("the") ++ (1 to 30).map(i => s"word$i")).mkString(" ")), // keep
+      (2L, "the and tiny"))                                             // n_tokens
+    val batch = graft.text.TextAnalysis.qualityFilter(
+        docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), Option(r.getString(3))))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val sq = graft.text.TextAnalysis.qualityFilter(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("q_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      sq.processAllAvailable()
+      val streamed = spark.table("q_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(4), Option(r.getString(3))))).toMap
+      assert(streamed == batch)
+      assert(batch == Map(1L -> ((true, None)), 2L -> ((false, Some("n_tokens")))))
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
