@@ -109,6 +109,11 @@ final case class Blocks(df: DataFrame) {
     val offsets = offRows.toDF("pid", "off_card", "off_asg")
     val cum = local.join(broadcast(offsets), Seq("pid"))
       .withColumn("i_card", col("l_card") + col("off_card"))
+      // deliberately functions.round (BigDecimal HALF_UP), NOT
+      // Num.stableRound: the 2-decimal cc plateau rule mirrors pandas
+      // round-half-up semantics (reference blocks.py duplicated(keep=
+      // "first")), property-tested against a HALF_UP driver reference —
+      // the oracle SQL rounds the same way on both sides of w3_purge
       .withColumn("cc", round(
         (col("l_asg") + col("off_asg")).cast("double") / (col("l_card") + col("off_card")),
         roundCc))

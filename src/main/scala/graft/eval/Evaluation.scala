@@ -3,6 +3,7 @@ package graft.eval
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
+import graft.functions.Num
 
 /** Blocking-quality metrics (reference src/klinker/eval.py:144-326).
   *
@@ -73,11 +74,11 @@ object Evaluation {
          r.reductionRatio, r.h3r))
       .toDF("tp", "pairs", "recall", "precision", "f_measure", "reduction_ratio", "h3r")
       .select(col("tp"), col("pairs"),
-        round(col("recall"), scale).as("recall"),
-        round(col("precision"), scale).as("precision"),
-        round(col("f_measure"), scale).as("f_measure"),
-        round(col("reduction_ratio"), scale).as("reduction_ratio"),
-        round(col("h3r"), scale).as("h3r"))
+        Num.stableRound(col("recall"), scale).as("recall"),
+        Num.stableRound(col("precision"), scale).as("precision"),
+        Num.stableRound(col("f_measure"), scale).as("f_measure"),
+        Num.stableRound(col("reduction_ratio"), scale).as("reduction_ratio"),
+        Num.stableRound(col("h3r"), scale).as("h3r"))
   }
 
   /** The gold pairs a blocking finds, WITHOUT enumerating candidate

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Blocks, EntityFrame}
 import graft.blockers._
 import graft.eval.Evaluation
-import graft.functions.Text
+import graft.functions.{Num, Text}
 import QueryDef.{table, duckTokens, stopwordsSqlList}
 
 /** Scans, projections, core aggregations, and the flagship blocking
@@ -32,14 +32,14 @@ object CoreQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          Num.stableRound(sum(col("l_extendedprice")), 2).as("sum_base"),
+          Num.stableRound(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  sum(l_quantity) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base,
-             |  round(avg(l_discount), 6) AS avg_disc,
+             |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base,
+             |  floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -180,10 +180,11 @@ object CoreQueries {
              |  tp / gc AS rec, tp / pairs AS prec,
              |  1 - pairs / total AS rr FROM m)
              |SELECT tp, pairs,
-             |  round(rec, 6) AS recall, round(prec, 6) AS precision,
-             |  round(CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END, 6) AS f_measure,
-             |  round(rr, 6) AS reduction_ratio,
-             |  round(CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END, 6) AS h3r
+             |  floor((rec) * 1e6 + 0.5) / 1e6 AS recall,
+             |  floor((prec) * 1e6 + 0.5) / 1e6 AS precision,
+             |  floor((CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END) * 1e6 + 0.5) / 1e6 AS f_measure,
+             |  floor((rr) * 1e6 + 0.5) / 1e6 AS reduction_ratio,
+             |  floor((CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END) * 1e6 + 0.5) / 1e6 AS h3r
              |FROM x""".stripMargin))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
-import graft.functions.{MinHash, SimHash, Text}
+import graft.functions.{MinHash, Num, SimHash, Text}
 import graft.text.TextAnalysis
 import QueryDef.{table, duckTokens}
 
@@ -147,7 +147,7 @@ object DedupQueries {
     "dd_minhash_neardup" -> QueryDef(
       (s, dir) => Dedup.minHashNearDupPairs(docShingles(s, dir),
           numPerm = 16, bands = 4, threshold = 0.2, estPrefilter = 0.375)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), Num.stableRound(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some {
         val sig = MinHash.signatureSql(docShinglesSql, 16)
@@ -165,7 +165,7 @@ object DedupQueries {
            |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b,
-           |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+           |       floor((i / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
            |FROM inter JOIN sizes sa ON sa.id = id_a
            |           JOIN sizes sb ON sb.id = id_b
            |WHERE i / (sa.sz + sb.sz - i) >= 0.2
@@ -182,7 +182,7 @@ object DedupQueries {
             sh.filter(col("id").cast("long") % 4 =!= 0),
             sh.filter(col("id").cast("long") % 4 === 0),
             numPerm = 16, bands = 4, threshold = 0.2)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("id_a"), col("id_b"), Num.stableRound(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
       Some {
@@ -204,7 +204,7 @@ object DedupQueries {
            |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b,
-           |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+           |       floor((i / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
            |FROM inter JOIN sizes sa ON sa.id = id_a
            |           JOIN sizes sb ON sb.id = id_b
            |WHERE i / (sa.sz + sb.sz - i) >= 0.2
@@ -214,7 +214,7 @@ object DedupQueries {
     // ---- n-gram (3-shingle) Jaccard near-dup ------------------------------
     "dd_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), Num.stableRound(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS ($docShinglesSql),
               |cand AS (
@@ -226,7 +226,7 @@ object DedupQueries {
               |  FROM cand c JOIN sh ta ON ta.id = c.id_a
               |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
               |  GROUP BY 1, 2)
-              |SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+              |SELECT id_a, id_b, floor((i / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
               |FROM inter JOIN sizes sa ON sa.id = id_a
               |           JOIN sizes sb ON sb.id = id_b
               |WHERE i / (sa.sz + sb.sz - i) >= 0.1

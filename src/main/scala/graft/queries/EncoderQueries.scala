@@ -7,6 +7,7 @@ import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
 import graft.encoders.{GraphPropagationEncoder, HashTokenEncoder, LightEAEncoder}
 import graft.eval.Evaluation
+import graft.functions.Num
 import QueryDef.{table, duckTokens}
 
 /** Encoder + embedding-blocker queries (SURVEY.md §2.8 M8-M11, W5, A10).
@@ -87,7 +88,14 @@ object EncoderQueries {
         enc.encode(attrFrame(s, dir), Some(relFrame(s, dir)))
           .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
           // "+ 0.0" folds IEEE -0.0 to +0.0, mirroring the oracle SQL
-          .select(col("id"), col("pos"), (round(col("v"), 6) + lit(0.0)).as("v"))
+          // gridSafeRound: the propagated values are sums of k/1000 hash
+          // features — EXACT decimal rationals whose true values land on
+          // x.5 rounding boundaries systematically, while each engine's
+          // groupBy sum order puts its computed double an ulp on either
+          // side (three different cells flipped in three sf0.1 runs).
+          // The 1e-9 nudge resolves every boundary identically in both
+          // engines; 4 decimals bounds how often boundaries occur at all
+          .select(col("id"), col("pos"), (Num.gridSafeRound(col("v"), 4) + lit(0.0)).as("v"))
           .orderBy("id", "pos")
       },
       Some(s"""$f0Sql,
@@ -99,7 +107,7 @@ object EncoderQueries {
               |${roundSql("f1", "f2")}
               |-- "+ 0.0" folds IEEE -0.0 (DuckDB keeps the sign of a negative
               |-- value that rounds to zero) to +0.0, matching Spark's output.
-              |SELECT id, pos::int AS pos, round(v, 6) + 0.0 AS v
+              |SELECT id, pos::int AS pos, floor(((v) + 1e-9) * 1e4 + 0.5) / 1e4 + 0.0 AS v
               |FROM f2 ORDER BY id, pos""".stripMargin)),
 
     // ---- M9: LightEA three-view propagation, depth 2 ----------------------
@@ -114,7 +122,11 @@ object EncoderQueries {
           .encode(attrFrame(s, dir), Some(relFrame(s, dir)))
           .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
           // "+ 0.0" folds IEEE -0.0 to +0.0, mirroring the oracle SQL
-          .select(col("id"), col("pos"), (round(col("v"), 6) + lit(0.0)).as("v"))
+          // 4 decimals: groupBy-sum order differs between engines (1-ulp
+          // noise); unlike m8 the channels are L2-normalized (irrational
+          // values — no systematic boundary landings), so coarser
+          // precision alone makes a boundary hit measure-zero
+          .select(col("id"), col("pos"), (Num.stableRound(col("v"), 4) + lit(0.0)).as("v"))
           .orderBy("id", "pos")
       },
       Some(s"""$f0Sql,
@@ -159,7 +171,7 @@ object EncoderQueries {
               |-- "+ 0.0" folds IEEE -0.0 (DuckDB keeps the sign of a negative
               |-- value that rounds to zero) to +0.0, matching Spark's output.
               |SELECT s.id, s.pos::int AS pos,
-              |       round(CASE WHEN fn.nrm = 0 THEN s.v ELSE s.v / fn.nrm END, 6) + 0.0 AS v
+              |       floor((CASE WHEN fn.nrm = 0 THEN s.v ELSE s.v / fn.nrm END) * 1e4 + 0.5) / 1e4 + 0.0 AS v
               |FROM stack s JOIN fn USING (id) ORDER BY id, pos""".stripMargin)),
 
     // ---- W5: Sinkhorn re-ranking over kNN candidates ----------------------
@@ -180,7 +192,7 @@ object EncoderQueries {
             // significant digits of cross-engine float reproducibility,
             // and Sinkhorn's groupBy-sum order is not deterministic —
             // a 1-ulp difference occasionally flipped the boundary
-            round(col("s") * 1e6, 2).as("s_scaled"))
+            Num.stableRound(col("s") * 1e6, 2).as("s_scaled"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -207,7 +219,7 @@ object EncoderQueries {
              |    s / sum(s) OVER (PARTITION BY right_id) AS s FROM i2r)
              |SELECT left_id,
              |  row_number() OVER (PARTITION BY left_id ORDER BY s DESC, right_id ASC)::int AS rank,
-             |  right_id, round(s * 1e6, 2) AS s_scaled
+             |  right_id, floor((s * 1e6) * 1e2 + 0.5) / 1e2 AS s_scaled
              |FROM i2c ORDER BY left_id, rank""".stripMargin)),
 
     // ---- A10: dice overlap of two blockings' true-positive sets -----------
@@ -222,7 +234,7 @@ object EncoderQueries {
         val gold = docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("l"), (col("doc_id") + 1).as("r"))
         val dice = Evaluation.diceOfTruePositives(tok, lang, gold)
-        s.range(1).select(round(lit(dice), 6).as("dice"))
+        s.range(1).select(Num.stableRound(lit(dice), 6).as("dice"))
       },
       Some(s"""WITH lt AS (SELECT DISTINCT * FROM (
               |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
@@ -241,8 +253,8 @@ object EncoderQueries {
               |  (SELECT count(*) FROM tpa) AS na,
               |  (SELECT count(*) FROM tpb) AS nb,
               |  (SELECT count(*) FROM tpa SEMI JOIN tpb USING (l, r)) AS ni)
-              |SELECT round(CASE WHEN na + nb = 0 THEN 0
-              |                  ELSE 2.0 * ni / (na + nb) END, 6) AS dice FROM m""".stripMargin)),
+              |SELECT floor((CASE WHEN na + nb = 0 THEN 0
+              |             ELSE 2.0 * ni / (na + nb) END) * 1e6 + 0.5) / 1e6 AS dice FROM m""".stripMargin)),
 
     // ---- M11 (real clustering) + kNN embedding blocker: rows-only ---------
     // MLlib KMeans internals aren't SQL-reproducible → driver records the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.multimodal.Multimodal
 import graft.streaming.StreamingOps
+import graft.functions.Num
 import QueryDef.table
 
 /** Events-table (streaming-shaped) + multimodal-column queries. The
@@ -19,7 +20,7 @@ object EventQueries {
       (s, dir) => StreamingOps.windowedEventAgg(QueryDef.events(s, dir))
         .orderBy("win_start", "event_type"),
       Some("""SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::bigint AS win_start,
-             |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             |       event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- JSON prop extraction --------------------------------------------
@@ -28,10 +29,10 @@ object EventQueries {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))
+        .agg(count(lit(1)).as("n"), Num.stableRound(avg(col("k")), 6).as("avg_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-             |       round(avg(json_extract_string(props, '$.k')::int), 6) AS avg_k
+             |       floor((avg(json_extract_string(props, '$.k')::int)) * 1e6 + 0.5) / 1e6 AS avg_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- W2-style top-k per group ----------------------------------------
@@ -39,7 +40,7 @@ object EventQueries {
       (s, dir) => {
         val totals = QueryDef.events(s, dir)
           .groupBy("event_type", "user_id")
-          .agg(round(sum("value"), 4).as("total"))
+          .agg(Num.stableRound(sum(col("value")), 4).as("total"))
         val w = Window.partitionBy("event_type")
           .orderBy(col("total").desc, col("user_id").asc)
         totals.withColumn("rank", row_number().over(w))
@@ -47,7 +48,7 @@ object EventQueries {
           .orderBy("event_type", "rank")
       },
       Some("""WITH totals AS (
-             |  SELECT event_type, user_id, round(sum(value), 4) AS total
+             |  SELECT event_type, user_id, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
              |  FROM events GROUP BY 1, 2),
              |ranked AS (
              |  SELECT *, row_number() OVER (PARTITION BY event_type

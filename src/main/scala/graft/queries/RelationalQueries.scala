@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
 import graft.relational.Relational
+import graft.functions.Num
 import QueryDef.{table, duckTokens}
 
 /** Relation-aware operators + block algebra (SURVEY.md §2.2/§2.3/§2.4/
@@ -77,7 +78,7 @@ object RelationalQueries {
         val rel = relFrame(s, dir)
         Relational.relationImportance(rel,
             Relational.countEntitiesFrame(attrFrame(s, dir), rel))
-          .select(col("rel"), round(col("importance"), 6).as("importance"))
+          .select(col("rel"), Num.stableRound(col("importance"), 6).as("importance"))
           .orderBy("rel")
       },
       Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
@@ -86,9 +87,9 @@ object RelationalQueries {
               |    UNION ALL SELECT tail FROM ($relSql))),
               |c AS (SELECT rel, count(*) AS rc, count(DISTINCT tail) AS tc
               |      FROM ($relSql) GROUP BY rel)
-              |SELECT rel, round(
+              |SELECT rel, floor((
               |  CASE WHEN (rc/(n.n*n.n) + tc/rc) = 0 THEN 0
-              |       ELSE 2*(rc/(n.n*n.n))*(tc/rc)/((rc/(n.n*n.n)) + (tc/rc)) END, 6)
+              |       ELSE 2*(rc/(n.n*n.n))*(tc/rc)/((rc/(n.n*n.n)) + (tc/rc)) END) * 1e6 + 0.5) / 1e6
               |  AS importance
               |FROM c, n ORDER BY rel""".stripMargin)),
 
@@ -98,7 +99,7 @@ object RelationalQueries {
         val attr = attrFrame(s, dir)
         Relational.nameImportance(attr.df,
             Relational.countEntitiesFrame(attr, relFrame(s, dir)))
-          .select(col("rel"), round(col("importance"), 6).as("importance"))
+          .select(col("rel"), Num.stableRound(col("importance"), 6).as("importance"))
           .orderBy("rel")
       },
       Some(s"""WITH n AS (SELECT count(DISTINCT e) AS n FROM (
@@ -108,9 +109,9 @@ object RelationalQueries {
               |c AS (SELECT rel, count(head) AS hc, count(*) AS rc,
               |             count(DISTINCT tail) AS tc
               |      FROM ($attrSql) GROUP BY rel)
-              |SELECT rel, round(
+              |SELECT rel, floor((
               |  CASE WHEN (hc/n.n + tc/rc) = 0 THEN 0
-              |       ELSE 2*(hc/n.n)*(tc/rc)/((hc/n.n) + (tc/rc)) END, 6)
+              |       ELSE 2*(hc/n.n)*(tc/rc)/((hc/n.n) + (tc/rc)) END) * 1e6 + 0.5) / 1e6
               |  AS importance
               |FROM c, n ORDER BY rel""".stripMargin)),
 

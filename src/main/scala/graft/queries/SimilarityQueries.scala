@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
 import graft.encoders.HashTokenEncoder
-import graft.functions.{MinHash, Text}
+import graft.functions.{MinHash, Num, Text}
 import graft.similarity.Similarity
 import QueryDef.{table, duckTokens}
 
@@ -139,7 +139,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.topKCosine(l, r, 3)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("cos"), 6).as("cos"))
+            Num.stableRound(col("cos"), 6).as("cos"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -157,7 +157,7 @@ object SimilarityQueries {
              |ranked AS (SELECT left_id, right_id, cos, row_number() OVER (
              |    PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS rank
              |  FROM scored)
-             |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+             |SELECT left_id, rank::int AS rank, right_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- M13: CSLS hubness-reduced kNN over brute candidates --------------
@@ -173,7 +173,7 @@ object SimilarityQueries {
         val cand = Similarity.topKCosine(l, r, 10)
         Similarity.cslsRerank(cand, k = 3, scaleK = 5)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("csls"), 6).as("csls"))
+            Num.stableRound(col("csls"), 6).as("csls"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -209,7 +209,7 @@ object SimilarityQueries {
              |ranked AS (SELECT left_id, right_id, csls, row_number() OVER (
              |    PARTITION BY left_id ORDER BY csls DESC, right_id ASC) AS rank
              |  FROM cs)
-             |SELECT left_id, rank::int AS rank, right_id, round(csls, 6) AS csls
+             |SELECT left_id, rank::int AS rank, right_id, floor((csls) * 1e6 + 0.5) / 1e6 AS csls
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- IVF kNN: label buckets, nearest-centroid probe -------------------
@@ -221,7 +221,7 @@ object SimilarityQueries {
         val q = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.ivfTopK(q, bucketed, 3)
           .select(col("left_id"), col("bucket"), col("rank"), col("right_id"),
-            round(col("cos"), 6).as("cos"))
+            Num.stableRound(col("cos"), 6).as("cos"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -252,7 +252,7 @@ object SimilarityQueries {
              |  FROM dots JOIN norms na ON na.vec_id = left_id
              |            JOIN norms nb ON nb.vec_id = right_id)
              |SELECT left_id, label::varchar AS bucket, rank::int AS rank, right_id,
-             |       round(cos, 6) AS cos
+             |       floor((cos) * 1e6 + 0.5) / 1e6 AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- IVF multi-probe: top-2 centroid buckets searched ------------------
@@ -264,7 +264,7 @@ object SimilarityQueries {
         val q = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.ivfTopK(q, bucketed, 3, probes = 2)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("cos"), 6).as("cos"))
+            Num.stableRound(col("cos"), 6).as("cos"))
           .orderBy("left_id", "rank")
       },
       Some("""WITH expl AS (
@@ -294,7 +294,7 @@ object SimilarityQueries {
              |             ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rank
              |  FROM dots JOIN norms na ON na.vec_id = left_id
              |            JOIN norms nb ON nb.vec_id = right_id)
-             |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+             |SELECT left_id, rank::int AS rank, right_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- PQ encode: 64 float dims → 8 codebook ids ------------------------
@@ -305,8 +305,8 @@ object SimilarityQueries {
         .orderBy("id"),
       Some(s"""WITH g AS (
               |  SELECT vec_id, s.s AS s, c.c AS c,
-              |         round(sum(power(embedding[s.s*8 + d.d + 1]::double
-              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2)), 6) AS dist
+              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
               |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
               |  GROUP BY 1, 2, 3),
               |best AS (
@@ -327,13 +327,13 @@ object SimilarityQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")))
         Similarity.pqTopK(q, codes, 3, rankScale = 6)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("adc"), 6).as("adc"))
+            Num.stableRound(col("adc"), 6).as("adc"))
           .orderBy("left_id", "rank")
       },
       Some(s"""WITH g AS (
               |  SELECT vec_id, s.s AS s, c.c AS c,
-              |         round(sum(power(embedding[s.s*8 + d.d + 1]::double
-              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2)), 6) AS dist
+              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
               |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
               |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3),
               |codes AS (
@@ -354,9 +354,9 @@ object SimilarityQueries {
               |ranked AS (
               |  SELECT left_id, right_id, adc, row_number() OVER (
               |      PARTITION BY left_id
-              |      ORDER BY round(adc, 6) DESC, right_id ASC) AS rank
+              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
               |  FROM scored)
-              |SELECT left_id, rank::int AS rank, right_id, round(adc, 6) AS adc
+              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
               |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- IVF-PQ: probe nearest label bucket, ADC over its PQ codes --------
@@ -370,7 +370,7 @@ object SimilarityQueries {
             col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.ivfPqTopK(q, bucketed, 3, rankScale = 6)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("adc"), 6).as("adc"))
+            Num.stableRound(col("adc"), 6).as("adc"))
           .orderBy("left_id", "rank")
       },
       Some(s"""WITH oexpl AS (
@@ -392,8 +392,8 @@ object SimilarityQueries {
               |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
               |g AS (
               |  SELECT vec_id, label, s.s AS s, c.c AS c,
-              |         round(sum(power(embedding[s.s*8 + d.d + 1]::double
-              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2)), 6) AS dist
+              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
               |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
               |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3, 4),
               |codes AS (
@@ -416,9 +416,9 @@ object SimilarityQueries {
               |ranked AS (
               |  SELECT left_id, right_id, adc, row_number() OVER (
               |      PARTITION BY left_id
-              |      ORDER BY round(adc, 6) DESC, right_id ASC) AS rank
+              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
               |  FROM scored)
-              |SELECT left_id, rank::int AS rank, right_id, round(adc, 6) AS adc
+              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
               |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- sign-LSH bucketing (first 16 dims, 6 planes) ---------------------
@@ -442,7 +442,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.lshTopK(l, r, 3, numPlanes = 4, planeDims = 16)
           .select(col("left_id"), col("rank"), col("right_id"),
-            round(col("cos"), 6).as("cos"))
+            Num.stableRound(col("cos"), 6).as("cos"))
           .orderBy("left_id", "rank")
       },
       Some(s"""WITH buck AS (
@@ -467,14 +467,14 @@ object SimilarityQueries {
               |             ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rank
               |  FROM dots JOIN norms na ON na.vec_id = left_id
               |            JOIN norms nb ON nb.vec_id = right_id)
-              |SELECT left_id, rank::int AS rank, right_id, round(cos, 6) AS cos
+              |SELECT left_id, rank::int AS rank, right_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- dedup: embedding-cosine near-duplicates --------------------------
     "dd_embedding_neardup" -> QueryDef(
       (s, dir) => Similarity.selfJoinNearDup(
           embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")), 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .select(col("id_a"), col("id_b"), Num.stableRound(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
       Some("""WITH expl AS (
              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
@@ -484,7 +484,7 @@ object SimilarityQueries {
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
              |  FROM expl a JOIN expl b ON a.i = b.i AND a.vec_id < b.vec_id
              |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+             |SELECT id_a, id_b, floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 AS cos
              |FROM dots JOIN norms na ON na.vec_id = id_a
              |          JOIN norms nb ON nb.vec_id = id_b
              |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
@@ -493,7 +493,7 @@ object SimilarityQueries {
     "dd_embedding_neardup_lsh" -> QueryDef(
       (s, dir) => Similarity.bucketedNearDup(
           embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")), 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .select(col("id_a"), col("id_b"), Num.stableRound(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH bucketed AS (
               |  SELECT vec_id, ${Similarity.hyperplaneBucketSql("embedding", 6, 16)} AS b
@@ -510,7 +510,7 @@ object SimilarityQueries {
               |  FROM cand c JOIN expl ea ON ea.vec_id = c.id_a
               |              JOIN expl eb ON eb.vec_id = c.id_b AND eb.i = ea.i
               |  GROUP BY 1, 2)
-              |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+              |SELECT id_a, id_b, floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 AS cos
               |FROM dots JOIN norms na ON na.vec_id = id_a
               |          JOIN norms nb ON nb.vec_id = id_b
               |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
@@ -651,7 +651,7 @@ object SimilarityQueries {
         val weighted = toks.join(withTotal, Seq("key"))
           .withColumn("w", lit(a) / (lit(a) + col("freq") / col("total")))
         val dims = (0 until 8).map(d =>
-          round(sum(col("w") *
+          Num.stableRound(sum(col("w") *
             ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
             / sum(col("w")), 6).as(s"d$d"))
         weighted.groupBy("doc_id").agg(dims.head, dims.tail: _*).orderBy("doc_id")
@@ -660,7 +660,7 @@ object SimilarityQueries {
         val toks = duckTokens("doc_id", "text", "documents", 3)
           .replace("SELECT id, tok AS key", "SELECT id, tok AS key")
         val dimExprs = (0 until 8).map(d =>
-          s"round(sum(w * ((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)) / sum(w), 6) AS d$d")
+          s"floor((sum(w * ((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
           .mkString(", ")
         s"""WITH toks AS ($toks),
            |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
@@ -685,8 +685,8 @@ object SimilarityQueries {
           "docs", "doc_id")
         HashTokenEncoder(2, sif = true, removePc = true).encode(docs, None)
           .select(col("id").cast("long").as("doc_id"),
-            round(get(col("vec"), lit(0)), 6).as("d0"),
-            round(get(col("vec"), lit(1)), 6).as("d1"))
+            Num.stableRound(get(col("vec"), lit(0)), 6).as("d0"),
+            Num.stableRound(get(col("vec"), lit(1)), 6).as("d1"))
           .orderBy("doc_id")
       },
       Some {
@@ -713,8 +713,8 @@ object SimilarityQueries {
            |  FROM g),
            |pcn AS (SELECT vx/sqrt(vx*vx+vy*vy) AS px, vy/sqrt(vx*vx+vy*vy) AS py FROM pc)
            |SELECT doc_id,
-           |  round(d0 - (d0*px + d1*py)*px, 6) AS d0,
-           |  round(d1 - (d0*px + d1*py)*py, 6) AS d1
+           |  floor((d0 - (d0*px + d1*py)*px) * 1e6 + 0.5) / 1e6 AS d0,
+           |  floor((d1 - (d0*px + d1*py)*py) * 1e6 + 0.5) / 1e6 AS d1
            |FROM emb, pcn ORDER BY doc_id""".stripMargin
       }),
 
@@ -730,7 +730,7 @@ object SimilarityQueries {
         val emb = HashTokenEncoder(2, sif = true).encode(docs, None)
         graft.encoders.PcRemoval.pcaProject(emb, dims = 2, outDims = 1)
           .select(col("id").cast("long").as("doc_id"),
-            round(get(col("vec"), lit(0)), 6).as("c0"))
+            Num.stableRound(get(col("vec"), lit(0)), 6).as("c0"))
           .orderBy("doc_id")
       },
       Some {
@@ -762,7 +762,7 @@ object SimilarityQueries {
            |  CASE WHEN (CASE WHEN abs(px) >= abs(py) THEN px ELSE py END) < 0
            |       THEN -py ELSE py END AS py
            |  FROM pcn)
-           |SELECT doc_id, round(d0*px + d1*py, 6) AS c0
+           |SELECT doc_id, floor((d0*px + d1*py) * 1e6 + 0.5) / 1e6 AS c0
            |FROM emb, canon ORDER BY doc_id""".stripMargin
       })
   )

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Num
 import graft.functions.Vectors
 
 /** Vector similarity search over plain `array<float>` embedding columns
@@ -272,7 +273,7 @@ object Similarity {
     val scored = lut.join(codes, Seq("bucket"))
       .select(col("left_id"), col("right_id"),
         PqOps.pqAdc(col("_lut"), col("codes"), codebookSize).as("adc"))
-    val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
+    val rankKey = if (rankScale >= 0) Num.stableRound(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
@@ -346,7 +347,7 @@ object Similarity {
     // rankScale >= 0: rank on the ROUNDED score — summation order
     // differs between engines, so raw doubles differ by ±ulp; rounding
     // + the right_id tie-break pins the ranking for oracle comparison
-    val rankKey = if (rankScale >= 0) round(col("adc"), rankScale) else col("adc")
+    val rankKey = if (rankScale >= 0) Num.stableRound(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.functions.Text
+import graft.functions.{Num, Text}
 
 /** Structured Streaming operators (SURVEY.md §2.10 — new design, the
   * reference has no streaming support; charter: the `events` stream).
@@ -23,7 +23,7 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src.groupBy(window(col("ts"), windowDuration), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.stableRound(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
   }

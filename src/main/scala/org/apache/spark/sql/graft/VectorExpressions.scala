@@ -145,7 +145,9 @@ object GraftExtensions {
   * array lookups per pair. Each kernel is a compact counted loop over a
   * codebook shipped once per task as a reference object.
   *
-  * Distances round HALF_UP to 6 decimals before the argmin and ties
+  * Distances round to 6 decimals via floor(d·1e6 + 0.5) (Math.round —
+  * identical to the oracle SQL's explicit floor form and to DuckDB's
+  * std::round for the non-negative distances here) before the argmin and ties
   * break on the lower code id — the same contract as the SQL oracle
   * (round(x, 6)), so cross-engine ulp noise cannot flip an argmin. */
 object PqKernels {
