@@ -57,6 +57,31 @@ object Dedup {
           / size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
   }
 
+  /** Hot-key admission cap for candidate-generating self-joins — the
+    * batch form of the streaming variant's per-bucket admission cap
+    * ([[graft.streaming.StreamingOps.streamMinHashNearDup]]) and of the
+    * token blocker's `maxBlockComparisons` anti-filter. A degenerate
+    * band bucket (or boilerplate shingle) shared by B documents emits
+    * B² candidate rows BEFORE any filter can run — the classic skewed
+    * self-join scale-killer at 100 TB. With `maxKeySize > 0`, keys whose
+    * row count exceeds the cap are anti-filtered out before the join:
+    * the hot-key list is tiny (only offenders), so the anti join is a
+    * broadcast against the corpus scan — no extra shuffle of the big
+    * side beyond the one count aggregation.
+    *
+    * Dropping a key only removes CANDIDATES, never corrupts survivors:
+    * for LSH the verify step is exact, so every emitted pair's jaccard
+    * is unchanged and capped output ⊆ uncapped output with the
+    * difference confined to pairs whose every shared bucket was hot.
+    * Default 0 = off (bit-identical output, proven in DedupSpec). */
+  private def capHotKeys(rows: DataFrame, maxKeySize: Int): DataFrame =
+    if (maxKeySize <= 0) rows
+    else {
+      val hot = rows.groupBy("key").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxKeySize).select("key")
+      rows.join(hot, Seq("key"), "left_anti")
+    }
+
   /** Signature-estimated Jaccard prefilter over candidate pairs: keeps
     * pairs whose fraction of matching minhashes is ≥ `minEst`. The
     * signatures are already computed, so the cost is numPerm equality
@@ -98,7 +123,8 @@ object Dedup {
     * a clean corpus it drops nothing (see DedupSpec's equality test). */
   def minHashNearDupPairs(
       tokenPairs: DataFrame, numPerm: Int, bands: Int,
-      threshold: Double, estPrefilter: Double = 0.0): DataFrame = {
+      threshold: Double, estPrefilter: Double = 0.0,
+      maxBucketSize: Int = 0): DataFrame = {
     // The token table feeds the signature AND the verify step, and the
     // candidate pair list is referenced three times downstream (id prune +
     // both verify join sides) — persist both so each pipeline stage runs
@@ -112,7 +138,8 @@ object Dedup {
     // per doc, so persist it when the prefilter will read it.
     val sig0 = MinHash.signature(toks, numPerm)
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
-    val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
+    val buckets = capHotKeys(
+      MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
     val candidates = estimatePrefilter(
       buckets.withColumnRenamed("id", "id_a")
         .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
@@ -124,8 +151,20 @@ object Dedup {
     // output-sized, i.e. tiny relative to the corpus — so the candidate
     // pipeline (bucket self-join + signature prefilter) runs once, not
     // per reference.
-    verifyJaccard(toks, candidates.persist())
+    val cand = candidates.persist()
+    // Eagerly materialize the (output-sized) verified pairs via
+    // localCheckpoint, then release every persisted intermediate NOW —
+    // otherwise corpus-sized cached frames accumulate in a shared session
+    // until ContextCleaner notices (checkpoint blocks, by contrast, die
+    // with the returned frame). Same total work: the verify join runs
+    // exactly once either way.
+    val verified = verifyJaccard(toks, cand)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    cand.unpersist()
+    if (estPrefilter > 0.0) sig.unpersist()
+    toks.unpersist()
+    verified
   }
 
   /** Incremental near-dup: MinHash-LSH pairs of a NEW document batch
@@ -147,14 +186,27 @@ object Dedup {
     * identical once signatures are a stored table. */
   def minHashNearDupAgainst(
       corpusToks: DataFrame, newToks: DataFrame, numPerm: Int, bands: Int,
-      threshold: Double, estPrefilter: Double = 0.0): DataFrame = {
-    val all = corpusToks.select(col("id"), col("key"), lit(false).as("_new"))
+      threshold: Double, estPrefilter: Double = 0.0,
+      maxBucketSize: Int = 0): DataFrame = {
+    // A re-crawl refresh realistically re-submits ids that already exist
+    // in the corpus. Keeping both sides' rows would merge the two token
+    // sets into ONE phantom signature (and duplicate its bucket rows), so
+    // the NEW batch's version supersedes: corpus rows whose id reappears
+    // in the batch are anti-joined away before the union. The anti join
+    // is corpus-scan × batch-id-broadcast — no corpus shuffle.
+    val corpusOnly = corpusToks
+      .join(newToks.select("id").distinct(), Seq("id"), "left_anti")
+    val all = corpusOnly.select(col("id"), col("key"), lit(false).as("_new"))
       .unionByName(newToks.select(col("id"), col("key"), lit(true).as("_new")))
       .persist()
     val sides = all.select("id", "_new").distinct()
     val sig0 = MinHash.signature(all.select("id", "key"), numPerm)
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
-    val buckets = MinHash.bandBuckets(sig, bands, numPerm / bands)
+    // cap measured over the UNION (corpus + new rows in the bucket): a
+    // boilerplate bucket is hot because of its total population, not of
+    // either side alone
+    val buckets = capHotKeys(
+        MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
       .join(sides, Seq("id"))
     val candidates = estimatePrefilter(
       buckets
@@ -166,8 +218,15 @@ object Dedup {
                 (col("_new_a") && col("id_a") < col("id_b")))
         .select("id_a", "id_b").distinct(),
       sig, numPerm, estPrefilter)
-    verifyJaccard(all.select("id", "key"), candidates.persist())
+    val cand = candidates.persist()
+    // Materialize then release — see [[minHashNearDupPairs]].
+    val verified = verifyJaccard(all.select("id", "key"), cand)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    cand.unpersist()
+    if (estPrefilter > 0.0) sig.unpersist()
+    all.unpersist()
+    verified
   }
 
   /** N-gram (shingle) Jaccard near-dups: candidates share ≥ 1 shingle.
@@ -177,8 +236,21 @@ object Dedup {
     *
     * Single-pass: the shingle self-join that discovers a candidate pair
     * IS its intersection count (group the matches), so no separate
-    * verification join runs. */
-  def ngramJaccardPairs(shinglePairs: DataFrame, threshold: Double): DataFrame = {
+    * verification join runs.
+    *
+    * `maxDocFreq > 0` is the hot-key guard (see [[capHotKeys]]): shingles
+    * shared by more than `maxDocFreq` documents — boilerplate headers,
+    * license blocks — are dropped BEFORE the self-join, so a shingle in B
+    * documents can no longer emit B² join rows. Because this operator's
+    * join doubles as the intersection count, capping is a bounded
+    * under-count, not just candidate pruning: set sizes stay exact (they
+    * come from the uncapped table), intersections lose only capped
+    * shingles, so every surviving pair's jaccard is ≤ its uncapped value
+    * and capped pairs ⊆ uncapped pairs, the difference confined to pairs
+    * sharing a capped shingle. Default 0 = off (bit-identical, proven in
+    * DedupSpec). */
+  def ngramJaccardPairs(
+      shinglePairs: DataFrame, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
     val sizes = shinglePairs.groupBy("id").agg(countDistinct("key").as("sz"))
     // Considered and measured: pruning singleton shingles (keys with one
     // document cannot contribute a pair) before the self-join. On this
@@ -187,8 +259,9 @@ object Dedup {
     // sf0.1; +100% with the pruned table persisted). On a heavy-tailed
     // real corpus where most shingles are unique, add
     // `.join(keysWithCountGe2, Seq("key"), "left_semi")` here.
-    val inter = shinglePairs.withColumnRenamed("id", "id_a")
-      .join(shinglePairs.withColumnRenamed("id", "id_b"), Seq("key"))
+    val joinable = capHotKeys(shinglePairs, maxDocFreq)
+    val inter = joinable.withColumnRenamed("id", "id_a")
+      .join(joinable.withColumnRenamed("id", "id_b"), Seq("key"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
@@ -268,11 +341,19 @@ object Dedup {
   def components(
       pairs: DataFrame, maxIterations: Int = 20,
       checkpointInterval: Int = 5): DataFrame = {
+    // localCheckpoint, not persist: the edge list is referenced by EVERY
+    // round's join plus both convergence probes, and under persist each
+    // reference still carries (and re-analyzes) the full upstream pair
+    // pipeline's logical plan — round k's analyzed plan nested the whole
+    // ngram/LSH lineage. Checkpointing truncates the plan to a leaf once,
+    // so per-round analysis cost is flat, and the blocks are released by
+    // ContextCleaner when the frame goes out of scope (persist'd frames
+    // sit in the CacheManager forever unless explicitly unpersisted).
     val edges = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
       .unionByName(pairs
         .select(col("id_b").cast("string").as("src"), col("id_a").cast("string").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     val init = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist()
     var cached = init                                   // persisted handle to unpersist
@@ -308,17 +389,14 @@ object Dedup {
       labels = next.select("id", "component")
       i += 1
     }
-    labels
+    // Hand back a self-contained frame: checkpoint the (node-count-sized)
+    // final labels, then drop the last round's cache entry so nothing of
+    // the iteration survives in the CacheManager of a shared session.
+    val out = labels.localCheckpoint()
+    cached.unpersist()
+    out
   }
 
-  /** The end of the dedup pipeline: which documents to KEEP. Every id in
-    * `ids` (one column, any name) that is either untouched by the pair
-    * graph (singleton — no near-dup found) or its component's canonical
-    * minimum survives; everything else is droppable, labeled with the id
-    * that shadows it. One broadcast-friendly left join against the
-    * component labels (component count ≤ pair count — output-sized, tiny
-    * next to the corpus), so the corpus table itself is scanned once and
-    * never shuffled. */
   /** Deterministic shard assignment — the export tail of the pipeline:
     * shard = md5-long(id) mod numShards. Content-addressed, so re-runs
     * and incremental refreshes land a document in the SAME shard (no
@@ -342,6 +420,14 @@ object Dedup {
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** The end of the dedup pipeline: which documents to KEEP. Every id in
+    * `ids` (one column, any name) that is either untouched by the pair
+    * graph (singleton — no near-dup found) or its component's canonical
+    * minimum survives; everything else is droppable, labeled with the id
+    * that shadows it. One broadcast-friendly left join against the
+    * component labels (component count ≤ pair count — output-sized, tiny
+    * next to the corpus), so the corpus table itself is scanned once and
+    * never shuffled. */
   def keepList(ids: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val idCol = ids.columns.head
     val labels = components(pairs, maxIterations)

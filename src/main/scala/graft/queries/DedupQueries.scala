@@ -335,7 +335,8 @@ object DedupQueries {
         val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
         s"""WITH RECURSIVE
            |qt AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |  SELECT doc_id,
+           |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
            |  FROM documents),
            |qs AS (
            |  SELECT doc_id, len(toks) AS m,
@@ -458,7 +459,8 @@ object DedupQueries {
       Some {
         val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
         s"""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |  SELECT doc_id,
+           |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
            |  FROM documents),
            |s AS (
            |  SELECT doc_id, len(toks) AS m,

@@ -322,24 +322,38 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (bucket: String, batch: Iterator[BandedDoc], state: GroupState[BucketState]) =>
           val st = state.getOption.getOrElse(BucketState(Seq.empty, Seq.empty))
-          var ids = st.ids
-          var sigs = st.sigs
+          // Set for membership + ArrayBuffer accumulation: the old
+          // `ids.contains` + `ids :+ d.id` per record was O(n) each, i.e.
+          // O(n²) per batch on exactly the hot bucket the admission cap
+          // exists to survive. Seq materializes only once for state.update.
+          val ids = scala.collection.mutable.ArrayBuffer.empty[String] ++= st.ids
+          val sigs = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]] ++=
+            st.sigs.map(_.toIndexedSeq)
+          val seen = scala.collection.mutable.HashSet.empty[String] ++= st.ids
           val out = Seq.newBuilder[NearDupPair]
           batch.foreach { d =>
-            if (!ids.contains(d.id) && ids.size < maxIdsPerBucket) {
-              ids.iterator.zip(sigs.iterator).foreach { case (oid, osig) =>
-                val matches = (0 until numPerm).count(i => osig(i) == d.sig(i))
-                val est = matches.toDouble / numPerm
+            if (!seen.contains(d.id) && ids.size < maxIdsPerBucket) {
+              val dsig = d.sig.toIndexedSeq
+              var k = 0
+              while (k < ids.length) {
+                val osig = sigs(k)
+                var m = 0
+                var i = 0
+                while (i < numPerm) { if (osig(i) == dsig(i)) m += 1; i += 1 }
+                val est = m.toDouble / numPerm
                 if (est >= minEst) {
+                  val oid = ids(k)
                   val (a, b) = if (oid < d.id) (oid, d.id) else (d.id, oid)
                   out += NearDupPair(a, b, est)
                 }
+                k += 1
               }
-              ids = ids :+ d.id
-              sigs = sigs :+ d.sig
+              ids += d.id
+              sigs += dsig
+              seen += d.id
             }
           }
-          state.update(BucketState(ids, sigs))
+          state.update(BucketState(ids.toSeq, sigs.toSeq))
           out.result().iterator
       }
   }

@@ -90,7 +90,12 @@ object TextAnalysis {
       minWords: Int = 20, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minStopwords: Int = 1, maxDupFrac: Double = 0.6): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // coalesce null text to '' FIRST: otherwise size(null) is -1 (legacy)
+    // or null (ANSI) and a null document's keep/reason flips with the
+    // engine config. '' tokenizes to [''] → m = 1 < minWords → dropped as
+    // 'n_tokens', deterministically, on both engines (oracles mirror the
+    // coalesce).
+    val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
     docs
       .select(col(idCol), toks.as("_toks"))
       .select(col(idCol),
