@@ -63,6 +63,24 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")),
       (json + "\n").getBytes("UTF-8"))
+    // The driver keeps only the LAST 2000 chars of stdout and parses JSON
+    // lines out of that window; the full 83-query line above is longer, so
+    // its head is cut and BENCH_r*.json records parsed:null. Emit a final
+    // compact line guaranteed to fit: headline total + the slowest queries
+    // that fit a 1500-char map budget (2 decimals), with the omission
+    // counted. The complete map lives in bench.json and on stderr.
+    val budget = 1500
+    val bySlow = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlow.foreach { case (k, v, _) =>
+      val ent = "\"" + k + f"\":$v%.2f"
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"bench.json"}"""
+    println(compact)
     spark.stop()
   }
 }

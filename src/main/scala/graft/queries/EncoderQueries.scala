@@ -47,6 +47,47 @@ object EncoderQueries {
     """SELECT 'o'||l_orderkey AS head, 'ln_'||l_linenumber AS rel, 'p'||l_partkey AS tail
       |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
 
+  /** One parity side of the documents table as distinct 3-gram shingles
+    * (same construction as DedupQueries' docShingles). */
+  private def shingleSideSql(parity: Int) =
+    s"""SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
+       |  SELECT cast(doc_id AS varchar) AS id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                     t -> length(t) >= 1) AS l
+       |  FROM documents WHERE doc_id % 2 = $parity), range(1, 10000) r(i)
+       |WHERE i + 2 <= len(l)""".stripMargin
+
+  /** True near-dup gold across the %2 parity split: 3-gram shingle
+    * jaccard >= 0.5. Only genuinely copied text passes at this
+    * threshold, so the gold is a real duplicate-detection target the
+    * embedding blockers should recall. */
+  private val shingleGoldSql =
+    s"""SELECT l, r FROM (
+       |  SELECT lt.id AS l, rt.id AS r, count(*) AS i
+       |  FROM (${shingleSideSql(0)}) lt JOIN (${shingleSideSql(1)}) rt USING (key)
+       |  GROUP BY 1, 2) x
+       |JOIN (SELECT id, count(*) AS sz FROM (${shingleSideSql(0)}) GROUP BY id) sa ON sa.id = x.l
+       |JOIN (SELECT id, count(*) AS sz FROM (${shingleSideSql(1)}) GROUP BY id) sb ON sb.id = x.r
+       |WHERE i::double / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+
+  /** Spark side of [[shingleGoldSql]] (dd_ngram_jaccard's shingle/jaccard
+    * construction restricted to the parity split). */
+  private def shingleGold(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    def sh(p: Int, idc: String) = docs.filter(col("doc_id") % 2 === p)
+      .select(col("doc_id").cast("string").as(idc),
+        explode(Text.wordShingles(
+          Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)).as("key"))
+      .distinct()
+    val lt = sh(0, "l")
+    val rt = sh(1, "r")
+    lt.join(rt, Seq("key")).groupBy("l", "r").agg(count(lit(1)).as("i"))
+      .join(lt.groupBy("l").agg(count(lit(1)).as("szl")), Seq("l"))
+      .join(rt.groupBy("r").agg(count(lit(1)).as("szr")), Seq("r"))
+      .filter(col("i").cast("double") / (col("szl") + col("szr") - col("i")) >= 0.5)
+      .select("l", "r")
+  }
+
   /** conc text + tokens + md5 pseudo-embedding f0 per graph entity. */
   private val f0Sql =
     s"""WITH rel AS ($relSql),
@@ -256,23 +297,70 @@ object EncoderQueries {
               |SELECT floor((CASE WHEN na + nb = 0 THEN 0
               |             ELSE 2.0 * ni / (na + nb) END) * 1e6 + 0.5) / 1e6 AS dice FROM m""".stripMargin)),
 
-    // ---- M11 (real clustering) + kNN embedding blocker: rows-only ---------
-    // MLlib KMeans internals aren't SQL-reproducible → driver records the
-    // weaker rows-only check (oracle omitted), invariants in specs.
+    // ---- M11 (real clustering) + kNN embedding blocker: invariant-graded --
+    // MLlib KMeans internals aren't SQL-reproducible, so instead of
+    // dumping seeded cluster contents these queries emit a ONE-ROW
+    // invariant summary the DuckDB oracle CAN check: deterministic counts
+    // (gold-pair count, encodable-input count — both engine-independent)
+    // plus booleans asserting blocker-output invariants and a pinned
+    // recall floor vs a gold of TRUE near-dups (3-gram shingle jaccard
+    // >= 0.5 across the parity split — the dedup family's own near-dup
+    // definition; distinct-TOKEN jaccard is useless as gold here because
+    // the corpus vocabulary is ~30 words, so nearly all pairs collide),
+    // the reference's own invariant style (tests/test_blockers.py:191-279).
+    // A false boolean hash-mismatches the oracle's `true` → red row.
     "m11_kmeans_blocker" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
         def side(p: Int) = EntityFrame(
           docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col("text")),
           s"side$p", "doc_id")
-        KMeansClusterBlocker(HashTokenEncoder(8), numClusters = 8)
-          .assign(side(0), side(1))
-          .df.select(col(Blocks.KeyCol),
-            size(col(Blocks.LeftCol)).as("left_size"),
-            size(col(Blocks.RightCol)).as("right_size"))
-          .orderBy(Blocks.KeyCol)
+        val blocks = KMeansClusterBlocker(HashTokenEncoder(8), numClusters = 8)
+          .assign(side(0), side(1)).df.persist()
+        // ids the encoder can see (≥ 1 qualifying token) — deterministic
+        def encIds(p: Int) = docs.filter(col("doc_id") % 2 === p)
+          .select(col("doc_id").cast("string").as("id"),
+            size(graft.functions.Text.tokenize(col("text"))).as("_n"))
+          .filter(col("_n") > 0).select("id")
+        val lmem = blocks.select(col(Blocks.KeyCol).as("k"),
+          explode(col(Blocks.LeftCol)).as("id"))
+        val rmem = blocks.select(col(Blocks.KeyCol).as("k"),
+          explode(col(Blocks.RightCol)).as("id"))
+        val gold = shingleGold(docs)
+        val tp = gold
+          .join(lmem.select(col("k"), col("id").as("l")), Seq("l"))
+          .join(rmem.select(col("k"), col("id").as("r")), Seq("r", "k"))
+          .agg(count(lit(1)).as("n_tp"))
+        val lStats = lmem.groupBy("id").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("lmax"))
+        val rStats = rmem.groupBy("id").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("rmax"))
+        val lExtra = lmem.select("id").distinct()
+          .join(encIds(0), Seq("id"), "left_anti").agg(count(lit(1)).as("l_extra"))
+        val rExtra = rmem.select("id").distinct()
+          .join(encIds(1), Seq("id"), "left_anti").agg(count(lit(1)).as("r_extra"))
+        val nBlocks = blocks.agg(count(lit(1)).as("n_blocks"))
+        gold.agg(count(lit(1)).as("n_gold"))
+          .crossJoin(encIds(0).agg(count(lit(1)).as("n_left")))
+          .crossJoin(tp).crossJoin(lStats).crossJoin(rStats)
+          .crossJoin(lExtra).crossJoin(rExtra).crossJoin(nBlocks)
+          .select(col("n_gold"), col("n_left"),
+            // a KMeans partition: each id in ≤ 1 cluster, ids from input
+            (col("lmax") <= 1 && col("rmax") <= 1 &&
+              col("l_extra") === 0 && col("r_extra") === 0).as("membership_ok"),
+            (col("n_blocks") >= 1 && col("n_blocks") <= 8).as("n_blocks_ok"),
+            // co-cluster recall of the shingle near-dup gold — floor
+            // pinned from measured 1.0/0.917/0.908 at sf0.001/0.01/0.1
+            (col("n_gold") === 0 ||
+              col("n_tp").cast("double") / col("n_gold") >= 0.80).as("recall_ok"))
       },
-      None),
+      Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |g AS ($shingleGoldSql)
+              |SELECT (SELECT count(*) FROM g) AS n_gold,
+              |       (SELECT count(*) FROM enc) AS n_left,
+              |       true AS membership_ok, true AS n_blocks_ok,
+              |       true AS recall_ok""".stripMargin)),
 
     "emb_knn_blocker" -> QueryDef(
       (s, dir) => {
@@ -280,13 +368,48 @@ object EncoderQueries {
         def side(p: Int) = EntityFrame(
           docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col("text")),
           s"side$p", "doc_id")
-        EmbeddingKnnBlocker(HashTokenEncoder(8), k = 3, sinkhornIterations = 1)
-          .assign(side(0), side(1))
-          .df.select(col(Blocks.KeyCol),
-            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
-            array_join(col(Blocks.RightCol), ",").as("right_ids"))
-          .orderBy(Blocks.KeyCol)
+        val blocks = EmbeddingKnnBlocker(HashTokenEncoder(8), k = 3, sinkhornIterations = 1)
+          .assign(side(0), side(1)).df.persist()
+        def encIds(p: Int) = docs.filter(col("doc_id") % 2 === p)
+          .select(col("doc_id").cast("string").as("id"),
+            size(graft.functions.Text.tokenize(col("text"))).as("_n"))
+          .filter(col("_n") > 0).select("id")
+        val gold = shingleGold(docs)
+        val shape = blocks.agg(count(lit(1)).as("n_blocks"),
+          countDistinct(col(Blocks.KeyCol)).as("n_keys"),
+          min(size(col(Blocks.RightCol))).as("kmin"),
+          max(size(col(Blocks.RightCol))).as("kmax"))
+        val lMissing = encIds(0)
+          .join(blocks.select(col(Blocks.KeyCol).as("id")), Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("l_missing"))
+        val rExtra = blocks.select(explode(col(Blocks.RightCol)).as("id")).distinct()
+          .join(encIds(1), Seq("id"), "left_anti").agg(count(lit(1)).as("r_extra"))
+        val tp = gold
+          .join(blocks.select(col(Blocks.KeyCol).as("l"), col(Blocks.RightCol).as("rs")),
+            Seq("l"))
+          .filter(array_contains(col("rs"), col("r")))
+          .agg(count(lit(1)).as("n_tp"))
+        gold.agg(count(lit(1)).as("n_gold"))
+          .crossJoin(encIds(0).agg(count(lit(1)).as("n_left")))
+          .crossJoin(shape).crossJoin(lMissing).crossJoin(rExtra).crossJoin(tp)
+          .select(col("n_gold"), col("n_left"),
+            // every encodable left id gets exactly one block of 1..k rights
+            (col("n_blocks") === col("n_left") && col("n_keys") === col("n_left") &&
+              col("l_missing") === 0).as("coverage_ok"),
+            (col("kmin") >= 1 && col("kmax") <= 3 && col("r_extra") === 0).as("k_ok"),
+            // kNN@3 recall of the shingle near-dup gold — a true near-dup's
+            // pooled token vector is nearly identical, so it lands in the
+            // top-3 even at 8 dims; floor pinned from measured
+            // 1.0/1.0/1.0 at sf0.001/0.01/0.1
+            (col("n_gold") === 0 ||
+              col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok"))
       },
-      None)
+      Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
+              |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+              |g AS ($shingleGoldSql)
+              |SELECT (SELECT count(*) FROM g) AS n_gold,
+              |       (SELECT count(*) FROM enc) AS n_left,
+              |       true AS coverage_ok, true AS k_ok,
+              |       true AS recall_ok""".stripMargin))
   )
 }

@@ -26,6 +26,12 @@ object SimilarityQueries {
     duckTokens("cast(doc_id AS varchar)", "text",
       s"(SELECT * FROM documents WHERE doc_id % 2 = $parity)")
 
+  /** Like [[docTokensSql]] but over the doc_id % 10 subset the MLlib
+    * MinHash query uses. */
+  private def docTokensParitySql(parity: Int) =
+    duckTokens("cast(doc_id AS varchar)", "text",
+      s"(SELECT * FROM documents WHERE doc_id % 10 = $parity)")
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
 
@@ -57,28 +63,72 @@ object SimilarityQueries {
            |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
       }),
 
-    // ---- M1 (MLlib variant): approxSimilarityJoin — rows-only (seeded
-    // MLlib hashes aren't SQL-reproducible; invariants in SimilaritySpec)
+    // ---- M1 (MLlib variant): approxSimilarityJoin — invariant-graded ------
+    // Seeded MLlib hashes aren't SQL-reproducible, so the query emits a
+    // ONE-ROW invariant summary the oracle CAN hash-check: deterministic
+    // counts (exact-jaccard gold pairs, featurizable side size) plus
+    // booleans for exact precision (the capped path verifies true
+    // token-set jaccard, so emitted pairs ⊆ gold BY CONSTRUCTION — this
+    // checks the wiring) and a pinned LSH recall floor. Subset + tight
+    // threshold as before: the OR-amplified candidate contract is
+    // recall-heavy on this dense corpus; the hot-bucket cap is a no-op at
+    // this SF but is the guard the 100 TB path needs.
     "mh_mllib_minhash_blocker" -> QueryDef(
       (s, dir) => {
-        // subset + tight threshold: the OR-amplified candidate contract
-        // is recall-heavy on this dense corpus (every doc pair is
-        // similar); the hot-bucket cap bounds any residual degenerate
-        // bucket before the pair join (no-op at this SF — the guard the
-        // 100 TB path needs)
-        def side(parity: Int) = EntityFrame(
-          table(s, dir, "documents")
-            .filter(col("doc_id") % 10 === parity)
-            .select(col("doc_id"), col("text")),
-          s"docs_$parity", "doc_id")
+        def sideDf(parity: Int) = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === parity)
+          .select(col("doc_id"), col("text"))
+        def side(parity: Int) = EntityFrame(sideDf(parity), s"docs_$parity", "doc_id")
         val b = MlLibMinHashBlocker(jaccardThreshold = 0.9, numHashTables = 4,
             maxBlockComparisons = 1000000L)
           .assign(side(0), side(1))
-        b.df.select(col(Blocks.KeyCol),
-          size(col(Blocks.LeftCol)).as("left_size"))
-          .orderBy(Blocks.KeyCol)
+        val pairs = b.df
+          .select(col(Blocks.KeyCol).as("r"), explode(col(Blocks.LeftCol)).as("l"))
+          .persist()
+        // exact distinct-token sets per side (the blocker's own tokenizer)
+        def toks(parity: Int, idc: String) = sideDf(parity)
+          .select(col("doc_id").cast("string").as(idc),
+            explode(array_distinct(Text.tokenize(col("text")))).as("key"))
+        val lt = toks(0, "l").persist()
+        val rt = toks(1, "r").persist()
+        val szl = lt.groupBy("l").agg(count(lit(1)).as("szl"))
+        val szr = rt.groupBy("r").agg(count(lit(1)).as("szr"))
+        val gold = lt.join(rt, Seq("key"))
+          .groupBy("l", "r").agg(count(lit(1)).as("i"))
+          .join(szl, Seq("l")).join(szr, Seq("r"))
+          .filter(col("i").cast("double") / (col("szl") + col("szr") - col("i")) >= 0.9)
+          .select("l", "r").persist()
+        val nTp = pairs.join(gold, Seq("l", "r"), "left_semi")
+          .agg(count(lit(1)).as("n_tp"))
+        val nFalse = pairs.join(gold, Seq("l", "r"), "left_anti")
+          .agg(count(lit(1)).as("n_false"))
+        gold.agg(count(lit(1)).as("n_gold"))
+          .crossJoin(lt.select("l").distinct().agg(count(lit(1)).as("n_left")))
+          .crossJoin(nTp).crossJoin(nFalse)
+          .select(col("n_gold"), col("n_left"),
+            (col("n_false") === 0).as("precision_ok"),
+            // LSH recall vs exact gold — floor pinned from measured
+            // 1.0/1.0/1.0 at sf0.001/0.01/0.1 (P(miss) ≤ (1−0.9)⁴ per pair)
+            (col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok"))
       },
-      None),
+      Some {
+        def toksSql(parity: Int) =
+          s"SELECT DISTINCT * FROM (${docTokensParitySql(parity)})"
+        s"""WITH lt AS (${toksSql(0)}),
+           |rt AS (${toksSql(1)}),
+           |szl AS (SELECT id, count(*) AS sz FROM lt GROUP BY id),
+           |szr AS (SELECT id, count(*) AS sz FROM rt GROUP BY id),
+           |inter AS (
+           |  SELECT lt.id AS l, rt.id AS r, count(*) AS i
+           |  FROM lt JOIN rt USING (key) GROUP BY 1, 2),
+           |g AS (
+           |  SELECT l, r FROM inter
+           |  JOIN szl ON szl.id = l JOIN szr ON szr.id = r
+           |  WHERE i::double / (szl.sz + szr.sz - i) >= 0.9)
+           |SELECT (SELECT count(*) FROM g) AS n_gold,
+           |       (SELECT count(DISTINCT id) FROM lt) AS n_left,
+           |       true AS precision_ok, true AS recall_ok""".stripMargin
+      }),
 
     // ---- M3: TF-IDF filtered token blocker --------------------------------
     "m3_tfidf_token_blocker" -> QueryDef(
