@@ -377,6 +377,80 @@ object DedupQueries {
            |ORDER BY q.id""".stripMargin
       }),
 
+    // ---- STREAMING end-to-end corpus refinement ---------------------------
+    // The streaming analog of pipe_refine_corpus, run in batch mode
+    // against the oracle: quality gate (stateless projection) →
+    // streamRefineVerdicts (first-wins MinHash near-dup admission, the
+    // SAME stateful operator a readStream deployment runs) →
+    // refineKeepManifest (keep = no band matched + content-addressed
+    // shard). Keep semantics differ from pipe_refine_corpus's
+    // connected-components keep-list BY DESIGN: streaming can't see a
+    // component's global minimum, so a document is dropped iff it
+    // est-matches ANY earlier-arrived document (arrival = numeric id
+    // here), dropped documents still shadowing later copies. The oracle
+    // states exactly that rule. MemoryStream multi-batch parity with
+    // this batch form is spec-asserted in StreamingSpec.
+    "st_pipe_refine" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val gated = TextAnalysis.qualityFilter(table(s, dir, "documents"))
+          .filter(col("keep")).select(col("doc_id").cast("string").as("id"))
+        // repartition before signing — see st_stream_neardup
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            col("doc_id").cast("long").as("seq"),
+            Text.wordShingles(
+              Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)
+              .as("tokens"))
+          .join(gated, Seq("id"), "left_semi")
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .as[graft.streaming.StreamingOps.SeqDoc]
+        graft.streaming.StreamingOps.refineKeepManifest(
+            graft.streaming.StreamingOps.streamRefineVerdicts(docs).toDF(), 16)
+          .orderBy("id")
+      },
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        val sig = MinHash.signatureSql("SELECT * FROM sh", 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        val estTerms = (0 until 16)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH qt AS (
+           |  SELECT doc_id,
+           |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+           |  FROM documents),
+           |qs AS (
+           |  SELECT doc_id, len(toks) AS m,
+           |         list_sum(list_transform(toks, t -> length(t)))::double / len(toks) AS mean_len,
+           |         len(list_filter(toks, t -> list_contains($stop, t))) AS stop_cnt,
+           |         (len(toks) - len(list_distinct(toks)))::double / len(toks) AS dup_frac
+           |  FROM qt),
+           |q AS (
+           |  SELECT cast(doc_id AS varchar) AS id FROM qs
+           |  WHERE m >= 20 AND m <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+           |    AND stop_cnt >= 1 AND dup_frac <= 0.6),
+           |sh0 AS ($docShinglesSql),
+           |sh AS (SELECT sh0.id, sh0.key FROM sh0 JOIN q ON sh0.id = q.id),
+           |sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
+           |dropped AS (
+           |  SELECT DISTINCT CASE WHEN id_a::bigint > id_b::bigint
+           |                       THEN id_a ELSE id_b END AS id
+           |  FROM cand c JOIN sig sa ON sa.id = c.id_a
+           |              JOIN sig sb ON sb.id = c.id_b
+           |  WHERE ($estTerms)::double / 16 >= 0.375)
+           |SELECT q.id,
+           |       (('0x'||substr(md5(q.id), 1, 15))::bigint % 16)::int AS shard
+           |FROM q LEFT JOIN dropped d ON d.id = q.id
+           |WHERE d.id IS NULL
+           |ORDER BY q.id""".stripMargin
+      }),
+
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(
       (s, dir) => SimHash.fingerprint(docTokens(s, dir))

@@ -262,57 +262,69 @@ object StreamingOps {
     * `st_stream_neardup` query. At corpus scale, pair state across
     * restarts rides in the checkpoint; re-admission policy (TTL) would
     * compose exactly as in [[streamExactDedupWithTtl]]. */
+  /** Per-partition row-local MinHash signer — one digest instance per
+    * partition (NOT serializable; construct inside `mapPartitions`).
+    * md5Long semantics in lockstep with functions.Text.md5Long (first 15
+    * md5 hex chars as a long). The hot loop (numPerm md5s per token)
+    * never builds hex strings: the first 15 hex chars ARE the first 8
+    * digest bytes big-endian shifted right a nibble. Token bytes encode
+    * once, not per perm. Shared by [[streamMinHashNearDup]] and
+    * [[streamRefineVerdicts]] so their signatures/bucket keys are
+    * bit-identical (and identical to the batch oracle's SQL mirror). */
+  private final class MinHashSigner(numPerm: Int, bands: Int) {
+    private val rows = numPerm / bands
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val hexChars = "0123456789abcdef".toCharArray
+    private val prefixes = Array.tabulate(numPerm)(i => s"$i:".getBytes("UTF-8"))
+    private def hex(bytes: Array[Byte]): String = {
+      val out = new Array[Char](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
+        out(2 * i + 1) = hexChars(bytes(i) & 0xF)
+        i += 1
+      }
+      new String(out)
+    }
+    private def md5Long15(prefix: Array[Byte], token: Array[Byte]): Long = {
+      md.update(prefix); md.update(token)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v >>> 4
+    }
+    def sign(tokens: Seq[String]): Array[Long] = {
+      val tokBytes = tokens.map(_.getBytes("UTF-8"))
+      Array.tabulate(numPerm) { i =>
+        var m = Long.MaxValue
+        tokBytes.foreach { tb =>
+          val h = md5Long15(prefixes(i), tb)
+          if (h < m) m = h
+        }
+        m
+      }
+    }
+    def bucketKey(j: Int, sig: Array[Long]): String =
+      s"$j:" + hex(md.digest(
+        (j * rows until (j + 1) * rows).map(sig(_).toString)
+          .mkString(",").getBytes("UTF-8")))
+  }
+
   def streamMinHashNearDup(
       docs: Dataset[DocRecord], numPerm: Int = 16, bands: Int = 4,
       minEst: Double = 0.375, maxIdsPerBucket: Int = 10000)(
       implicit spark: SparkSession): Dataset[NearDupPair] = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val rows = numPerm / bands
     val banded: Dataset[BandedDoc] = docs.mapPartitions { it =>
-      // one digest per partition; md5Long semantics in lockstep with
-      // functions.Text.md5Long (first 15 md5 hex chars as a long). The
-      // hot loop (numPerm md5s per token) never builds hex strings:
-      // the first 15 hex chars ARE the first 8 digest bytes big-endian
-      // shifted right a nibble. Token bytes encode once, not per perm.
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hexChars = "0123456789abcdef".toCharArray
-      def hex(bytes: Array[Byte]): String = {
-        val out = new Array[Char](bytes.length * 2)
-        var i = 0
-        while (i < bytes.length) {
-          out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
-          out(2 * i + 1) = hexChars(bytes(i) & 0xF)
-          i += 1
-        }
-        new String(out)
-      }
-      def md5Long15(prefix: Array[Byte], token: Array[Byte]): Long = {
-        md.update(prefix); md.update(token)
-        val d = md.digest()
-        var v = 0L
-        var i = 0
-        while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-        v >>> 4
-      }
-      val prefixes = Array.tabulate(numPerm)(i => s"$i:".getBytes("UTF-8"))
+      val signer = new MinHashSigner(numPerm, bands)
       it.flatMap { d =>
         if (d.tokens.isEmpty) Iterator.empty
         else {
-          val tokBytes = d.tokens.map(_.getBytes("UTF-8"))
-          val sig = Array.tabulate(numPerm) { i =>
-            var m = Long.MaxValue
-            tokBytes.foreach { tb =>
-              val h = md5Long15(prefixes(i), tb)
-              if (h < m) m = h
-            }
-            m
-          }
+          val sig = signer.sign(d.tokens)
           (0 until bands).iterator.map { j =>
-            val key = s"$j:" + hex(md.digest(
-              (j * rows until (j + 1) * rows).map(sig(_).toString)
-                .mkString(",").getBytes("UTF-8")))
-            BandedDoc(key, d.id, sig.toSeq)
+            BandedDoc(signer.bucketKey(j, sig), d.id, sig.toSeq)
           }
         }
       }
@@ -357,6 +369,122 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  // ---------- streaming corpus refinement (gate → near-dup → keep) ----------
+
+  /** A document with an arrival sequence (seq) — first-wins dedup needs a
+    * total arrival order; on batch runs pass a deterministic one (e.g.
+    * the numeric id). */
+  final case class SeqDoc(id: String, seq: Long, tokens: Seq[String])
+
+  /** (bucket, band, id, seq, signature) after row-local signing. */
+  final case class BandedSeqDoc(
+      bucket: String, band: Int, id: String, seq: Long, sig: Seq[Long])
+
+  /** One per (document, band): did this band's bucket hold an
+    * earlier-arrived signature within `minEst` when the document was
+    * processed? A document's keep decision is the AND of its bands'
+    * negations — combined per micro-batch by [[refineKeepManifest]]. */
+  final case class RefineVerdict(id: String, seq: Long, band: Int, matched: Boolean)
+
+  /** The stateful core of the streaming refine pipeline — first-wins
+    * near-duplicate admission: as (already quality-gated) documents
+    * stream in, each is signed and banded row-locally (same hash family
+    * and bucket keys as [[streamMinHashNearDup]]), and each band bucket
+    * emits ONE verdict per document: `matched` = some earlier-arrived
+    * signature in this bucket estimates Jaccard ≥ `minEst`. Every
+    * processed document enters bucket state (even matched ones — a drop
+    * decision must still shadow later copies, the transitive-chain rule
+    * a batch keep-list gets from connected components), until the
+    * `maxIdsPerBucket` hot-bucket admission cap.
+    *
+    * Within a (micro-)batch, each bucket processes its documents in
+    * `seq` order, so a single-batch run over a static corpus fed with
+    * seq = numeric id IS the deterministic batch form: a document is
+    * dropped iff it shares an est ≥ `minEst` band candidate with a
+    * smaller-seq document — the DuckDB-oracled `st_pipe_refine` query.
+    * Across batches, first-wins follows arrival order (feed refreshes in
+    * seq order for reproducibility).
+    *
+    * Tokenless documents (the gate passed but the shingle space is
+    * empty) get a per-document bucket ("e:id", band 0) so they still
+    * carry a verdict — they can near-dup nothing and are kept. A
+    * re-submitted id estimates 1.0 against its own stored signature and
+    * is reported matched (a duplicate of itself). */
+  def streamRefineVerdicts(
+      docs: Dataset[SeqDoc], numPerm: Int = 16, bands: Int = 4,
+      minEst: Double = 0.375, maxIdsPerBucket: Int = 10000)(
+      implicit spark: SparkSession): Dataset[RefineVerdict] = {
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val banded: Dataset[BandedSeqDoc] = docs.mapPartitions { it =>
+      val signer = new MinHashSigner(numPerm, bands)
+      it.flatMap { d =>
+        if (d.tokens.isEmpty)
+          Iterator.single(BandedSeqDoc("e:" + d.id, 0, d.id, d.seq, Seq.empty))
+        else {
+          val sig = signer.sign(d.tokens)
+          (0 until bands).iterator.map { j =>
+            BandedSeqDoc(signer.bucketKey(j, sig), j, d.id, d.seq, sig.toSeq)
+          }
+        }
+      }
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, RefineVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, batch: Iterator[BandedSeqDoc], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Seq.empty, Seq.empty))
+          val ids = scala.collection.mutable.ArrayBuffer.empty[String] ++= st.ids
+          val sigs = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]] ++=
+            st.sigs.map(_.toIndexedSeq)
+          val seen = scala.collection.mutable.HashSet.empty[String] ++= st.ids
+          val out = Seq.newBuilder[RefineVerdict]
+          // sort by (seq, id): within a batch the bucket's group iterator
+          // order is partition-dependent, but first-wins must follow
+          // arrival order — this makes the single-batch (pure batch mode)
+          // run deterministic and equal to the id-ordered streaming feed
+          batch.toArray.sortBy(d => (d.seq, d.id)).foreach { d =>
+            val dsig = d.sig.toIndexedSeq
+            var matched = false
+            var k = 0
+            while (k < ids.length && !matched) {
+              val osig = sigs(k)
+              if (osig.length == numPerm && dsig.length == numPerm) {
+                var m = 0
+                var i = 0
+                while (i < numPerm) { if (osig(i) == dsig(i)) m += 1; i += 1 }
+                if (m.toDouble / numPerm >= minEst) matched = true
+              } else if (osig == dsig) matched = true // tokenless re-submit
+              k += 1
+            }
+            out += RefineVerdict(d.id, d.seq, d.band, matched)
+            if (!seen.contains(d.id) && ids.size < maxIdsPerBucket) {
+              ids += d.id
+              sigs += dsig
+              seen += d.id
+            }
+          }
+          state.update(BucketState(ids.toSeq, sigs.toSeq))
+          out.result().iterator
+      }
+  }
+
+  /** Combine [[streamRefineVerdicts]] output into the corpus manifest:
+    * keep = no band matched, then content-addressed shard assignment —
+    * (id, shard), the same shape as the batch `pipe_refine_corpus`.
+    *
+    * All of a document's band verdicts are emitted in the micro-batch it
+    * arrives in, so this aggregation is complete per batch — run it
+    * inside `foreachBatch` on a stream (keep decisions append-only,
+    * no cross-batch state), or directly on a batch run's verdicts. */
+  def refineKeepManifest(verdicts: DataFrame, numShards: Int = 16): DataFrame =
+    graft.dedup.Dedup.shardAssignment(
+      verdicts.groupBy("id")
+        .agg(max(when(col("matched"), 1).otherwise(0)).as("_matched"))
+        .filter(col("_matched") === 0)
+        .select("id"),
+      "id", numShards)
 
   // ---------- per-key event-time rate limiting (stateful) ----------
 

@@ -478,6 +478,63 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamRefineVerdicts first-wins keep: earliest copy kept, chains shadowed") {
+    import graft.streaming.StreamingOps.{SeqDoc, RefineVerdict}
+    implicit val sess = spark
+    val shared = Seq("alpha beta", "beta gamma", "gamma delta")
+    val docs = Seq(
+      SeqDoc("5", 5, shared),                  // later copy → dropped
+      SeqDoc("1", 1, shared),                  // first arrival → kept
+      SeqDoc("3", 3, shared),                  // later copy → dropped (by 1)
+      SeqDoc("7", 7, Seq("zig zag", "zag zoo")), // unrelated → kept
+      SeqDoc("9", 9, Seq.empty))               // tokenless → kept
+    val verdicts = StreamingOps.streamRefineVerdicts(spark.createDataset(docs))
+    // per-band verdicts: doc 1 unmatched in all 4 bands; 3 and 5 matched
+    val byDoc = verdicts.collect().groupBy(_.id)
+      .map { case (id, vs) => id -> vs.exists(_.matched) }
+    assert(byDoc == Map("1" -> false, "3" -> true, "5" -> true,
+      "7" -> false, "9" -> false), byDoc.toString)
+    val manifest = StreamingOps.refineKeepManifest(verdicts.toDF(), 16)
+      .collect().map(r => r.getString(0)).toSet
+    assert(manifest == Set("1", "7", "9"), manifest.toString)
+  }
+
+  test("streaming refine pipeline matches its batch form across micro-batches") {
+    import graft.streaming.StreamingOps.SeqDoc
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    // overlapping shingle sets: est values land wherever the fixed md5
+    // family puts them — parity (not a hand-predicted keep set) is the
+    // contract under test
+    val base = (1 to 10).map(i => s"tok$i shin$i")
+    val docs = (1 to 12).map { i =>
+      SeqDoc(f"$i%02d", i.toLong, base.take(4 + i % 7) ++ Seq(s"own$i a", s"own$i b"))
+    } ++ Seq(SeqDoc("13", 13, base), SeqDoc("14", 14, base))
+    val batchManifest = StreamingOps.refineKeepManifest(
+        StreamingOps.streamRefineVerdicts(spark.createDataset(docs)).toDF(), 16)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // stream the same corpus in three seq-ordered micro-batches; keep
+    // decisions are complete per batch → combine inside foreachBatch
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val mem = MemoryStream[SeqDoc]
+    val sq = StreamingOps.streamRefineVerdicts(mem.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc ++= StreamingOps.refineKeepManifest(b, 16)
+          .collect().map(r => (r.getString(0), r.getInt(1)))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      docs.grouped(5).foreach { chunk =>
+        mem.addData(chunk: _*)
+        sq.processAllAvailable()
+      }
+      assert(acc.toSet == batchManifest, s"stream=${acc.toSet} batch=$batchManifest")
+      assert(acc.size == acc.toSet.size) // no double emissions
+    } finally sq.stop()
+  }
+
   test("qualityFilter runs unchanged on a document stream") {
     // the gate is a pure row-local projection, so the SAME call works on
     // a readStream frame — the C4-style filter in streaming ingest
