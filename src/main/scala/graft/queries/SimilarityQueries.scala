@@ -471,6 +471,73 @@ object SimilarityQueries {
               |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
               |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // ---- residual IVF-PQ: quantize v − centroid, score ⟨q,c⟩ + ADC --------
+    // the production IVF-PQ layout (Jégou et al. §IV-A): the codebook's
+    // resolution is spent on what the coarse quantizer missed; the score
+    // adds the exact query–centroid dot back. Same probe/scoping plan as
+    // ann_ivf_pq_topk — only the encode input and the score differ.
+    "ann_ivf_pq_residual" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val bucketed = e.filter(col("vec_id") % 2 === 1)
+          .select(col("label").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.ivfPqTopK(q, bucketed, 3, rankScale = 6, residual = true)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("adc"), 6).as("adc"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH oexpl AS (
+              |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 1),
+              |cents AS (SELECT label, i, avg(v) AS c FROM oexpl GROUP BY label, i),
+              |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+              |qexpl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 0),
+              |qnorms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM qexpl GROUP BY vec_id),
+              |qdots AS (
+              |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+              |  FROM qexpl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |assign AS (SELECT vec_id AS left_id, label, dot FROM (
+              |  SELECT q.vec_id, q.label, q.dot, row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+              |  FROM qdots q JOIN qnorms n ON n.vec_id = q.vec_id
+              |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
+              |g AS (
+              |  SELECT e.vec_id, e.label, ((e.i - 1) // 8) AS s, c.c AS c,
+              |         floor((sum(power((e.v - ct.c)
+              |             - ${Similarity.pqComponentSql("((e.i - 1) // 8)", "c.c", "((e.i - 1) % 8)")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
+              |  FROM oexpl e JOIN cents ct ON ct.label = e.label AND ct.i = e.i,
+              |       range(0, 16) c(c)
+              |  GROUP BY 1, 2, 3, 4),
+              |codes AS (
+              |  SELECT vec_id AS right_id, label, s, c FROM (
+              |    SELECT vec_id, label, s, c, row_number() OVER (
+              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |    FROM g) WHERE rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS left_id, s.s AS s, c.c AS c,
+              |         sum(embedding[s.s*8 + d.d + 1]::double
+              |             * ${Similarity.pqComponentSql("s.s", "c.c", "d.d")})) AS part
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT a.left_id, cd.right_id, a.dot + sum(l.part) AS adc
+              |  FROM assign a
+              |  JOIN codes cd ON cd.label = a.label
+              |  JOIN lut l ON l.left_id = a.left_id AND l.s = cd.s AND l.c = cd.c
+              |  GROUP BY 1, 2, a.dot),
+              |ranked AS (
+              |  SELECT left_id, right_id, adc, row_number() OVER (
+              |      PARTITION BY left_id
+              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
+              |  FROM scored)
+              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
+              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- sign-LSH bucketing (first 16 dims, 6 planes) ---------------------
     "ann_hyperplane_lsh" -> QueryDef(
       (s, dir) => embs(s, dir)

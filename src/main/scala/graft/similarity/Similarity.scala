@@ -242,7 +242,8 @@ object Similarity {
     * computed here from the same md5 codebook family as [[pqEncode]]. */
   def ivfPqTopK(queries: DataFrame, bucketed: DataFrame, k: Int, dims: Int = 64,
                 subspaces: Int = 8, codebookSize: Int = 16,
-                probes: Int = 1, rankScale: Int = -1): DataFrame = {
+                probes: Int = 1, rankScale: Int = -1,
+                residual: Boolean = false): DataFrame = {
     val w = dims / subspaces
     val spark = queries.sparkSession
     import spark.implicits._
@@ -257,22 +258,40 @@ object Similarity {
       .orderBy(col("_ccos").desc, col("bucket").asc)
     val assigned = q.crossJoin(broadcast(cents))
       .select(col("left_id"), col("vec"), col("bucket"),
-        (Vectors.dot(col("vec"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
+        // zero-norm guard: a degenerate (e.g. symmetric) bucket has a
+        // zero centroid — rank it at cosine 0 instead of ANSI-throwing
+        when(col("_ln") * col("_cn") === 0, lit(0.0))
+          .otherwise(Vectors.dot(col("vec"), col("centroid")) / (col("_ln") * col("_cn")))
+          .as("_ccos"),
+        Vectors.dot(col("vec"), col("centroid")).as("_qc"))
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") <= probes)
-      .select(col("left_id"), col("vec"), col("bucket"))
+      .select(col("left_id"), col("vec"), col("bucket"), col("_qc"))
     import org.apache.spark.sql.graft.PqOps
     val book = pqCodebook(subspaces, codebookSize, w)
-    val codes = pqEncode(members.select(col("id"), col("vec")), dims, subspaces, codebookSize)
+    // residual mode (the production IVF-PQ layout, Jégou et al. §IV-A):
+    // quantize r = v − centroid(bucket) instead of v, and reconstruct
+    // the score as ⟨q, c⟩ + ADC(q, r̂) — residual magnitudes are smaller
+    // than raw vectors, so the same codebook budget spends its
+    // resolution on the part the coarse quantizer missed. The centroid
+    // table is per-bucket tiny → broadcast; the encode stays row-local.
+    val codeInput =
+      if (residual)
+        members.join(broadcast(cents.select(col("bucket"), col("centroid"))), Seq("bucket"))
+          .select(col("id"),
+            zip_with(col("vec"), col("centroid"), (a, b) => a - b).as("vec"))
+      else members.select(col("id"), col("vec"))
+    val codes = pqEncode(codeInput, dims, subspaces, codebookSize)
       .join(members.select(col("id"), col("bucket")), Seq("id"))
       .select(col("bucket"), col("id").as("right_id"), col("codes"))
     // probed-bucket equi-join on the compressed codes + 8-lookup ADC
     // kernel per surviving pair — the IVF scoping is what bounds pairs
-    val lut = assigned.select(col("left_id"), col("bucket"),
+    val lut = assigned.select(col("left_id"), col("bucket"), col("_qc"),
       PqOps.pqLut(col("vec"), book).as("_lut"))
+    val adcExpr = PqOps.pqAdc(col("_lut"), col("codes"), codebookSize)
     val scored = lut.join(codes, Seq("bucket"))
       .select(col("left_id"), col("right_id"),
-        PqOps.pqAdc(col("_lut"), col("codes"), codebookSize).as("adc"))
+        (if (residual) col("_qc") + adcExpr else adcExpr).as("adc"))
     val rankKey = if (rankScale >= 0) Num.stableRound(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)

@@ -130,6 +130,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK residual mode: zero-centroid bucket reduces to raw PQ; score adds q.c back") {
+    val dims = 4; val sub = 2; val K = 4
+    // one bucket whose members are symmetric (v, -v) pairs → centroid is
+    // exactly the zero vector → residual == raw vector and ⟨q,c⟩ == 0,
+    // so residual mode must reproduce the raw-mode output bit-for-bit
+    val members = Seq(
+      ("b0", "1", Seq(0.5f, -0.2f, 0.9f, 0.1f)),
+      ("b0", "2", Seq(-0.5f, 0.2f, -0.9f, -0.1f)),
+      ("b0", "3", Seq(0.3f, 0.7f, -0.4f, 0.6f)),
+      ("b0", "4", Seq(-0.3f, -0.7f, 0.4f, -0.6f)))
+      .toDF("bucket", "id", "vec")
+    val queries = Seq(("q1", Seq(0.4f, 0.1f, 0.5f, -0.2f)))
+      .toDF("id", "vec")
+    def run(res: Boolean) =
+      Similarity.ivfPqTopK(queries, members, 4, dims, sub, K, residual = res)
+        .select("left_id", "rank", "right_id", "adc").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toList
+    assert(run(res = true) == run(res = false))
+
+    // non-zero centroid: residual score = ⟨q, c⟩ + ADC over (v − c) codes,
+    // checked against a driver-side reference for a one-member bucket
+    val v1 = Seq(0.5f, -0.2f, 0.9f, 0.1f)
+    val v2 = Seq(0.1f, 0.2f, 0.3f, 0.4f)
+    val m2 = Seq(("b0", "1", v1), ("b0", "2", v2)).toDF("bucket", "id", "vec")
+    val qv = Seq(0.4f, 0.1f, 0.5f, -0.2f)
+    // elementwise avg in double, from the float32 values — as Spark's avg
+    val cent = (0 until dims).map(i => (v1(i).toDouble + v2(i).toDouble) / 2)
+    val got = Similarity.ivfPqTopK(Seq(("q1", qv)).toDF("id", "vec"),
+        m2, 2, dims, sub, K, residual = true)
+      .select("right_id", "adc").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val qc = qv.map(_.toDouble).zip(cent).map { case (a, b) => a * b }.sum
+    def refScore(v: Seq[Float]): Double = {
+      val resid = v.map(_.toDouble).zip(cent).map { case (a, b) => a - b }
+      val codes = (0 until sub).map { sp =>
+        (0 until K).minBy { c =>
+          val d2 = (0 until 2).map(d =>
+            math.pow(resid(sp * 2 + d) - Similarity.pqComponent(sp, c, d), 2)).sum
+          math.round(d2 * 1e6) // kernel rounds before argmin
+        }
+      }
+      qc + (0 until sub).map { sp =>
+        (0 until 2).map(d => qv(sp * 2 + d).toDouble
+          * Similarity.pqComponent(sp, codes(sp), d)).sum
+      }.sum
+    }
+    for ((id, v) <- Seq("1" -> Seq(0.5f, -0.2f, 0.9f, 0.1f),
+                        "2" -> Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      assert(math.abs(got(id) - refScore(v)) < 1e-9, id)
+  }
+
   test("hyperplane buckets are deterministic and split vectors") {
     val df = Seq(
       ("p", Seq.fill(16)(1.0f)), ("q", Seq.fill(16)(1.0f)),
