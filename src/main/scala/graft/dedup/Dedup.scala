@@ -439,4 +439,91 @@ object Dedup {
         when(col("component") === col("id"), lit(null))
           .otherwise(col("component")).as("kept_by"))
   }
+
+  /** Ordered whitespace tokens per document: (id, t: array<string>).
+    * Position-preserving (unlike the distinct-token pipelines above) —
+    * the input to span-level operators where WHERE a token sits matters.
+    * Null text coalesces to '' so every document gets a row. */
+  private def orderedTokens(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("string").as("id"),
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
+
+  /** All n-token windows of each document: (id, p, gram) with p the
+    * 0-based start position and gram the space-joined window text.
+    * Row-local (posexplode over a transform/slice) — no shuffle, no
+    * UDF; documents shorter than n emit no windows. */
+  private def tokenWindows(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(size(col("t")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        p => concat_ws(" ", slice(col("t"), p + 1, lit(n))))))
+      .toDF("id", "p", "gram")
+
+  /** Exact duplicated-span removal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * public method; the reference has no span-level operator, this is
+    * charter scope). A token position is dropped iff it is covered by
+    * any n-token window whose exact text occurs ≥ `minCount` times
+    * corpus-wide (including repeats within one document); the document
+    * is rebuilt from the surviving positions.
+    *
+    * 100 TB shape: strictly linear — windows are row-local, the
+    * duplicated-gram set is one map-side-combined groupBy count, the
+    * coverage join is a semi join (windows ⋉ dup-grams, bounded by
+    * window count — a boilerplate gram shared by B documents costs B
+    * rows here, NOT B²; there is no pairwise stage anywhere), and the
+    * rebuild is one groupBy per document. This is why span dedup is the
+    * cheapest corpus-wide dedup in the family.
+    *
+    * Output: (id, n_tokens, n_kept, kept_text) for EVERY input document
+    * (fully-duplicated documents come back with n_kept = 0, kept_text
+    * ''). */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, minCount: Long = 2L): DataFrame = {
+    val toks = orderedTokens(docs, idCol, textCol)
+    val wins = tokenWindows(toks, n)
+    val dup = wins.groupBy("gram").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("gram")
+    val covered = wins.join(dup, Seq("gram"), "left_semi")
+      .select(col("id"), explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
+      .distinct()
+    val positions = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = positions.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"))
+          .as("kept_text"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Benchmark decontamination (the n-gram overlap check of Brown et
+    * al. 2020 appendix C / Gao et al. — public method): flag every
+    * corpus document sharing at least one exact n-token window with the
+    * benchmark set. Output: (id, n_hits = distinct shared grams,
+    * contaminated) for EVERY corpus document.
+    *
+    * 100 TB shape: the benchmark gram set is eval-suite-sized (thousands
+    * of documents, not the corpus), so it is explicitly `broadcast` —
+    * the corpus-side windows stream map-side through the hash semi
+    * join and the only shuffle is the per-document count. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusWins =
+      tokenWindows(orderedTokens(corpus, idCol, textCol), n)
+    val benchGrams = broadcast(
+      tokenWindows(orderedTokens(benchmark, idCol, textCol), n)
+        .select("gram").distinct())
+    val hits = corpusWins.join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy("id").agg(countDistinct(col("gram")).as("n_hits"))
+    orderedTokens(corpus, idCol, textCol).select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+  }
 }

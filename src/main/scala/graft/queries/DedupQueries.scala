@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.{MinHash, Num, SimHash, Text}
+import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import QueryDef.{table, duckTokens}
 
@@ -450,6 +451,121 @@ object DedupQueries {
            |WHERE d.id IS NULL
            |ORDER BY q.id""".stripMargin
       }),
+
+    // ---- SemDeDup: embedding-cluster semantic dedup (pairs → keep → shard)
+    // SemDeDup (Abbas et al. 2023): within-cluster cosine near-dups →
+    // keep-list (component minima survive) → shard manifest. The cluster
+    // scoping (here the embeddings table's precomputed k-means label —
+    // any IVF/KMeans assignment slots in) bounds candidates to
+    // Σ|cluster|², the paper's own tractability argument; pairs reuse
+    // the oracled cosine kernel, the tail reuses dd_keep_list /
+    // dd_shard_assign stages.
+    "pipe_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("label").cast("string").as("cluster"),
+            col("vec_id").cast("string").as("id"), col("embedding").as("vec"))
+        val pairs = Similarity.clusterNearDup(e, 0.4)
+          .select(col("id_a"), col("id_b"))
+        Dedup.shardAssignment(
+            Dedup.keepList(e.select(col("id")), pairs)
+              .filter(col("keep")).select(col("id")),
+            "id", 16)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE
+             |e AS (
+             |  SELECT cast(label AS varchar) AS cluster,
+             |         cast(vec_id AS varchar) AS id, embedding
+             |  FROM embeddings),
+             |expl AS (
+             |  SELECT id, cluster, i.i AS i, embedding[i.i]::double AS v
+             |  FROM e, range(1, 65) i(i)),
+             |norms AS (SELECT id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY id),
+             |dots AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b
+             |    ON a.i = b.i AND a.cluster = b.cluster AND a.id < b.id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM dots
+             |  JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+             |  WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+             |SELECT ids.id,
+             |       (('0x'||substr(md5(ids.id), 1, 15))::bigint % 16)::int AS shard
+             |FROM (SELECT DISTINCT id FROM e) ids LEFT JOIN comp c ON c.id = ids.id
+             |WHERE c.component IS NULL OR c.component = ids.id
+             |ORDER BY ids.id""".stripMargin)),
+
+    // ---- Span-level exact dedup + benchmark decontamination ---------------
+    // Both operate on ORDERED whitespace tokens (position matters), not the
+    // distinct-token pipeline the pairwise dedups use.
+    "dd_span_dedup" -> QueryDef(
+      (s, dir) => Dedup.spanDedup(table(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("id"),
+      Some("""WITH toks AS (
+             |  SELECT cast(doc_id AS varchar) AS id,
+             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT id,
+             |         unnest(range(0, greatest(len(t) - 7, 0))) AS p,
+             |         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+             |                               q -> array_to_string(t[q+1:q+8], ' '))) AS gram
+             |  FROM toks),
+             |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT id, pos FROM (
+             |          SELECT w.id, unnest(range(w.p, w.p + 8)) AS pos
+             |          FROM wins w JOIN dup USING (gram))),
+             |pos AS (SELECT id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+             |        FROM toks),
+             |kept AS (SELECT p.id, count(*) AS n_kept,
+             |                string_agg(p.tok, ' ' ORDER BY p.pos) AS kept_text
+             |         FROM pos p LEFT JOIN cov c ON c.id = p.id AND c.pos = p.pos
+             |         WHERE c.pos IS NULL
+             |         GROUP BY p.id)
+             |SELECT toks.id, len(toks.t)::bigint AS n_tokens,
+             |       coalesce(k.n_kept, 0)::bigint AS n_kept,
+             |       coalesce(k.kept_text, '') AS kept_text
+             |FROM toks LEFT JOIN kept k ON k.id = toks.id
+             |ORDER BY toks.id""".stripMargin)),
+
+    "dd_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", 8)
+          .orderBy("id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT cast(doc_id AS varchar) AS id, source,
+             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT id, source,
+             |         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+             |                               q -> array_to_string(t[q+1:q+8], ' '))) AS gram
+             |  FROM toks),
+             |hits AS (
+             |  SELECT id, count(DISTINCT gram) AS n_hits
+             |  FROM wins
+             |  WHERE source <> 'src0'
+             |    AND gram IN (SELECT gram FROM wins WHERE source = 'src0')
+             |  GROUP BY id)
+             |SELECT t.id, coalesce(h.n_hits, 0)::bigint AS n_hits,
+             |       coalesce(h.n_hits, 0) > 0 AS contaminated
+             |FROM toks t LEFT JOIN hits h ON h.id = t.id
+             |WHERE t.source <> 'src0'
+             |ORDER BY t.id""".stripMargin)),
 
     // ---- SimHash fingerprints + near-dup ----------------------------------
     "dd_simhash" -> QueryDef(

@@ -213,6 +213,41 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public method): all (a < b)
+    * pairs with cosine ≥ threshold WITHIN pre-assigned embedding
+    * clusters (k-means labels, IVF buckets, …). Pairs can only form
+    * inside a cluster, so candidate volume is Σ|cluster|², not n² —
+    * the cluster scoping is exactly what makes embedding dedup
+    * tractable at corpus scale (the paper runs k-means first for the
+    * same reason). Input: (cluster, id, vec).
+    *
+    * `maxClusterSize` is the hot-key guard of the dedup family: clusters
+    * larger than the cap are anti-filtered out BEFORE the self-join
+    * (default off) — a degenerate cluster of B vectors would otherwise
+    * emit B² candidate rows. */
+  def clusterNearDup(clustered: DataFrame, threshold: Double,
+                     maxClusterSize: Long = Long.MaxValue): DataFrame = {
+    val base = clustered.select(col("cluster"), col("id"), col("vec"),
+      Vectors.l2Norm(col("vec")).as("_n"))
+    val pruned =
+      if (maxClusterSize == Long.MaxValue) base
+      else {
+        val hot = base.groupBy("cluster").agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > maxClusterSize).select("cluster")
+        base.join(hot, Seq("cluster"), "left_anti")
+      }
+    val a = pruned.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("_va"), col("_n").as("_na"))
+    val b = pruned.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Vectors.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) self-join;
     * the scale path buckets first ([[bucketedNearDup]]). */
   def selfJoinNearDup(df: DataFrame, threshold: Double): DataFrame = {

@@ -322,6 +322,43 @@ class DedupSpec extends SparkSpec {
       "loop" -> ((false, Some("repetition")))), got.toString)
   }
 
+  test("spanDedup drops exactly the positions covered by corpus-repeated n-grams") {
+    val df = Seq(
+      ("d1", "a b c d e"),   // "a b c" repeats in d2 → drop pos 0-2, keep "d e"
+      ("d2", "x y a b c"),   // same gram at pos 2 → keep "x y"
+      ("d3", "p q"),         // shorter than n → fully kept
+      ("d4", null: String))  // null text → [''] → 1 token, kept
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("d1") == ((5L, 2L, "d e")), got.toString)
+    assert(got("d2") == ((5L, 2L, "x y")), got.toString)
+    assert(got("d3") == ((2L, 2L, "p q")), got.toString)
+    assert(got("d4") == ((1L, 1L, "")), got.toString)
+
+    // within-one-doc repetition also counts toward minCount: the doc is
+    // its own duplicate context (Lee et al. count total occurrences)
+    val self = Seq(("s1", "a b c z a b c")).toDF("doc_id", "text")
+    val gotSelf = Dedup.spanDedup(self, "doc_id", "text", 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(gotSelf("s1") == ((1L, "z")), gotSelf.toString)
+  }
+
+  test("decontaminate flags only corpus docs sharing an n-gram with the benchmark") {
+    val bench = Seq(("b1", "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      ("c1", "lazy dog the quick brown fox here"), // shares 2 windows of "the quick brown fox"
+      ("c2", "completely different words entirely"),
+      ("c3", "ab")) // shorter than n → no windows → clean
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // c1 windows of len 4 matching bench windows: "the quick brown fox",
+    // "quick brown fox jumps" is absent (c1 has "fox here") → 1 hit
+    assert(got == Map(
+      "c1" -> ((1L, true)), "c2" -> ((0L, false)), "c3" -> ((0L, false))), got.toString)
+  }
+
   test("repetitionSignals: hand-computed fractions, overlap counting, tie-break") {
     val df = Seq(
       // toks [a b a b a b c]: m=7 distinct=3 chars=7; top bigram "a b"×3

@@ -181,6 +181,36 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(got(id) - refScore(v)) < 1e-9, id)
   }
 
+  test("clusterNearDup: pairs only within clusters; hot-cluster cap anti-filters") {
+    // identical vectors in DIFFERENT clusters must NOT pair — the
+    // SemDeDup contract is cluster-scoped candidates, nothing else
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      ("c1", "1", v), ("c1", "2", v),   // same cluster, cos 1.0 → pair
+      ("c2", "3", v),                   // identical to 1 but other cluster
+      ("c1", "4", w))                   // same cluster, orthogonal
+      .toDF("cluster", "id", "vec")
+    val pairs = Similarity.clusterNearDup(df, 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("1", "2")), pairs.toString)
+
+    // cap: c1 (3 members) exceeds maxClusterSize=2 → anti-filtered whole;
+    // the surviving cluster's pair is unaffected
+    val df2 = Seq(
+      ("c1", "1", v), ("c1", "2", v), ("c1", "3", v),
+      ("c2", "5", w), ("c2", "6", w))
+      .toDF("cluster", "id", "vec")
+    val capped = Similarity.clusterNearDup(df2, 0.9, maxClusterSize = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("5", "6")), capped.toString)
+    // uncapped output ⊇ capped, difference confined to the hot cluster
+    val uncapped = Similarity.clusterNearDup(df2, 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert((uncapped -- capped).forall { case (a, b) => Set("1", "2", "3")(a) && Set("1", "2", "3")(b) })
+  }
+
   test("hyperplane buckets are deterministic and split vectors") {
     val df = Seq(
       ("p", Seq.fill(16)(1.0f)), ("q", Seq.fill(16)(1.0f)),
