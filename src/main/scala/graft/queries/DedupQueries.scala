@@ -709,6 +709,27 @@ object DedupQueries {
            |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
       }),
 
+    // ---- Per-source token-budget selection --------------------------------
+    // "fill a training budget": content-addressed priority order, keep ⇔
+    // inclusive cumsum ≤ budget. The Spark side runs the bucketed
+    // distributed cumsum (hot-group-proof); the oracle states the same
+    // rule as one plain window.
+    "tx_token_budget" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenBudget(
+          table(s, dir, "documents"), "doc_id", "text", "source", 300L)
+        .orderBy("grp", "id"),
+      Some("""WITH d AS (
+             |  SELECT source AS grp, cast(doc_id AS varchar) AS id,
+             |         len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::bigint AS n_tokens,
+             |         ('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint AS pri
+             |  FROM documents),
+             |c AS (SELECT grp, id, n_tokens,
+             |             sum(n_tokens) OVER (PARTITION BY grp ORDER BY pri, id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM d)
+             |SELECT grp, id, n_tokens, cum::bigint AS cum_tokens, cum <= 300 AS keep
+             |FROM c ORDER BY grp, id""".stripMargin)),
+
     "tx_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))
         .orderBy("doc_id"),

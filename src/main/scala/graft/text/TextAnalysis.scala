@@ -192,4 +192,64 @@ object TextAnalysis {
       e6(col("dup3_chars").cast("double") / col("total_chars"))
         .as("dup_trigram_frac_e6"))
   }
+
+  /** Per-group token-budget selection — the "fill a training budget"
+    * tail of a corpus pipeline: within each group (source, language,
+    * …), documents are admitted in content-addressed priority order
+    * (md5 of id — stable across runs and refreshes, unlike task order)
+    * until the group's running token total passes `budget`. keep ⇔
+    * inclusive cumulative sum ≤ budget, so the kept set is exactly the
+    * maximal admissible prefix — one deterministic rule both engines
+    * can state.
+    *
+    * 100 TB shape: a naive `Window.partitionBy(grp)` sorts an entire
+    * group on one reducer — the hot-source skew killer. Instead the
+    * cumulative sum is distributed the way [[graft.core.Blocks]]'
+    * purge does it, with one improvement: the range bucket is computed
+    * FROM the priority itself (`pri / (2^60 / numBuckets)` — md5Long
+    * is uniform on [0, 2^60)), not from `spark_partition_id`, so
+    * bucket assignment is a pure row-local function. That removes
+    * purge's correctness-critical persist: recomputation cannot
+    * re-plan rows into different buckets, AQE or not. Per-bucket
+    * prefix offsets are a `numBuckets × groups-touching-bucket`
+    * driver table (bounded by config, not data), broadcast back.
+    *
+    * Output: (grp, id, n_tokens, cum_tokens, keep) for every input
+    * document. Output is numBuckets-invariant (spec-asserted). */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, budget: Long,
+                  numBuckets: Int = 64): DataFrame = {
+    val bucketWidth = (1L << 60) / numBuckets
+    val base = docs.select(
+      col(groupCol).cast("string").as("grp"),
+      col(idCol).cast("string").as("id"),
+      wsTokenCount(coalesce(col(textCol), lit(""))).cast("long").as("n_tokens"))
+      .withColumn("_pri", Text.md5Long(col("id")))
+      .withColumn("_bkt", (col("_pri") / bucketWidth).cast("int"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("_bkt"))
+      .orderBy(col("_pri"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = base.withColumn("l_sum", sum(col("n_tokens")).over(wIn))
+    // driver-side prefix: per-(grp, bucket) totals, bucket-ordered scan
+    // per group (the RDD.zipWithIndex trick, as in Blocks.purge)
+    val perBkt = base.groupBy(col("grp"), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("b_sum")).collect()
+    val offRows = {
+      var curGrp: String = null; var acc = 0L
+      perBkt.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy { case (g, b, _) => (g, b) }
+        .map { case (g, b, s) =>
+          if (g != curGrp) { curGrp = g; acc = 0L }
+          val row = (g, b, acc); acc += s; row
+        }.toSeq
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toDF("grp", "_bkt", "_off")
+    local.join(broadcast(offsets), Seq("grp", "_bkt"))
+      .select(col("grp"), col("id"), col("n_tokens"),
+        (col("l_sum") + col("_off")).as("cum_tokens"),
+        (col("l_sum") + col("_off") <= budget).as("keep"))
+  }
 }

@@ -359,6 +359,34 @@ class DedupSpec extends SparkSpec {
       "c1" -> ((1L, true)), "c2" -> ((0L, false)), "c3" -> ((0L, false))), got.toString)
   }
 
+  test("tokenBudget keeps the maximal md5-priority prefix; numBuckets-invariant") {
+    val docs = (0 until 40).map(i => (s"d$i", "src" + (i % 2),
+      Seq.fill(i % 5 + 1)("tok").mkString(" "))).toDF("doc_id", "source", "text")
+    // reference: driver-side md5-priority cumsum per group
+    def pri(id: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val rows = TextAnalysis.tokenBudget(docs, "doc_id", "text", "source", 20L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 40)
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(t => (pri(t._2), t._2)).foreach { case (_, id, n, cumGot, keep) =>
+        cum += n
+        assert(cumGot == cum, s"$id cum")
+        assert(keep == (cum <= 20L), s"$id keep")
+      }
+    }
+    assert(rows.count(_._5) < 40, "budget must actually drop something")
+    // the scale knob must not change output: 1 bucket (plain window) ≡ 64
+    val one = TextAnalysis.tokenBudget(docs, "doc_id", "text", "source", 20L, numBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getBoolean(4))).toSet
+    val many = TextAnalysis.tokenBudget(docs, "doc_id", "text", "source", 20L, numBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getBoolean(4))).toSet
+    assert(one == many)
+  }
+
   test("repetitionSignals: hand-computed fractions, overlap counting, tie-break") {
     val df = Seq(
       // toks [a b a b a b c]: m=7 distinct=3 chars=7; top bigram "a b"×3
