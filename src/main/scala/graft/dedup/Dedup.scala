@@ -26,6 +26,49 @@ object Dedup {
       .filter(col("n") >= 2)
   }
 
+  /** Exact refresh dedup with a Bloom prefilter: which documents of a
+    * NEW batch already exist — identical canonical token-set key, as in
+    * [[exactDuplicates]] — in a corpus? Output `(id, dup_key,
+    * in_corpus)` for EVERY new doc. The result is EXACT; the bloom only
+    * prunes work, never decides membership.
+    *
+    * 100 TB shape: the corpus is never shuffled. Pass 1 treeAggregates
+    * corpus keys into a Bloom filter (`df.stat.bloomFilter`, ~1.2 MB
+    * per million keys at fpp 1%) that rides the plan as a constant;
+    * the new batch probes it map-side (codegen'd
+    * [[org.apache.spark.sql.graft.BloomMightContain]]) and definite
+    * negatives — the overwhelming majority of a genuinely-fresh crawl —
+    * exit without touching any join. Pass 2 verifies only the
+    * bloom-positive survivors (true dups + ~fpp of the rest) with an
+    * exact join against the distinct corpus keys; survivors are
+    * delta-sized, so AQE broadcasts them and the corpus side joins
+    * map-side with no shuffle either. In a production refresh loop the
+    * corpus key table is computed once at ingest and stored (it is the
+    * [[exactDuplicates]] canonical key); recomputing it here from raw
+    * tokens keeps the operator self-contained for oracle parity.
+    *
+    * A re-submitted id counts as corpus content: unchanged re-crawls
+    * dedup away (in_corpus=true), changed ones keep their new content.
+    * Version supersession of the corpus row is the caller's concern. */
+  def bloomRefreshDedup(corpusToks: DataFrame, newToks: DataFrame,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    def keys(t: DataFrame) = t.groupBy("id")
+      .agg(md5(concat_ws(" ", array_sort(collect_set(col("key"))))).as("dup_key"))
+    val corpusKeys = keys(corpusToks)
+    val bloomBytes = org.apache.spark.sql.graft.BloomOps.serialize(
+      corpusKeys.stat.bloomFilter("dup_key", expectedItems, fpp))
+    val probed = keys(newToks).withColumn("_maybe",
+      org.apache.spark.sql.graft.BloomOps.mightContain(bloomBytes, col("dup_key")))
+    val confirmed = probed.filter(col("_maybe"))
+      .join(corpusKeys.select("dup_key").distinct().withColumn("_in", lit(true)),
+        Seq("dup_key"), "left")
+      .select(col("id"), col("dup_key"),
+        coalesce(col("_in"), lit(false)).as("in_corpus"))
+    probed.filter(!col("_maybe"))
+      .select(col("id"), col("dup_key"), lit(false).as("in_corpus"))
+      .unionByName(confirmed)
+  }
+
   /** Exact pairwise Jaccard of two id's distinct token sets, evaluated
     * only for the given candidate pairs.
     *

@@ -63,6 +63,28 @@ object DedupQueries {
               |FROM canon GROUP BY dup_key HAVING count(DISTINCT id) >= 2
               |ORDER BY dup_key""".stripMargin)),
 
+    // ---- bloom-prefiltered exact refresh dedup ---------------------------
+    // bloom behavior is unobservable in the output (the verify join makes
+    // it exact), so a plain-SQL membership join is a complete oracle; the
+    // spec asserts the pruning itself (definite negatives skip the join,
+    // false positives die in verification).
+    "dd_bloom_refresh" -> QueryDef(
+      (s, dir) => {
+        val toks = docTokens(s, dir)
+        Dedup.bloomRefreshDedup(
+          toks.filter(col("id").cast("long") % 4 =!= 0),
+          toks.filter(col("id").cast("long") % 4 === 0))
+          .orderBy("id")
+      },
+      Some(s"""WITH t AS ($docTokensSql),
+              |ck AS (SELECT md5(array_to_string(list_sort(list(DISTINCT key)), ' ')) AS dup_key
+              |       FROM t WHERE cast(id AS bigint) % 4 <> 0 GROUP BY id),
+              |nk AS (SELECT id, md5(array_to_string(list_sort(list(DISTINCT key)), ' ')) AS dup_key
+              |       FROM t WHERE cast(id AS bigint) % 4 = 0 GROUP BY id)
+              |SELECT n.id, n.dup_key, c.dup_key IS NOT NULL AS in_corpus
+              |FROM nk n LEFT JOIN (SELECT DISTINCT dup_key FROM ck) c USING (dup_key)
+              |ORDER BY n.id""".stripMargin)),
+
     // ---- streaming exact dedup (batch form of the stateful operator) -----
     // single-batch run of streamExactDedup ≡ keep the (seq, id)-minimal
     // record per content key; multi-batch first-arrival-wins semantics is
@@ -729,6 +751,29 @@ object DedupQueries {
              |      FROM d)
              |SELECT grp, id, n_tokens, cum::bigint AS cum_tokens, cum <= 300 AS keep
              |FROM c ORDER BY grp, id""".stripMargin)),
+
+    // ---- deterministic mixture resampling --------------------------------
+    // src0 up-samples 2.5×, src1 down-samples to 0.25×, everything else
+    // passes through at 1.0; the md5-fraction stochastic-rounding rule is
+    // stated identically (and independently computed) in both engines.
+    "tx_mix_sample" -> QueryDef(
+      (s, dir) => TextAnalysis.mixtureSample(
+          table(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25))
+        .orderBy("grp", "id", "copy"),
+      Some("""WITH d AS (
+             |  SELECT source AS grp, cast(doc_id AS varchar) AS id,
+             |         CASE WHEN source = 'src0' THEN 2.5
+             |              WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS w,
+             |         ('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint
+             |           / 1152921504606846976.0 AS f
+             |  FROM documents),
+             |n AS (SELECT grp, id,
+             |             (floor(w) + CASE WHEN f < w - floor(w) THEN 1 ELSE 0 END)::int AS n
+             |      FROM d)
+             |SELECT grp, id, r.copy AS copy
+             |FROM n, range(0, 3) r(copy) WHERE r.copy < n.n
+             |ORDER BY grp, id, copy""".stripMargin)),
 
     "tx_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))

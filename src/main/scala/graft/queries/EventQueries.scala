@@ -121,6 +121,70 @@ object EventQueries {
              |  AND p.us >= c.us AND p.us <= c.us + 1800000000
              |ORDER BY c.user_id, l_id, r_id""".stripMargin)),
 
+    // ---- as-of join: purchase → latest click within 30 min ---------------
+    // the oracle states the same contract through the OPPOSITE algorithm
+    // (candidate join + row_number argmax) — semantic agreement, not a
+    // re-derivation of the union-window pass.
+    "ev_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = QueryDef.events(s, dir)
+        StreamingOps.asofJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", 1800L)
+          .orderBy("user_id", "l_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'purchase'),
+             |cand AS (
+             |  SELECT p.user_id, p.event_id AS l_id, p.us AS l_us,
+             |         c.event_id AS r_id, c.us AS r_us,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |             ORDER BY c.us DESC, c.event_id DESC) AS rk
+             |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |    AND c.us <= p.us AND c.us >= p.us - 1800000000)
+             |SELECT user_id, l_id, r_id, l_us // 1000000 AS l_sec,
+             |       r_us // 1000000 AS r_sec
+             |FROM cand WHERE rk = 1 ORDER BY user_id, l_id""".stripMargin)),
+
+    // ---- streaming as-of join, batch form ---------------------------------
+    // single-batch run of streamAsofJoin: the per-key (us, side, id) sort
+    // makes one batch ≡ an event-time-ordered feed ≡ the batch asofJoin
+    // contract, so the ev_asof_join oracle applies verbatim. Cross-batch
+    // state persistence + late-data divergence are spec-tested.
+    "st_asof_join" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val ev = QueryDef.events(s, dir)
+        val recs = ev.filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id").cast("string").as("key"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"),
+            unix_micros(col("ts")).as("us"), col("event_id").as("id"))
+          .as[StreamingOps.AsofRecord]
+        StreamingOps.streamAsofJoin(recs, 1800L).toDF()
+          .select(col("key").cast("long").as("user_id"), col("lId").as("l_id"),
+            col("rId").as("r_id"), expr("lUs div 1000000").as("l_sec"),
+            expr("rUs div 1000000").as("r_sec"))
+          .orderBy("user_id", "l_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'purchase'),
+             |cand AS (
+             |  SELECT p.user_id, p.event_id AS l_id, p.us AS l_us,
+             |         c.event_id AS r_id, c.us AS r_us,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |             ORDER BY c.us DESC, c.event_id DESC) AS rk
+             |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |    AND c.us <= p.us AND c.us >= p.us - 1800000000)
+             |SELECT user_id, l_id, r_id, l_us // 1000000 AS l_sec,
+             |       r_us // 1000000 AS r_sec
+             |FROM cand WHERE rk = 1 ORDER BY user_id, l_id""".stripMargin)),
+
     // ---- per-key event-time rate limiting (batch form of the stateful op) --
     // single-batch run of StreamingOps.rateLimit ≡ row_number per
     // (key, tumbling window) in (ts µs, id) order, capped; cross-batch

@@ -91,6 +91,58 @@ object StreamingOps {
         col("l_ts").cast("long").as("l_sec"), col("r_ts").cast("long").as("r_sec"))
   }
 
+  /** Distributed as-of join (backward): for each left event, the single
+    * LATEST right event with the same key and r.ts ∈ [l.ts − tolerance,
+    * l.ts] — the purchase→last-click attribution shape (pandas
+    * merge_asof / Flink temporal join / kdb aj). New design — the
+    * reference has no event operators (SURVEY §2.10 charter). Batch
+    * operator: window functions are unsupported on streams; the
+    * streaming analog of "latest right per key" is
+    * flatMapGroupsWithState keyed state, as in [[rateLimit]].
+    *
+    * 100 TB shape: NOT a candidate join. An equi-join + argmax first
+    * materializes every (left, earlier-right) pair — a hot key with L
+    * lefts and R rights emits L·R candidate rows before the argmax
+    * prunes them. Instead both sides union into ONE frame, shuffle once
+    * on the key, and a running `last(right, ignoreNulls)` over the
+    * (ts, side, id) sort order pins every left row's match in a single
+    * sorted pass — O((L+R)·log(L+R)) per key, the only exchange the
+    * same hash-partition an aggregation would pay, zero candidate
+    * materialization. Tolerance needs no second lookback: if the
+    * latest right before l.ts is already older than the tolerance,
+    * every earlier right is older still, so nulling the single carried
+    * match is exact.
+    *
+    * Ties are a stated contract (the DuckDB oracle asserts it
+    * independently via join + row_number): a right event AT l.ts
+    * matches (right sorts before left on equal ts), and among right
+    * events sharing the match timestamp the largest id wins (last in
+    * sort order).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String = "user_id",
+               toleranceSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(key).as("_k"), unix_micros(col("ts")).as("_us"),
+      col("event_id").as("_id"), lit(1).as("_side"))
+    val r = right.select(col(key).as("_k"), unix_micros(col("ts")).as("_us"),
+      col("event_id").as("_id"), lit(0).as("_side"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_us"), col("_side"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = last(when(col("_side") === 0,
+      struct(col("_us").as("us"), col("_id").as("id"))), ignoreNulls = true).over(w)
+    l.unionByName(r)
+      .withColumn("_m", m)
+      .filter(col("_side") === 1)
+      .withColumn("_hit", col("_m").isNotNull &&
+        col("_m.us") >= col("_us") - lit(toleranceSec * 1000000L))
+      .select(col("_k").as(key), col("_id").as("l_id"),
+        when(col("_hit"), col("_m.id")).as("r_id"),
+        expr("_us div 1000000").as("l_sec"),
+        when(col("_hit"), expr("_m.us div 1000000")).as("r_sec"))
+  }
+
   // ---------- incremental token blocking (stateful streaming) ----------
 
   /** One tokenized record on one side of the stream. */
@@ -581,6 +633,58 @@ object StreamingOps {
       right.select(col(key).cast("string").as(key), col("ts"),
         col("event_id").cast("string").as("event_id")),
       key, boundSeconds, watermark, joinType)
+  }
+
+  /** One event on one side of an as-of stream: side 0 = right
+    * (reference side), side 1 = left (probe side). µs event time. */
+  final case class AsofRecord(key: String, side: Int, us: Long, id: Long)
+
+  /** Per-key as-of state: the single latest right event seen. */
+  final case class AsofState(us: Long, id: Long)
+
+  /** A left event's as-of verdict (rId/rUs None when nothing matched). */
+  final case class AsofMatch(key: String, lId: Long, rId: Option[Long],
+                             lUs: Long, rUs: Option[Long])
+
+  /** Streaming as-of join — the deployment shape of [[asofJoin]] for an
+    * unbounded feed, with O(1) per-key state: the ONLY state is the
+    * latest right event seen so far (its µs timestamp and id), updated
+    * as rights flow past and read by each left. Within a micro-batch
+    * records sort by (us, side, id) — group-iterator order is
+    * partition-dependent, and the as-of contract is defined over event
+    * time — so a single-batch (or any event-time-ordered) feed
+    * reproduces [[asofJoin]] exactly; `st_asof_join` runs this operator
+    * in batch mode against the SAME oracle SQL as `ev_asof_join`.
+    *
+    * Late-data contract (the price of O(1) state, stated rather than
+    * hidden): a right event older than the retained one is absorbed
+    * without effect, and a late LEFT — one older than the retained
+    * right — emits no match even if an even-older right once existed,
+    * because overwritten rights are gone. Feeds that are ordered per
+    * key (the common log-shipping case) never hit either path. */
+  def streamAsofJoin(records: Dataset[AsofRecord], toleranceSec: Long = 1800L)(
+      implicit spark: SparkSession): Dataset[AsofMatch] = {
+    import spark.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[AsofRecord], state: GroupState[AsofState]) =>
+          var st = state.getOption.orNull
+          val out = batch.toSeq.sortBy(r => (r.us, r.side, r.id)).flatMap { r =>
+            if (r.side == 0) {
+              if (st == null || r.us > st.us || (r.us == st.us && r.id > st.id))
+                st = AsofState(r.us, r.id)
+              None
+            } else {
+              val hit = st != null && st.us <= r.us &&
+                st.us >= r.us - toleranceSec * 1000000L
+              Some(AsofMatch(key, r.id, if (hit) Some(st.id) else None,
+                r.us, if (hit) Some(st.us) else None))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
   }
 
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */

@@ -252,4 +252,36 @@ object TextAnalysis {
         (col("l_sum") + col("_off")).as("cum_tokens"),
         (col("l_sum") + col("_off") <= budget).as("keep"))
   }
+
+  /** Deterministic source-mixture resampling — "epochs per source",
+    * the corpus-composition step of a training pipeline: each document
+    * in group g is emitted `floor(w(g))` times, plus one more iff its
+    * content-addressed md5 fraction falls below `frac(w(g))`. The
+    * stochastic rounding is decided by the doc's own hash, not an RNG,
+    * so the sample is reproducible across runs, cluster sizes, and
+    * refreshes, and a group of N docs lands within one doc of N·w(g)
+    * expected copies. w < 1 down-samples, w > 1 up-samples with copy
+    * indices 0..n−1 (so downstream shuffles can salt on `copy`).
+    *
+    * 100 TB shape: one row-local codegen'd projection + posexplode over
+    * the corpus scan — no shuffle at all; the weights table is a
+    * broadcast map join. Output (grp, id, copy). */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("grp", "_w")
+    val frac = Text.md5Long(col("id")).cast("double") / lit((1L << 60).toDouble)
+    docs.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("string").as("id"))
+      .join(broadcast(w), Seq("grp"), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(defaultWeight)))
+      .withColumn("_n", (floor(col("_w")) +
+        when(frac < col("_w") - floor(col("_w")), 1).otherwise(0)).cast("int"))
+      .filter(col("_n") > 0)
+      .select(col("grp"), col("id"),
+        posexplode(array_repeat(lit(1), col("_n"))))
+      .select(col("grp"), col("id"), col("pos").cast("long").as("copy"))
+  }
 }

@@ -359,6 +359,63 @@ class DedupSpec extends SparkSpec {
       "c1" -> ((1L, true)), "c2" -> ((0L, false)), "c3" -> ((0L, false))), got.toString)
   }
 
+  test("bloomRefreshDedup: exact vs plain membership; expression has no false negatives") {
+    def toks(rows: (String, String)*): org.apache.spark.sql.DataFrame =
+      rows.flatMap { case (id, text) => text.split(" ").map((id, _)) }
+        .toDF("id", "key")
+    val corpus = toks("c1" -> "a b c", "c2" -> "d e", "c3" -> "q r s t")
+    val fresh = toks("n1" -> "a b c", // exact dup of c1
+      "n2" -> "x y",                  // genuinely new
+      "n3" -> "c b a a",              // reorder+repeat → same canonical key as c1
+      "n4" -> "d e", "n5" -> "zz")
+    val got = Dedup.bloomRefreshDedup(corpus, fresh)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(got == Map("n1" -> true, "n2" -> false, "n3" -> true,
+      "n4" -> true, "n5" -> false))
+
+    // result must be bloom-parameter-invariant (verification makes it
+    // exact even at absurd fpp / undersized capacity)
+    val tiny = Dedup.bloomRefreshDedup(corpus, fresh, expectedItems = 2L, fpp = 0.5)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(tiny == got)
+
+    // the expression agrees with the driver-side filter (hash parity with
+    // what stat.bloomFilter inserted — no false negatives possible)
+    val keys = (0 until 500).map(i => s"key_$i").toDF("k")
+    val filter = keys.stat.bloomFilter("k", 500L, 0.03)
+    val bytes = org.apache.spark.sql.graft.BloomOps.serialize(filter)
+    val probeSide = (0 until 1000).map(i => s"key_$i")
+    val viaExpr = probeSide.toDF("k")
+      .select(col("k"), org.apache.spark.sql.graft.BloomOps.mightContain(bytes, col("k")).as("m"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    probeSide.foreach { k =>
+      assert(viaExpr(k) == filter.mightContainString(k), k)
+      if (k.stripPrefix("key_").toInt < 500) assert(viaExpr(k), s"false negative $k")
+    }
+  }
+
+  test("mixtureSample: md5-deterministic copy counts, contiguous indices") {
+    val docs = (0 until 300).map(i => (s"d$i", "src" + (i % 3))).toDF("doc_id", "source")
+    val w = Map("src0" -> 2.5, "src1" -> 0.25) // src2 defaults to 1.0
+    val got = TextAnalysis.mixtureSample(docs, "doc_id", "source", w)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def mdFrac(id: String): Double = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      .toDouble / (1L << 60).toDouble
+    val byDoc = got.groupBy(t => (t._1, t._2))
+    (0 until 300).foreach { i =>
+      val id = s"d$i"; val grp = "src" + (i % 3)
+      val weight = w.getOrElse(grp, 1.0)
+      val expectN = weight.toLong + (if (mdFrac(id) < weight - weight.floor) 1 else 0)
+      val copies = byDoc.getOrElse((grp, id), Array.empty).map(_._3).sorted
+      assert(copies.toSeq == (0L until expectN), s"$id: $copies vs $expectN")
+    }
+    // down-sampled group actually shrinks, up-sampled grows
+    val perGrp = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perGrp("src0") > 200 && perGrp("src1") < 60 && perGrp("src2") == 100)
+  }
+
   test("tokenBudget keeps the maximal md5-priority prefix; numBuckets-invariant") {
     val docs = (0 until 40).map(i => (s"d$i", "src" + (i % 2),
       Seq.fill(i % 5 + 1)("tok").mkString(" "))).toDF("doc_id", "source", "text")

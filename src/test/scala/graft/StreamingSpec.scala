@@ -116,6 +116,110 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("asofJoin: brute-force parity incl. ties, tolerance misses, no-match") {
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id")
+    // hand-built cases: equal-ts right matches; two rights at the same
+    // matching ts → larger id; right newer than left never matches;
+    // match outside tolerance nulls out; keyless left keeps its row
+    val rights = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 200L),
+      (1L, ts("2024-01-01 10:30:00"), 201L),
+      (1L, ts("2024-01-01 10:30:00"), 202L), // tie with 201 → 202 wins
+      (2L, ts("2024-01-01 08:00:00"), 203L), // > 30 min before every left
+      (3L, ts("2024-01-01 11:00:00"), 204L)) // after the only key-3 left
+    val lefts = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 100L), // equal ts → right 202
+      (1L, ts("2024-01-01 10:10:00"), 101L), // → right 200
+      (2L, ts("2024-01-01 10:00:00"), 102L), // tolerance miss → null
+      (3L, ts("2024-01-01 10:00:00"), 103L), // no earlier right → null
+      (4L, ts("2024-01-01 10:00:00"), 104L)) // key absent on right → null
+    val got = StreamingOps.asofJoin(df(lefts), df(rights), "user_id", 1800L)
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got == Set((100L, 202L), (101L, 200L), (102L, -1L),
+      (103L, -1L), (104L, -1L)))
+
+    // randomized parity vs a driver-side brute force (dup timestamps on
+    // both sides, several keys)
+    val rnd = new scala.util.Random(7)
+    def randRows(n: Int, idBase: Long) = (0 until n).map { i =>
+      (rnd.nextInt(4).toLong,
+        new Timestamp(1704100000000L + rnd.nextInt(40) * 60000L),
+        idBase + i)
+    }
+    val l = randRows(60, 1000); val r = randRows(80, 5000)
+    val tol = 600L
+    val expect = l.map { case (k, lts, lid) =>
+      val cands = r.filter { case (rk, rts, _) =>
+        rk == k && rts.getTime <= lts.getTime &&
+          rts.getTime >= lts.getTime - tol * 1000L }
+      val m = if (cands.isEmpty) -1L
+        else cands.maxBy { case (_, rts, rid) => (rts.getTime, rid) }._3
+      (lid, m)
+    }.toSet
+    val got2 = StreamingOps.asofJoin(df(l), df(r), "user_id", tol)
+      .collect()
+      .map(x => (x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toSet
+    assert(got2 == expect)
+  }
+
+  test("streamAsofJoin: ordered-feed parity with batch, cross-batch state, late-left divergence") {
+    import graft.streaming.StreamingOps.{AsofMatch, AsofRecord}
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val us0 = 1704100000000000L
+    def rec(k: String, side: Int, offSec: Long, id: Long) =
+      AsofRecord(k, side, us0 + offSec * 1000000L, id)
+
+    // event-time-ordered feed split across 3 micro-batches: the right in
+    // batch 1 must match lefts arriving in batches 2 and 3 (within
+    // tolerance) purely from state
+    val mem = MemoryStream[AsofRecord]
+    val sq = StreamingOps.streamAsofJoin(mem.toDS(), toleranceSec = 600L)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rec("u1", 0, 0L, 500L), rec("u1", 1, 10L, 1L))
+      sq.processAllAvailable()
+      mem.addData(rec("u1", 1, 300L, 2L), rec("u1", 0, 400L, 501L))
+      sq.processAllAvailable()
+      mem.addData(rec("u1", 1, 900L, 3L), rec("u1", 1, 2000L, 4L))
+      sq.processAllAvailable()
+      val got = spark.table("asof_stream").as[AsofMatch].collect()
+        .map(m => (m.lId, m.rId.getOrElse(-1L))).toMap
+      // l1 ← r500 (same batch); l2 ← r500 (carried state, batch 2 sorts
+      // the later right AFTER l2 by event time); l3 ← r501; l4 at +2000s
+      // is 1600s past r501 → tolerance miss
+      assert(got == Map(1L -> 500L, 2L -> 500L, 3L -> 501L, 4L -> -1L))
+
+      // the same feed as ONE batch run equals the batch asofJoin contract
+      val all = Seq(rec("u1", 0, 0L, 500L), rec("u1", 1, 10L, 1L),
+        rec("u1", 1, 300L, 2L), rec("u1", 0, 400L, 501L),
+        rec("u1", 1, 900L, 3L), rec("u1", 1, 2000L, 4L))
+      val oneBatch = StreamingOps.streamAsofJoin(all.toDS(), 600L)
+        .collect().map(m => (m.lId, m.rId.getOrElse(-1L))).toMap
+      assert(oneBatch == got)
+    } finally sq.stop()
+
+    // stated late-data divergence: a left older than the retained right
+    // finds nothing, even though a still-older right once existed
+    val mem2 = MemoryStream[AsofRecord]
+    val sq2 = StreamingOps.streamAsofJoin(mem2.toDS(), toleranceSec = 600L)
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      mem2.addData(rec("u1", 0, 0L, 500L), rec("u1", 0, 400L, 501L))
+      sq2.processAllAvailable()
+      mem2.addData(rec("u1", 1, 100L, 9L)) // late left; batch op would say 500
+      sq2.processAllAvailable()
+      val late = spark.table("asof_late").as[AsofMatch].collect()
+      assert(late.map(m => (m.lId, m.rId)).toSeq == Seq((9L, None)))
+    } finally sq2.stop()
+  }
+
   test("intervalJoin left_outer emits unmatched lefts after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val ml = MemoryStream[(Long, Timestamp, Long)]
