@@ -752,6 +752,45 @@ object DedupQueries {
              |SELECT grp, id, n_tokens, cum::bigint AS cum_tokens, cum <= 300 AS keep
              |FROM c ORDER BY grp, id""".stripMargin)),
 
+    // ---- unigram-LM quality scoring (reference slice = src0) -------------
+    // ln() is irrational for every smoothed ratio here, so stableRound
+    // at 1e-6 is boundary-safe (the grid-rational hazard does not apply).
+    "tx_lm_score" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.lmScore(docs, docs.filter(col("source") === "src0"))
+          .orderBy("id")
+      },
+      Some {
+        val refToks = QueryDef.duckTokens("cast(doc_id AS varchar)", "text",
+          "(SELECT * FROM documents WHERE source = 'src0')")
+        val docToks = QueryDef.duckTokens("cast(doc_id AS varchar)", "text",
+          "documents")
+        s"""WITH rc AS (SELECT key AS tok, count(*) AS c FROM ($refToks) GROUP BY 1),
+           |tot AS (SELECT sum(c)::double AS n, count(*)::double AS v FROM rc),
+           |dt AS ($docToks)
+           |SELECT dt.id, count(*) AS n_toks,
+           |       ${Num.stableRoundSql(
+                      "avg(-ln((coalesce(rc.c, 0) + 1.0) / (tot.n + tot.v + 1.0)))", 6)} AS nll_e6
+           |FROM dt LEFT JOIN rc ON rc.tok = dt.key, tot
+           |GROUP BY dt.id ORDER BY dt.id""".stripMargin
+      }),
+
+    // ---- deterministic stratified split ----------------------------------
+    "tx_split_assign" -> QueryDef(
+      (s, dir) => TextAnalysis.splitAssign(
+          table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("id"),
+      Some("""SELECT cast(doc_id AS varchar) AS id,
+             |       CASE WHEN f < 0.9 THEN 'train'
+             |            WHEN f < 0.95 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |             ('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint
+             |               / 1152921504606846976.0 AS f
+             |      FROM documents)
+             |ORDER BY id""".stripMargin)),
+
     // ---- deterministic mixture resampling --------------------------------
     // src0 up-samples 2.5×, src1 down-samples to 0.25×, everything else
     // passes through at 1.0; the md5-fraction stochastic-rounding rule is

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Text
+import graft.functions.{Num, Text}
 
 /** Text-corpus analysis operators for training-data pipelines: language
   * identification, quality scoring, token counting, and document
@@ -251,6 +251,62 @@ object TextAnalysis {
       .select(col("grp"), col("id"), col("n_tokens"),
         (col("l_sum") + col("_off")).as("cum_tokens"),
         (col("l_sum") + col("_off") <= budget).as("keep"))
+  }
+
+  /** Unigram language-model quality scoring — the CCNet-style proxy for
+    * "does this document look like the reference corpus", without an
+    * external model: add-one-smoothed unigram log-probabilities are
+    * trained on a REFERENCE slice (e.g. a vetted source), and every
+    * document scores its mean negative log-probability per token
+    * instance (lower = more reference-like; OOV tokens pay the smoothed
+    * floor 1/(N+V+1)). The standard use is a quality gate threshold or
+    * a perplexity-bucketed mixture, composed with [[qualityFilter]].
+    *
+    * 100 TB shape: the model IS a vocab-bounded table — reference token
+    * counts (groupBy with map-side combine over the reference scan),
+    * broadcast into a map-side join against the corpus token stream; the
+    * (N, V) totals ride a one-row broadcast. No corpus-side shuffle
+    * except the final per-doc aggregation, which is the same exchange
+    * any per-doc statistic pays. Docs with zero tokens have no score
+    * rows and are absent from the output (the oracle agrees).
+    *
+    * Output: (id, n_toks, nll_e6 = round(−mean ln P, 6)). */
+  def lmScore(docs: DataFrame, refDocs: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val refCounts = refDocs
+      .select(explode(Text.tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = refCounts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    docs.select(col(idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(textCol))).as("tok"))
+      .join(broadcast(refCounts), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log((coalesce(col("c"), lit(0L)) + lit(1.0))
+        / (col("n") + col("v") + lit(1.0))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        Num.stableRound(-avg(col("lp")), 6).as("nll_e6"))
+  }
+
+  /** Deterministic stratified split assignment (train/val/test …): the
+    * md5 fraction of each id walks a cumulative-threshold ladder built
+    * from `fractions` (which must sum to ≤ 1; any remainder falls into
+    * the LAST named split). Content-addressed, so assignment is stable
+    * across runs, cluster sizes, and corpus refreshes — a re-crawled
+    * doc keeps its split, the property that stops test-set leakage
+    * between versions. Row-local projection, zero shuffle.
+    *
+    * Output: (id, split). */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val frac = Text.md5Long(col("id")).cast("double") / lit((1L << 60).toDouble)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val ladder = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, upper), rest) =>
+        when(frac < upper, name).otherwise(rest)
+      }
+    docs.select(col(idCol).cast("string").as("id"), ladder.as("split"))
   }
 
   /** Deterministic source-mixture resampling — "epochs per source",

@@ -416,6 +416,47 @@ class DedupSpec extends SparkSpec {
     assert(perGrp("src0") > 200 && perGrp("src1") < 60 && perGrp("src2") == 100)
   }
 
+  test("lmScore: hand-computed smoothed unigram NLL; OOV floor; tokenless docs absent") {
+    val ref = Seq(("r1", "foo bar foo")).toDF("doc_id", "text")
+    val docs = Seq(
+      ("d1", "foo zzz"),     // in-vocab + OOV
+      ("d2", "bar bar"),     // repeated in-vocab token instances count twice
+      ("d3", "a b")          // no tokens ≥ 3 chars → absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, ref)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // N=3 tokens, V=2 vocab → denom 6; P(foo)=3/6, P(bar)=2/6, P(oov)=1/6
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d1 = e6(-(math.log(3.0 / 6) + math.log(1.0 / 6)) / 2)
+    val d2 = e6(-math.log(2.0 / 6))
+    assert(got.keySet == Set("d1", "d2"))
+    assert(got("d1") == ((2L, d1)) && got("d2") == ((2L, d2)), got.toString)
+  }
+
+  test("splitAssign: md5-deterministic ladder, stable proportions, remainder to last") {
+    val docs = (0 until 2000).map(i => Tuple1(s"d$i")).toDF("doc_id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = TextAnalysis.splitAssign(docs, "doc_id", fr)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    def mdFrac(id: String): Double = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      .toDouble / (1L << 60).toDouble
+    got.foreach { case (id, split) =>
+      val f = mdFrac(id)
+      val want = if (f < 0.9) "train" else if (f < 0.95) "val" else "test"
+      assert(split == want, s"$id f=$f")
+    }
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1700 && n("val") > 50 && n("test") > 50, n.toString)
+    // fractions summing under 1 send the remainder to the LAST split
+    val rem = TextAnalysis.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    rem.foreach { case (id, s) =>
+      assert(s == (if (mdFrac(id) < 0.5) "a" else "b"))
+    }
+  }
+
   test("tokenBudget keeps the maximal md5-priority prefix; numBuckets-invariant") {
     val docs = (0 until 40).map(i => (s"d$i", "src" + (i % 2),
       Seq.fill(i % 5 + 1)("tok").mkString(" "))).toDF("doc_id", "source", "text")
