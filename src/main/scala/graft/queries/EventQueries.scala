@@ -149,6 +149,34 @@ object EventQueries {
              |       r_us // 1000000 AS r_sec
              |FROM cand WHERE rk = 1 ORDER BY user_id, l_id""".stripMargin)),
 
+    // ---- as-of join, bucketed scale path (same contract, same oracle) ----
+    // hourly buckets so the carry machinery is genuinely exercised at
+    // every SF (events span days); output is bucket-width-invariant
+    // (spec) and hash-identical to ev_asof_join's oracle.
+    "ev_asof_join_bucketed" -> QueryDef(
+      (s, dir) => {
+        val ev = QueryDef.events(s, dir)
+        StreamingOps.asofJoinBucketed(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", 1800L, bucketSeconds = 3600L)
+          .orderBy("user_id", "l_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+             |          FROM events WHERE event_type = 'purchase'),
+             |cand AS (
+             |  SELECT p.user_id, p.event_id AS l_id, p.us AS l_us,
+             |         c.event_id AS r_id, c.us AS r_us,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |             ORDER BY c.us DESC, c.event_id DESC) AS rk
+             |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |    AND c.us <= p.us AND c.us >= p.us - 1800000000)
+             |SELECT user_id, l_id, r_id, l_us // 1000000 AS l_sec,
+             |       r_us // 1000000 AS r_sec
+             |FROM cand WHERE rk = 1 ORDER BY user_id, l_id""".stripMargin)),
+
     // ---- streaming as-of join, batch form ---------------------------------
     // single-batch run of streamAsofJoin: the per-key (us, side, id) sort
     // makes one batch ≡ an event-time-ordered feed ≡ the batch asofJoin

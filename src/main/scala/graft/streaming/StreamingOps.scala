@@ -635,6 +635,60 @@ object StreamingOps {
       key, boundSeconds, watermark, joinType)
   }
 
+  /** [[asofJoin]]'s scale path: identical output (spec-asserted
+    * bucket-width-invariant, same oracle), but no task ever sorts a
+    * whole key. [[asofJoin]] windows over `partitionBy(key)`, so one
+    * hot key — a bot user with years of events — lands on a single
+    * task. Here events split into (key, time-bucket) windows bounded
+    * by `bucketSeconds`, and the cross-bucket dependency collapses to
+    * a summary join: per (key, bucket), the max right event (its
+    * (us, id) struct max IS the as-of winner — tuple order matches the
+    * tie contract); a running max over buckets `< b` per key (a window
+    * over the bucket SUMMARY table, #buckets rows per key, built over
+    * buckets present on EITHER side so right-empty buckets still
+    * carry) seeds each bucket with its carry-in right. Within a
+    * bucket the carried right is older than every local right, so
+    * `coalesce(local running last, carry-in)` is exact.
+    *
+    * Cost vs [[asofJoin]]: one extra small aggregation + broadcast-ish
+    * join keyed (key, bucket); the big frame still shuffles ONCE. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+                       key: String = "user_id",
+                       toleranceSec: Long = 1800L,
+                       bucketSeconds: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = bucketSeconds * 1000000L
+    val l = left.select(col(key).as("_k"), unix_micros(col("ts")).as("_us"),
+      col("event_id").as("_id"), lit(1).as("_side"))
+    val r = right.select(col(key).as("_k"), unix_micros(col("ts")).as("_us"),
+      col("event_id").as("_id"), lit(0).as("_side"))
+    val all = l.unionByName(r)
+      .withColumn("_bkt", expr(s"_us div ${width}L"))
+    // (key, bucket) → max right in-bucket, over buckets present on either
+    // side (right-less buckets get a null max but still carry forward)
+    val perBkt = all.groupBy("_k", "_bkt")
+      .agg(max(when(col("_side") === 0,
+        struct(col("_us").as("us"), col("_id").as("id")))).as("_mx"))
+    val wCarry = Window.partitionBy("_k").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perBkt.withColumn("_carry", max(col("_mx")).over(wCarry))
+      .select("_k", "_bkt", "_carry")
+    val wIn = Window.partitionBy("_k", "_bkt")
+      .orderBy(col("_us"), col("_side"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localLast = last(when(col("_side") === 0,
+      struct(col("_us").as("us"), col("_id").as("id"))), ignoreNulls = true).over(wIn)
+    all.join(carry, Seq("_k", "_bkt"))
+      .withColumn("_m", coalesce(localLast, col("_carry")))
+      .filter(col("_side") === 1)
+      .withColumn("_hit", col("_m").isNotNull &&
+        col("_m.us") >= col("_us") - lit(toleranceSec * 1000000L))
+      .select(col("_k").as(key), col("_id").as("l_id"),
+        when(col("_hit"), col("_m.id")).as("r_id"),
+        expr("_us div 1000000").as("l_sec"),
+        when(col("_hit"), expr("_m.us div 1000000")).as("r_sec"))
+  }
+
   /** One event on one side of an as-of stream: side 0 = right
     * (reference side), side 1 = left (probe side). µs event time. */
   final case class AsofRecord(key: String, side: Int, us: Long, id: Long)

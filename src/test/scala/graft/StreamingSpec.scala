@@ -166,6 +166,29 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == expect)
   }
 
+  test("asofJoinBucketed: bucket-width-invariant vs plain asofJoin, incl. degenerate widths") {
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id")
+    val rnd = new scala.util.Random(13)
+    def randRows(n: Int, idBase: Long) = (0 until n).map { i =>
+      (rnd.nextInt(3).toLong,
+        new Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L),
+        idBase + i)
+    }
+    val l = randRows(80, 1000); val r = randRows(100, 5000)
+    val tol = 900L
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    val plain = norm(StreamingOps.asofJoin(df(l), df(r), "user_id", tol))
+    // wide (one bucket), medium (many buckets incl. right-empty ones
+    // that must still carry), and 1-second degenerate buckets
+    for (w <- Seq(86400L, 600L, 1L)) {
+      val b = norm(StreamingOps.asofJoinBucketed(df(l), df(r), "user_id", tol, w))
+      assert(b == plain, s"bucketSeconds=$w diverged")
+    }
+  }
+
   test("streamAsofJoin: ordered-feed parity with batch, cross-batch state, late-left divergence") {
     import graft.streaming.StreamingOps.{AsofMatch, AsofRecord}
     implicit val sp: org.apache.spark.sql.SparkSession = spark
