@@ -166,6 +166,29 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == expect)
   }
 
+  test("lmScore composes on a stream: static reference model, streaming ≡ batch") {
+    import graft.text.TextAnalysis
+    val ref = Seq(("r1", "foo bar foo")).toDF("doc_id", "text")
+    val rows = Seq(("d1", "foo zzz"), ("d2", "bar bar foo"), ("d3", "foo foo"))
+    val batch = TextAnalysis.lmScore(rows.toDF("doc_id", "text"), ref)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val sq = TextAnalysis.lmScore(mem.toDF().toDF("doc_id", "text"), ref)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(1): _*)
+      sq.processAllAvailable()
+      mem.addData(rows.drop(1): _*)
+      sq.processAllAvailable()
+      val streamed = spark.table("lm_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+    } finally sq.stop()
+  }
+
   test("asofJoinBucketed: bucket-width-invariant vs plain asofJoin, incl. degenerate widths") {
     def df(rows: Seq[(Long, Timestamp, Long)]) =
       rows.toDF("user_id", "ts", "event_id")
