@@ -88,6 +88,13 @@ object SqlFunctions {
     "graft_hamming" -> { args =>
       arity("graft_hamming", args, 2 to 2)
       toExpr(SimHash.hamming(toCol(args.head), toCol(args(1))))
+    },
+    "graft_bloom_might_contain" -> { args =>
+      // (foldable binary bloom — e.g. an X'…' hex literal of a
+      // serialized util.sketch.BloomFilter — , string value); the
+      // expression's own type check enforces foldability
+      arity("graft_bloom_might_contain", args, 2 to 2)
+      org.apache.spark.sql.graft.BloomMightContain(args.head, args(1))
     })
 
   /** Convenience mirrors of the Column API for SQL-built columns. */

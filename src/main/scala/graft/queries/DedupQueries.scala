@@ -662,6 +662,42 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- per-source corpus profile (the reporting surface) ----------------
+    // one groupBy over row-local signals: the dashboard numbers a corpus
+    // owner reads before deciding gates/mixtures. Means are grid-rational
+    // (sums of ints / counts) → gridSafeRound per the rounding protocol.
+    "tx_corpus_profile" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.wsTokenCount(coalesce(col("text"), lit(""))).cast("long").as("nt"),
+          TextAnalysis.qualityScore(coalesce(col("text"), lit(""))).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          Num.gridSafeRound(avg(col("nt")), 2).as("mean_tokens"),
+          Num.gridSafeRound(avg(col("q")) / 1e6, 4).as("mean_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source"),
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH d AS (
+           |  SELECT source, lang,
+           |    len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))::bigint AS nt,
+           |    floor((
+           |      least(len(toks) / 100.0, 1.0) * 0.4 +
+           |      (1.0 - len(list_filter(toks, t -> list_contains($stop, t)))::double / len(toks)) * 0.3 +
+           |      least((list_sum(list_transform(toks, t -> length(t)))::double / len(toks)) / 8.0, 1.0) * 0.3
+           |      ) * 1e6)::bigint AS q
+           |  FROM (SELECT source, lang, text,
+           |          regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+           |        FROM documents))
+           |SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+           |       ${Num.gridSafeRoundSql("avg(nt)", 2)} AS mean_tokens,
+           |       ${Num.gridSafeRoundSql("avg(q) / 1e6", 4)} AS mean_quality,
+           |       count(DISTINCT lang) AS n_langs
+           |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ---- composite quality GATE (C4/Gopher-style keep/drop decision) ------
     // first-failing rule names the drop reason; thresholds chosen so the
     // synthetic corpus splits across all three active reasons (~52% keep)

@@ -105,6 +105,23 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("graft_bloom_might_contain: SQL hex-literal filter probe ≡ driver filter") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val keys = Seq("alpha", "beta", "gamma").toDF("k")
+    val f = keys.stat.bloomFilter("k", 3L, 0.01)
+    val hex = org.apache.spark.sql.graft.BloomOps.serialize(f)
+      .map("%02X".format(_)).mkString
+    val got = spark.sql(
+      s"""SELECT v, graft_bloom_might_contain(X'$hex', v) AS m
+         |FROM (VALUES ('alpha'), ('beta'), ('delta'), ('omega')) t(v)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    Seq("alpha", "beta", "delta", "omega").foreach { v =>
+      assert(got(v) == f.mightContainString(v), v)
+    }
+    assert(got("alpha") && got("beta"), "members can never be false")
+  }
+
   test("concatValues wide vs triple agree on fixture A") {
     val wide = tableA.concatValues().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
