@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.blockers._
+import graft.core.{BlockingDataset, Blocks}
+import graft.encoders.HashTokenEncoder
+import graft.eval.Evaluation
+
+/** User-facing experiment front door — the Spark shape of the reference's
+  * chained click CLI (experiment.py:481-567 `process_pipeline`: load
+  * dataset → blocker.assign → write blocks → evaluate → log metrics) plus
+  * its console tracker artifact (experiment.py:561-599, trackers.py).
+  *
+  * {{{
+  * spark-submit --class graft.Experiment graft.jar \
+  *   --data /path/bundle --blocker token --out /tmp/blocks \
+  *   [--format parquet|csv|json|openea] [--metrics /tmp/metrics.json] \
+  *   [--sample-mod N] [--no-clean] [--no-write] [blocker params...]
+  * }}}
+  *
+  * Every §2.9 composition is reachable by name (see [[blockerFor]]); the
+  * metrics artifact is one JSON object with the reference's eval dict
+  * (recall/precision/f_measure/reduction_ratio/h3r), counts, and per-phase
+  * wall times (`load`, `assign`, `write`, `eval`) akin to
+  * experiment.py:561-567's `time_in_s` + trackers.py timing capture.
+  *
+  * Scale notes: `assign` is lazy — its timer covers plan construction
+  * only; the materializing work lands in `write` (blocks → parquet), the
+  * same split a cluster job would see. Eval runs off the written parquet
+  * (Blocks.read), not the live plan, so the blocking pipeline executes
+  * exactly once end-to-end — the reference does the same round-trip
+  * (experiment.py:571-575).
+  */
+object Experiment {
+
+  final case class Config(
+      data: String,
+      blocker: String,
+      out: String,
+      format: String = "auto",
+      metricsPath: Option[String] = None,
+      sampleMod: Option[Int] = None,
+      clean: Boolean = true,
+      writeBlocks: Boolean = true,
+      // blocker params (reference experiment.py:659-1560 option surface)
+      key: String = "",
+      q: Int = 3,
+      minTokenLength: Int = 3,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      fnWeight: Double = 0.5,
+      bands: Int = 8,
+      topNA: Option[Int] = None,
+      topNR: Option[Int] = None,
+      k: Int = 5,
+      dims: Int = 8,
+      depth: Int = 2,
+      numClusters: Int = 10,
+      buckets: Int = 16,
+      minClusterSize: Int = 5,
+      minOverlap: Int = 1,
+      maxBlockComparisons: Long = 0L)
+
+  /** Blocker registry — one name per reference CLI command
+    * (experiment.py:659-1560). Embedding-based entries use the
+    * deterministic [[HashTokenEncoder]] (M4/M5 stand-in for external
+    * model inference, SURVEY.md M6/M7). */
+  def blockerFor(c: Config): Blocker = c.blocker match {
+    case "standard"    => StandardBlocker(c.key)
+    case "qgrams"      => QgramsBlocker(c.key, c.q)
+    case "token"       => TokenBlocker(c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
+    case "unique-name" => UniqueNameBlocker()
+    case "lsh" => MinHashLSHBlocker.fromThreshold(
+      c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength)
+    case "mllib-minhash" => MlLibMinHashBlocker(c.threshold, c.bands,
+      minTokenLength = c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
+    case "tfidf-token" => TfIdfFilteredTokenBlocker(c.threshold, c.minTokenLength)
+    case "partitioning-token" => PartitioningTokenBlocker(
+      c.minOverlap, c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
+    case "relational-token" =>
+      SimpleRelationalTokenBlocker(c.topNA, c.topNR, c.minTokenLength)
+    case "relational-lsh" => SimpleRelationalBlocker(
+      MinHashLSHBlocker.fromThreshold(
+        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength),
+      c.topNA, c.topNR)
+    // reference relational_lsh_blocker: separate attr + (neighbor-concat)
+    // rel LSH passes combined (relation_aware.py:391-592)
+    case "relational-dual-lsh" =>
+      val inner = MinHashLSHBlocker.fromThreshold(
+        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength)
+      RelationalBlocker(inner, inner, c.topNA, c.topNR)
+    case "composite-unique-name" => CompositeUniqueNameBlocker(
+      TokenBlocker(c.minTokenLength), Some(TokenBlocker(c.minTokenLength)),
+      c.topNA, c.topNR)
+    case "embedding-knn" =>
+      EmbeddingKnnBlocker(HashTokenEncoder(c.dims), c.k)
+    case "composite-embedding" => CompositeEmbeddingBlocker(
+      HashTokenEncoder(c.dims), c.k, topNA = c.topNA, topNR = c.topNR,
+      minTokenLength = c.minTokenLength)
+    case "relational-deepblocker" => CompositeRelationalDeepBlocker(
+      HashTokenEncoder(c.dims), c.k, c.topNA, c.topNR,
+      minTokenLength = c.minTokenLength)
+    case "lightea" => CompositeLightEABlocker(
+      HashTokenEncoder(c.dims), c.depth, c.k, c.dims,
+      minTokenLength = c.minTokenLength)
+    case "kmeans-cluster" =>
+      KMeansClusterBlocker(HashTokenEncoder(c.dims), c.numClusters)
+    case "attribute-cluster" =>
+      AttributeClusteringBlocker(HashBucketClusterAssigner(c.buckets), c.minClusterSize)
+    case "token-cluster" => TokenClusteringTokenBlocker(
+      HashBucketClusterAssigner(c.buckets), c.minClusterSize,
+      minTokenLength = c.minTokenLength)
+    case "token-cluster-minhash" => TokenClusteringMinHashLSHBlocker(
+      HashBucketClusterAssigner(c.buckets), c.minClusterSize,
+      numPerm = c.numPerm, bands = c.bands, minTokenLength = c.minTokenLength)
+    case other => throw new IllegalArgumentException(
+      s"unknown blocker '$other'; known: ${BlockerNames.mkString(", ")}")
+  }
+
+  val BlockerNames: Seq[String] = Seq(
+    "standard", "qgrams", "token", "unique-name", "lsh", "mllib-minhash",
+    "tfidf-token", "partitioning-token", "relational-token", "relational-lsh",
+    "relational-dual-lsh", "composite-unique-name", "embedding-knn",
+    "composite-embedding", "relational-deepblocker", "lightea",
+    "kmeans-cluster", "attribute-cluster", "token-cluster",
+    "token-cluster-minhash")
+
+  def parseArgs(args: Array[String]): Config = {
+    var m = Map.empty[String, String]
+    var flags = Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got '$a'")
+      val name = a.drop(2)
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m += name -> args(i + 1); i += 2
+      } else { flags += name; i += 1 }
+    }
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    Config(
+      data = req("data"),
+      blocker = req("blocker"),
+      out = req("out"),
+      format = m.getOrElse("format", "auto"),
+      metricsPath = m.get("metrics"),
+      sampleMod = m.get("sample-mod").map(_.toInt),
+      clean = !flags.contains("no-clean"),
+      writeBlocks = !flags.contains("no-write"),
+      key = m.getOrElse("key", ""),
+      q = m.getOrElse("q", "3").toInt,
+      minTokenLength = m.getOrElse("min-token-length", "3").toInt,
+      threshold = m.getOrElse("threshold", "0.5").toDouble,
+      numPerm = m.getOrElse("num-perm", "128").toInt,
+      fnWeight = m.getOrElse("fn-weight", "0.5").toDouble,
+      bands = m.getOrElse("bands", "8").toInt,
+      topNA = m.get("top-n-a").map(_.toInt).filter(_ > 0),
+      topNR = m.get("top-n-r").map(_.toInt).filter(_ > 0),
+      k = m.getOrElse("k", "5").toInt,
+      dims = m.getOrElse("dims", "8").toInt,
+      depth = m.getOrElse("depth", "2").toInt,
+      numClusters = m.getOrElse("num-clusters", "10").toInt,
+      buckets = m.getOrElse("buckets", "16").toInt,
+      minClusterSize = m.getOrElse("min-cluster-size", "5").toInt,
+      minOverlap = m.getOrElse("min-overlap", "1").toInt,
+      maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong)
+  }
+
+  /** Dataset load with layout autodetection: a dir containing
+    * `attr_triples_1` is the OpenEA/sylloge benchmark shape
+    * (ea_dataset.py:28-110); otherwise a `left.<fmt>`/`right.<fmt>`
+    * bundle. */
+  def loadDataset(spark: SparkSession, c: Config): BlockingDataset = {
+    val fmt =
+      if (c.format != "auto") c.format
+      else if (new java.io.File(s"${c.data}/attr_triples_1").exists()) "openea"
+      else "parquet"
+    val ds =
+      if (fmt == "openea") BlockingDataset.loadOpenEA(spark, c.data, clean = c.clean)
+      else BlockingDataset.load(spark, c.data, fmt)
+    c.sampleMod.map(ds.sample(_)).getOrElse(ds)
+  }
+
+  /** Run one experiment; returns the metrics JSON string (also written to
+    * `c.metricsPath` when set). Phases mirror experiment.py:545-575. */
+  def run(spark: SparkSession, c: Config): String = {
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (ds, tLoad) = timed {
+      val d = loadDataset(spark, c)
+      // count both sides here so the load phase (not eval) pays the scan;
+      // the counts are reused in the eval denominator
+      (d, d.left.ids.distinct().count(), d.right.ids.distinct().count())
+    }
+    val (dataset, leftLen, rightLen) = ds
+
+    val (blocks, tAssign) = timed {
+      blockerFor(c).assign(
+        dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
+    }
+
+    val (persisted, tWrite) = timed {
+      if (c.writeBlocks) {
+        blocks.write(s"${c.out}/blocks",
+          dataset.left.tableName, dataset.right.tableName)
+        // round-trip through the sink like the reference (experiment.py:571)
+        Blocks.read(spark, s"${c.out}/blocks")
+      } else { blocks.df.persist(); blocks.df.count(); blocks }
+    }
+
+    val (evalPart, tEval) = timed {
+      dataset.gold match {
+        case Some(g) =>
+          val r = Evaluation.evaluate(persisted, g, leftLen, rightLen)
+          val metrics = r.toMap.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":${fmtD(v)}""" }.mkString(",")
+          s""""tp":${r.truePositive},"fp":${r.falsePositive},"fn":${r.falseNegative},""" +
+            s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics"""
+        case None => s""""pairs":${persisted.distinctPairs.count()}"""
+      }
+    }
+    if (!c.writeBlocks) persisted.df.unpersist()
+
+    val total = tLoad + tAssign + tWrite + tEval
+    val json =
+      s"""{"blocker":"${c.blocker}","data":"${c.data}","out":"${c.out}",""" +
+        s""""left_len":$leftLen,"right_len":$rightLen,$evalPart,""" +
+        s""""time_in_s":${fmtD(tAssign + tWrite)},"total_time_in_s":${fmtD(total)},""" +
+        s""""phase_times":{"load":${fmtD(tLoad)},"assign":${fmtD(tAssign)},""" +
+        s""""write":${fmtD(tWrite)},"eval":${fmtD(tEval)}}}"""
+    c.metricsPath.foreach { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(f.toPath, json + "\n")
+    }
+    json
+  }
+
+  private def fmtD(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(s"graft-experiment-${c.blocker}")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, c))
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.blockers
+
+import org.apache.spark.sql.SparkSession
+
+/** Pure-SQL blocking recipes — the blocker surface for SQL-only users.
+  *
+  * Each builder returns ONE Spark-SQL SELECT (no Scala closures, no temp
+  * tables) over already-registered input views, composed from built-in
+  * functions plus the [[graft.functions.SqlFunctions]] scalar surface
+  * (`graft_tokenize`, `graft_md5_long` — register via
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` or
+  * [[org.apache.spark.sql.graft.GraftExtensions.register]]). The
+  * generated plans are the SAME plans the Scala blockers produce (same
+  * tokenizer expression tree, same groupBy/join shape), so SQL use keeps
+  * whole-stage codegen and every scale property documented on
+  * [[TokenBlocker]] / [[StandardBlocker]] / [[MinHashLSHBlocker]].
+  *
+  * Output schema is the canonical blocks table:
+  * `(block_key string, left array<string>, right array<string>)`.
+  *
+  * [[registerView]] materializes a recipe as a temp view, so downstream
+  * SQL reads `SELECT * FROM <view>` — the "blocking as a table" shape a
+  * warehouse user expects.
+  */
+object BlockingSql {
+
+  /** `concat_values` (P2-P4) as a SQL expression over attribute columns:
+    * stringify, null-fill, space-join, trim — EntityFrame.concatValues'
+    * wide-frame semantics. */
+  def concatValuesExpr(attrCols: Seq[String]): String =
+    attrCols.map(c => s"coalesce(cast(`$c` AS string), '')")
+      .mkString("trim(concat_ws(' ', ", ", ", "))")
+
+  /** Distinct `(id, key)` token stream of one side (TokenBlocker.tokens):
+    * tokenize the concatenated attributes, one row per (entity, token). */
+  def tokenStreamSql(
+      table: String, idCol: String, attrCols: Seq[String],
+      minTokenLength: Int = 3): String =
+    s"""SELECT DISTINCT cast(`$idCol` AS string) AS id, tok AS key
+       |FROM (SELECT `$idCol`, explode(graft_tokenize(${concatValuesExpr(attrCols)}, $minTokenLength)) AS tok
+       |      FROM $table)""".stripMargin
+
+  /** The universal block finisher (A1+J1, Blocker.blockJoin) in SQL:
+    * per-side collect_set by key, inner join on the key. */
+  private def blockJoinSql(leftStream: String, rightStream: String): String =
+    s"""WITH lt AS ($leftStream),
+       |rt AS ($rightStream),
+       |lb AS (SELECT key AS block_key, array_sort(collect_set(id)) AS `left`
+       |       FROM lt GROUP BY key),
+       |rb AS (SELECT key AS block_key, array_sort(collect_set(id)) AS `right`
+       |       FROM rt GROUP BY key)
+       |SELECT lb.block_key, lb.`left`, rb.`right`
+       |FROM lb JOIN rb USING (block_key)""".stripMargin
+
+  /** J1: token blocking (≡ [[TokenBlocker]]). */
+  def tokenBlocksSql(
+      leftTable: String, leftId: String, leftAttrs: Seq[String],
+      rightTable: String, rightId: String, rightAttrs: Seq[String],
+      minTokenLength: Int = 3): String =
+    blockJoinSql(
+      tokenStreamSql(leftTable, leftId, leftAttrs, minTokenLength),
+      tokenStreamSql(rightTable, rightId, rightAttrs, minTokenLength))
+
+  /** S/J1: standard (exact attribute value) blocking (≡ [[StandardBlocker]]
+    * on wide frames). */
+  def standardBlocksSql(
+      leftTable: String, leftId: String, leftKey: String,
+      rightTable: String, rightId: String, rightKey: String): String = {
+    def side(t: String, id: String, k: String) =
+      s"""SELECT cast(`$id` AS string) AS id, cast(`$k` AS string) AS key
+         |FROM $t WHERE `$k` IS NOT NULL""".stripMargin
+    blockJoinSql(side(leftTable, leftId, leftKey), side(rightTable, rightId, rightKey))
+  }
+
+  /** M1: MinHash-LSH blocking (≡ [[MinHashLSHBlocker]]): tokenize, sign
+    * with `numPerm` md5-derived permutations, band into `bands` buckets,
+    * block on band-key collisions. The signature aggregate and band-key
+    * md5 mirror [[graft.functions.MinHash.signature]]/`bandBuckets`
+    * exactly (same hash family), so SQL and Scala results are
+    * bit-identical. */
+  def minHashBlocksSql(
+      leftTable: String, leftId: String, leftAttrs: Seq[String],
+      rightTable: String, rightId: String, rightAttrs: Seq[String],
+      numPerm: Int = 32, bands: Int = 8, minTokenLength: Int = 3): String = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rows = numPerm / bands
+    val mins = (0 until numPerm)
+      .map(i => s"min(graft_md5_long(concat('$i:', key))) AS h$i").mkString(", ")
+    val bandKeys = (0 until bands).map { j =>
+      val hs = (0 until rows).map(i => s"cast(h${j * rows + i} AS string)").mkString(", ")
+      s"concat('$j:', md5(concat_ws(',', $hs)))"
+    }.mkString(", ")
+    def side(stream: String) =
+      s"""SELECT id, key FROM (
+         |  SELECT id, explode(array($bandKeys)) AS key FROM (
+         |    SELECT id, $mins FROM ($stream) GROUP BY id))""".stripMargin
+    blockJoinSql(
+      side(tokenStreamSql(leftTable, leftId, leftAttrs, minTokenLength)),
+      side(tokenStreamSql(rightTable, rightId, rightAttrs, minTokenLength)))
+  }
+
+  /** Materialize any recipe as a temp view: blocking becomes
+    * `SELECT * FROM <name>` for every downstream SQL consumer. */
+  def registerView(spark: SparkSession, name: String, recipeSql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $recipeSql")
+}

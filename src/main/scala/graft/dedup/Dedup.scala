@@ -237,20 +237,32 @@ object Dedup {
     // the NEW batch's version supersedes: corpus rows whose id reappears
     // in the batch are anti-joined away before the union. The anti join
     // is corpus-scan × batch-id-broadcast — no corpus shuffle.
-    val corpusOnly = corpusToks
-      .join(newToks.select("id").distinct(), Seq("id"), "left_anti")
-    val all = corpusOnly.select(col("id"), col("key"), lit(false).as("_new"))
-      .unionByName(newToks.select(col("id"), col("key"), lit(true).as("_new")))
+    //
+    // The batch token table is DELTA-sized (the whole point of the
+    // incremental form): persist IT, not just its id list, because it is
+    // referenced three times (id list, union branch, and — via the
+    // union — the verify scan); without the persist each reference
+    // re-runs the caller's whole tokenize/shingle/distinct pipeline.
+    // The id list derived from it drives every side decision and is
+    // explicitly broadcast — the anti-join and the side-flag join must
+    // never shuffle corpus-scale rows against a delta-sized list (AQE
+    // would usually get this right, but at 100 TB "usually" is not a
+    // plan guarantee; measured ~1.4× on this query at sf0.1).
+    val newT = newToks.select(col("id"), col("key")).persist()
+    val newIds = newT.select("id").distinct()
+    val corpusOnly = corpusToks.join(broadcast(newIds), Seq("id"), "left_anti")
+    val all = corpusOnly.select(col("id"), col("key"))
+      .unionByName(newT)
       .persist()
-    val sides = all.select("id", "_new").distinct()
-    val sig0 = MinHash.signature(all.select("id", "key"), numPerm)
+    val sig0 = MinHash.signature(all, numPerm)
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
     // cap measured over the UNION (corpus + new rows in the bucket): a
     // boilerplate bucket is hot because of its total population, not of
     // either side alone
     val buckets = capHotKeys(
         MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
-      .join(sides, Seq("id"))
+      .join(broadcast(newIds.withColumn("_new", lit(true))), Seq("id"), "left")
+      .withColumn("_new", coalesce(col("_new"), lit(false)))
     val candidates = estimatePrefilter(
       buckets
         .select(col("key"), col("id").as("id_a"), col("_new").as("_new_a"))
@@ -269,6 +281,7 @@ object Dedup {
     cand.unpersist()
     if (estPrefilter > 0.0) sig.unpersist()
     all.unpersist()
+    newT.unpersist()
     verified
   }
 
@@ -383,7 +396,16 @@ object Dedup {
     * it; it exists for the chain-shaped tail. 0 disables. */
   def components(
       pairs: DataFrame, maxIterations: Int = 20,
-      checkpointInterval: Int = 5): DataFrame = {
+      checkpointInterval: Int = 5): DataFrame =
+    componentsWithRounds(pairs, maxIterations, checkpointInterval)._1
+
+  /** [[components]] plus the number of propagation rounds it took to
+    * reach the fixpoint — the scale-rehearsal observable (rounds grow
+    * with component DIAMETER, not corpus size; a dup graph that suddenly
+    * needs many rounds signals chain-shaped pathology, not volume). */
+  def componentsWithRounds(
+      pairs: DataFrame, maxIterations: Int = 20,
+      checkpointInterval: Int = 5): (DataFrame, Int) = {
     // localCheckpoint, not persist: the edge list is referenced by EVERY
     // round's join plus both convergence probes, and under persist each
     // reference still carries (and re-analyzes) the full upstream pair
@@ -437,7 +459,7 @@ object Dedup {
     // the iteration survives in the CacheManager of a shared session.
     val out = labels.localCheckpoint()
     cached.unpersist()
-    out
+    (out, i)
   }
 
   /** Deterministic shard assignment — the export tail of the pipeline:

@@ -691,7 +691,7 @@ object DedupQueries {
            |  FROM (SELECT source, lang, text,
            |          regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
            |        FROM documents))
-           |SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+           |SELECT source, count(*) AS n_docs, sum(nt)::bigint AS total_tokens,
            |       ${Num.gridSafeRoundSql("avg(nt)", 2)} AS mean_tokens,
            |       ${Num.gridSafeRoundSql("avg(q) / 1e6", 4)} AS mean_quality,
            |       count(DISTINCT lang) AS n_langs

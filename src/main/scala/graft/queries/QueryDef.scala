@@ -16,20 +16,34 @@ object QueryDef {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * only reads as long (spark.sql.legacy.parquet.nanosAsLong=true, set
-    * in every session builder); convert to a proper timestamp at µs
-    * precision here. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  /** The events table's `ts` has shipped in two parquet shapes across
+    * testdata generations: TIMESTAMP(NANOS), which Spark 4 only reads as
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in every
+    * session builder), and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark 4 reads as TIMESTAMP_NTZ. Normalize both to a session-tz
+    * TIMESTAMP (UTC everywhere) so downstream unix_micros/window/cast
+    * logic — and the DuckDB oracle, which sees naive UTC either way —
+    * get identical values. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** The `ts` normalization alone, shared with streaming readers (a
+    * readStream over the same parquet sees the same two shapes). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // Integer division: `/` on a long column promotes to double, whose
-      // 53-bit mantissa cannot represent epoch-nanos (~1.7e18) exactly —
-      // the ±hundreds-of-ns rounding error can flip a second boundary vs
-      // DuckDB's native-nanos epoch(). `div` stays in long arithmetic.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer division: `/` on a long column promotes to double, whose
+        // 53-bit mantissa cannot represent epoch-nanos (~1.7e18) exactly —
+        // the ±hundreds-of-ns rounding error can flip a second boundary vs
+        // DuckDB's native-nanos epoch(). `div` stays in long arithmetic.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock reinterpreted as UTC instant (session tz is UTC,
+        // so the wall-clock fields are preserved bit-for-bit)
+        raw.withColumn("ts", to_timestamp(col("ts")))
+      case _ => raw
+    }
   }
 
   /** Shared tokenizer fragments — MUST stay in lockstep with

@@ -1,0 +1,61 @@
+package graft
+
+import graft.blockers._
+import graft.core.Blocks
+
+/** The SQL-only blocking surface: each recipe view must match its Scala
+  * blocker bit-for-bit (same hash family, same tokenizer expression). */
+class BlockingSqlSpec extends SparkSpec {
+
+  private lazy val ready: Unit = {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    tableA.df.createOrReplaceTempView("sql_a")
+    tableB.df.createOrReplaceTempView("sql_b")
+  }
+  private def attrsA = tableA.nonIdColumns
+  private def attrsB = tableB.nonIdColumns
+
+  test("token blocking view matches TokenBlocker") {
+    ready
+    BlockingSql.registerView(spark, "tok_blocks", BlockingSql.tokenBlocksSql(
+      "sql_a", "id", attrsA, "sql_b", "id", attrsB))
+    val viaSql = Blocks(spark.sql("SELECT * FROM tok_blocks"))
+    assert(blockMap(viaSql) == blockMap(TokenBlocker().assign(tableA, tableB)))
+  }
+
+  test("standard blocking view matches StandardBlocker") {
+    ready
+    BlockingSql.registerView(spark, "std_blocks", BlockingSql.standardBlocksSql(
+      "sql_a", "id", "BirthCountry", "sql_b", "id", "BirthCountry"))
+    val viaSql = Blocks(spark.sql("SELECT * FROM std_blocks"))
+    assert(blockMap(viaSql) ==
+      blockMap(StandardBlocker("BirthCountry").assign(tableA, tableB)))
+  }
+
+  test("minhash-LSH blocking view matches MinHashLSHBlocker") {
+    ready
+    BlockingSql.registerView(spark, "mh_blocks", BlockingSql.minHashBlocksSql(
+      "sql_a", "id", attrsA, "sql_b", "id", attrsB, numPerm = 16, bands = 4))
+    val viaSql = Blocks(spark.sql("SELECT * FROM mh_blocks"))
+    assert(blockMap(viaSql) ==
+      blockMap(MinHashLSHBlocker(numPerm = 16, bands = 4).assign(tableA, tableB)))
+  }
+
+  test("recipes stay inside whole-stage codegen (no UDF wrapper)") {
+    ready
+    val blocksPlan = spark.sql(BlockingSql.tokenBlocksSql(
+      "sql_a", "id", attrsA, "sql_b", "id", attrsB))
+      .queryExecution.executedPlan.toString
+    assert(!blocksPlan.contains("BatchEvalPython") && !blocksPlan.contains("ScalaUDF"),
+      blocksPlan)
+    // graft_tokenize must expand to the native built-in chain (the same
+    // expression tree the Column API emits — codegen-eligible), not a
+    // function wrapper; under AQE the pre-execution plan shows no
+    // WholeStageCodegen spans, so assert on the expression tree itself
+    val streamPlan = spark.sql(BlockingSql.tokenStreamSql("sql_a", "id", attrsA))
+      .queryExecution.executedPlan.toString
+    assert(streamPlan.contains("split(lower(") && streamPlan.contains("explode("),
+      streamPlan)
+    assert(!streamPlan.contains("ScalaUDF"), streamPlan)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.BlockingDataset
+import graft.eval.Evaluation
+
+/** The experiment CLI front door (reference experiment.py:481-567) and the
+  * sylloge/OpenEA benchmark loader (ea_dataset.py:28-110). */
+class ExperimentSpec extends SparkSpec {
+
+  /** Write a minimal OpenEA-shaped fixture dir (headerless TSV, the
+    * published dump layout) derived from the conftest A/B tables. */
+  private def openEaFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("openea").toString
+    def w(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/$name"), lines.mkString("", "\n", "\n"))
+    w("attr_triples_1", Seq(
+      "a1\thasName\tJohn McExample",
+      "a1\tbday\t\"11-12-1973\"^^<http://www.w3.org/2001/XMLSchema#date>",
+      "a2\thasName\tMaggie Smith",
+      "a3\thasName\tRebecca Smith",
+      "a4\thasName\tNushi Devi",
+      "a5\thasName\tGrzegorz Brzęczyszczykiewicz"))
+    w("attr_triples_2", Seq(
+      "b1\tname\tJohn McExample",
+      "b1\tborn\t\"11-12-1973\"^^<http://www.w3.org/2001/XMLSchema#date>",
+      "b2\tname\tMaggie Smith",
+      "b3\tname\tRebecca Smith",
+      "b4\tname\tAnh Nguyen",
+      "b5\tname\tNushi Zhang"))
+    w("rel_triples_1", Seq("a1\tknows\ta2", "a3\tknows\ta1"))
+    w("rel_triples_2", Seq("b1\tknows\tb2", "b3\tknows\tb1"))
+    w("ent_links", Seq("a1\tb1", "a2\tb2", "a3\tb3"))
+    dir
+  }
+
+  test("loadOpenEA reads the sylloge folder layout with datatype cleaning") {
+    val ds = BlockingDataset.loadOpenEA(spark, openEaFixture())
+    assert(ds.left.isTriple && ds.right.isTriple && ds.left.idCol == "head")
+    assert(ds.left.df.count() == 6 && ds.right.df.count() == 6)
+    assert(ds.leftRel.get.count() == 2 && ds.rightRel.get.count() == 2)
+    assert(ds.gold.get.count() == 3)
+    // S2 datatype strip applied to attribute tails (ea_dataset.py:88-91)
+    val bday = ds.left.df.filter(col("rel") === "bday").head.getString(2)
+    assert(bday == "\"11-12-1973\"", s"datatype suffix must be stripped, got $bday")
+    // rel triples are NOT cleaned (reference cleans attr frames only)
+    assert(ds.leftRel.get.columns.toSeq == Seq("head", "rel", "tail"))
+  }
+
+  test("Experiment CLI end-to-end: token blocker on an OpenEA fixture") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_out").toString
+    val metrics = s"$out/metrics.json"
+    val c = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "token", "--out", out,
+      "--metrics", metrics, "--min-token-length", "3"))
+    val json = Experiment.run(spark, c)
+
+    // artifact written and identical to the returned line
+    val onDisk = java.nio.file.Files.readString(java.nio.file.Paths.get(metrics)).trim
+    assert(onDisk == json)
+
+    // blocks round-trip through the parquet sink
+    val blocks = graft.core.Blocks.read(spark, s"$out/blocks")
+    assert(blocks.df.count() > 0)
+
+    // metrics agree with a direct evaluation of the same blocker output
+    val ds = BlockingDataset.loadOpenEA(spark, data)
+    val direct = Evaluation.evaluate(
+      graft.blockers.TokenBlocker().assign(ds.left, ds.right),
+      ds.gold.get, 5L, 5L)
+    def field(k: String): String =
+      s""""$k":([0-9.eE+-]+|null)""".r.findFirstMatchIn(json)
+        .getOrElse(fail(s"missing $k in $json")).group(1)
+    assert(field("tp").toDouble.toLong == direct.truePositive)
+    assert(field("pairs").toDouble.toLong == direct.compWithBlocking)
+    assert(math.abs(field("recall").toDouble - direct.recall) < 1e-6)
+    assert(math.abs(field("h3r").toDouble - direct.h3r) < 1e-6)
+    assert(field("left_len").toDouble.toLong == 5L)
+
+    // phase times: all four present, non-negative, summing to ~total
+    val phases = Seq("load", "assign", "write", "eval").map { p =>
+      s""""$p":([0-9.]+)""".r.findFirstMatchIn(json)
+        .getOrElse(fail(s"missing phase $p")).group(1).toDouble
+    }
+    assert(phases.forall(_ >= 0.0))
+    assert(math.abs(phases.sum - field("total_time_in_s").toDouble) < 1e-3)
+  }
+
+  test("Experiment format autodetection dispatches OpenEA vs parquet bundles") {
+    import spark.implicits._
+    val openea = openEaFixture()
+    assert(Experiment.loadDataset(spark,
+      Experiment.parseArgs(Array("--data", openea, "--blocker", "token", "--out", "/tmp/x")))
+      .left.isTriple)
+
+    val bundle = java.nio.file.Files.createTempDirectory("bundle").toString
+    tableA.df.write.parquet(s"$bundle/left.parquet")
+    tableB.df.write.parquet(s"$bundle/right.parquet")
+    val ds = Experiment.loadDataset(spark,
+      Experiment.parseArgs(Array("--data", bundle, "--blocker", "token", "--out", "/tmp/x")))
+    assert(!ds.left.isTriple && ds.left.df.count() == 5)
+  }
+
+  test("every registered blocker name constructs (the reference's 17-command surface)") {
+    val base = Experiment.parseArgs(Array(
+      "--data", "/tmp/d", "--blocker", "token", "--out", "/tmp/o", "--key", "Name"))
+    Experiment.BlockerNames.foreach { name =>
+      val b = Experiment.blockerFor(base.copy(blocker = name))
+      assert(b != null, name)
+    }
+    val err = intercept[IllegalArgumentException] {
+      Experiment.blockerFor(base.copy(blocker = "nope"))
+    }
+    assert(err.getMessage.contains("token"))
+  }
+
+  test("parseArgs: options, flags, and required arguments") {
+    val c = Experiment.parseArgs(Array(
+      "--data", "/d", "--blocker", "lsh", "--out", "/o",
+      "--threshold", "0.7", "--num-perm", "64", "--fn-weight", "0.3",
+      "--top-n-a", "5", "--top-n-r", "-1", "--sample-mod", "2",
+      "--no-clean", "--no-write"))
+    assert(c.threshold == 0.7 && c.numPerm == 64 && c.fnWeight == 0.3)
+    assert(c.topNA.contains(5) && c.topNR.isEmpty, "non-positive top-n means None")
+    assert(c.sampleMod.contains(2) && !c.clean && !c.writeBlocks)
+    intercept[IllegalArgumentException] {
+      Experiment.parseArgs(Array("--data", "/d", "--blocker", "lsh"))
+    }
+  }
+
+  test("relational blockers run end-to-end through the CLI on the fixture") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_rel").toString
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "relational-token", "--out", out,
+      "--top-n-a", "3", "--top-n-r", "2")))
+    assert(json.contains("\"recall\":"))
+    assert(graft.core.Blocks.read(spark, s"$out/blocks").df.count() > 0)
+  }
+}

@@ -763,9 +763,7 @@ class StreamingSpec extends SparkSpec {
     val streamDf = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(stream.toString)
-    val converted = streamDf.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+    val converted = graft.queries.QueryDef.normalizeEventTs(streamDf)
     val sq = StreamingOps.windowedEventAgg(converted)
       .writeStream.format("memory").queryName("file_agg")
       .outputMode("complete").start()
