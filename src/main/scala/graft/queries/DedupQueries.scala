@@ -788,6 +788,69 @@ object DedupQueries {
              |SELECT grp, id, n_tokens, cum::bigint AS cum_tokens, cum <= 300 AS keep
              |FROM c ORDER BY grp, id""".stripMargin)),
 
+    // ---- deterministic sequence packing (training-bin assignment) --------
+    // same md5-priority order and distributed cumsum as tx_token_budget;
+    // bin = exclusive-cumsum div window (docs never split across bins).
+    "tx_pack_sequences" -> QueryDef(
+      (s, dir) => TextAnalysis.packSequences(
+          table(s, dir, "documents"), "doc_id", "text", "source", 200L)
+        .orderBy("grp", "id"),
+      Some("""WITH d AS (
+             |  SELECT source AS grp, cast(doc_id AS varchar) AS id,
+             |         len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::bigint AS n_tokens,
+             |         ('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint AS pri
+             |  FROM documents),
+             |c AS (SELECT grp, id, n_tokens,
+             |             coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY pri, id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             |      FROM d)
+             |SELECT grp, id, n_tokens, (prev // 200)::bigint AS bin
+             |FROM c ORDER BY grp, id""".stripMargin)),
+
+    // ---- PII redaction audit -------------------------------------------
+    // The corpus text carries no PII, so the query plants deterministic
+    // synthetic PII IN-QUERY (same expression both engines) on a subset
+    // of docs, then redacts — exercising match, multi-pattern chaining,
+    // and the no-match passthrough on the rest. Patterns live in
+    // TextAnalysis.PiiPatterns (portable Java/RE2 subset).
+    "tx_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val enriched = table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" call 555-123-"),
+                ((col("doc_id") % 9000) + 1000).cast("string"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".7"))).otherwise(lit(""))).as("t"))
+        TextAnalysis.piiRedact(enriched, "doc_id", "t").orderBy("id")
+      },
+      Some {
+        val Seq(emailRe, ipRe, phoneRe) =
+          TextAnalysis.PiiPatterns.map { case (_, re, _) => re }
+        s"""WITH e AS (
+           |  SELECT cast(doc_id AS varchar) AS id,
+           |    coalesce(text, '')
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || cast(doc_id AS varchar) || '@mail.example.com' ELSE '' END
+           |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-' || cast(doc_id % 9000 + 1000 AS varchar) ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || cast(doc_id % 256 AS varchar) || '.7' ELSE '' END AS t
+           |  FROM documents)
+           |SELECT id,
+           |  len(regexp_extract_all(t, '$emailRe'))::bigint AS n_email,
+           |  len(regexp_extract_all(t, '$ipRe'))::bigint AS n_ip,
+           |  len(regexp_extract_all(t, '$phoneRe'))::bigint AS n_phone,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$emailRe', '<EMAIL>', 'g'),
+           |    '$ipRe', '<IP>', 'g'),
+           |    '$phoneRe', '<PHONE>', 'g') AS redacted
+           |FROM e ORDER BY id""".stripMargin
+      }),
+
     // ---- unigram-LM quality scoring (reference slice = src0) -------------
     // ln() is irrational for every smoothed ratio here, so stableRound
     // at 1e-6 is boundary-safe (the grid-rational hazard does not apply).

@@ -218,7 +218,19 @@ object TextAnalysis {
     * document. Output is numBuckets-invariant (spec-asserted). */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
                   groupCol: String, budget: Long,
-                  numBuckets: Int = 64): DataFrame = {
+                  numBuckets: Int = 64): DataFrame =
+    groupTokenCumsum(docs, idCol, textCol, groupCol, numBuckets)
+      .select(col("grp"), col("id"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("keep"))
+
+  /** The shared distributed cumulative sum under [[tokenBudget]] and
+    * [[packSequences]]: per group, inclusive running token total in
+    * content-addressed (md5-priority) order. Output:
+    * (grp, id, n_tokens, cum_tokens) — see [[tokenBudget]]'s scaladoc
+    * for why the range bucket is derived from the priority itself. */
+  private def groupTokenCumsum(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, numBuckets: Int): DataFrame = {
     val bucketWidth = (1L << 60) / numBuckets
     val base = docs.select(
       col(groupCol).cast("string").as("grp"),
@@ -249,8 +261,34 @@ object TextAnalysis {
     val offsets = offRows.toDF("grp", "_bkt", "_off")
     local.join(broadcast(offsets), Seq("grp", "_bkt"))
       .select(col("grp"), col("id"), col("n_tokens"),
-        (col("l_sum") + col("_off")).as("cum_tokens"),
-        (col("l_sum") + col("_off") <= budget).as("keep"))
+        (col("l_sum") + col("_off")).as("cum_tokens"))
+  }
+
+  /** Deterministic sequence packing — assign every document of a group
+    * to a training bin of ~`window` tokens: documents are laid out in
+    * content-addressed priority order (md5 of id, the same order as
+    * [[tokenBudget]]) and bin = exclusive-cumsum div window, i.e. a new
+    * bin starts whenever the running total crosses a window boundary.
+    * One deterministic rule both engines can state; bins are stable
+    * across runs, cluster sizes, and numBuckets (the distributed-cumsum
+    * knob). A document longer than `window` occupies its bin(s) alone —
+    * packing never splits documents (splitting is the loader's job).
+    *
+    * 100 TB shape: identical to [[tokenBudget]] — the per-group cumsum
+    * is range-bucket distributed (no single-reducer sort of a hot
+    * source), bin assignment is then row-local arithmetic.
+    *
+    * Output: (grp, id, n_tokens, bin). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, window: Long,
+                    numBuckets: Int = 64): DataFrame = {
+    require(window > 0, "window must be positive")
+    // `div`, not `/`: integral division stays in long arithmetic (`/`
+    // promotes to double, whose 53-bit mantissa is a hazard once group
+    // token totals reach petascale counts)
+    groupTokenCumsum(docs, idCol, textCol, groupCol, numBuckets)
+      .select(col("grp"), col("id"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${window}L").as("bin"))
   }
 
   /** Unigram language-model quality scoring — the CCNet-style proxy for
@@ -339,5 +377,38 @@ object TextAnalysis {
       .select(col("grp"), col("id"),
         posexplode(array_repeat(lit(1), col("_n"))))
       .select(col("grp"), col("id"), col("pos").cast("long").as("copy"))
+  }
+
+  /** PII patterns shared by [[piiRedact]] and its oracle: kept inside
+    * the portable regex subset (no lookaround, no `\b`) so Java
+    * (Spark codegen) and RE2 (DuckDB) agree byte-for-byte. Order
+    * matters: emails are redacted before phones/IPs so an address's
+    * digits can't be re-matched by the later passes. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII redaction — the scrub pass of a training-data pipeline:
+    * replace emails / IPv4s / phone-shaped numbers with typed
+    * placeholder tokens and count what was removed (the count columns
+    * are the audit trail a corpus release ships with).
+    *
+    * 100 TB shape: a single row-local codegen'd projection (chained
+    * regexp_replace + regexp_count per pattern) over the corpus scan —
+    * zero shuffle, no UDF; the same column expressions compose
+    * unchanged on a document stream.
+    *
+    * Output: (id, n_email, n_ip, n_phone, redacted). */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(t) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    docs.select(
+      (col(idCol).cast("string").as("id") +: counts :+ redacted.as("redacted")): _*)
   }
 }

@@ -485,6 +485,50 @@ class DedupSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("packSequences: priority-order bin ladder, no doc split, numBuckets-invariant") {
+    val docs = (0 until 40).map(i => (s"d$i", "src" + (i % 2),
+      Seq.fill(i % 5 + 1)("tok").mkString(" "))).toDF("doc_id", "source", "text")
+    def pri(id: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val rows = TextAnalysis.packSequences(docs, "doc_id", "text", "source", 7L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 40)
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      var cum = 0L
+      val ordered = grp.sortBy(t => (pri(t._2), t._2))
+      ordered.foreach { case (_, id, n, bin) =>
+        assert(bin == cum / 7L, s"$id bin")
+        cum += n
+      }
+      // bins are contiguous and non-decreasing in priority order
+      val bins = ordered.map(_._4)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+      assert(bins.head == 0L)
+    }
+    assert(rows.map(_._4).max > 0L, "window must actually create multiple bins")
+    val one = TextAnalysis.packSequences(docs, "doc_id", "text", "source", 7L, numBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    val many = TextAnalysis.packSequences(docs, "doc_id", "text", "source", 7L, numBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    assert(one == many)
+  }
+
+  test("piiRedact: hand cases — counts, placeholder chaining, passthrough") {
+    val df = Seq(
+      ("a", "reach me at jane.doe+spam@corp.example.org thanks"),
+      ("b", "server 192.168.0.1 then call 555-123-4567"),
+      ("c", "no pii here at all"),
+      ("d", "two mails x@y.io and z@w.ai plus 10.0.0.1")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got("a") == ((1L, 0L, 0L, "reach me at <EMAIL> thanks")))
+    assert(got("b") == ((0L, 1L, 1L, "server <IP> then call <PHONE>")))
+    assert(got("c") == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got("d") == ((2L, 1L, 0L, "two mails <EMAIL> and <EMAIL> plus <IP>")))
+  }
+
   test("repetitionSignals: hand-computed fractions, overlap counting, tie-break") {
     val df = Seq(
       // toks [a b a b a b c]: m=7 distinct=3 chars=7; top bigram "a b"×3
