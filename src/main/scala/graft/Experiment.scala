@@ -40,6 +40,7 @@ object Experiment {
       out: String,
       format: String = "auto",
       metricsPath: Option[String] = None,
+      compare: Option[String] = None,
       sampleMod: Option[Int] = None,
       clean: Boolean = true,
       writeBlocks: Boolean = true,
@@ -146,6 +147,7 @@ object Experiment {
       out = req("out"),
       format = m.getOrElse("format", "auto"),
       metricsPath = m.get("metrics"),
+      compare = m.get("compare"),
       sampleMod = m.get("sample-mod").map(_.toInt),
       clean = !flags.contains("no-clean"),
       writeBlocks = !flags.contains("no-write"),
@@ -218,8 +220,17 @@ object Experiment {
           val r = Evaluation.evaluate(persisted, g, leftLen, rightLen)
           val metrics = r.toMap.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""$k":${fmtD(v)}""" }.mkString(",")
+          // optional A10 comparison: Sørensen-Dice of the two blockers'
+          // true-positive sets (eval.py:329-331), the reference's
+          // blocker-vs-blocker report
+          val dice = c.compare.map { name =>
+            val other = blockerFor(c.copy(blocker = name)).assign(
+              dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
+            s""","compare_blocker":"$name","dice_tp":${
+              fmtD(Evaluation.diceOfTruePositives(persisted, other, g))}"""
+          }.getOrElse("")
           s""""tp":${r.truePositive},"fp":${r.falsePositive},"fn":${r.falseNegative},""" +
-            s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics"""
+            s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics$dice"""
         case None => s""""pairs":${persisted.distinctPairs.count()}"""
       }
     }

@@ -49,7 +49,8 @@ object PlanAudit {
     "m4_sif_embedding" -> "one-row token-count total crossJoin for SIF weighting (Encoders.scala:49)",
     "p8_filter_importance" -> "consumes a4's importance pipeline (one-row total broadcast)",
     "w1_top_name_props" -> "consumes a5's importance pipeline (one-row total broadcast)",
-    "tx_lm_score" -> "one-row (N, V) reference-totals broadcast into the smoothed log-prob projection")
+    "tx_lm_score" -> "one-row (N, V) reference-totals broadcast into the smoothed log-prob projection",
+    "tx_source_overlap" -> "group-count-sized sketch cross (sources² rows; each group pre-collapsed to one signature)")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

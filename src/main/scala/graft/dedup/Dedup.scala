@@ -50,6 +50,34 @@ object Dedup {
     * A re-submitted id counts as corpus content: unchanged re-crawls
     * dedup away (in_corpus=true), changed ones keep their new content.
     * Version supersession of the corpus row is the caller's concern. */
+  /** Group-level overlap estimation from mergeable sketches — "how much
+    * does source A's vocabulary overlap source B's?" without ever
+    * joining token sets: the MinHash of a UNION is the element-wise min
+    * of the members' hashes, so a whole group collapses to one
+    * numPerm-long signature via an ordinary min-aggregate (map-side
+    * combined, treeAggregate-shaped — each 100 TB source reduces to 16
+    * longs), and the pairwise estimate is then arithmetic over
+    * group-count² tiny rows. This is the sketch-algebra report a corpus
+    * owner reads before mixing sources (complements tx_corpus_profile's
+    * per-source absolutes).
+    *
+    * Input: (id = group key, key = token). Output: (grp_a, grp_b,
+    * est_jaccard_e6) for grp_a < grp_b — est = matching-min fraction,
+    * exact integer micro-units (k/numPerm · 1e6 with numPerm | 1e6),
+    * so the DuckDB oracle hash-matches bit-for-bit. */
+  def sketchOverlap(groupTokens: DataFrame, numPerm: Int = 16): DataFrame = {
+    require(1000000 % numPerm == 0, "numPerm must divide 1e6 for exact micro-units")
+    val sig = MinHash.signature(groupTokens, numPerm)
+    val a = sig.toDF(sig.columns.map(c => if (c == "id") "grp_a" else s"${c}_a"): _*)
+    val b = sig.toDF(sig.columns.map(c => if (c == "id") "grp_b" else s"${c}_b"): _*)
+    val matches = (0 until numPerm)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.crossJoin(b).filter(col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        (matches * (1000000L / numPerm)).as("est_jaccard_e6"))
+  }
+
   def bloomRefreshDedup(corpusToks: DataFrame, newToks: DataFrame,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     def keys(t: DataFrame) = t.groupBy("id")

@@ -698,6 +698,30 @@ object DedupQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ---- pairwise source vocabulary overlap from mergeable sketches ------
+    // union-MinHash property: a source's signature is the element-wise
+    // min over its docs' token hashes — one min-aggregate per source,
+    // then sources² (tiny) pairwise arithmetic. est exact in micro-units.
+    "tx_source_overlap" -> QueryDef(
+      (s, dir) => Dedup.sketchOverlap(
+          table(s, dir, "documents")
+            .select(col("source").as("id"),
+              explode(Text.tokenize(col("text"))).as("key")),
+          numPerm = 16)
+        .orderBy("grp_a", "grp_b"),
+      Some {
+        val srcToks = QueryDef.duckTokens("source", "text", "documents")
+        val sig = MinHash.signatureSql(srcToks, 16)
+        val matches = (0 until 16)
+          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH sig AS ($sig)
+           |SELECT a.id AS grp_a, b.id AS grp_b,
+           |       (($matches) * 62500)::bigint AS est_jaccard_e6
+           |FROM sig a JOIN sig b ON a.id < b.id
+           |ORDER BY grp_a, grp_b""".stripMargin
+      }),
+
     // ---- composite quality GATE (C4/Gopher-style keep/drop decision) ------
     // first-failing rule names the drop reason; thresholds chosen so the
     // synthetic corpus splits across all three active reasons (~52% keep)

@@ -514,6 +514,23 @@ class DedupSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("sketchOverlap: identical groups at 1e6, disjoint vocabularies low") {
+    val toks = Seq(
+      // ga and gb share the exact token set; gc is disjoint
+      "ga" -> "alpha", "ga" -> "beta", "ga" -> "gamma", "ga" -> "delta",
+      "gb" -> "alpha", "gb" -> "beta", "gb" -> "gamma", "gb" -> "delta",
+      "gc" -> "omega", "gc" -> "sigma", "gc" -> "kappa", "gc" -> "lambda")
+      .toDF("id", "key")
+    val got = Dedup.sketchOverlap(toks, numPerm = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(("ga", "gb"), ("ga", "gc"), ("gb", "gc")))
+    assert(got(("ga", "gb")) == 1000000L, "identical token sets must estimate 1.0")
+    // disjoint sets can only collide per-perm by hash accident; with 4
+    // tokens a side the estimate stays well under identity
+    assert(got(("ga", "gc")) < 1000000L && got(("gb", "gc")) < 1000000L)
+    assert(got(("ga", "gc")) == got(("gb", "gc")), "same sketch -> same estimate")
+  }
+
   test("piiRedact: hand cases — counts, placeholder chaining, passthrough") {
     val df = Seq(
       ("a", "reach me at jane.doe+spam@corp.example.org thanks"),

@@ -130,6 +130,18 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("--compare emits the A10 dice of the two blockers' TP sets") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_cmp").toString
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "token", "--out", out,
+      "--compare", "unique-name", "--no-write")))
+    assert(json.contains(""""compare_blocker":"unique-name""""))
+    val dice = """"dice_tp":([0-9.]+)""".r.findFirstMatchIn(json)
+      .getOrElse(fail(s"missing dice_tp in $json")).group(1).toDouble
+    assert(dice >= 0.0 && dice <= 1.0)
+  }
+
   test("relational blockers run end-to-end through the CLI on the fixture") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_rel").toString
