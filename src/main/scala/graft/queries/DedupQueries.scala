@@ -831,6 +831,29 @@ object DedupQueries {
              |SELECT grp, id, n_tokens, (prev // 200)::bigint AS bin
              |FROM c ORDER BY grp, id""".stripMargin)),
 
+    // ---- packed-bin materialization (the training samples themselves) ----
+    // members concatenated in the same md5-priority order that packed
+    // them; per-bin agg state bounded by the window by construction.
+    "tx_pack_bins" -> QueryDef(
+      (s, dir) => TextAnalysis.packBins(
+          table(s, dir, "documents"), "doc_id", "text", "source", 200L)
+        .orderBy("grp", "bin"),
+      Some("""WITH d AS (
+             |  SELECT source AS grp, cast(doc_id AS varchar) AS id,
+             |         coalesce(text, '') AS txt,
+             |         len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::bigint AS n_tokens,
+             |         ('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint AS pri
+             |  FROM documents),
+             |c AS (SELECT grp, id, txt, n_tokens, pri,
+             |             coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY pri, id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             |      FROM d)
+             |SELECT grp, (prev // 200)::bigint AS bin, count(*) AS n_docs,
+             |       sum(n_tokens)::bigint AS bin_tokens,
+             |       string_agg(txt, ' ' ORDER BY pri, id) AS text
+             |FROM c GROUP BY grp, (prev // 200)::bigint
+             |ORDER BY grp, bin""".stripMargin)),
+
     // ---- PII redaction audit -------------------------------------------
     // The corpus text carries no PII, so the query plants deterministic
     // synthetic PII IN-QUERY (same expression both engines) on a subset

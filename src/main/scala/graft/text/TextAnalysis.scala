@@ -291,6 +291,34 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) div ${window}L").as("bin"))
   }
 
+  /** Materialize [[packSequences]]' bins as training samples: one row
+    * per (group, bin) with the member documents' text concatenated in
+    * the SAME md5-priority order that packed them (so the sample a
+    * loader reads is exactly the sample the packer planned).
+    *
+    * 100 TB shape: the per-bin aggregation state is bounded by
+    * construction — a bin holds ~`window` tokens (+ one overflowing
+    * document) regardless of corpus size, so the collect_list buffer
+    * cannot blow up on a hot group the way an unbounded groupBy-concat
+    * would; the only shuffle is the (grp, bin) exchange any per-bin
+    * statistic pays. Output: (grp, bin, n_docs, bin_tokens, text). */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+               groupCol: String, window: Long,
+               numBuckets: Int = 64): DataFrame = {
+    val packed = packSequences(docs, idCol, textCol, groupCol, window, numBuckets)
+    val txt = docs.select(col(idCol).cast("string").as("id"),
+      coalesce(col(textCol), lit("")).as("_txt"))
+    packed.join(txt, Seq("id"))
+      .withColumn("_pri", Text.md5Long(col("id")))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pri"), col("id"), col("_txt")))),
+          x => x.getField("_txt"))).as("text"))
+  }
+
   /** Unigram language-model quality scoring — the CCNet-style proxy for
     * "does this document look like the reference corpus", without an
     * external model: add-one-smoothed unigram log-probabilities are

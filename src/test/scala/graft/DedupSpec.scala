@@ -514,6 +514,35 @@ class DedupSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("packBins concatenates members in packing order; totals reconcile") {
+    val docs = (0 until 20).map(i => (s"d$i", "src" + (i % 2),
+      Seq.fill(i % 4 + 1)(s"w$i").mkString(" "))).toDF("doc_id", "source", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text", "source", 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bins = TextAnalysis.packBins(docs, "doc_id", "text", "source", 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // every (grp, bin) from packSequences appears with reconciled totals
+    packed.groupBy(t => (t._1, t._4)).foreach { case (key, members) =>
+      val (nDocs, binToks, text) = bins(key)
+      assert(nDocs == members.length, s"$key n_docs")
+      assert(binToks == members.map(_._3).sum, s"$key tokens")
+      // concatenated text holds every member's tokens
+      members.foreach { case (_, id, _, _) =>
+        assert(text.contains("w" + id.drop(1)), s"$key missing $id") }
+    }
+    def pri(id: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    // order inside a bin is the packing (priority) order
+    packed.groupBy(t => (t._1, t._4)).foreach { case (key, members) =>
+      val expected = members.sortBy(t => (pri(t._2), t._2))
+        .map { case (_, id, _, _) => Seq.fill(id.drop(1).toInt % 4 + 1)(s"w${id.drop(1)}").mkString(" ") }
+        .mkString(" ")
+      assert(bins(key)._3 == expected, s"$key order")
+    }
+  }
+
   test("sketchOverlap: identical groups at 1e6, disjoint vocabularies low") {
     val toks = Seq(
       // ga and gb share the exact token set; gc is disjoint
