@@ -60,4 +60,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(empty.purge().df.isEmpty)
     assert(empty.cap(10).df.isEmpty)
   }
+
+  test("round-8 text/pipeline operators handle empty input") {
+    import graft.text.TextAnalysis
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextAnalysis.packSequences(emptyDocs, "doc_id", "text", "source", 100L).isEmpty)
+    assert(TextAnalysis.packBins(emptyDocs, "doc_id", "text", "source", 100L).isEmpty)
+    assert(TextAnalysis.piiRedact(emptyDocs, "doc_id", "text").isEmpty)
+    assert(TextAnalysis.tokenBudget(emptyDocs, "doc_id", "text", "source", 100L).isEmpty)
+    assert(Dedup.sketchOverlap(emptyTok).isEmpty)
+    // one lone group has no pairs, but must not throw
+    assert(Dedup.sketchOverlap(Seq(("g", "tok")).toDF("id", "key")).isEmpty)
+  }
 }
