@@ -67,7 +67,11 @@ object Dedup {
     * so the DuckDB oracle hash-matches bit-for-bit. */
   def sketchOverlap(groupTokens: DataFrame, numPerm: Int = 16): DataFrame = {
     require(1000000 % numPerm == 0, "numPerm must divide 1e6 for exact micro-units")
-    val sig = MinHash.signature(groupTokens, numPerm)
+    // localCheckpoint: both cross sides read the signature, and the
+    // renamed subtrees defeat exchange reuse — without it the CORPUS
+    // scan+aggregate runs twice. The checkpointed table is group-count
+    // rows (tiny); the corpus is touched exactly once.
+    val sig = MinHash.signature(groupTokens, numPerm).localCheckpoint()
     val a = sig.toDF(sig.columns.map(c => if (c == "id") "grp_a" else s"${c}_a"): _*)
     val b = sig.toDF(sig.columns.map(c => if (c == "id") "grp_b" else s"${c}_b"): _*)
     val matches = (0 until numPerm)
