@@ -44,6 +44,9 @@ object Experiment {
       sampleMod: Option[Int] = None,
       clean: Boolean = true,
       writeBlocks: Boolean = true,
+      bucketed: Option[Int] = None,
+      strategy: String = "brute",
+      sinkhorn: Int = 0,
       // blocker params (reference experiment.py:659-1560 option surface)
       key: String = "",
       q: Int = 3,
@@ -95,9 +98,11 @@ object Experiment {
       TokenBlocker(c.minTokenLength), Some(TokenBlocker(c.minTokenLength)),
       c.topNA, c.topNR)
     case "embedding-knn" =>
-      EmbeddingKnnBlocker(HashTokenEncoder(c.dims), c.k)
+      EmbeddingKnnBlocker(HashTokenEncoder(c.dims), c.k,
+        sinkhornIterations = c.sinkhorn, strategy = annStrategy(c))
     case "composite-embedding" => CompositeEmbeddingBlocker(
-      HashTokenEncoder(c.dims), c.k, topNA = c.topNA, topNR = c.topNR,
+      HashTokenEncoder(c.dims), c.k, strategy = annStrategy(c),
+      topNA = c.topNA, topNR = c.topNR,
       minTokenLength = c.minTokenLength)
     case "relational-deepblocker" => CompositeRelationalDeepBlocker(
       HashTokenEncoder(c.dims), c.k, c.topNA, c.topNR,
@@ -117,6 +122,17 @@ object Experiment {
       numPerm = c.numPerm, bands = c.bands, minTokenLength = c.minTokenLength)
     case other => throw new IllegalArgumentException(
       s"unknown blocker '$other'; known: ${BlockerNames.mkString(", ")}")
+  }
+
+  /** `--strategy brute|ivf|lsh` → the ANN scale path for embedding
+    * blockers (brute = exact baseline; ivf/lsh = the bucketed forms a
+    * 100 TB corpus needs). */
+  private def annStrategy(c: Config): AnnStrategy = c.strategy match {
+    case "brute" => AnnStrategy.Brute
+    case "ivf"   => AnnStrategy.Ivf(numBuckets = math.max(2, c.numClusters))
+    case "lsh"   => AnnStrategy.SignLsh()
+    case other => throw new IllegalArgumentException(
+      s"unknown --strategy '$other'; known: brute, ivf, lsh")
   }
 
   val BlockerNames: Seq[String] = Seq(
@@ -151,6 +167,9 @@ object Experiment {
       sampleMod = m.get("sample-mod").map(_.toInt),
       clean = !flags.contains("no-clean"),
       writeBlocks = !flags.contains("no-write"),
+      bucketed = m.get("bucketed").map(_.toInt),
+      strategy = m.getOrElse("strategy", "brute"),
+      sinkhorn = m.getOrElse("sinkhorn", "0").toInt,
       key = m.getOrElse("key", ""),
       q = m.getOrElse("q", "3").toInt,
       minTokenLength = m.getOrElse("min-token-length", "3").toInt,
@@ -206,12 +225,21 @@ object Experiment {
     }
 
     val (persisted, tWrite) = timed {
-      if (c.writeBlocks) {
-        blocks.write(s"${c.out}/blocks",
-          dataset.left.tableName, dataset.right.tableName)
-        // round-trip through the sink like the reference (experiment.py:571)
-        Blocks.read(spark, s"${c.out}/blocks")
-      } else { blocks.df.persist(); blocks.df.count(); blocks }
+      (c.writeBlocks, c.bucketed) match {
+        case (true, Some(n)) =>
+          // bucketed+sorted on block_key: every downstream block-key join
+          // (combine, eval, reuse across jobs) reads co-located with no
+          // Exchange — the S4 scale path, exposed through the CLI
+          val tbl = "graft_blocks_" + math.abs(c.out.hashCode).toString
+          blocks.writeBucketed(spark, tbl, s"${c.out}/blocks", n)
+          Blocks.readBucketed(spark, tbl)
+        case (true, None) =>
+          blocks.write(s"${c.out}/blocks",
+            dataset.left.tableName, dataset.right.tableName)
+          // round-trip through the sink like the reference (experiment.py:571)
+          Blocks.read(spark, s"${c.out}/blocks")
+        case _ => blocks.df.persist(); blocks.df.count(); blocks
+      }
     }
 
     val (evalPart, tEval) = timed {

@@ -130,6 +130,25 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("--bucketed writes a catalog-backed bucketed blocks table; --strategy selects ANN path") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_bkt").toString
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "token", "--out", out, "--bucketed", "4")))
+    assert(json.contains("\"recall\":"))
+    val tbl = "graft_blocks_" + math.abs(out.hashCode).toString
+    assert(spark.catalog.tableExists(tbl), "bucketed sink must register a table")
+    // ANN strategy knob reaches the blocker (construction-level check)
+    val base = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "embedding-knn", "--out", out, "--strategy", "ivf"))
+    assert(Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.EmbeddingKnnBlocker]
+      .strategy.isInstanceOf[graft.blockers.AnnStrategy.Ivf])
+    intercept[IllegalArgumentException] {
+      Experiment.blockerFor(base.copy(strategy = "hnsw"))
+    }
+  }
+
   test("--compare emits the A10 dice of the two blockers' TP sets") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_cmp").toString
