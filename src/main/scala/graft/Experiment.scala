@@ -282,8 +282,24 @@ object Experiment {
   private def fmtD(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
 
+  private val Usage: String =
+    s"""usage: graft.Experiment --data <dir> --blocker <name> --out <dir>
+       |  [--format auto|parquet|csv|json|openea] [--metrics <file>]
+       |  [--compare <name>] [--sample-mod N] [--no-clean] [--no-write]
+       |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]
+       |  [--key <col>] [--q N] [--min-token-length N] [--threshold X]
+       |  [--num-perm N] [--fn-weight X] [--bands N] [--top-n-a N]
+       |  [--top-n-r N] [--k N] [--dims N] [--depth N] [--num-clusters N]
+       |  [--buckets N] [--min-cluster-size N] [--min-overlap N]
+       |  [--max-block-comparisons N]
+       |blockers: ${BlockerNames.mkString(", ")}""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    val c = parseArgs(args)
+    val c =
+      try parseArgs(args)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); System.err.println(Usage); sys.exit(2)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

@@ -72,6 +72,20 @@ object BlockingSql {
     blockJoinSql(side(leftTable, leftId, leftKey), side(rightTable, rightId, rightKey))
   }
 
+  /** F2/J1: q-gram blocking (≡ [[QgramsBlocker]] on wide frames): each
+    * key value explodes into its character q-grams, then standard
+    * blocking on the grams. */
+  def qgramsBlocksSql(
+      leftTable: String, leftId: String, leftKey: String,
+      rightTable: String, rightId: String, rightKey: String,
+      q: Int = 3): String = {
+    def side(t: String, id: String, k: String) =
+      s"""SELECT cast(`$id` AS string) AS id, gram AS key
+         |FROM (SELECT `$id`, explode(graft_qgrams(cast(`$k` AS string), $q)) AS gram
+         |      FROM $t WHERE `$k` IS NOT NULL)""".stripMargin
+    blockJoinSql(side(leftTable, leftId, leftKey), side(rightTable, rightId, rightKey))
+  }
+
   /** M1: MinHash-LSH blocking (≡ [[MinHashLSHBlocker]]): tokenize, sign
     * with `numPerm` md5-derived permutations, band into `bands` buckets,
     * block on band-key collisions. The signature aggregate and band-key

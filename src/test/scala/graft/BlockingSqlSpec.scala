@@ -32,6 +32,19 @@ class BlockingSqlSpec extends SparkSpec {
       blockMap(StandardBlocker("BirthCountry").assign(tableA, tableB)))
   }
 
+  test("qgrams blocking view matches QgramsBlocker") {
+    ready
+    BlockingSql.registerView(spark, "qg_blocks", BlockingSql.qgramsBlocksSql(
+      "sql_a", "id", "Name", "sql_b", "id", "FirstName", q = 3))
+    val viaSql = Blocks(spark.sql("SELECT * FROM qg_blocks"))
+    // QgramsBlocker on a single-attribute projection of each side
+    val a = tableA.copy(df = tableA.df.select("id", "Name"))
+    val b = tableB.copy(df = tableB.df.select("id", "FirstName"))
+    assert(blockMap(viaSql) ==
+      blockMap(QgramsBlocker("Name", 3).assign(a,
+        b.copy(df = b.df.withColumnRenamed("FirstName", "Name")))))
+  }
+
   test("minhash-LSH blocking view matches MinHashLSHBlocker") {
     ready
     BlockingSql.registerView(spark, "mh_blocks", BlockingSql.minHashBlocksSql(
