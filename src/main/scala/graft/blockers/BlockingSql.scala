@@ -98,8 +98,12 @@ object BlockingSql {
       numPerm: Int = 32, bands: Int = 8, minTokenLength: Int = 3): String = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
+    import graft.functions.MinHash
+    // one md5 per token + affine per-perm constants — MinHash.signature's
+    // exact structure (same literals, bit-identical signatures)
     val mins = (0 until numPerm)
-      .map(i => s"min(graft_md5_long(concat('$i:', key))) AS h$i").mkString(", ")
+      .map(i => s"min((${MinHash.permA(i)}L * (graft_md5_long(key) % ${MinHash.Space}L) " +
+        s"+ ${MinHash.permB(i)}L) % ${MinHash.Modulus}L) AS h$i").mkString(", ")
     val bandKeys = (0 until bands).map { j =>
       val hs = (0 until rows).map(i => s"cast(h${j * rows + i} AS string)").mkString(", ")
       s"concat('$j:', md5(concat_ws(',', $hs)))"

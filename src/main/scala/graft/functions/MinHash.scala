@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * lsh.py:99-213, datasketch MinHashLSH).
   *
   * Design decisions vs both the reference and MLlib:
-  *   - the hash family is md5-derived (`Text.md5Long` of `"<i>:<token>"`),
+  *   - the hash family is md5-derived (one `Text.md5Long` per token,
+  *     then fixed md5-derived affine permutations — see [[signature]]),
   *     so signatures are reproducible ANYWHERE — including the DuckDB
   *     oracle — with no seed plumbing. datasketch uses sha1 with random
-  *     permutations; MLlib uses seeded `(a*x+b) % prime`. Semantics
+  *     permutations; MLlib uses seeded `(a*x+b) % prime` (the same
+  *     affine scheme, seeded instead of content-derived). Semantics
   *     (uniform hash family) are equivalent; exact outputs differ —
   *     SURVEY.md M1 documents the divergence.
   *   - banding is explicit (b bands × r rows): two entities become
@@ -24,14 +26,51 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Per-permutation hash of one token. */
-  private def h(i: Int, token: Column): Column =
-    Text.md5Long(concat(lit(s"$i:"), token))
+  /** Permutation family: ONE md5 per token (the expensive part), then
+    * per-permutation affine mixing `h_i = (a_i·x + b_i) mod P` over the
+    * md5's low 32 bits — the classic universal-hash permutation of Z_P,
+    * with (a_i, b_i) themselves md5-derived build-time CONSTANTS (baked
+    * as literals into both the Catalyst plan and the DuckDB oracle SQL,
+    * so the family stays bit-reproducible everywhere). Replaces the
+    * previous numPerm-md5s-per-token formulation: the signature stage's
+    * digest cost drops by numPerm× while candidate quality is unchanged
+    * in expectation (any affine map with a ≠ 0 permutes Z_P; the
+    * md5-derived multipliers avoid the correlated-slope degeneracy of
+    * sequential constants).
+    *
+    * Overflow discipline (same bound both engines): x < 2^32,
+    * a < 2^28 → a·x + b < 2^60 + 2^61 — safe in int64 arithmetic. */
+  val Modulus: Long = 4294967311L            // smallest prime > 2^32
+  val Space: Long = 4294967296L              // 2^32
+  private val MaxA: Long = (1L << 28) - 1
 
-  /** (id, key)-pairs → (id, h0..h{n-1} min columns). */
+  /** Driver-side md5Long (first 15 hex chars as long) for constant
+    * generation — same semantics as [[Text.md5Long]]'s column form. */
+  private def md5Long15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** Permutation constants (deterministic, engine-independent). */
+  def permA(i: Int): Long = (md5Long15(s"a:$i") % MaxA) + 1
+  def permB(i: Int): Long = md5Long15(s"b:$i") % Modulus
+
+  /** (id, key)-pairs → (id, h0..h{n-1} min columns). The md5 is
+    * computed ONCE per token row in a child projection (not once per
+    * permutation inside each aggregate — subexpression elimination in
+    * aggregate codegen is best-effort, a guaranteed single digest is
+    * not); the numPerm mins then aggregate pure multiply-add-mod
+    * expressions. */
   def signature(tokenPairs: DataFrame, numPerm: Int): DataFrame = {
-    val mins = (0 until numPerm).map(i => min(h(i, col("key"))).as(s"h$i"))
-    tokenPairs.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val mins = (0 until numPerm).map(i =>
+      min((lit(permA(i)) * col("_x") + lit(permB(i))) % lit(Modulus)).as(s"h$i"))
+    tokenPairs
+      .select(col("id"), (Text.md5Long(col("key")) % lit(Space)).as("_x"))
+      .groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Band key for band j over signature columns h{j*r}..h{j*r+r-1}:
@@ -84,12 +123,15 @@ object MinHash {
 
   // ---------- DuckDB oracle SQL generators (kept in lockstep) ----------
 
-  /** SQL mirroring [[signature]] over a `(id, key)` relation. */
+  /** SQL mirroring [[signature]] over a `(id, key)` relation — same
+    * single-md5 + affine-constant structure, same literals. */
   def signatureSql(tokenRel: String, numPerm: Int): String = {
     val mins = (0 until numPerm)
-      .map(i => s"min(('0x'||substr(md5('$i:'||key), 1, 15))::bigint) AS h$i")
+      .map(i => s"min((${permA(i)} * x + ${permB(i)}) % $Modulus) AS h$i")
       .mkString(", ")
-    s"SELECT id, $mins FROM ($tokenRel) GROUP BY id"
+    s"""SELECT id, $mins FROM (
+       |  SELECT id, ('0x'||substr(md5(key), 1, 15))::bigint % $Space AS x
+       |  FROM ($tokenRel)) GROUP BY id""".stripMargin
   }
 
   /** SQL mirroring [[bandBuckets]]. */

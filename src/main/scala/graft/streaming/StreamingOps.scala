@@ -316,18 +316,21 @@ object StreamingOps {
     * compose exactly as in [[streamExactDedupWithTtl]]. */
   /** Per-partition row-local MinHash signer — one digest instance per
     * partition (NOT serializable; construct inside `mapPartitions`).
-    * md5Long semantics in lockstep with functions.Text.md5Long (first 15
-    * md5 hex chars as a long). The hot loop (numPerm md5s per token)
-    * never builds hex strings: the first 15 hex chars ARE the first 8
-    * digest bytes big-endian shifted right a nibble. Token bytes encode
-    * once, not per perm. Shared by [[streamMinHashNearDup]] and
-    * [[streamRefineVerdicts]] so their signatures/bucket keys are
-    * bit-identical (and identical to the batch oracle's SQL mirror). */
+    * Hash family in lockstep with [[graft.functions.MinHash.signature]]:
+    * ONE md5 per token (first-15-hex-chars-as-long semantics, computed
+    * bytewise — the first 15 hex chars ARE the first 8 digest bytes
+    * big-endian shifted right a nibble), reduced mod 2^32, then
+    * per-permutation affine mixing with MinHash.permA/permB. Shared by
+    * [[streamMinHashNearDup]] and [[streamRefineVerdicts]] so their
+    * signatures/bucket keys are bit-identical (and identical to the
+    * batch oracle's SQL mirror). */
   private final class MinHashSigner(numPerm: Int, bands: Int) {
+    import graft.functions.MinHash
     private val rows = numPerm / bands
     private val md = java.security.MessageDigest.getInstance("MD5")
     private val hexChars = "0123456789abcdef".toCharArray
-    private val prefixes = Array.tabulate(numPerm)(i => s"$i:".getBytes("UTF-8"))
+    private val as = Array.tabulate(numPerm)(MinHash.permA)
+    private val bs = Array.tabulate(numPerm)(MinHash.permB)
     private def hex(bytes: Array[Byte]): String = {
       val out = new Array[Char](bytes.length * 2)
       var i = 0
@@ -338,8 +341,8 @@ object StreamingOps {
       }
       new String(out)
     }
-    private def md5Long15(prefix: Array[Byte], token: Array[Byte]): Long = {
-      md.update(prefix); md.update(token)
+    private def md5Long15(token: Array[Byte]): Long = {
+      md.update(token)
       val d = md.digest()
       var v = 0L
       var i = 0
@@ -347,11 +350,11 @@ object StreamingOps {
       v >>> 4
     }
     def sign(tokens: Seq[String]): Array[Long] = {
-      val tokBytes = tokens.map(_.getBytes("UTF-8"))
+      val xs = tokens.map(t => md5Long15(t.getBytes("UTF-8")) % MinHash.Space)
       Array.tabulate(numPerm) { i =>
         var m = Long.MaxValue
-        tokBytes.foreach { tb =>
-          val h = md5Long15(prefixes(i), tb)
+        xs.foreach { x =>
+          val h = (as(i) * x + bs(i)) % MinHash.Modulus
           if (h < m) m = h
         }
         m
