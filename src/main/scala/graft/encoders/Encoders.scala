@@ -57,12 +57,53 @@ final case class HashTokenEncoder(
             .otherwise(lit(1.0)))
       } else toks.withColumn("w", lit(1.0))
     val dimCols = (0 until dims).map(d =>
-      (sum(col("w") * ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
+      (sum(col("w") * HashTokenEncoder.dimValue(col("_x"), d))
         / sum(col("w"))).as(s"d$d"))
-    val pooled = weighted.groupBy("id").agg(dimCols.head, dimCols.tail: _*)
+    val pooled = weighted
+      .withColumn("_x", HashTokenEncoder.tokenHash(col("key")))
+      .groupBy("id").agg(dimCols.head, dimCols.tail: _*)
       .select(col("id"), array((0 until dims).map(d => col(s"d$d")): _*).as("vec"))
     if (removePc) PcRemoval.removeFirstPc(pooled, dims) else pooled
   }
+}
+
+/** The deterministic token-vector formula, shared with every oracle that
+  * replays it: ONE md5 per token (`tokenHash`, the expensive digest),
+  * then per-dimension affine mixing over the md5's low 32 bits mapped to
+  * the 1/1000 grid in [-1, 1] — the [[graft.functions.MinHash]]
+  * permutation family with constants offset by 1000 so encoder
+  * dimensions never share a permutation with LSH bands. Replaces the
+  * md5-per-(token, dim) formulation (digest cost /dims). */
+object HashTokenEncoder {
+  import graft.functions.MinHash
+  private val Off = 1000
+
+  /** x = md5Long(key) mod 2^32 — compute once per token row, below the
+    * pooling aggregate. */
+  def tokenHash(key: Column): Column = Text.md5Long(key) % lit(MinHash.Space)
+
+  /** Dimension-d vector component of a hashed token. */
+  def dimValue(x: Column, d: Int): Column =
+    (((lit(MinHash.permA(Off + d)) * x + lit(MinHash.permB(Off + d)))
+      % lit(MinHash.Modulus)) % 2001 - 1000) / 1000.0
+
+  // ---------- DuckDB oracle SQL mirrors (kept in lockstep) ----------
+
+  /** SQL of [[tokenHash]] over a key expression. */
+  def tokenHashSql(keyExpr: String): String =
+    s"('0x'||substr(md5($keyExpr),1,15))::bigint % ${MinHash.Space}"
+
+  /** SQL of [[dimValue]] over an already-hashed `x` expression. */
+  def dimValueSql(xExpr: String, d: Int): String =
+    s"((((${MinHash.permA(Off + d)} * $xExpr + ${MinHash.permB(Off + d)})" +
+      s" % ${MinHash.Modulus}) % 2001 - 1000)/1000.0)"
+
+  /** The per-dimension constants as a VALUES relation `c(d, a, b)` for
+    * range-style SQL (`v = (((c.a * x + c.b) % Modulus) % 2001 - 1000)/1000.0`). */
+  def dimConstsSqlValues(dims: Int): String =
+    (0 until dims)
+      .map(d => s"($d, ${MinHash.permA(Off + d)}, ${MinHash.permB(Off + d)})")
+      .mkString("(VALUES ", ", ", ")")
 }
 
 /** First-principal-component removal (SIF paper postprocessing; reference

@@ -101,10 +101,12 @@ object EncoderQueries {
        |  FROM attr a SEMI JOIN gids g ON a.head = g.id
        |  WHERE a.tail IS NOT NULL GROUP BY a.head),
        |toks AS (${duckTokens("id", "txt", "conc")}),
+       |hashed AS (SELECT id, ${graft.encoders.HashTokenEncoder.tokenHashSql("key")} AS x FROM toks),
        |f0 AS (
-       |  SELECT id, d.d AS pos,
-       |    avg((('0x'||substr(md5(key||':'||d.d), 1, 15))::bigint % 2001 - 1000)/1000.0) AS v
-       |  FROM toks, range(0, 8) d(d) GROUP BY id, d.d)""".stripMargin
+       |  SELECT id, c.d AS pos,
+       |    avg((((c.a * x + c.b) % ${graft.functions.MinHash.Modulus}) % 2001 - 1000)/1000.0) AS v
+       |  FROM hashed, ${graft.encoders.HashTokenEncoder.dimConstsSqlValues(8)} c(d, a, b)
+       |  GROUP BY id, c.d)""".stripMargin
 
   /** One propagation round as SQL over f_{r-1} named `fin`. */
   private def roundSql(fin: String, fout: String): String =

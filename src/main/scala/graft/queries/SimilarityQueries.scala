@@ -768,22 +768,22 @@ object SimilarityQueries {
         val weighted = toks.join(withTotal, Seq("key"))
           .withColumn("w", lit(a) / (lit(a) + col("freq") / col("total")))
         val dims = (0 until 8).map(d =>
-          Num.stableRound(sum(col("w") *
-            ((Text.md5Long(concat(col("key"), lit(s":$d"))) % 2001 - 1000) / 1000.0))
+          Num.stableRound(sum(col("w") * HashTokenEncoder.dimValue(col("_x"), d))
             / sum(col("w")), 6).as(s"d$d"))
-        weighted.groupBy("doc_id").agg(dims.head, dims.tail: _*).orderBy("doc_id")
+        weighted.withColumn("_x", HashTokenEncoder.tokenHash(col("key")))
+          .groupBy("doc_id").agg(dims.head, dims.tail: _*).orderBy("doc_id")
       },
       Some {
         val toks = duckTokens("doc_id", "text", "documents", 3)
-          .replace("SELECT id, tok AS key", "SELECT id, tok AS key")
         val dimExprs = (0 until 8).map(d =>
-          s"floor((sum(w * ((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
+          s"floor((sum(w * ${HashTokenEncoder.dimValueSql("x", d)}) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
           .mkString(", ")
         s"""WITH toks AS ($toks),
            |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
            |total AS (SELECT count(*)::double AS t FROM toks),
            |weighted AS (
-           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  SELECT toks.id, ${HashTokenEncoder.tokenHashSql("toks.key")} AS x,
+           |         0.001 / (0.001 + counts.freq / total.t) AS w
            |  FROM toks JOIN counts USING (key), total)
            |SELECT id AS doc_id, $dimExprs
            |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
@@ -808,13 +808,13 @@ object SimilarityQueries {
       },
       Some {
         val toks = duckTokens("doc_id", "text", "documents", 3)
-        def h(d: Int) =
-          s"((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)"
+        def h(d: Int) = HashTokenEncoder.dimValueSql("x", d)
         s"""WITH toks AS ($toks),
            |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
            |total AS (SELECT count(*)::double AS t FROM toks),
            |weighted AS (
-           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  SELECT toks.id, ${HashTokenEncoder.tokenHashSql("toks.key")} AS x,
+           |         0.001 / (0.001 + counts.freq / total.t) AS w
            |  FROM toks JOIN counts USING (key), total),
            |emb AS (
            |  SELECT id AS doc_id,
@@ -852,13 +852,13 @@ object SimilarityQueries {
       },
       Some {
         val toks = duckTokens("doc_id", "text", "documents", 3)
-        def h(d: Int) =
-          s"((('0x'||substr(md5(key||':$d'),1,15))::bigint % 2001 - 1000)/1000.0)"
+        def h(d: Int) = HashTokenEncoder.dimValueSql("x", d)
         s"""WITH toks AS ($toks),
            |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
            |total AS (SELECT count(*)::double AS t FROM toks),
            |weighted AS (
-           |  SELECT toks.id, toks.key, 0.001 / (0.001 + counts.freq / total.t) AS w
+           |  SELECT toks.id, ${HashTokenEncoder.tokenHashSql("toks.key")} AS x,
+           |         0.001 / (0.001 + counts.freq / total.t) AS w
            |  FROM toks JOIN counts USING (key), total),
            |emb AS (
            |  SELECT id AS doc_id,
