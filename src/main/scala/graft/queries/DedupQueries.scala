@@ -34,11 +34,21 @@ object DedupQueries {
     * standard shingling keeps function words). Not persisted — see
     * [[docTokens]]. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShinglesRaw(s, dir).distinct()
+
+  /** [[docShingles]] WITHOUT the (id, key) distinct — a full corpus
+    * shuffle that the pure-MinHash pipeline does not need: signature
+    * mins, band keys, and the collect_set verify are all
+    * duplicate-insensitive, so `dd_minhash_neardup` /
+    * `dd_incremental_neardup` produce bit-identical output from the raw
+    * multiset while skipping the exchange. The n-gram-Jaccard family
+    * (and anything that COUNTS shingle matches) must keep the distinct
+    * form. */
+  private def docShinglesRaw(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id").cast("string").as("id"),
         explode(Text.wordShingles(
           Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)).as("key"))
-      .distinct()
 
   private val docShinglesSql: String =
     """SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
@@ -168,7 +178,7 @@ object DedupQueries {
     // collisions dominate. The oracle SQL carries no prefilter: equality
     // IS the oracle check.
     "dd_minhash_neardup" -> QueryDef(
-      (s, dir) => Dedup.minHashNearDupPairs(docShingles(s, dir),
+      (s, dir) => Dedup.minHashNearDupPairs(docShinglesRaw(s, dir),
           numPerm = 16, bands = 4, threshold = 0.2, estPrefilter = 0.375)
         .select(col("id_a"), col("id_b"), Num.stableRound(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
@@ -200,7 +210,7 @@ object DedupQueries {
     // batch, id_a from either side (new-new pairs canonical once).
     "dd_incremental_neardup" -> QueryDef(
       (s, dir) => {
-        val sh = docShingles(s, dir)
+        val sh = docShinglesRaw(s, dir)
         Dedup.minHashNearDupAgainst(
             sh.filter(col("id").cast("long") % 4 =!= 0),
             sh.filter(col("id").cast("long") % 4 === 0),
