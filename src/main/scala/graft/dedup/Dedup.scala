@@ -256,46 +256,53 @@ object Dedup {
     * with id_b always from the new batch; id_a may be either side.
     *
     * At 100 TB the corpus signature table (numPerm longs per doc) is
-    * the thing to precompute and store — this operator takes the raw
-    * token form for oracle parity, but the band-bucket/verify shape is
-    * identical once signatures are a stored table. */
+    * the thing to precompute and store — [[minHashNearDupAgainstSig]]
+    * IS that production form; this raw-token overload derives the
+    * corpus signature in-flight and delegates (bit-identical output,
+    * spec-proven). */
   def minHashNearDupAgainst(
       corpusToks: DataFrame, newToks: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, estPrefilter: Double = 0.0,
       maxBucketSize: Int = 0): DataFrame = {
-    // A re-crawl refresh realistically re-submits ids that already exist
-    // in the corpus. Keeping both sides' rows would merge the two token
-    // sets into ONE phantom signature (and duplicate its bucket rows), so
-    // the NEW batch's version supersedes: corpus rows whose id reappears
-    // in the batch are anti-joined away before the union. The anti join
-    // is corpus-scan × batch-id-broadcast — no corpus shuffle.
-    //
-    // The batch token table is DELTA-sized (the whole point of the
-    // incremental form): persist IT, not just its id list, because it is
-    // referenced three times (id list, union branch, and — via the
-    // union — the verify scan); without the persist each reference
-    // re-runs the caller's whole tokenize/shingle/distinct pipeline.
-    // The id list derived from it drives every side decision and is
-    // explicitly broadcast — the anti-join and the side-flag join must
-    // never shuffle corpus-scale rows against a delta-sized list (AQE
-    // would usually get this right, but at 100 TB "usually" is not a
-    // plan guarantee; measured ~1.4× on this query at sf0.1).
+    // Raw-token form: the corpus token pipeline is the caller's (possibly
+    // expensive) expression, referenced by both the signature build and
+    // the verify scan — persist the superseded-corrected union ONCE so
+    // tokenization runs once (the sig-form has no such cache because its
+    // corpus signature is already a stored table). Batch id list
+    // broadcast as in [[minHashNearDupAgainstSig]].
     val newT = newToks.select(col("id"), col("key")).persist()
     val newIds = newT.select("id").distinct()
-    val corpusOnly = corpusToks.join(broadcast(newIds), Seq("id"), "left_anti")
-    val all = corpusOnly.select(col("id"), col("key"))
+    val all = corpusToks.join(broadcast(newIds), Seq("id"), "left_anti")
+      .select(col("id"), col("key"))
       .unionByName(newT)
       .persist()
     val sig0 = MinHash.signature(all, numPerm)
     val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
-    // cap measured over the UNION (corpus + new rows in the bucket): a
-    // boilerplate bucket is hot because of its total population, not of
-    // either side alone
+    val cand = incrementalCandidates(
+      sig, newIds, bands, numPerm, estPrefilter, maxBucketSize).persist()
+    // Materialize then release — see [[minHashNearDupPairs]].
+    val verified = verifyJaccard(all, cand)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    cand.unpersist()
+    if (estPrefilter > 0.0) sig.unpersist()
+    all.unpersist()
+    newT.unpersist()
+    verified
+  }
+
+  /** Shared candidate block of the two incremental forms: cap hot band
+    * buckets over the union signature, tag the delta side via a
+    * broadcast of the batch id list, and keep only (corpus → new) plus
+    * canonical (new, new) collisions. */
+  private def incrementalCandidates(
+      sig: DataFrame, newIds: DataFrame, bands: Int, numPerm: Int,
+      estPrefilter: Double, maxBucketSize: Int): DataFrame = {
     val buckets = capHotKeys(
         MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
       .join(broadcast(newIds.withColumn("_new", lit(true))), Seq("id"), "left")
       .withColumn("_new", coalesce(col("_new"), lit(false)))
-    val candidates = estimatePrefilter(
+    estimatePrefilter(
       buckets
         .select(col("key"), col("id").as("id_a"), col("_new").as("_new_a"))
         .join(buckets.filter(col("_new"))
@@ -305,14 +312,51 @@ object Dedup {
                 (col("_new_a") && col("id_a") < col("id_b")))
         .select("id_a", "id_b").distinct(),
       sig, numPerm, estPrefilter)
-    val cand = candidates.persist()
+  }
+
+  /** The production refresh form of [[minHashNearDupAgainst]]: the
+    * corpus enters as its STORED signature table (`corpusSig` —
+    * numPerm longs per doc, computed once at ingest and kept as a
+    * parquet table) plus its raw token form (`corpusToks`, scanned
+    * only to verify candidates). Nothing corpus-sized is ever cached:
+    * the signature table is signature-width, and the verify step
+    * semi-joins the corpus token scan down to candidate ids before
+    * aggregating ([[verifyJaccard]]).
+    *
+    * A re-crawl refresh realistically re-submits ids that already
+    * exist in the corpus. The NEW batch's version supersedes: corpus
+    * rows (signature and token) whose id reappears in the batch are
+    * anti-joined away against the batch id list. The batch token table
+    * is DELTA-sized — persist it (it feeds the id list, its own
+    * signature, and the verify scan); its id list is explicitly
+    * broadcast into both anti-joins (at 100 TB "AQE usually broadcasts"
+    * is not a plan guarantee). */
+  def minHashNearDupAgainstSig(
+      corpusSig: DataFrame, corpusToks: DataFrame, newToks: DataFrame,
+      numPerm: Int, bands: Int, threshold: Double,
+      estPrefilter: Double = 0.0, maxBucketSize: Int = 0): DataFrame = {
+    val newT = newToks.select(col("id"), col("key")).persist()
+    val newIds = newT.select("id").distinct()
+    val sig0 = corpusSig.join(broadcast(newIds), Seq("id"), "left_anti")
+      .unionByName(MinHash.signature(newT, numPerm))
+    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
+    // cap measured over the UNION (corpus + new rows in the bucket): a
+    // boilerplate bucket is hot because of its total population, not of
+    // either side alone
+    val cand = incrementalCandidates(
+      sig, newIds, bands, numPerm, estPrefilter, maxBucketSize).persist()
+    // verify over the superseded-corrected token union; verifyJaccard
+    // semi-joins it down to candidate ids before any aggregation, so the
+    // corpus token scan shuffles candidate rows only
+    val toks = corpusToks.join(broadcast(newIds), Seq("id"), "left_anti")
+      .select(col("id"), col("key"))
+      .unionByName(newT)
     // Materialize then release — see [[minHashNearDupPairs]].
-    val verified = verifyJaccard(all.select("id", "key"), cand)
+    val verified = verifyJaccard(toks, cand)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
     if (estPrefilter > 0.0) sig.unpersist()
-    all.unpersist()
     newT.unpersist()
     verified
   }

@@ -514,6 +514,28 @@ class DedupSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("minHashNearDupAgainstSig: stored-signature path equals raw-token path") {
+    // overlapping ids: d2 re-submitted with CHANGED content (supersession)
+    val corpus = Seq(
+      ("c1", Seq("a b c", "b c d", "c d e")),
+      ("c2", Seq("x y z", "y z w")),
+      ("d2", Seq("p q r"))).flatMap { case (id, ks) => ks.map(id -> _) }
+      .toDF("id", "key")
+    val batch = Seq(
+      ("n1", Seq("a b c", "b c d")),
+      ("d2", Seq("a b c", "c d e"))).flatMap { case (id, ks) => ks.map(id -> _) }
+      .toDF("id", "key")
+    val raw = Dedup.minHashNearDupAgainst(corpus, batch, 16, 4, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val stored = graft.functions.MinHash.signature(corpus, 16)
+    val viaSig = Dedup.minHashNearDupAgainstSig(stored, corpus, batch, 16, 4, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(raw == viaSig)
+    assert(raw.nonEmpty, "fixture must produce pairs")
+    // d2's OLD corpus content is superseded: no pair may use it
+    assert(!raw.exists { case (a, b, j) => (a == "d2" || b == "d2") && j == 0.0 })
+  }
+
   test("packBins concatenates members in packing order; totals reconcile") {
     val docs = (0 until 20).map(i => (s"d$i", "src" + (i % 2),
       Seq.fill(i % 4 + 1)(s"w$i").mkString(" "))).toDF("doc_id", "source", "text")
