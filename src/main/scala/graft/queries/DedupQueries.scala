@@ -128,7 +128,7 @@ object DedupQueries {
         implicit val sp: SparkSession = s
         import s.implicits._
         // repartition BEFORE signing: the corpus is one parquet file →
-        // one input partition, and all numPerm×shingle md5 work happens
+        // one input partition, and all per-shingle md5 + mixing work happens
         // pre-shuffle — without this the signing stage runs on a single
         // core (measured 36 s vs ~2 s at sf0.1). At real scale the scan
         // has many splits and the exchange is a cheap skinny shuffle.
@@ -207,6 +207,48 @@ object DedupQueries {
 
     // ---- incremental near-dup: new batch (doc_id % 4 = 0) vs corpus -------
     // corpus×corpus candidates never form; id_b is always from the new
+    // ---- incremental near-dup, stored-signature (production) form --------
+    // the corpus enters as its precomputed signature table + a raw token
+    // scan used only to verify candidates — the refresh loop's real
+    // shape (nothing corpus-sized cached). Output provably equals the
+    // raw-token form (DedupSpec equality), so the oracle is shared.
+    "dd_incremental_sig" -> QueryDef(
+      (s, dir) => {
+        val sh = docShinglesRaw(s, dir)
+        val corpus = sh.filter(col("id").cast("long") % 4 =!= 0)
+        Dedup.minHashNearDupAgainstSig(
+            MinHash.signature(corpus, 16), corpus,
+            sh.filter(col("id").cast("long") % 4 === 0),
+            numPerm = 16, bands = 4, threshold = 0.2)
+          .select(col("id_a"), col("id_b"), Num.stableRound(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sig = MinHash.signatureSql(docShinglesSql, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        s"""WITH sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key
+           |  WHERE cast(b.id AS bigint) % 4 = 0
+           |    AND ((cast(a.id AS bigint) % 4 <> 0 AND a.id <> b.id)
+           |      OR (cast(a.id AS bigint) % 4 = 0 AND a.id < b.id))),
+           |toks AS ($docShinglesSql),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM toks GROUP BY id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN toks ta ON ta.id = c.id_a
+           |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       floor((i / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
+           |FROM inter JOIN sizes sa ON sa.id = id_a
+           |           JOIN sizes sb ON sb.id = id_b
+           |WHERE i / (sa.sz + sb.sz - i) >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // batch, id_a from either side (new-new pairs canonical once).
     "dd_incremental_neardup" -> QueryDef(
       (s, dir) => {
