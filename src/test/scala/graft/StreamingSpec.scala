@@ -710,6 +710,31 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("piiRedact runs unchanged on a document stream") {
+    // the scrub pass is a pure row-local projection like the quality
+    // gate — the SAME call composes on streaming ingest
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at a@b.io or call 555-123-4567"),
+      (2L, "clean row"))
+    val batch = graft.text.TextAnalysis.piiRedact(
+        docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val sq = graft.text.TextAnalysis.piiRedact(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      sq.processAllAvailable()
+      val streamed = spark.table("pii_stream").collect()
+        .map(r => r.getString(0) -> r.getString(4)).toMap
+      assert(streamed == batch)
+      assert(batch("1") == "mail me at <EMAIL> or call <PHONE>")
+    } finally sq.stop()
+  }
+
   test("sessionize counts gap-separated sessions") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
