@@ -581,6 +581,44 @@ object Dedup {
           .otherwise(col("component")).as("kept_by"))
   }
 
+  /** [[keepList]] with a QUALITY-AWARE representative: instead of each
+    * component's minimal id, the member with the highest `scoreCol`
+    * survives (ties broken by minimal id, so the choice is total and
+    * deterministic). This is the production dedup policy — when a
+    * duplicate cluster mixes a full article with its truncated scrapes,
+    * min-id keeps whichever happened to crawl first; keep-best keeps
+    * the longest/cleanest copy (the policy RefinedWeb/FineWeb-class
+    * pipelines actually ship).
+    *
+    * 100 TB shape: identical to [[keepList]] plus two aggregations over
+    * the component-labeled rows — and labels are output-sized (≤ pair
+    * count), so the extra argmax work never touches the corpus scan.
+    * The representative is found without `max_by` (whose tie behavior
+    * is nondeterministic): max score per component, then min id among
+    * the maximal members — both shapes with map-side partial
+    * aggregation.
+    *
+    * `scored`: two columns (idCol, scoreCol). Output (id, keep,
+    * kept_by) exactly as [[keepList]]. */
+  def keepBest(scored: DataFrame, idCol: String, scoreCol: String,
+               pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val ids = scored.select(col(idCol).cast("string").as("id"),
+      col(scoreCol).cast("double").as("_score"))
+    val labels = components(pairs, maxIterations)
+      .select(col("id"), col("component"))
+    val labeled = ids.join(labels, Seq("id"))
+    val best = labeled.groupBy("component").agg(max(col("_score")).as("_best"))
+    val rep = labeled.join(best, Seq("component"))
+      .filter(col("_score") === col("_best"))
+      .groupBy("component").agg(min(col("id")).as("_rep"))
+    ids.join(labels, Seq("id"), "left")
+      .join(rep, Seq("component"), "left")
+      .select(col("id"),
+        (col("component").isNull || col("_rep") === col("id")).as("keep"),
+        when(col("component").isNull || col("_rep") === col("id"), lit(null))
+          .otherwise(col("_rep")).as("kept_by"))
+  }
+
   /** Ordered whitespace tokens per document: (id, t: array<string>).
     * Position-preserving (unlike the distinct-token pipelines above) —
     * the input to span-level operators where WHERE a token sits matters.

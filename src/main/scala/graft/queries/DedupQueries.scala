@@ -376,6 +376,55 @@ object DedupQueries {
               |FROM documents d LEFT JOIN comp c ON c.id = cast(d.doc_id AS varchar)
               |ORDER BY id""".stripMargin)),
 
+    // ---- quality-aware keep-list: keep the BEST duplicate, not the first --
+    // same component graph as dd_keep_list; representative = max n_chars
+    // (ties → min id). The production dedup policy: keep the longest/
+    // cleanest member of each duplicate cluster.
+    "dd_keep_best" -> QueryDef(
+      (s, dir) => Dedup.keepBest(
+          table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars",
+          Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE sh AS ($docShinglesSql),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+              |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+              |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+              |  WHERE i / (sa.sz + sb.sz - i) >= 0.1),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+              |  UNION
+              |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+              |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+              |scored AS (
+              |  SELECT c.id, c.component, d.n_chars::double AS score
+              |  FROM comp c JOIN documents d ON c.id = cast(d.doc_id AS varchar)),
+              |best AS (SELECT component, max(score) AS b FROM scored GROUP BY 1),
+              |rep AS (
+              |  SELECT s.component, min(s.id) AS rep
+              |  FROM scored s JOIN best ON best.component = s.component
+              |  WHERE s.score = best.b GROUP BY 1)
+              |SELECT cast(d.doc_id AS varchar) AS id,
+              |       (c.component IS NULL OR r.rep = cast(d.doc_id AS varchar)) AS keep,
+              |       CASE WHEN c.component IS NULL OR r.rep = cast(d.doc_id AS varchar)
+              |            THEN NULL ELSE r.rep END AS kept_by
+              |FROM documents d
+              |LEFT JOIN comp c ON c.id = cast(d.doc_id AS varchar)
+              |LEFT JOIN rep r ON r.component = c.component
+              |ORDER BY id""".stripMargin)),
+
     // ---- deterministic export sharding (pipeline tail) --------------------
     // content-addressed shard per id (md5-long mod 16), mirroring
     // Text.md5Long's first-15-hex-chars construction in the oracle
@@ -1011,6 +1060,68 @@ object DedupQueries {
              |SELECT grp, id, r.copy AS copy
              |FROM n, range(0, 3) r(copy) WHERE r.copy < n.n
              |ORDER BY grp, id, copy""".stripMargin)),
+
+    // ---- temperature (α=0.5) source re-balancing --------------------------
+    // weights computed FROM the data: w(g) = (p_g^α / Σ p^α) / p_g; same
+    // content-addressed stochastic rounding as tx_mix_sample. α = 0.5 →
+    // sqrt on both engines (IEEE-exact), so the weight ladder is
+    // reproducible bit-for-bit up to the (accepted) Σ-order ulp noise.
+    "tx_temperature_mix" -> QueryDef(
+      (s, dir) => TextAnalysis.temperatureSample(
+          table(s, dir, "documents"), "doc_id", "source", alpha = 0.5)
+        .orderBy("grp", "id", "copy"),
+      Some("""WITH c AS (SELECT source AS grp, count(*)::double AS c
+             |           FROM documents GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM c),
+             |p AS (SELECT grp, c / n.n AS p, sqrt(c / n.n) AS s FROM c, n),
+             |z AS (SELECT sum(s) AS z FROM p),
+             |w AS (SELECT grp, (s / z.z) / p AS w FROM p, z),
+             |d AS (SELECT d0.grp, d0.id, w.w,
+             |             ('0x'||substr(md5(d0.id), 1, 15))::bigint
+             |               / 1152921504606846976.0 AS f
+             |      FROM (SELECT source AS grp, cast(doc_id AS varchar) AS id
+             |            FROM documents) d0 JOIN w ON d0.grp = w.grp),
+             |x AS (SELECT grp, id, w,
+             |             (floor(w) + CASE WHEN f < w - floor(w) THEN 1 ELSE 0 END)::int AS nn
+             |      FROM d)
+             |SELECT grp, id, r.copy AS copy, floor(w * 1e6 + 0.5) / 1e6 AS w_e6
+             |FROM x, range(0, 8) r(copy) WHERE r.copy < x.nn
+             |ORDER BY grp, id, copy""".stripMargin)),
+
+    // ---- DSIR importance weights (hashed unigram+bigram LLR) --------------
+    // target model = the corpus's 'en' slice; raw model = whole corpus.
+    // Both models are 1024-bucket count tables; every hash/bucket/smoothing
+    // step restated verbatim in the oracle.
+    "tx_dsir_weight" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TextAnalysis.dsirWeights(d, d.filter(col("lang") === "en"),
+            "doc_id", "text", numBuckets = 1024)
+          .orderBy("id")
+      },
+      Some("""WITH base AS (
+             |  SELECT cast(doc_id AS varchar) AS id, lang,
+             |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+             |                     t -> length(t) >= 1) AS l
+             |  FROM documents),
+             |f AS (
+             |  SELECT id, lang, l[i] AS f
+             |  FROM base, range(1, 10000) r(i) WHERE i <= len(l)
+             |  UNION ALL
+             |  SELECT id, lang, l[i] || ' ' || l[i+1]
+             |  FROM base, range(1, 10000) r(i) WHERE i + 1 <= len(l)),
+             |cf AS (SELECT id, lang,
+             |              ('0x'||substr(md5(f), 1, 15))::bigint % 1024 AS bkt
+             |       FROM f),
+             |rc AS (SELECT bkt, count(*) AS rc FROM cf GROUP BY 1),
+             |tc AS (SELECT bkt, count(*) AS tc FROM cf WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM cf) AS rt,
+             |               (SELECT count(*) FROM cf WHERE lang = 'en') AS tt)
+             |SELECT id, count(*) AS n_feats,
+             |       floor((avg(ln((coalesce(tc, 0) + 1.0) / (tt + 1024.0))
+             |                  - ln((rc + 1.0) / (rt + 1024.0)))) * 1e6 + 0.5) / 1e6 AS dsir_e6
+             |FROM cf JOIN rc USING (bkt) LEFT JOIN tc USING (bkt) CROSS JOIN tot
+             |GROUP BY id ORDER BY id""".stripMargin)),
 
     "tx_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"))

@@ -57,6 +57,24 @@ object EventQueries {
              |SELECT event_type, user_id, total, rank::int AS rank
              |FROM ranked WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)),
 
+    // ---- CDC last-write-wins compaction ----------------------------------
+    // changelog → final state: latest (ts, event_id) row per
+    // (user_id, event_type); micros-precision ts so both engines compare
+    // the same integers.
+    "ev_compact_latest" -> QueryDef(
+      (s, dir) => StreamingOps.compactLatest(QueryDef.events(s, dir))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          Num.stableRound(col("value"), 6).as("value"))
+        .orderBy("user_id", "event_type"),
+      Some("""WITH r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             |       floor((value) * 1e6 + 0.5) / 1e6 AS value
+             |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
     // ---- gap-based sessionization ----------------------------------------
     "ev_sessionize" -> QueryDef(
       (s, dir) => StreamingOps.sessionize(QueryDef.events(s, dir), 30)

@@ -606,6 +606,44 @@ object SimilarityQueries {
              |          JOIN norms nb ON nb.vec_id = id_b
              |WHERE dot / (na.nrm * nb.nrm) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- embedding-space benchmark decontamination ------------------------
+    // benchmark = label-0 odd-id vectors (broadcast-sized); every even-id
+    // corpus vector scored with its best benchmark match. The semantic
+    // sibling of dd_decontaminate's n-gram overlap.
+    "dd_embedding_decontam" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.embeddingDecontam(
+            e.filter(col("vec_id") % 2 === 0)
+              .select(col("vec_id").as("id"), col("embedding").as("vec")),
+            e.filter(col("vec_id") % 2 === 1 && col("label") === 0)
+              .select(col("vec_id").as("id"), col("embedding").as("vec")),
+            0.4)
+          .select(col("id"), col("bench_id"),
+            Num.stableRound(col("cos"), 6).as("cos"), col("contaminated"))
+          .orderBy("id")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |bench AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1 AND label = 0),
+             |dots AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS bench_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON b.i = a.i
+             |  JOIN bench bb ON bb.vec_id = b.vec_id
+             |  WHERE a.vec_id % 2 = 0
+             |  GROUP BY 1, 2),
+             |cosv AS (
+             |  SELECT id, bench_id, dot / (na.nrm * nb.nrm) AS cv
+             |  FROM dots JOIN norms na ON na.vec_id = id
+             |            JOIN norms nb ON nb.vec_id = bench_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY id
+             |           ORDER BY cv DESC, bench_id ASC) AS rn FROM cosv)
+             |SELECT id, bench_id, floor(cv * 1e6 + 0.5) / 1e6 AS cos,
+             |       cv >= 0.4 AS contaminated
+             |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // ---- dedup scale path: sign-LSH-bucketed near-dup ---------------------
     "dd_embedding_neardup_lsh" -> QueryDef(
       (s, dir) => Similarity.bucketedNearDup(

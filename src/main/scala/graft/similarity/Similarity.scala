@@ -262,6 +262,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * n-gram [[graft.dedup.Dedup.decontaminate]]: a corpus document is
+    * contaminated iff its embedding's cosine against ANY benchmark
+    * vector reaches `threshold` (paraphrased test-set leakage that
+    * n-gram overlap misses). Every corpus row is scored with its best
+    * benchmark match (max cosine, ties broken by minimal benchmark id —
+    * found via struct-max, not `max_by`, so the witness is
+    * deterministic).
+    *
+    * 100 TB shape: the benchmark is benchmark-sized → explicit
+    * broadcast; the corpus pays one scan against it (BNLJ on a tiny
+    * build side, the documented pattern) and the per-id argmax collapses
+    * map-side — corpus never shuffles beyond the final |corpus|-row
+    * aggregate. For benchmark sets too big to broadcast, bucket both
+    * sides with [[hyperplaneBucket]] first (the [[bucketedNearDup]]
+    * shape) and accept LSH recall.
+    *
+    * `corpus`: (id, vec); `bench`: (id, vec). Output:
+    * (id, bench_id, cos, contaminated). */
+  def embeddingDecontam(corpus: DataFrame, bench: DataFrame,
+                        threshold: Double): DataFrame = {
+    val b = bench.select(col("id").cast("long").as("_bid"),
+      col("vec").as("_vb"), Vectors.l2Norm(col("vec")).as("_nb"))
+    corpus.select(col("id"), col("vec").as("_va"),
+        Vectors.l2Norm(col("vec")).as("_na"))
+      .crossJoin(broadcast(b))
+      .select(col("id"), col("_bid"),
+        (Vectors.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("_cos"))
+      .groupBy("id")
+      .agg(max(struct(col("_cos").as("c"), (-col("_bid")).as("nb"))).as("_m"))
+      .select(col("id"),
+        (-col("_m.nb")).as("bench_id"),
+        col("_m.c").as("cos"),
+        (col("_m.c") >= threshold).as("contaminated"))
+  }
+
   // ---------------- product quantization (PQ / ADC) ----------------
 
   /** IVF-PQ: the billion-scale composition (Jégou et al. 2011, §IV) —

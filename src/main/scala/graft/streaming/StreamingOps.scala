@@ -44,6 +44,69 @@ object StreamingOps {
       .agg(sum("_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** CDC-style last-write-wins compaction: one surviving row per
+    * (user_id, event_type) — the latest by ts, ties broken by highest
+    * event_id (the standard "greatest sequence number wins" CDC rule,
+    * made total here because event_ids are unique). This is the batch
+    * form of changelog materialization: upserts collapse to final
+    * state.
+    *
+    * 100 TB shape: one exchange keyed on the compaction key, then an
+    * in-partition row_number — the minimum any keyed compaction pays.
+    * (An agg-of-struct-max form would fold map-side too, but the window
+    * keeps the full surviving row without a rejoin; with AQE skew-split
+    * the exchange handles hot keys.) */
+  def compactLatest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** [[streamCompactLatest]] record (public: janino-generated encoder
+    * code cannot touch private member classes). */
+  final case class CompactRecord(userId: Long, eventType: String,
+      eventId: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Latest-row state per compaction key. */
+  final case class CompactState(eventId: Long, tsMicros: Long, value: Double)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming CDC compaction — the stream form of [[compactLatest]]:
+    * per (user_id, event_type), emit a change record whenever the
+    * latest (ts, event_id) row advances; the LAST emission per key IS
+    * the compacted state (append-mode changelog of a running upsert —
+    * the shape a downstream materializer or compacted-topic writer
+    * consumes). State per key is one (event_id, ts, value) triple —
+    * bounded by the key universe, not the stream; micros-precision ts
+    * comparison so batch and stream order rows identically. Within one
+    * batch only the winning row is emitted (intermediate same-batch
+    * advances collapse), so emissions are ≤ one per key per batch. */
+  def streamCompactLatest(records: Dataset[CompactRecord])(
+      implicit spark: SparkSession): Dataset[CompactRecord] = {
+    import spark.implicits._
+    records.groupByKey(r => (r.userId, r.eventType))
+      .flatMapGroupsWithState[CompactState, CompactRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), batch: Iterator[CompactRecord],
+         state: GroupState[CompactState]) =>
+          val incoming = batch.maxBy(r => (tsMicros(r.ts), r.eventId))
+          val advances = state.getOption.forall { s =>
+            val (im, ie) = (tsMicros(incoming.ts), incoming.eventId)
+            im > s.tsMicros || (im == s.tsMicros && ie > s.eventId)
+          }
+          if (advances) {
+            state.update(CompactState(
+              incoming.eventId, tsMicros(incoming.ts), incoming.value))
+            Iterator.single(incoming)
+          } else Iterator.empty
+      }
+  }
+
   /** Per-(user, session) rows via the built-in `session_window` (gap-based
     * merge; a new session starts when ts ≥ previous ts + gap, at
     * MICROsecond precision — the oracle must compare integer micros, not

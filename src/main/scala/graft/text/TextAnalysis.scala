@@ -407,6 +407,101 @@ object TextAnalysis {
       .select(col("grp"), col("id"), col("pos").cast("long").as("copy"))
   }
 
+  /** Temperature-based source re-balancing (the mT5/multilingual-mixing
+    * rule, Xue et al. 2021 §3.1, arXiv:2010.11934 — public method): the
+    * sampled share of group g is p_g^α / Σ_h p_h^α, flattening the
+    * natural distribution toward uniform as α → 0. Unlike
+    * [[mixtureSample]], the weights are COMPUTED FROM THE DATA — per-doc
+    * expected copies w(g) = (p_g^α / Σ p^α) / p_g keep total corpus size
+    * ≈ unchanged while shifting mass from hot sources to the tail — and
+    * the per-doc emission reuses the same content-addressed stochastic
+    * rounding (md5 fraction), so the resample is reproducible across
+    * runs and refreshes.
+    *
+    * α = 0.5 is computed via `sqrt` (IEEE-exact, so both engines agree
+    * bit-for-bit); other α go through `pow`, whose last-ulp freedom is
+    * absorbed by the e6 rounding but can in principle flip a stochastic
+    * rounding — the oracle-checked configuration pins α = 0.5.
+    *
+    * 100 TB shape: group counts are a groups-sized aggregate (map-side
+    * combine to ≤ |groups| rows/partition); the weight table and the two
+    * one-row totals ride broadcasts; the corpus itself is scanned once
+    * with a row-local emission — no corpus shuffle at all.
+    *
+    * Output: (grp, id, copy, w_e6). */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val n = counts.agg(sum(col("_c")).as("_n"))
+    val powed = counts.crossJoin(broadcast(n))
+      .withColumn("_p", col("_c") / col("_n"))
+      .withColumn("_s",
+        if (alpha == 0.5) sqrt(col("_p")) else pow(col("_p"), lit(alpha)))
+    val z = powed.agg(sum(col("_s")).as("_z"))
+    val weights = powed.crossJoin(broadcast(z))
+      .select(col("grp"), ((col("_s") / col("_z")) / col("_p")).as("_w"))
+    val frac = Text.md5Long(col("id")).cast("double") / lit((1L << 60).toDouble)
+    docs.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("string").as("id"))
+      .join(broadcast(weights), Seq("grp"))
+      .withColumn("_n", (floor(col("_w")) +
+        when(frac < col("_w") - floor(col("_w")), 1).otherwise(0)).cast("int"))
+      .filter(col("_n") > 0)
+      .select(col("grp"), col("id"), Num.stableRound(col("_w"), 6).as("w_e6"),
+        posexplode(array_repeat(lit(1), col("_n"))))
+      .select(col("grp"), col("id"), col("pos").cast("long").as("copy"),
+        col("w_e6"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public method): score every corpus document by how much more likely
+    * its hashed n-gram features are under a TARGET distribution than
+    * under the raw corpus distribution. Features are unigrams + bigrams
+    * (no length/stopword filter — the shingle-family convention) hashed
+    * into `numBuckets` buckets; both models are add-one-smoothed bucket
+    * counts; a document's weight is the mean per-feature-instance
+    * log-likelihood ratio ln(P_target(b)/P_raw(b)). Downstream, docs are
+    * resampled ∝ exp(weight) (composable with [[mixtureSample]] /
+    * [[splitAssign]]); the score itself is the operator here.
+    *
+    * 100 TB shape: the two models are BUCKET-BOUNDED tables (≤
+    * numBuckets rows after map-side combine), joined back into the
+    * corpus feature stream as broadcasts with a one-row totals
+    * broadcast — so the corpus pays one feature scan plus the same
+    * per-doc aggregation exchange any per-doc statistic pays; nothing
+    * data-sized ever sits on the driver. Docs with zero features emit
+    * no row (the oracle agrees).
+    *
+    * Output: (id, n_feats, dsir_e6). */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, numBuckets: Int = 1024): DataFrame = {
+    def feats(df: DataFrame): DataFrame = {
+      val toks = Text.tokenize(coalesce(col(textCol), lit("")),
+        minLength = 1, stopwords = Nil)
+      df.select(col(idCol).cast("string").as("id"),
+          explode(concat(toks, Text.wordShingles(toks, 2))).as("f"))
+        .select(col("id"),
+          pmod(Text.md5Long(col("f")), lit(numBuckets.toLong)).as("bkt"))
+    }
+    val cf = feats(corpus)
+    val rc = cf.groupBy("bkt").agg(count(lit(1)).as("rc"))
+    val tc = feats(target).groupBy("bkt").agg(count(lit(1)).as("tc"))
+    val model = rc.join(tc, Seq("bkt"), "left")
+      .select(col("bkt"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = model.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val b = lit(numBuckets.toDouble)
+    cf.join(broadcast(model), Seq("bkt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("tc") + lit(1.0)) / (col("tt") + b))
+          - log((col("rc") + lit(1.0)) / (col("rt") + b)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"),
+        Num.stableRound(avg(col("lr")), 6).as("dsir_e6"))
+  }
+
   /** PII patterns shared by [[piiRedact]] and its oracle: kept inside
     * the portable regex subset (no lookaround, no `\b`) so Java
     * (Spark codegen) and RE2 (DuckDB) agree byte-for-byte. Order

@@ -272,6 +272,48 @@ class DedupSpec extends SparkSpec {
       "y" -> ((false, Some("x"))), "solo" -> ((true, None))))
   }
 
+  test("keepBest keeps the highest-scored member per component, min-id on ties") {
+    val scored = Seq(
+      ("a", 10.0), ("b", 99.0), ("c", 50.0), // component {a,b,c}: b wins on score
+      ("x", 7.0), ("y", 7.0),                // component {x,y}: tie → min id x
+      ("solo", 1.0)).toDF("doc", "sc")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(scored, "doc", "sc", pairs).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      "a" -> ((false, Some("b"))), "b" -> ((true, None)),
+      "c" -> ((false, Some("b"))), "x" -> ((true, None)),
+      "y" -> ((false, Some("x"))), "solo" -> ((true, None))))
+  }
+
+  test("temperatureSample flattens toward uniform and preserves corpus size in expectation") {
+    // hot source 90 docs, tail source 10: α=0.5 must down-weight hot
+    // (w<1) and up-weight tail (w>1), with Σ n_g·w_g = N exactly.
+    val docs = ((1 to 90).map(i => (s"h$i", "hot")) ++
+      (1 to 10).map(i => (s"t$i", "tail"))).toDF("doc_id", "source")
+    val out = TextAnalysis.temperatureSample(docs, "doc_id", "source", 0.5)
+    val w = out.select(col("grp"), col("w_e6")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("hot") < 1.0 && w("tail") > 1.0)
+    assert(math.abs(90 * w("hot") + 10 * w("tail") - 100.0) < 1e-3)
+    // emitted copies track expectation within the stochastic-rounding slack
+    val n = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(n("hot") - 90 * w("hot")) <= 90)
+    assert(n("tail") >= 10) // every tail doc emits ≥ floor(w) ≥ 1 copy
+  }
+
+  test("dsirWeights scores target-vocabulary docs above off-target docs") {
+    val target = Seq(("t1", "alpha beta gamma delta"),
+      ("t2", "alpha beta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = (target.collect().map(r => (r.getString(0), r.getString(1))).toSeq ++
+      Seq(("o1", "unrelated words entirely different"),
+        ("o2", "nothing shared here either"))).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("t1") > got("o1") && got("t2") > got("o2"))
+  }
+
   test("qualityScore lands in [0, 1e6] micro-units and rewards longer, denser text") {
     val df = Seq(
       ("short", "the a of to"),

@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(("d1", "rare1"), ("d2", "rare2"), ("d3", "rare3"), ("d4", "rare4")))
   }
 
+  test("embeddingDecontam flags cosine hits with deterministic min-id witness") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),  // equals both bench vectors → witness = min id 1
+      (11L, Seq(0.0f, 1.0f)),  // orthogonal to bench → clean
+      (12L, Seq(0.9f, 0.1f)))  // close to bench → flagged
+      .toDF("id", "vec")
+    val bench = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.embeddingDecontam(corpus, bench, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((1L, true)))
+    assert(got(11L)._2 == false)
+    assert(got(12L) == ((1L, true)))
+  }
+
   test("topKCosine: exact ranking on a hand vector set") {
     val l = Seq(("q", Seq(1.0f, 0.0f))).toDF("id", "vec")
     val r = Seq(

@@ -747,6 +747,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
   }
 
+  test("compactLatest keeps one latest row per key with ts/event_id tiebreak") {
+    val events = Seq(
+      (1L, 1L, "click", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00"), 2.0), // latest ts wins
+      (3L, 1L, "view", ts("2024-01-01 10:00:00"), 3.0),
+      (4L, 1L, "view", ts("2024-01-01 10:00:00"), 4.0), // ts tie → max event_id
+      (5L, 2L, "click", ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = StreamingOps.compactLatest(events).collect()
+      .map(r => (r.getLong(1), r.getString(2)) -> r.getLong(0)).toMap
+    assert(got == Map(
+      (1L, "click") -> 2L, (1L, "view") -> 4L, (2L, "click") -> 5L))
+  }
+
+  test("streamCompactLatest: last emission per key equals batch compactLatest") {
+    import graft.streaming.StreamingOps.CompactRecord
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[CompactRecord]
+    val sq = StreamingOps.streamCompactLatest(mem.toDS())
+      .writeStream.format("memory").queryName("cl")
+      .outputMode("append").start()
+    val b1 = Seq(
+      CompactRecord(1L, "click", 1L, ts("2024-01-01 10:00:00"), 1.0),
+      CompactRecord(1L, "click", 2L, ts("2024-01-01 11:00:00"), 2.0),
+      CompactRecord(2L, "view", 3L, ts("2024-01-01 09:00:00"), 3.0))
+    val b2 = Seq(
+      // stale for (1, click): older ts than current state → no emission
+      CompactRecord(1L, "click", 9L, ts("2024-01-01 10:30:00"), 9.0),
+      // ts tie with state for (2, view) but higher event_id → advances
+      CompactRecord(2L, "view", 4L, ts("2024-01-01 09:00:00"), 4.0))
+    try {
+      mem.addData(b1: _*); sq.processAllAvailable()
+      mem.addData(b2: _*); sq.processAllAvailable()
+      // one progress row per (key, batch) in arrival order; the latest
+      // emission per key is the compacted state
+      val emitted = spark.table("cl").as[CompactRecord].collect()
+      val lastPerKey = emitted.zipWithIndex
+        .groupBy(r => (r._1.userId, r._1.eventType))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1.eventId }
+      val batch = StreamingOps.compactLatest(
+          (b1 ++ b2).toDS().select(
+            col("eventId").as("event_id"), col("userId").as("user_id"),
+            col("eventType").as("event_type"), col("ts"), col("value")))
+        .collect().map(r => (r.getLong(1), r.getString(2)) -> r.getLong(0)).toMap
+      assert(lastPerKey == batch)
+      assert(!emitted.map(_.eventId).contains(9L), "stale row never emitted")
+    } finally sq.stop()
+  }
+
   test("watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
