@@ -53,7 +53,8 @@ object PlanAudit {
     "tx_source_overlap" -> "group-count-sized sketch cross (sources² rows; each group pre-collapsed to one signature)",
     "tx_temperature_mix" -> "one-row N and Z totals crossJoin(broadcast) into the groups-sized weight table",
     "tx_dsir_weight" -> "one-row model-totals crossJoin(broadcast) into the bucket-bounded LLR join",
-    "dd_embedding_decontam" -> "benchmark-sized broadcast scanned per corpus row (the decontam contract; bucket both sides for non-broadcastable benchmarks)")
+    "dd_embedding_decontam" -> "benchmark-sized broadcast scanned per corpus row (the decontam contract; bucket both sides for non-broadcastable benchmarks)",
+    "tx_vocab_growth" -> "10-row checkpoint table crossJoin(broadcast) into the vocab-keyed rollup (TextAnalysis.vocabGrowth)")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -1183,6 +1183,60 @@ object DedupQueries {
            |        t -> ('0x'||substr(md5(t), 1, 15))::bigint)),
            |    (acc, h) -> (acc * 31 + h) % ${TextAnalysis.FingerprintMod}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- winnowing fingerprints (MOSS; Schleimer et al. SIGMOD 2003) ----
+    // char-8-gram hashes, window 4, min-with-rightmost-tie selection; the
+    // tie rule is encoded arithmetically (h·2²⁰ + (2²⁰−1−pos)) so both
+    // engines resolve it in pure integer arithmetic. Guarantees any
+    // shared substring of ≥ 11 normalized chars shares a fingerprint.
+    "tx_winnow" -> QueryDef(
+      (s, dir) => TextAnalysis.winnow(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
+             |  FROM norm, range(1, 100000) r(i)
+             |  WHERE i <= length(t) - 7),
+             |keyed AS (
+             |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
+             |sel AS (
+             |  SELECT doc_id, pos,
+             |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+             |  FROM keyed),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, sel // 1048576 AS h,
+             |         1048575 - sel % 1048576 AS fp_pos
+             |  FROM sel WHERE pos >= 3)
+             |SELECT doc_id, count(*) AS n_fp, sum(h)::bigint AS fp_sum
+             |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- vocabulary growth curve (Heaps' law observable) -----------------
+    "tx_vocab_growth" -> QueryDef(
+      (s, dir) => TextAnalysis.vocabGrowth(table(s, dir, "documents"))
+        .orderBy("decile"),
+      Some(s"""WITH bounds AS (
+              |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+              |cp AS (
+              |  SELECT i::int AS decile,
+              |         lo + ceil((hi - lo + 1) * i / 10)::bigint AS thr
+              |  FROM bounds, range(1, 11) r(i)),
+              |firsts AS (
+              |  SELECT key, min(id) AS first_id
+              |  FROM (${QueryDef.duckTokens("doc_id", "text", "documents")})
+              |  GROUP BY key),
+              |v AS (
+              |  SELECT decile, thr, count(*) AS vocab
+              |  FROM firsts, cp WHERE first_id < thr GROUP BY 1, 2),
+              |d AS (
+              |  SELECT decile, count(*) AS n_docs
+              |  FROM documents, cp WHERE doc_id < thr GROUP BY 1)
+              |SELECT decile, n_docs, vocab
+              |FROM v JOIN d USING (decile) ORDER BY decile""".stripMargin))
   )
 }

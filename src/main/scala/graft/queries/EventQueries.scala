@@ -431,5 +431,90 @@ object EventQueries {
              |       coalesce(c.c, 0) / g.n AS v, false AS decoded
              |FROM grid g LEFT JOIN counts c ON g.id = c.id AND g.bucket = c.bucket
              |ORDER BY g.id, g.bucket""".stripMargin))
+  ) ++ Map(
+
+    // ---- ordered funnel (signup → view → purchase, 7-day horizon) --------
+    // first-touch min-time semantics; every stage is a user-keyed
+    // equi-join + partial-agg min, timestamps compared in integer micros.
+    "ev_funnel" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.funnel(
+        QueryDef.events(s, dir), Seq("signup", "view", "purchase"),
+        horizonSec = 7 * 86400L).orderBy("stage"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+             |s1 AS (
+             |  SELECT user_id, min(us) AS t0
+             |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, t0, min(us) AS t1
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'view' AND us > t0 AND us <= t0 + 604800000000
+             |  GROUP BY 1, 2),
+             |s3 AS (
+             |  SELECT e.user_id, min(us) AS t2
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > t1 AND us <= t0 + 604800000000
+             |  GROUP BY 1)
+             |SELECT 1 AS stage, 'signup' AS event_type,
+             |       (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- cohort retention matrix -----------------------------------------
+    "ev_retention" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.retention(
+        QueryDef.events(s, dir), maxOffsetDays = 30)
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH f AS (
+             |  SELECT user_id, min(ts)::date AS cohort FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, ts::date AS day FROM events),
+             |j AS (
+             |  SELECT cohort, date_diff('day', cohort, day) AS day_offset
+             |  FROM a JOIN f USING (user_id)
+             |  WHERE date_diff('day', cohort, day) <= 30)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             |       day_offset::int AS day_offset, count(*) AS users
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- exact per-type value quantiles ----------------------------------
+    // Spark's exact `percentile` vs DuckDB quantile_cont — both
+    // interpolate linearly at rank q·(n−1); stable-rounded to 4 decimals.
+    "ev_value_quantiles" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.valueQuantiles(
+        QueryDef.events(s, dir)).orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  floor((quantile_cont(value, 0.25)) * 1e4 + 0.5) / 1e4 AS p25,
+             |  floor((quantile_cont(value, 0.50)) * 1e4 + 0.5) / 1e4 AS p50,
+             |  floor((quantile_cont(value, 0.90)) * 1e4 + 0.5) / 1e4 AS p90,
+             |  floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- streaming CDC compaction, batch form ----------------------------
+    // single-batch run of streamCompactLatest: state starts empty, each
+    // key emits exactly its winning row ≡ compactLatest, so the
+    // ev_compact_latest oracle applies verbatim. Cross-batch advance/
+    // suppress semantics are spec-tested in StreamingSpec.
+    "st_compact_latest" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val recs = QueryDef.events(s, dir)
+          .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+            col("event_id").as("eventId"), col("ts"), col("value"))
+          .as[StreamingOps.CompactRecord]
+        StreamingOps.streamCompactLatest(recs).toDF()
+          .select(col("userId").as("user_id"), col("eventType").as("event_type"),
+            col("eventId").as("event_id"), unix_micros(col("ts")).as("ts_us"),
+            Num.stableRound(col("value"), 6).as("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             |       floor((value) * 1e6 + 0.5) / 1e6 AS value
+             |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }

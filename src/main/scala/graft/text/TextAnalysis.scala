@@ -534,4 +534,97 @@ object TextAnalysis {
     docs.select(
       (col(idCol).cast("string").as("id") +: counts :+ redacted.as("redacted")): _*)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * character k-gram of the normalized text (lowercased,
+    * non-alphanumerics removed), slide a window of `w` consecutive
+    * hashes, and in each full window select the minimum hash, breaking
+    * ties toward the RIGHTMOST position (the paper's rule — it minimizes
+    * the number of distinct selections). The fingerprint set is the
+    * distinct (hash, position) pairs selected; any substring match of
+    * length ≥ k+w−1 between two documents is guaranteed to share a
+    * fingerprint.
+    *
+    * Output: one row per document with ≥ 1 full window —
+    * (doc_id, n_fp bigint, fp_sum bigint) where n_fp is the fingerprint
+    * count and fp_sum the sum of selected 40-bit hashes (a compact
+    * content digest; two docs sharing all fingerprints share both).
+    *
+    * Cross-engine determinism: the k-gram hash is the first 10 hex chars
+    * of md5 (40 bits — reproducible in DuckDB as
+    * `('0x'||substr(md5(g),1,10))::bigint`), and min-with-rightmost-tie
+    * is encoded arithmetically as min over `h·2²⁰ + (2²⁰−1−pos)` so both
+    * engines resolve ties identically in pure integer arithmetic
+    * (positions are bounded by 2²⁰ per document, so the key stays below
+    * 2⁶⁰ — no overflow).
+    *
+    * 100 TB shape: k-gram expansion is row-local (array transform); the
+    * only per-document ordering is a window partitioned BY DOCUMENT
+    * (bounded by document length, never a global sort); the rollup is
+    * keyed by doc id. No corpus-wide shuffle beyond the final
+    * doc-keyed aggregate. */
+  def winnow(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posMask = (1 << 20) - 1
+    val norm = regexp_replace(lower(coalesce(col(textCol), lit(""))),
+      "[^a-z0-9]", "")
+    val grams = docs.select(col(idCol),
+      posexplode(Text.qgrams(norm, k)).as(Seq("pos", "gram")))
+    val h40 = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
+    val keyed = grams.select(col(idCol), col("pos"),
+      (h40 * lit(1 << 20) + (lit(posMask) - col("pos"))).as("key"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    keyed
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1) // full windows only (paper semantics)
+      // `div`, not `/`: long `/` promotes to double, whose 53-bit
+      // mantissa cannot hold the 60-bit packed key exactly.
+      .select(col(idCol), expr(s"sel div ${1 << 20}").as("h"),
+        (lit(posMask) - col("sel") % lit(1 << 20)).as("fp_pos"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("fp_sum"))
+  }
+
+  /** Vocabulary growth curve (Heaps' law observable): with the corpus
+    * ordered by document id, report at 10 evenly spaced id checkpoints
+    * how many documents have been seen and how many distinct tokens the
+    * vocabulary holds. The curve's bend is the standard diagnostic for
+    * corpus diversity vs saturation when composing training mixes.
+    *
+    * Checkpoint i (1..10) is the id threshold
+    * `min_id + ceil((max_id − min_id + 1)·i/10)`; a token is in the
+    * decile-i vocabulary iff its FIRST occurrence (minimum doc id) is
+    * below the threshold — so the whole curve needs exactly one corpus
+    * token scan + a vocab-keyed min aggregate, then a vocab×10 broadcast
+    * cross join rolled up to 10 rows. Nothing re-scans the corpus per
+    * checkpoint, and no global sort: document order is the id order the
+    * data already carries.
+    *
+    * Output: (decile int, n_docs bigint, vocab bigint), 10 rows. */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+    val checkpoints = spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(bounds))
+      .select(col("decile").cast("int").as("decile"),
+        (col("lo") + ceil((col("hi") - col("lo") + lit(1)) * col("decile") / lit(10))
+          .cast("long")).as("thr"))
+    val firsts = docs
+      .select(col(idCol), explode(Text.tokenize(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(min(col(idCol)).as("first_id"))
+    val vocab = firsts.crossJoin(broadcast(checkpoints))
+      .filter(col("first_id") < col("thr"))
+      .groupBy(col("decile"), col("thr"))
+      .agg(count(lit(1)).as("vocab"))
+    val nDocs = docs.select(col(idCol)).crossJoin(broadcast(checkpoints))
+      .filter(col(idCol) < col("thr"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    vocab.join(nDocs, Seq("decile"))
+      .select(col("decile"), col("n_docs"), col("vocab"))
+  }
 }

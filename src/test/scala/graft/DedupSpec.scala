@@ -653,4 +653,63 @@ class DedupSpec extends SparkSpec {
     assert(got("d1") == ((571428L, "a b", 857142L, 1714285L)))
     assert(got("d2") == ((500000L, "a a", 500000L, 0L)))
   }
+
+  /** Independent scalar reimplementation of winnowing (normalize →
+    * char-k-gram md5/40-bit hashes → window-min with rightmost tie →
+    * distinct (hash, pos)) to check the distributed plan against. */
+  private def winnowRef(text: String, k: Int = 8, w: Int = 4): Seq[(Long, Int)] = {
+    val t = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val hs = (0 to t.length - k).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.substring(i, i + k).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(10), 16)
+    }
+    (w - 1 until hs.length).map { end =>
+      val idx = (end - w + 1) to end
+      val minH = idx.map(hs).min
+      (minH, idx.filter(i => hs(i) == minH).max)
+    }.distinct
+  }
+
+  test("winnow matches an independent scalar implementation (incl. ties)") {
+    val docs = Seq(
+      // repeated phrase → repeated k-grams → real in-window hash ties,
+      // exercising the rightmost-tie arithmetic encoding
+      (1L, "the quick brown fox the quick brown fox the quick brown fox"),
+      (2L, "completely different content with many varied tokens inside"),
+      (3L, "exactly11c"), // 10 normalized chars: 3 grams < w → no full window
+      (4L, "abcabcabcabcabcabc")).toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = Map(
+      1L -> "the quick brown fox the quick brown fox the quick brown fox",
+      2L -> "completely different content with many varied tokens inside",
+      4L -> "abcabcabcabcabcabc")
+    texts.foreach { case (id, t) =>
+      val ref = winnowRef(t)
+      assert(got(id) == ((ref.size.toLong, ref.map(_._1).sum)),
+        s"doc $id fingerprints diverge from reference winnowing")
+    }
+    assert(!got.contains(3L), "doc with no full window yields no row")
+  }
+
+  test("winnow: identical documents fingerprint identically") {
+    val docs = Seq(
+      (1L, "some shared corpus paragraph that repeats verbatim elsewhere"),
+      (2L, "some shared corpus paragraph that repeats verbatim elsewhere"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.winnow(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows.size == 1)
+  }
+
+  test("vocabGrowth: deciles, thresholds, first-occurrence counting") {
+    // doc i introduces token "toki00"; "common" first occurs in doc 0.
+    val docs = (0L until 10L).map(i => (i, s"tok${i}00 common"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).orderBy("decile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // thr_i = i → i docs seen, vocab = i new tokens + "common"
+    assert(got.toSeq == (1 to 10).map(i => (i, i.toLong, i + 1L)))
+  }
 }

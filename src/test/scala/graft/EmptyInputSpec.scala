@@ -72,4 +72,21 @@ class EmptyInputSpec extends SparkSpec {
     // one lone group has no pairs, but must not throw
     assert(Dedup.sketchOverlap(Seq(("g", "tok")).toDF("id", "key")).isEmpty)
   }
+
+  test("event analytics and fingerprint additions handle empty input") {
+    import graft.events.EventAnalytics
+    import graft.text.TextAnalysis
+    val emptyEvents = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val funnel = EventAnalytics.funnel(
+      emptyEvents, Seq("signup", "view"), 86400L).collect()
+    assert(funnel.forall(_.getLong(2) == 0L), "empty funnel is all-zero counts")
+    assert(EventAnalytics.retention(emptyEvents, 30).isEmpty)
+    assert(EventAnalytics.valueQuantiles(
+      emptyEvents.withColumn("value", lit(1.0))).isEmpty)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.winnow(emptyDocs).isEmpty)
+    assert(TextAnalysis.vocabGrowth(emptyDocs).isEmpty)
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.events.EventAnalytics
+
+/** Hand-case coverage for the batch event-analytics operators (funnel,
+  * retention, exact quantiles). */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evts(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+
+  test("funnel: first-touch ordering, horizon cut, missing-entry users") {
+    val day = 86400L
+    val df = evts(Seq(
+      // u1 converts all three stages in order
+      (1L, "signup", 1000L), (1L, "view", 1010L), (1L, "purchase", 1020L),
+      // u2: purchase BEFORE its first view → stops at stage 2
+      (2L, "signup", 1000L), (2L, "purchase", 1005L), (2L, "view", 1010L),
+      // u3 never signs up → not in the funnel at all
+      (3L, "view", 1000L), (3L, "purchase", 1001L),
+      // u4: view lands beyond the 7-day horizon from signup
+      (4L, "signup", 1000L), (4L, "view", 1000L + 8 * day),
+      // u5: only activity before its signup
+      (5L, "view", 900L), (5L, "signup", 1000L)))
+    val got = EventAnalytics.funnel(df, Seq("signup", "view", "purchase"),
+        horizonSec = 7 * day)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, "signup", 4L), (2, "view", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: strict after — same-timestamp stage event does not count") {
+    val df = evts(Seq(
+      (1L, "signup", 1000L), (1L, "view", 1000L), // simultaneous: no
+      (2L, "signup", 1000L), (2L, "view", 1001L)))
+    val got = EventAnalytics.funnel(df, Seq("signup", "view"), 86400L)
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("retention: cohort day from first event, distinct days, offset cap") {
+    val day = 86400L
+    val jan1 = 1704067200L // 2024-01-01 00:00:00 UTC
+    val df = evts(Seq(
+      // u1: cohort Jan 1, active days 0, 1, 3 and one far day (offset 40)
+      (1L, "view", jan1 + 10), (1L, "view", jan1 + 20), // same day: 1 row
+      (1L, "view", jan1 + day + 5), (1L, "view", jan1 + 3 * day + 5),
+      (1L, "view", jan1 + 40 * day),
+      // u2: cohort Jan 1, active days 0, 1
+      (2L, "view", jan1 + 99), (2L, "view", jan1 + day + 1),
+      // u3: cohort Jan 2, active day 0 only
+      (3L, "view", jan1 + day + 7)))
+    val got = EventAnalytics.retention(df, maxOffsetDays = 30)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  test("valueQuantiles: linear interpolation on a known grid") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), ("b", 20.0))
+      .toDF("event_type", "value")
+    val got = EventAnalytics.valueQuantiles(df)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // a: ranks q·(n−1) over [1..5] → p25=2, p50=3, p90=4.6, p99=4.96
+    assert(got(0) == (("a", 5L, 2.0, 3.0, 4.6, 4.96)))
+    // b: two points → p = 10 + q·10
+    assert(got(1) == (("b", 2L, 12.5, 15.0, 19.0, 19.9)))
+  }
+}
