@@ -31,23 +31,37 @@ object Text {
       t => length(t) >= minLength && !array_contains(stop, t))
   }
 
+  /** Let-binding for Column expressions: evaluate `c` ONCE per row and
+    * hand it to `f` as a lambda variable. Higher-order functions are
+    * interpreted (not codegen'd) and re-evaluate every captured
+    * subexpression on EACH lambda invocation — so an expression argument
+    * referenced inside a per-element lambda (e.g. tokenize inside
+    * wordShingles) would otherwise be recomputed once per element:
+    * measured ~15× on the shingle family at sf0.1. Wrapping the value in
+    * a one-element array and transforming over it turns the reference
+    * into a NamedLambdaVariable — a cheap slot read. */
+  private def letBind(c: Column)(f: Column => Column): Column =
+    transform(array(c), f).getItem(0)
+
   /** Character q-grams (reference qgrams.py:38-52). `small ring` @ q=3 →
     * ["sma","mal","all", ...]. Values shorter than q yield no grams.
     * NB: `sequence(1, 0)` in Spark is the DESCENDING sequence [1,0], so
     * short values must be guarded explicitly. */
-  def qgrams(c: Column, q: Int = 3): Column =
-    when(length(c) < q, array().cast("array<string>"))
+  def qgrams(c: Column, q: Int = 3): Column = letBind(c) { v =>
+    when(length(v) < q, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(1), length(c) - lit(q - 1)),
-        i => c.substr(i, lit(q))))
+        sequence(lit(1), length(v) - lit(q - 1)),
+        i => v.substr(i, lit(q))))
+  }
 
   /** Word n-gram shingles over the token array (same descending-sequence
     * guard as [[qgrams]]). */
-  def wordShingles(tokens: Column, n: Int = 3): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
+  def wordShingles(tokens: Column, n: Int = 3): Column = letBind(tokens) { ts =>
+    when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(0), size(tokens) - lit(n)),
-        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+  }
 
   /** Strip RDF datatype suffix: `"42"^^xsd:int` → `"42"`
     * (reference ea_dataset.py:88-91). */
