@@ -227,11 +227,15 @@ final case class GraphPropagationEncoder(
           col("vec")(i) / 2.0 + coalesce(col(s"_d$i"), lit(0.0))): _*).as("vec"))
       f =
         if (l2NormalizeEachRound) {
-          // row-local norm: no extra stage
-          val nrm = sqrt(aggregate(transform(col("vec"), x => x * x), lit(0.0), _ + _))
+          // row-local norm: no extra stage. letBind the norm — captured
+          // inside the divide-lambda it would be re-aggregated per
+          // element (O(dims²) per row).
           combined.select(col("id"),
-            when(nrm === 0.0, col("vec"))
-              .otherwise(transform(col("vec"), _ / nrm)).as("vec"))
+            graft.functions.Text.letBind(
+              sqrt(aggregate(transform(col("vec"), x => x * x), lit(0.0), _ + _))) { nrm =>
+              when(nrm === 0.0, col("vec"))
+                .otherwise(transform(col("vec"), _ / nrm))
+            }.as("vec"))
         } else combined
     }
     f
@@ -295,11 +299,14 @@ final case class LightEAEncoder(
     val relEnt = edges.select(col("r"), col("src")).distinct().persist()
     val entRel = edges.select(col("dst").as("id"), col("r")).distinct().persist()
 
-    // row-local L2 norm (the reference's _my_norm / F.normalize)
-    def l2(vec: Column): Column = {
-      val nrm = sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
-      when(nrm === 0.0, vec).otherwise(transform(vec, _ / nrm))
-    }
+    // row-local L2 norm (the reference's _my_norm / F.normalize);
+    // letBind the norm so the divide-lambda doesn't re-aggregate it per
+    // element (O(dims²) per row)
+    def l2(vec: Column): Column =
+      graft.functions.Text.letBind(
+        sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))) { nrm =>
+        when(nrm === 0.0, vec).otherwise(transform(vec, _ / nrm))
+      }
     // per-dimension sum aggregates of `expr(vec[i])` → reassembled array
     def dimAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
                term: Int => Column): DataFrame = {

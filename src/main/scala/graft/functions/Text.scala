@@ -39,8 +39,10 @@ object Text {
     * wordShingles) would otherwise be recomputed once per element:
     * measured ~15× on the shingle family at sf0.1. Wrapping the value in
     * a one-element array and transforming over it turns the reference
-    * into a NamedLambdaVariable — a cheap slot read. */
-  private def letBind(c: Column)(f: Column => Column): Column =
+    * into a NamedLambdaVariable — a cheap slot read. Generic Column
+    * combinator (public: the vector/encoder kernels bind their norms
+    * with it too). */
+  def letBind(c: Column)(f: Column => Column): Column =
     transform(array(c), f).getItem(0)
 
   /** Character q-grams (reference qgrams.py:38-52). `small ring` @ q=3 →

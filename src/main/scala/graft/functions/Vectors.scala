@@ -34,10 +34,12 @@ object Vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** a / ‖a‖₂ as array<double> (zero vectors pass through unchanged). */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    when(n === 0.0, transform(a, x => x.cast("double")))
-      .otherwise(transform(a, x => x.cast("double") / n))
-  }
+  /** a / ‖a‖₂ as array<double> (zero vectors pass through unchanged).
+    * The norm is letBound — captured inside the divide-lambda it would
+    * be recomputed per element (O(d²) per row). */
+  def normalize(a: Column): Column =
+    Text.letBind(l2Norm(a)) { n =>
+      when(n === 0.0, transform(a, x => x.cast("double")))
+        .otherwise(transform(a, x => x.cast("double") / n))
+    }
 }
