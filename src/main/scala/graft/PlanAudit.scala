@@ -54,7 +54,9 @@ object PlanAudit {
     "tx_temperature_mix" -> "one-row N and Z totals crossJoin(broadcast) into the groups-sized weight table",
     "tx_dsir_weight" -> "one-row model-totals crossJoin(broadcast) into the bucket-bounded LLR join",
     "dd_embedding_decontam" -> "benchmark-sized broadcast scanned per corpus row (the decontam contract; bucket both sides for non-broadcastable benchmarks)",
-    "tx_vocab_growth" -> "10-row checkpoint table crossJoin(broadcast) into the vocab-keyed rollup (TextAnalysis.vocabGrowth)")
+    "tx_vocab_growth" -> "10-row checkpoint table crossJoin(broadcast) into the vocab-keyed rollup (TextAnalysis.vocabGrowth)",
+    "rel_pagerank" -> "one-row node-count broadcast into each power-iteration rescale (PageRank.pageRank)",
+    "tx_lm_bigram" -> "one-row (N, V) model-totals broadcast into the backoff projection (TextAnalysis.lmBigramScore)")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -1023,6 +1023,42 @@ object DedupQueries {
            |GROUP BY dt.id ORDER BY dt.id""".stripMargin
       }),
 
+    // ---- bigram LM scoring, stupid backoff (Brants et al. 2007) ---------
+    "tx_lm_bigram" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.lmBigramScore(docs, docs.filter(col("source") === "src0"))
+          .orderBy("id")
+      },
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        def toks(rel: String) =
+          s"""SELECT cast(doc_id AS varchar) AS id,
+             |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+             |              t -> length(t) >= 3 AND NOT list_contains($stop, t)) AS l
+             |FROM $rel""".stripMargin
+        s"""WITH base AS (${toks("documents")}),
+           |rbase AS (${toks("(SELECT * FROM documents WHERE source = 'src0')")}),
+           |runi AS (SELECT t AS tok, count(*) AS cu
+           |         FROM (SELECT unnest(l) AS t FROM rbase) GROUP BY 1),
+           |tot AS (SELECT sum(cu)::double AS n, count(*)::double AS v FROM runi),
+           |rbi AS (SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS cb
+           |        FROM rbase, range(1, 100000) r(i) WHERE i + 1 <= len(l)
+           |        GROUP BY 1, 2),
+           |db AS (SELECT id, l[i] AS w1, l[i+1] AS w2
+           |       FROM base, range(1, 100000) r(i) WHERE i + 1 <= len(l)),
+           |s AS (SELECT id,
+           |        CASE WHEN cb IS NOT NULL THEN cb / u1.cu
+           |             ELSE 0.4 * (coalesce(u2.cu, 0) + 1.0) / (tot.n + tot.v)
+           |        END AS s
+           |      FROM db LEFT JOIN rbi USING (w1, w2)
+           |              LEFT JOIN runi u1 ON u1.tok = db.w1
+           |              LEFT JOIN runi u2 ON u2.tok = db.w2, tot)
+           |SELECT id, count(*) AS n_bigrams,
+           |       floor((avg(-ln(s))) * 1e6 + 0.5) / 1e6 AS nll_e6
+           |FROM s GROUP BY id ORDER BY id""".stripMargin
+      }),
+
     // ---- deterministic stratified split ----------------------------------
     "tx_split_assign" -> QueryDef(
       (s, dir) => TextAnalysis.splitAssign(

@@ -419,6 +419,56 @@ object RelationalQueries {
              |  GROUP BY p_name||' '||p_brand||' '||p_size
              |  HAVING count(DISTINCT p_partkey) = 1)
              |SELECT p_partkey, p_name||' '||p_brand||' '||p_size AS v FROM part
-             |ANTI JOIN uniq ON p_partkey = cid ORDER BY p_partkey""".stripMargin))
+             |ANTI JOIN uniq ON p_partkey = cid ORDER BY p_partkey""".stripMargin)),
+
+    // ---- fixed-iteration PageRank over the customer–supplier graph ------
+    // undirected bipartite trade graph (customer c<k> — supplier s<k>
+    // whenever a lineitem links them), both arc directions materialized
+    // → no dangling nodes. 3 power iterations; ranks are scaled by N
+    // (≈1.0 signal) and stable-rounded to 4 decimals so the two engines'
+    // sum orders cannot flip a decimal (the m8/m9 iterative-aggregation
+    // precision protocol).
+    "rel_pagerank" -> QueryDef(
+      (s, dir) => {
+        val pairs = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("su"))
+          .distinct()
+        val arcs = pairs.select(col("c").as("src"), col("su").as("dst"))
+          .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
+        val ranks = graft.relational.PageRank.pageRank(arcs, 3)
+        // node count from the (checkpointed, node-sized) rank table —
+        // recomputing it from `arcs` would re-run the lineitem join
+        val nDf = ranks.agg(count(lit(1)).as("n"))
+        ranks
+          .crossJoin(broadcast(nDf))
+          .select(col("node"), Num.stableRound(col("r") * col("n"), 4).as("rank_x"))
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |arcs AS (
+             |  SELECT c AS src, su AS dst FROM pairs
+             |  UNION ALL SELECT su, c FROM pairs),
+             |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM deg),
+             |r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg, n),
+             |m1 AS (SELECT a.dst AS node, sum(r.r / d.dg) AS m
+             |       FROM arcs a JOIN r0 r ON a.src = r.node
+             |                   JOIN deg d ON a.src = d.src GROUP BY 1),
+             |r1 AS (SELECT node, 0.15 / n.n + 0.85 * m AS r FROM m1, n),
+             |m2 AS (SELECT a.dst AS node, sum(r.r / d.dg) AS m
+             |       FROM arcs a JOIN r1 r ON a.src = r.node
+             |                   JOIN deg d ON a.src = d.src GROUP BY 1),
+             |r2 AS (SELECT node, 0.15 / n.n + 0.85 * m AS r FROM m2, n),
+             |m3 AS (SELECT a.dst AS node, sum(r.r / d.dg) AS m
+             |       FROM arcs a JOIN r2 r ON a.src = r.node
+             |                   JOIN deg d ON a.src = d.src GROUP BY 1),
+             |r3 AS (SELECT node, 0.15 / n.n + 0.85 * m AS r FROM m3, n)
+             |SELECT node, floor((r * n.n) * 1e4 + 0.5) / 1e4 AS rank_x
+             |FROM r3, n ORDER BY node""".stripMargin))
   )
 }

@@ -1,0 +1,52 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an arc list — the standard importance
+  * measure for entity graphs (Page et al. 1999), complementing the
+  * degree/frequency importances in [[Relational]] (A4/A5). Declarative
+  * power iteration: every round is one arcs⋈ranks keyed equi-join plus a
+  * partial-agg sum — the GraphX/Pregel dataflow re-expressed as Catalyst
+  * plans, so AQE handles skew and the oracle can replay it as SQL.
+  *
+  * `arcs` must contain both directions if the graph is undirected; with
+  * that construction every node with an edge has out-degree ≥ 1, so
+  * there is no dangling-mass correction term (documented contract —
+  * callers with genuinely directed graphs must add the dangling term
+  * themselves).
+  *
+  * 100 TB shape: arcs and the out-degree table are persisted across the
+  * (fixed, small) iteration count and released after a final
+  * localCheckpoint truncates the result's lineage — the [[graft.dedup.Dedup]]
+  * components pattern. All joins are keyed by node id; the only
+  * broadcast is the one-row node count. Ranks are node-sized.
+  */
+object PageRank {
+
+  /** @param arcs (src, dst) arc list
+    * @return (node, r) — r the PageRank after `iterations` rounds from a
+    *         uniform start, damping `d`: r(v) = (1−d)/N + d·Σ r(u)/deg(u).
+    */
+  def pageRank(arcs: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val a = arcs.select(col("src"), col("dst")).persist()
+    val deg = a.groupBy("src").agg(count(lit(1)).as("dg")).persist()
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iterations) {
+      val m = a.join(deg, Seq("src"))
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("r") / col("dg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      r = m.crossJoin(broadcast(nDf))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) * col("m")).as("r"))
+    }
+    val out = r.localCheckpoint()
+    deg.unpersist()
+    a.unpersist()
+    out
+  }
+}

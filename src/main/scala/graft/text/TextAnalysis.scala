@@ -541,6 +541,62 @@ object TextAnalysis {
       (col(idCol).cast("string").as("id") +: counts :+ redacted.as("redacted")): _*)
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM smoothing that needs no held-out tuning): for each
+    * in-document bigram (w1, w2),
+    *
+    *   S(w2|w1) = c(w1 w2) / c(w1)            if the bigram is in the
+    *                                          reference model,
+    *            = α · (c(w2)+1) / (N+V)       otherwise (add-one-
+    *                                          smoothed unigram backoff),
+    *
+    * α = 0.4 per the paper; output is the per-document mean negative
+    * log score — the upgrade path from the unigram [[lmScore]] when
+    * ranking corpus text against a reference slice.
+    *
+    * 100 TB shape: the unigram and bigram model tables are JOINED on
+    * their feature keys (vocab- and bigram-vocab-sized — at web scale
+    * they do not broadcast; AQE may still choose broadcast when they
+    * fit). Only the one-row (N, V) totals are broadcast. The corpus
+    * pays one token scan; bigrams are row-local slices of the token
+    * array (no self-join). */
+  def lmBigramScore(docs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.4): DataFrame = {
+    def bigramRows(df: DataFrame): DataFrame = {
+      val withT = df.select(col(idCol).cast("string").as("id"),
+        Text.tokenize(col(textCol)).as("ts"))
+      withT
+        .filter(size(col("ts")) >= 2)
+        .select(col("id"), explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+          slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bi"))
+        .select(col("id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"))
+    }
+    val refToks = refDocs
+      .select(explode(Text.tokenize(col(textCol))).as("tok"))
+    val uni = refToks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val bi = bigramRows(refDocs).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum(col("cu")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    bigramRows(docs)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s",
+        when(col("cb").isNotNull, col("cb") / col("cu1"))
+          .otherwise(lit(alpha) * (coalesce(col("cu2"), lit(0L)) + lit(1.0))
+            / (col("n") + col("v"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.stableRound(avg(-log(col("s"))), 6).as("nll_e6"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
     * character k-gram of the normalized text (lowercased,

@@ -703,6 +703,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.size == 1)
   }
 
+  test("lmBigramScore: stupid backoff hand case — seen ratio, unseen backoff") {
+    val ref = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    // ref unigrams: alpha=2, beta=1, gamma=1 → N=4, V=3
+    // ref bigrams: (alpha,beta), (beta,alpha), (alpha,gamma)
+    val docs = Seq(
+      (10L, "alpha beta gamma"), // (alpha,beta) seen: 1/2; (beta,gamma) unseen
+      (11L, "alpha")) // single token: no bigrams → absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmBigramScore(docs, ref)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = {
+      val s1 = 1.0 / 2.0
+      val s2 = 0.4 * (1 + 1.0) / (4 + 3.0)
+      val nll = (-math.log(s1) + -math.log(s2)) / 2
+      math.floor(nll * 1e6 + 0.5) / 1e6
+    }
+    assert(got.keySet == Set("10"))
+    assert(got("10")._1 == 2L)
+    assert(math.abs(got("10")._2 - expected) < 1e-9)
+  }
+
   test("vocabGrowth: deciles, thresholds, first-occurrence counting") {
     // doc i introduces token "toki00"; "common" first occurs in doc 0.
     val docs = (0L until 10L).map(i => (i, s"tok${i}00 common"))

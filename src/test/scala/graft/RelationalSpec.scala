@@ -108,4 +108,23 @@ class RelationalSpec extends SparkSpec {
     val approx = Relational.countEntitiesApprox(attr, rel, 0.05)
     assert(math.abs(approx - exact).toDouble / exact < 0.15, s"$approx vs $exact")
   }
+
+  test("pageRank: hand-computed path graph, mass conservation, symmetry") {
+    // undirected path a — b — c, arcs in both directions
+    val arcs = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // one iteration from uniform 1/3: deg(a)=deg(c)=1, deg(b)=2
+    //   m(a) = m(c) = r(b)/2 = 1/6 → 0.05 + 0.85/6
+    //   m(b) = r(a) + r(c) = 2/3  → 0.05 + 0.85·2/3
+    val r1 = graft.relational.PageRank.pageRank(arcs, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("a") - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1("b") - (0.05 + 0.85 * 2 / 3)) < 1e-12)
+    assert(r1("a") == r1("c"), "symmetric endpoints rank equally")
+    // no dangling nodes → total mass stays 1 every round
+    val r3 = graft.relational.PageRank.pageRank(arcs, 3)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(r3.sum - 1.0) < 1e-9)
+    assert(r3.length == 3)
+  }
 }
