@@ -1041,7 +1041,8 @@ object DedupQueries {
            |rbase AS (${toks("(SELECT * FROM documents WHERE source = 'src0')")}),
            |runi AS (SELECT t AS tok, count(*) AS cu
            |         FROM (SELECT unnest(l) AS t FROM rbase) GROUP BY 1),
-           |tot AS (SELECT sum(cu)::double AS n, count(*)::double AS v FROM runi),
+           |tot AS (SELECT coalesce(sum(cu), 0)::double AS n,
+           |               count(*)::double AS v FROM runi),
            |rbi AS (SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS cb
            |        FROM rbase, range(1, 100000) r(i) WHERE i + 1 <= len(l)
            |        GROUP BY 1, 2),
@@ -1049,7 +1050,8 @@ object DedupQueries {
            |       FROM base, range(1, 100000) r(i) WHERE i + 1 <= len(l)),
            |s AS (SELECT id,
            |        CASE WHEN cb IS NOT NULL THEN cb / u1.cu
-           |             ELSE 0.4 * (coalesce(u2.cu, 0) + 1.0) / (tot.n + tot.v)
+           |             ELSE 0.4 * (coalesce(u2.cu, 0) + 1.0)
+           |                  / greatest(tot.n + tot.v, 1)
            |        END AS s
            |      FROM db LEFT JOIN rbi USING (w1, w2)
            |              LEFT JOIN runi u1 ON u1.tok = db.w1

@@ -579,7 +579,12 @@ object TextAnalysis {
     val uni = refToks.groupBy("tok").agg(count(lit(1)).as("cu"))
     val bi = bigramRows(refDocs).groupBy("w1", "w2")
       .agg(count(lit(1)).as("cb"))
-    val totals = uni.agg(sum(col("cu")).cast("double").as("n"),
+    // coalesce + greatest guard the EMPTY-model degenerate case (sum over
+    // no rows is NULL; a zero denominator would null every score): with
+    // no reference data every bigram backs off to α·1/1. Non-empty
+    // models always have n + v ≥ 2, so the guard never changes them.
+    val totals = uni.agg(
+      coalesce(sum(col("cu")), lit(0L)).cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
     bigramRows(docs)
       .join(bi, Seq("w1", "w2"), "left")
@@ -591,7 +596,7 @@ object TextAnalysis {
       .withColumn("s",
         when(col("cb").isNotNull, col("cb") / col("cu1"))
           .otherwise(lit(alpha) * (coalesce(col("cu2"), lit(0L)) + lit(1.0))
-            / (col("n") + col("v"))))
+            / greatest(col("n") + col("v"), lit(1.0))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         Num.stableRound(avg(-log(col("s"))), 6).as("nll_e6"))

@@ -89,4 +89,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.winnow(emptyDocs).isEmpty)
     assert(TextAnalysis.vocabGrowth(emptyDocs).isEmpty)
   }
+
+  test("pageRank and bigram LM handle empty input") {
+    val emptyArcs = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.relational.PageRank.pageRank(emptyArcs, 3).isEmpty)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(graft.text.TextAnalysis.lmBigramScore(emptyDocs, docs).isEmpty)
+    // empty reference: every bigram backs off; must not throw or NaN
+    val backedOff = graft.text.TextAnalysis.lmBigramScore(docs, emptyDocs)
+      .collect()
+    assert(backedOff.length == 1 && !backedOff(0).getDouble(2).isNaN)
+  }
 }
