@@ -56,7 +56,8 @@ object PlanAudit {
     "dd_embedding_decontam" -> "benchmark-sized broadcast scanned per corpus row (the decontam contract; bucket both sides for non-broadcastable benchmarks)",
     "tx_vocab_growth" -> "10-row checkpoint table crossJoin(broadcast) into the vocab-keyed rollup (TextAnalysis.vocabGrowth)",
     "rel_pagerank" -> "one-row node-count broadcast into each power-iteration rescale (PageRank.pageRank)",
-    "tx_lm_bigram" -> "one-row (N, V) model-totals broadcast into the backoff projection (TextAnalysis.lmBigramScore)")
+    "tx_lm_bigram" -> "one-row (N, V) model-totals broadcast into the backoff projection (TextAnalysis.lmBigramScore)",
+    "ev_zorder_stats" -> "one-row dimension-bounds broadcast into the range normalization (EventAnalytics.zOrderStats)")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -95,6 +95,68 @@ object EventAnalytics {
         col("day_offset").cast("int").as("day_offset"), col("users"))
   }
 
+  /** Rolling z-score anomaly signal: each event's value standardized
+    * against the mean/stddev of that user's previous `window` events
+    * (strictly preceding — the frame ends at −1, so the score never
+    * sees its own value). Events with fewer than `minPrev` predecessors
+    * are omitted (warm-up); a zero stddev (constant history) scores 0.
+    * Emitting the score for EVERY qualifying event rather than
+    * thresholding keeps the row set integer-deterministic across
+    * engines — the consumer applies its own |z| cut.
+    *
+    * Scale shape: one window partitioned BY USER ordered by (ts, id) —
+    * per-key sort, bounded frame, no global ordering; the streaming
+    * analog is a per-key ring buffer in mapGroupsWithState. */
+  def rollingZScore(events: DataFrame, window: Int = 20, minPrev: Int = 10,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    events
+      .withColumn("_n", count(col(valueCol)).over(w))
+      .withColumn("_mean", avg(col(valueCol)).over(w))
+      .withColumn("_sd", stddev_samp(col(valueCol)).over(w))
+      .filter(col("_n") >= minPrev)
+      .select(col(idCol), col(keyCol), col("_n").as("n_prev"),
+        Num.stableRound(
+          when(col("_sd") > 0, (col(valueCol) - col("_mean")) / col("_sd"))
+            .otherwise(lit(0.0)), 4).as("z"))
+  }
+
+  /** Z-order (Morton) layout statistics: interleave the low 16 bits of
+    * the user id with the event's epoch-hour index ([[Num.zOrder16]]),
+    * bucket the 32-bit z-value by its top bits, and report per bucket
+    * how many rows, distinct users, and what hour span it covers. Small
+    * per-bucket spans in BOTH dimensions are the locality property that
+    * makes ZORDER-clustered layouts prune on either predicate — at
+    * scale the companion write path is `repartitionByRange(z)` before
+    * the sink; this query is the measurement side. */
+  def zOrderStats(events: DataFrame, bucketShift: Int = 26,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val hr = expr(s"unix_micros($tsCol) div 3600000000")
+    val base = events.select(col(userCol).as("u"), hr.as("hr"))
+    // Range-normalize each dimension to its full 16-bit span before
+    // interleaving (integer arithmetic only — bit-identical in any
+    // engine): raw ids/hours occupy a narrow sub-range, which would
+    // leave the z-value's HIGH bits constant and collapse every row
+    // into one bucket. This is what production ZORDER writers do too
+    // (Delta range-partitions on the dimension's observed range).
+    val bounds = base.agg(min(col("u")).as("ulo"), max(col("u")).as("uhi"),
+      min(col("hr")).as("hlo"), max(col("hr")).as("hhi"))
+    base.crossJoin(broadcast(bounds))
+      .select(
+        Num.zOrder16(
+          expr("(u - ulo) * 65535 div greatest(uhi - ulo, 1)"),
+          expr("(hr - hlo) * 65535 div greatest(hhi - hlo, 1)")).as("z"),
+        col("u"), col("hr"))
+      .groupBy(shiftright(col("z"), bucketShift).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("u")).as("users"),
+        (max(col("hr")) - min(col("hr"))).as("hour_span"))
+  }
+
   /** Exact linear-interpolated quantiles of a value column per group:
     * count plus p25/p50/p90/p99, rounded engine-stably to 4 decimals.
     *

@@ -54,4 +54,36 @@ object Num {
   /** DuckDB SQL mirror of [[gridSafeRound]], kept in lockstep. */
   def gridSafeRoundSql(expr: String, d: Int): String =
     stableRoundSql(s"($expr) + 1e-9", d)
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit values — the
+    * multi-dimensional clustering key behind ZORDER-style data layout
+    * (Morton 1966; the Delta/Iceberg OPTIMIZE technique): sorting by
+    * z(a, b) keeps rows close in BOTH dimensions physically adjacent,
+    * so a range predicate on either column prunes most files. Classic
+    * magic-number bit spreading — four shift/mask rounds per side,
+    * pure integer arithmetic, identical in any engine with `<<`/`&`/`|`.
+    * Inputs are masked to 16 bits (callers hash or bucket wider
+    * domains first). */
+  def zOrder16(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val x0 = x.bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** DuckDB SQL mirror of [[zOrder16]], kept in lockstep. */
+  def zOrder16Sql(a: String, b: String): String = {
+    def spread(x: String): String = {
+      val x0 = s"(($x) & 65535)"
+      val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+      val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+      val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+      s"(($x3 | ($x3 << 1)) & 1431655765)"
+    }
+    s"(${spread(a)} | (${spread(b)} << 1))"
+  }
 }

@@ -490,6 +490,100 @@ object EventQueries {
              |  floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- rolling z-score anomaly signal ----------------------------------
+    "ev_rolling_zscore" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.rollingZScore(
+        QueryDef.events(s, dir)).orderBy("event_id"),
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id,
+             |         count(value) OVER win AS n,
+             |         avg(value) OVER win AS mean,
+             |         stddev_samp(value) OVER win AS sd,
+             |         value
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, n AS n_prev,
+             |       floor((CASE WHEN sd > 0 THEN (value - mean) / sd
+             |                   ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS z
+             |FROM w WHERE n >= 10 ORDER BY event_id""".stripMargin)),
+
+    // ---- Z-order (Morton) layout statistics ------------------------------
+    "ev_zorder_stats" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.zOrderStats(
+        QueryDef.events(s, dir)).orderBy("bucket"),
+      Some {
+        val z = Num.zOrder16Sql("a16", "b16")
+        s"""WITH e AS (
+           |  SELECT user_id AS u, (epoch_ns(ts) // 1000) // 3600000000 AS hr
+           |  FROM events),
+           |bounds AS (
+           |  SELECT min(u) AS ulo, max(u) AS uhi,
+           |         min(hr) AS hlo, max(hr) AS hhi FROM e),
+           |nrm AS (
+           |  SELECT u, hr,
+           |         (u - ulo) * 65535 // greatest(uhi - ulo, 1) AS a16,
+           |         (hr - hlo) * 65535 // greatest(hhi - hlo, 1) AS b16
+           |  FROM e, bounds),
+           |zv AS (SELECT u, hr, $z AS z FROM nrm)
+           |SELECT (z >> 26)::int AS bucket, count(*) AS n,
+           |       count(DISTINCT u) AS users,
+           |       (max(hr) - min(hr))::bigint AS hour_span
+           |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ---- streaming funnel, batch form ------------------------------------
+    // single-batch run of streamFunnel: greedy advancement over the
+    // per-key (us, id)-sorted feed ≡ the batch min-time chaining, so the
+    // ev_funnel oracle applies verbatim. Cross-batch state and late-data
+    // behavior are spec-tested in StreamingSpec. Stages with no users
+    // are kept as zero rows via the static stage frame (matching the
+    // batch operator's all-stages output).
+    "st_funnel" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val stages = Seq("signup", "view", "purchase")
+        val idx = stages.zipWithIndex
+          .foldLeft(lit(0)) { case (acc, (n, i)) =>
+            when(col("event_type") === n, i + 1).otherwise(acc)
+          }
+        val ev = QueryDef.events(s, dir)
+          .filter(col("event_type").isin(stages: _*))
+          .select(col("user_id").cast("string").as("key"),
+            idx.as("stage"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("id"))
+          .as[StreamingOps.FunnelEvent]
+        val counts = StreamingOps.streamFunnel(ev, stages.size, 7 * 86400L)
+          .toDF().groupBy("stage").agg(count(lit(1)).as("n"))
+        stages.zipWithIndex.map { case (n, i) => (i + 1, n) }
+          .toDF("stage", "event_type")
+          .join(counts, Seq("stage"), "left")
+          .select(col("stage"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("users"))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+             |s1 AS (
+             |  SELECT user_id, min(us) AS t0
+             |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, t0, min(us) AS t1
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'view' AND us > t0 AND us <= t0 + 604800000000
+             |  GROUP BY 1, 2),
+             |s3 AS (
+             |  SELECT e.user_id, min(us) AS t2
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > t1 AND us <= t0 + 604800000000
+             |  GROUP BY 1)
+             |SELECT 1 AS stage, 'signup' AS event_type,
+             |       (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+             |ORDER BY stage""".stripMargin)),
+
     // ---- streaming CDC compaction, batch form ----------------------------
     // single-batch run of streamCompactLatest: state starts empty, each
     // key emits exactly its winning row ≡ compactLatest, so the

@@ -807,6 +807,65 @@ object StreamingOps {
       }
   }
 
+  /** [[streamFunnel]] record: stage is the 1-based index of the event's
+    * funnel stage (callers map event types to indices; non-stage events
+    * are filtered before the operator). */
+  final case class FunnelEvent(key: String, stage: Int, us: Long, id: Long)
+
+  /** Per-user funnel progress: highest stage reached, entry time, time
+    * of the latest advancement. */
+  final case class FunnelState(reached: Int, t0: Long, tPrev: Long)
+
+  /** One advancement record — a user reaching `stage`. The per-stage
+    * user counts of the batch funnel are `count(*) GROUP BY stage` over
+    * this changelog (each user emits each stage at most once). */
+  final case class FunnelAdvance(key: String, stage: Int, us: Long)
+
+  /** Streaming first-touch funnel — the stateful-stream form of
+    * [[graft.events.EventAnalytics.funnel]]: per user, greedily advance
+    * through stages 1..nStages in event-time order; stage s > 1 counts
+    * only strictly after the previous advancement and within
+    * `horizonSec` of the stage-1 entry. Greedy advancement over a
+    * time-ordered feed is exactly the batch min-time chaining (each
+    * stage's time is the earliest qualifying occurrence given the
+    * previous ones), so a single-batch run ≡ the batch funnel and
+    * `st_funnel` shares `ev_funnel`'s oracle.
+    *
+    * State per user is one (reached, t0, tPrev) triple — O(1), bounded
+    * by the key universe. Within a batch, records sort by (us, id)
+    * (group-iterator order is partition-dependent; the contract is
+    * event-time order). Late-data contract: an event older than the
+    * latest advancement cannot retroactively improve the chain —
+    * earlier qualifying occurrences that arrive late are absorbed
+    * without effect (the O(1)-state price, stated not hidden; per-key
+    * ordered feeds never hit it). */
+  def streamFunnel(events: Dataset[FunnelEvent], nStages: Int,
+      horizonSec: Long)(
+      implicit spark: SparkSession): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    val horizonUs = horizonSec * 1000000L
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val out = batch.toSeq.sortBy(e => (e.us, e.id)).flatMap { e =>
+            val advances =
+              if (e.stage == 1 && st.reached == 0) true
+              else e.stage == st.reached + 1 && st.reached >= 1 &&
+                e.us > st.tPrev && e.us <= st.t0 + horizonUs
+            if (advances && e.stage <= nStages) {
+              st = FunnelState(e.stage,
+                if (e.stage == 1) e.us else st.t0, e.us)
+              Some(FunnelAdvance(key, e.stage, e.us))
+            } else None
+          }
+          if (st.reached > 0) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
       implicit spark: SparkSession): Dataset[TokenRecord] = {

@@ -62,6 +62,54 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("zOrder16 matches a reference bit-interleave") {
+    def ref(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1).toLong << (2 * i)
+        z |= ((b >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0, 0), (3, 5), (65535, 0), (0, 65535), (12345, 54321),
+      (65535, 65535), (1, 2))
+    val df = cases.toDF("a", "b")
+      .select(graft.functions.Num.zOrder16(col("a"), col("b")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) })
+  }
+
+  test("rollingZScore: hand-computed window stats, warm-up cut, self-exclusion") {
+    val rows = (1 to 15).map(i => (1L, 1000L + i, i.toLong, i.toDouble))
+    val df = rows.toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val got = graft.events.EventAnalytics.rollingZScore(df)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // first scored event is #11 (10 predecessors); prev = 1..10 →
+    // mean 5.5, sd = sqrt(82.5/9); z = (11 − 5.5)/sd
+    assert(got.head._1 == 11L && got.head._2 == 10L)
+    val sd = math.sqrt(82.5 / 9)
+    val expect = math.floor((11 - 5.5) / sd * 1e4 + 0.5) / 1e4
+    assert(got.head._3 == expect)
+    assert(got.length == 5, "events 11..15 scored, 1..10 are warm-up")
+  }
+
+  test("zOrderStats: buckets cover small spans in BOTH dimensions") {
+    val jan1 = 1704067200L
+    val rows = for (u <- 0 until 64; h <- 0 until 64)
+      yield (u.toLong, jan1 + h * 3600L)
+    val df = rows.toDF("user_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val got = graft.events.EventAnalytics.zOrderStats(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 64, "top-6-bit buckets over a full 64×64 grid")
+    // each bucket must be local in BOTH dimensions: 1/8 of the users AND
+    // 1/8 of the hour range (the z-order guarantee a 1-D sort cannot give)
+    assert(got.forall(_._3 <= 8), "≤ 1/8 of users per bucket")
+    assert(got.forall(_._4 <= 8), "≤ 1/8 of the hour range per bucket")
+  }
+
   test("valueQuantiles: linear interpolation on a known grid") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),

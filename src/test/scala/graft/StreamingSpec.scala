@@ -797,6 +797,62 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamFunnel: cross-batch advancement, horizon cut, late-data absorb") {
+    import graft.streaming.StreamingOps.{FunnelEvent, FunnelAdvance}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val day = 86400L * 1000000L
+    val mem = MemoryStream[FunnelEvent]
+    val sq = StreamingOps.streamFunnel(mem.toDS(), 3, 7 * 86400L)
+      .writeStream.format("memory").queryName("fn")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 enters + views; u2 enters; u3 views without entering
+      mem.addData(
+        FunnelEvent("u1", 1, 1000L, 1L), FunnelEvent("u1", 2, 2000L, 2L),
+        FunnelEvent("u2", 1, 1000L, 3L),
+        FunnelEvent("u3", 2, 1000L, 4L))
+      sq.processAllAvailable()
+      // batch 2: u1 completes (cross-batch state); u2's stage-2 lands
+      // beyond the horizon; a LATE stage-2 for u1 (older than its last
+      // advancement) is absorbed without effect
+      mem.addData(
+        FunnelEvent("u1", 3, 3000L, 5L),
+        FunnelEvent("u2", 2, 1000L + 8 * day, 6L),
+        FunnelEvent("u1", 2, 1500L, 7L))
+      sq.processAllAvailable()
+      val got = spark.table("fn").as[FunnelAdvance].collect()
+        .map(a => (a.key, a.stage)).sorted.toSeq
+      assert(got == Seq(("u1", 1), ("u1", 2), ("u1", 3), ("u2", 1)))
+    } finally sq.stop()
+  }
+
+  test("streamFunnel single batch equals the batch funnel on shuffled events") {
+    import graft.streaming.StreamingOps.FunnelEvent
+    implicit val sess = spark
+    // deterministic pseudo-random event log over 8 users, deliberately
+    // out of order (the operator sorts per key by (us, id))
+    val evs = for {
+      u <- 1 to 8; i <- 1 to 12
+      st = (u * 7 + i * 5) % 3 + 1
+      us = ((i * 37 + u * 13) % 50) * 1000L
+    } yield FunnelEvent(s"u$u", st, us, (u * 100 + i).toLong)
+    val adv = StreamingOps.streamFunnel(
+      evs.reverse.toDS(), 3, horizonSec = 1).toDF()
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchDf = evs.map(e =>
+        (e.key, Seq("signup", "view", "purchase")(e.stage - 1), e.us / 1000000.0))
+      .toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_micros((col("sec") * 1000000L).cast("long")))
+    val batch = graft.events.EventAnalytics.funnel(
+        batchDf, Seq("signup", "view", "purchase"), horizonSec = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(adv.keySet.forall(s => adv(s) == batch(s)),
+      s"stream $adv vs batch $batch")
+    assert(batch.filter(_._2 > 0).keySet == adv.keySet)
+  }
+
   test("watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
