@@ -57,7 +57,8 @@ object PlanAudit {
     "tx_vocab_growth" -> "10-row checkpoint table crossJoin(broadcast) into the vocab-keyed rollup (TextAnalysis.vocabGrowth)",
     "rel_pagerank" -> "one-row node-count broadcast into each power-iteration rescale (PageRank.pageRank)",
     "tx_lm_bigram" -> "one-row (N, V) model-totals broadcast into the backoff projection (TextAnalysis.lmBigramScore)",
-    "ev_zorder_stats" -> "one-row dimension-bounds broadcast into the range normalization (EventAnalytics.zOrderStats)")
+    "ev_zorder_stats" -> "one-row dimension-bounds broadcast into the range normalization (EventAnalytics.zOrderStats)",
+    "mh_lsh_tuning" -> "5-row (b, r) config table crossJoin(broadcast) over the 19-row similarity grid (MinHash.lshTuningCurve)")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -141,6 +141,25 @@ object MinHash {
         .mkString("||','||")
       s"SELECT id, '$j:'||md5($parts) AS key FROM ($sigRel)"
     }.mkString(" UNION ALL ")
+
+  /** LSH (b, r) tuning curve: for each candidate banding (b bands × r
+    * rows, b·r = numPerm) and Jaccard similarity s on a grid, the
+    * collision probability 1 − (1 − sʳ)ᵇ — the S-curve whose threshold
+    * ≈ (1/b)^(1/r) governs the recall/candidate-volume trade-off
+    * (Leskovec/Rajaraman/Ullman, MMDS ch. 3). Principled parameter
+    * selection before a corpus-scale run costs one 100-row table. */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], steps: Int = 20): DataFrame = {
+    import spark.implicits._
+    val grid = spark.range(1, steps.toLong)
+      .select((col("id").cast("double") / steps).as("s"))
+    val br = configs.toDF("b", "r")
+    grid.crossJoin(broadcast(br))
+      .select(Num.stableRound(col("s"), 6).as("s"), col("b"), col("r"),
+        Num.stableRound(
+          lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b")),
+          6).as("p_collide"))
+  }
 }
 
 /** SimHash: 60-bit near-duplicate fingerprints from the same md5 hash

@@ -490,6 +490,33 @@ object EventQueries {
              |  floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- mergeable HLL sketches with an honest tolerance gate ------------
+    // the 100-TB architecture: per-DAY DataSketches HLL partials built
+    // map-side, union-merged across days, estimated once — distinct
+    // counting without re-shuffling raw ids. DuckDB can't replay the
+    // sketch, so the oracle checks the exact count plus a pinned
+    // within-5% invariant (`hll_ok` must be true) — the mh_mllib-style
+    // invariant-oracle, honest rather than rows-only.
+    "ev_hll_users" -> QueryDef(
+      (s, dir) => {
+        val ev = QueryDef.events(s, dir)
+        val daily = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .join(merged, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= col("exact_users") * lit(0.05)).as("hll_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |       true AS hll_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- rolling z-score anomaly signal ----------------------------------
     "ev_rolling_zscore" -> QueryDef(
       (s, dir) => graft.events.EventAnalytics.rollingZScore(

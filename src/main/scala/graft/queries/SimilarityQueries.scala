@@ -919,6 +919,19 @@ object SimilarityQueries {
            |  FROM pcn)
            |SELECT doc_id, floor((d0*px + d1*py) * 1e6 + 0.5) / 1e6 AS c0
            |FROM emb, canon ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- LSH (b, r) tuning S-curves --------------------------------------
+    "mh_lsh_tuning" -> QueryDef(
+      (s, dir) => MinHash.lshTuningCurve(s,
+          Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+        .orderBy("s", "b"),
+      Some("""WITH grid AS (SELECT i / 20.0 AS s FROM range(1, 20) r(i)),
+             |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4),
+             |                              (2, 8), (1, 16)) v(b, r))
+             |SELECT floor(s * 1e6 + 0.5) / 1e6 AS s, b, r,
+             |       floor((1 - power(1 - power(s, r), b)) * 1e6 + 0.5) / 1e6
+             |         AS p_collide
+             |FROM grid, cfg ORDER BY s, b""".stripMargin))
   )
 }

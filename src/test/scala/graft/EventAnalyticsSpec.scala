@@ -110,6 +110,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.forall(_._4 <= 8), "≤ 1/8 of the hour range per bucket")
   }
 
+  test("HLL: daily partial sketches union-merge to the whole-stream estimate") {
+    val rows = for (d <- 1 to 5; u <- 1 to (20 * d)) yield (s"day$d", u.toLong)
+    val df = rows.toDF("day", "uid")
+    val viaDaily = df.groupBy("day").agg(hll_sketch_agg(col("uid")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("uid"))))
+      .collect()(0).getLong(0)
+    assert(viaDaily == direct, "sketch merge must be lossless vs one-shot")
+    // 100 distinct uids; default lgK sketches are near-exact at this size
+    assert(math.abs(viaDaily - 100L) <= 5)
+  }
+
+  test("lshTuningCurve: S-curve values and shape") {
+    val curve = graft.functions.MinHash.lshTuningCurve(
+        spark, Seq((4, 4), (1, 16)))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3)))
+    // b=1, r=16 → p = s^16 exactly
+    curve.filter(_._2 == 1).foreach { case (s, _, r, p) =>
+      assert(math.abs(p - math.floor(math.pow(s, 16) * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+    // monotone non-decreasing in s for fixed (b, r)
+    val p44 = curve.filter(_._2 == 4).sortBy(_._1).map(_._4)
+    assert(p44.zip(p44.tail).forall { case (a, b) => a <= b })
+  }
+
   test("valueQuantiles: linear interpolation on a known grid") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
