@@ -242,6 +242,61 @@ object Dedup {
     verified
   }
 
+  /** Directed containment pairs — the asymmetric sibling of
+    * [[minHashNearDupPairs]]: containment(a→b) = |A∩B| / |A| (Broder
+    * 1997's resemblance vs containment distinction). High containment
+    * with low Jaccard is the "document a is a fragment of document b"
+    * signal — quote farms, boilerplate wrappers, partial re-crawls —
+    * which symmetric near-dup misses when the host document is much
+    * larger. Candidates come from the SAME band-bucket LSH as near-dup
+    * (a contained doc shares its minima with the host at rate ≥ its
+    * containment, so banding still recalls high-containment pairs);
+    * verification computes the exact ratio in BOTH directions from one
+    * intersection pass. Emits directed (id_from, id_to, containment)
+    * rows with containment ≥ threshold: id_from is the (potentially)
+    * contained side.
+    *
+    * Same scale posture as near-dup: bucketed candidates with the hot-
+    * bucket cap, exact verify over candidate ids only, one corpus token
+    * scan. */
+  def minHashContainmentPairs(
+      tokenPairs: DataFrame, numPerm: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+    val toks = tokenPairs.persist()
+    val sig = MinHash.signature(toks, numPerm)
+    val buckets = capHotKeys(
+      MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
+    val cand = buckets.withColumnRenamed("id", "id_a")
+      .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().persist()
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sets = toks.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("key")).as("t"))
+    val directed = cand
+      .join(sets.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("double").as("i"),
+        size(col("ta")).cast("double").as("sa"),
+        size(col("tb")).cast("double").as("sb"))
+      // both directions from the one intersection pass (exact integer
+      // ratios — the ≥-threshold filter is engine-deterministic)
+      .select(explode(array(
+        struct(col("id_a").as("id_from"), col("id_b").as("id_to"),
+          (col("i") / col("sa")).as("containment")),
+        struct(col("id_b").as("id_from"), col("id_a").as("id_to"),
+          (col("i") / col("sb")).as("containment")))).as("d"))
+      .select(col("d.id_from").as("id_from"), col("d.id_to").as("id_to"),
+        col("d.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .localCheckpoint()
+    cand.unpersist()
+    toks.unpersist()
+    directed
+  }
+
   /** Incremental near-dup: MinHash-LSH pairs of a NEW document batch
     * against an existing corpus (plus within the batch itself), never
     * generating corpus×corpus candidates — the refresh shape of a

@@ -205,6 +205,39 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ---- directed containment pairs (Broder's containment vs resemblance) -
+    "dd_containment" -> QueryDef(
+      (s, dir) => Dedup.minHashContainmentPairs(docShinglesRaw(s, dir),
+          numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("id_from"), col("id_to"),
+          Num.stableRound(col("containment"), 6).as("containment"))
+        .orderBy("id_from", "id_to"),
+      Some {
+        val sig = MinHash.signatureSql(docShinglesSql, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        s"""WITH sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
+           |toks AS ($docShinglesSql),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM toks GROUP BY id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN toks ta ON ta.id = c.id_a
+           |              JOIN toks tb ON tb.id = c.id_b AND tb.key = ta.key
+           |  GROUP BY 1, 2),
+           |dirs AS (
+           |  SELECT id_a AS id_from, id_b AS id_to, i / sa.sz AS c
+           |  FROM inter JOIN sizes sa ON sa.id = id_a
+           |  UNION ALL
+           |  SELECT id_b, id_a, i / sb.sz
+           |  FROM inter JOIN sizes sb ON sb.id = id_b)
+           |SELECT id_from, id_to,
+           |       floor(c * 1e6 + 0.5) / 1e6 AS containment
+           |FROM dirs WHERE c >= 0.5 ORDER BY id_from, id_to""".stripMargin
+      }),
+
     // ---- incremental near-dup: new batch (doc_id % 4 = 0) vs corpus -------
     // corpus×corpus candidates never form; id_b is always from the new
     // ---- incremental near-dup, stored-signature (production) form --------
@@ -1022,6 +1055,22 @@ object DedupQueries {
            |FROM dt LEFT JOIN rc ON rc.tok = dt.key, tot
            |GROUP BY dt.id ORDER BY dt.id""".stripMargin
       }),
+
+    // ---- token entropy (information-density quality signal) --------------
+    "tx_entropy" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenEntropy(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+             |    x -> length(x) >= 1)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+             |SELECT doc_id, sum(c)::bigint AS n_toks, count(*) AS vocab,
+             |       floor((ln(sum(c)::double)
+             |              - sum(c * ln(c)) / sum(c)::double) * 1e6 + 0.5) / 1e6
+             |         AS entropy
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- bigram LM scoring, stupid backoff (Brants et al. 2007) ---------
     "tx_lm_bigram" -> QueryDef(

@@ -541,6 +541,32 @@ object TextAnalysis {
       (col(idCol).cast("string").as("id") +: counts :+ redacted.as("redacted")): _*)
   }
 
+  /** Shannon token entropy per document — the information-density
+    * quality signal (low entropy ⇔ repetitive/templated text, high ⇔
+    * diverse vocabulary; a standard pre-training filter feature
+    * alongside [[repetitionSignals]]). Computed with the
+    * algebraically-exact rewrite H = ln m − (Σ c·ln c)/m over per-doc
+    * token counts, which needs ONE sum of c·ln c instead of a
+    * probability per token — fewer float ops, and the same expression
+    * both engines. Output: (doc_id, n_toks, vocab, entropy[6dp]).
+    *
+    * Scale shape: explode → (doc, token) count → doc rollup; both
+    * aggregations keyed by document, no corpus-global key. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol),
+        explode(Text.tokenize(col(textCol), minLength = 1, stopwords = Nil))
+          .as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("vocab"),
+        sum(col("c") * log(col("c"))).as("_clc"))
+      .select(col(idCol), col("n_toks"), col("vocab"),
+        Num.stableRound(
+          log(col("n_toks")) - col("_clc") / col("n_toks"), 6).as("entropy"))
+  }
+
   /** Bigram language-model scoring with stupid backoff (Brants et al.
     * 2007, "Large Language Models in Machine Translation" — the
     * web-scale LM smoothing that needs no held-out tuning): for each

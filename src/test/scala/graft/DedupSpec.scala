@@ -703,6 +703,40 @@ class DedupSpec extends SparkSpec {
     assert(rows.size == 1)
   }
 
+  test("minHashContainmentPairs: subset containment both directions") {
+    // C is identical to A (guaranteed band collision); B ⊃ A by one key
+    val aKeys = (1 to 8).map(i => s"key$i")
+    val toks = (aKeys.map(("docA", _)) ++ aKeys.map(("docC", _)) ++
+      (aKeys :+ "key9").map(("docB", _))).toDF("id", "key")
+    val got = Dedup.minHashContainmentPairs(toks, 16, 4, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // identical docs contain each other fully
+    assert(got(("docA", "docC")) == 1.0 && got(("docC", "docA")) == 1.0)
+    // A ⊂ B: A fully contained in B; B only 8/9 contained in A
+    assert(got(("docA", "docB")) == 1.0)
+    assert(math.abs(got(("docB", "docA")) - 8.0 / 9) < 1e-12)
+    // direction below threshold would be cut: with τ=0.9 the B→A row drops
+    val strict = Dedup.minHashContainmentPairs(toks, 16, 4, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strict.contains(("docA", "docB")) && !strict.contains(("docB", "docA")))
+  }
+
+  test("tokenEntropy: constant, uniform, and mixed documents") {
+    val df = Seq(
+      (1L, "aa aa aa aa"),          // constant → H = 0
+      (2L, "aa bb cc dd"),          // uniform over 4 → H = ln 4
+      (3L, "aa aa bb bb"))          // uniform over 2 → H = ln 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def rd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((4L, 1L, 0.0)))
+    assert(got(2L) == ((4L, 4L, rd(math.log(4)))))
+    assert(got(3L) == ((4L, 2L, rd(math.log(2)))))
+  }
+
   test("lmBigramScore: stupid backoff hand case — seen ratio, unseen backoff") {
     val ref = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     // ref unigrams: alpha=2, beta=1, gamma=1 → N=4, V=3
