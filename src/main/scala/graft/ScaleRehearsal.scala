@@ -143,11 +143,27 @@ object ScaleRehearsal {
       labels.count()
       (labels, r)
     }
+    val (contCount, tCt, inT, srT, rrT) = phase("containment") {
+      Dedup.minHashContainmentPairs(sh, 16, 4, 0.5, maxBucketSize = cap)
+        .count()
+    }
+    // hub-skewed graph: every doc linked to one of 4 hub nodes (degree
+    // ≈ nDocs/4 — the celebrity-node pathology for the per-iteration
+    // arcs⋈ranks join; AQE skew splitting is what's being rehearsed)
+    val (prCount, tPr, inR, srR, rrR) = phase("pagerank_hubbed") {
+      val fwd = docs.select(col("id").as("src"),
+        concat(lit("hub"), pmod(Text.md5Long(col("id")), lit(4))).as("dst"))
+      val arcs = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.relational.PageRank.pageRank(arcs, 3).count()
+    }
 
     val rows = Seq(
       ("minhash_neardup", tPairs, inP, srP, rrP, s"pairs=${pairs._2}"),
       ("incremental_neardup", tInc, inI, srI, rrI, s"pairs=$incCount"),
-      ("dup_components", tCc, inC, srC, rrC, s"rounds=$rounds"))
+      ("dup_components", tCc, inC, srC, rrC, s"rounds=$rounds"),
+      ("containment", tCt, inT, srT, rrT, s"pairs=$contCount"),
+      ("pagerank_hubbed", tPr, inR, srR, rrR, s"nodes=$prCount"))
 
     println(s"\n### Scale rehearsal: $dir x$copies (docs=$nDocs, " +
       s"shingleRows=$nShingleRows, cap=$cap)\n")
