@@ -157,6 +157,32 @@ object EventAnalytics {
         (max(col("hr")) - min(col("hr"))).as("hour_span"))
   }
 
+  /** Z-order clustered write — the layout whose statistics
+    * [[zOrderStats]] measures: range-normalize (user, hour) to 16 bits,
+    * interleave, `repartitionByRange` on the z-value (one range
+    * exchange — the same cost as any global sort-write), sort within
+    * partitions, drop the helper column, write parquet. Every output
+    * file then covers a small rectangle in BOTH dimensions, so parquet
+    * row-group min/max stats prune reads for predicates on EITHER
+    * column — the Delta/Iceberg OPTIMIZE ZORDER effect with nothing but
+    * vanilla Spark operators. */
+  def zOrderWrite(events: DataFrame, outDir: String, partitions: Int = 16,
+      userCol: String = "user_id", tsCol: String = "ts"): Unit = {
+    val hr = expr(s"unix_micros($tsCol) div 3600000000")
+    val bounds = events.agg(
+      min(col(userCol)).as("_ulo"), max(col(userCol)).as("_uhi"),
+      min(hr).as("_hlo"), max(hr).as("_hhi"))
+    events.crossJoin(broadcast(bounds))
+      .withColumn("_hr", hr)
+      .withColumn("_z", Num.zOrder16(
+        expr(s"($userCol - _ulo) * 65535 div greatest(_uhi - _ulo, 1)"),
+        expr("(_hr - _hlo) * 65535 div greatest(_hhi - _hlo, 1)")))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_ulo", "_uhi", "_hlo", "_hhi", "_hr", "_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Exact linear-interpolated quantiles of a value column per group:
     * count plus p25/p50/p90/p99, rounded engine-stably to 4 decimals.
     *

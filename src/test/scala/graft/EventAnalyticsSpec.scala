@@ -137,6 +137,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(p44.zip(p44.tail).forall { case (a, b) => a <= b })
   }
 
+  test("zOrderWrite: per-file bounding boxes beat a time-sorted layout") {
+    val jan1 = 1704067200L
+    val rows = for (u <- 0 until 64; h <- 0 until 64)
+      yield (u.toLong, jan1 + h * 3600L)
+    val df = rows.toDF("user_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val zDir = s"/tmp/graft-test-zorder-${System.nanoTime()}"
+    val tDir = s"/tmp/graft-test-tsorder-${System.nanoTime()}"
+    graft.events.EventAnalytics.zOrderWrite(df, zDir, partitions = 16)
+    df.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(tDir)
+    def avgBoxArea(dir: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+        .groupBy("f")
+        .agg(((max(col("user_id")) - min(col("user_id")) + 1) *
+          (max(col("hr")) - min(col("hr")) + 1)).as("area"))
+        .collect().map(_.getLong(1))
+      spans.sum.toDouble / spans.length / (64.0 * 64.0)
+    }
+    val (zArea, tArea) = (avgBoxArea(zDir), avgBoxArea(tDir))
+    // a time-sorted file spans ALL users (area ≈ 1/16 of hours × all
+    // users = 1/16 … wait: ts-sorted files cover every user but 1/16 of
+    // hours → area ≈ 1/16); z-order covers ≈1/16 in a ~square, also 1/16
+    // by area but bounded in BOTH dims. The discriminating assert is the
+    // per-dimension span, not the area product:
+    val zSpans = spark.read.parquet(zDir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max(col("user_id")) - min(col("user_id"))).as("us"))
+      .collect().map(_.getLong(1))
+    assert(zSpans.forall(_ <= 32), s"z-order user span per file: ${zSpans.max}")
+    val tSpans = spark.read.parquet(tDir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max(col("user_id")) - min(col("user_id"))).as("us"))
+      .collect().map(_.getLong(1))
+    assert(tSpans.forall(_ == 63), "time-sorted files span every user")
+    assert(zArea <= tArea * 1.5, s"z $zArea vs t $tArea")
+  }
+
   test("valueQuantiles: linear interpolation on a known grid") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),

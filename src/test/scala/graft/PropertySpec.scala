@@ -265,4 +265,58 @@ class PropertySpec extends SparkSpec {
         s"purge removed $k(${sizes(k)}) while keeping a block of $keptMax"))
     }
   }
+
+  test("pageRank conserves mass on random undirected graphs") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0, 8); b <- Gen.choose(0, 8) if a != b
+    } yield (s"n$a", s"n$b"))
+    forAll(edgeGen) { es =>
+      val arcs = (es ++ es.map(_.swap)).distinct.toDF("src", "dst")
+      val r = graft.relational.PageRank.pageRank(arcs, 3)
+        .collect().map(_.getDouble(1))
+      // bidirectional arcs → no dangling mass; Σr = 1 to float tolerance
+      assert(math.abs(r.sum - 1.0) < 1e-9, s"mass ${r.sum}")
+      assert(r.forall(_ > 0))
+    }
+  }
+
+  test("containment dominates jaccard and hits 1.0 exactly for subsets") {
+    val docGen = Gen.nonEmptyListOf(word).map(_.distinct)
+    forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+      val toks = docs.zipWithIndex
+        .flatMap { case (ws, i) => ws.map((s"d$i", _)) }
+        .toDF("id", "key")
+      // threshold 0 keeps every verified candidate pair
+      val cont = graft.dedup.Dedup
+        .minHashContainmentPairs(toks, 16, 4, threshold = 0.0)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val sets = docs.zipWithIndex
+        .map { case (ws, i) => s"d$i" -> ws.toSet }.toMap
+      cont.foreach { case ((from, to), c) =>
+        val (a, b) = (sets(from), sets(to))
+        val jac = a.intersect(b).size.toDouble / a.union(b).size
+        assert(c >= jac - 1e-12, s"containment $c below jaccard $jac")
+        assert(math.abs(c - a.intersect(b).size.toDouble / a.size) < 1e-12)
+        if (a.subsetOf(b)) assert(c == 1.0)
+      }
+    }
+  }
+
+  test("winnow fingerprint count is bounded by the full-window count") {
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 8; val w = 4
+      val got = graft.text.TextAnalysis.winnow(docs, k = k, w = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.zipWithIndex.foreach { case (t, i) =>
+        val n = t.toLowerCase.replaceAll("[^a-z0-9]", "").length - k + 1
+        val windows = n - w + 1
+        if (windows >= 1)
+          assert(got(i.toLong) >= 1 && got(i.toLong) <= windows)
+        else assert(!got.contains(i.toLong))
+      }
+    }
+  }
 }
