@@ -1303,6 +1303,39 @@ object DedupQueries {
              |SELECT doc_id, count(*) AS n_fp, sum(h)::bigint AS fp_sum
              |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- winnowing-fingerprint near-dup pairs ----------------------------
+    // ordered-substring overlap: a shared fingerprint witnesses a shared
+    // contiguous ≥8-char normalized run; pairs sharing ≥ 5 such runs.
+    "tx_winnow_pairs" -> QueryDef(
+      (s, dir) => TextAnalysis.winnowPairs(
+          table(s, dir, "documents"), minShared = 5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
+             |  FROM norm, range(1, 100000) r(i)
+             |  WHERE i <= length(t) - 7),
+             |keyed AS (
+             |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
+             |sel AS (
+             |  SELECT doc_id, pos,
+             |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+             |  FROM keyed),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, sel // 1048576 AS h
+             |  FROM sel WHERE pos >= 3),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared FROM p WHERE shared >= 5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- vocabulary growth curve (Heaps' law observable) -----------------
     "tx_vocab_growth" -> QueryDef(
       (s, dir) => TextAnalysis.vocabGrowth(table(s, dir, "documents"))

@@ -658,6 +658,14 @@ object TextAnalysis {
     * keyed by doc id. No corpus-wide shuffle beyond the final
     * doc-keyed aggregate. */
   def winnow(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("fp_sum"))
+
+  /** The raw fingerprint stream behind [[winnow]]: one row per selected
+    * (hash, position) — the joinable form [[winnowPairs]] builds on. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posMask = (1 << 20) - 1
@@ -692,9 +700,42 @@ object TextAnalysis {
       .filter(col("prev").isNull || col("sel") =!= col("prev"))
       // `div`, not `/`: long `/` promotes to double, whose 53-bit
       // mantissa cannot hold the 60-bit packed key exactly.
-      .select(col(idCol), expr(s"sel div ${1 << 20}").as("h"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("fp_sum"))
+      .select(col(idCol), expr(s"sel div ${1 << 20}").as("h"),
+        (lit(posMask) - col("sel") % lit(1 << 20)).as("fp_pos"))
+  }
+
+  /** Winnowing-based near-dup pairs: documents sharing ≥ `minShared`
+    * DISTINCT selected hashes. The third near-dup family next to
+    * shingle-Jaccard (MinHash) and bit-vote (SimHash): winnowing
+    * fingerprints are position-selected from ORDERED k-gram runs, so a
+    * shared fingerprint witnesses a shared contiguous substring of
+    * length ≥ k — this catches ordered passage overlap (plagiarism,
+    * quoted spans) that bag-of-shingles similarity dilutes on long
+    * hosts. Candidates come from an equi-join on the fingerprint hash —
+    * selectivity is the winnowing density (~2/(w+1) of positions), and
+    * degenerate boilerplate hashes are droppable by the same hot-key
+    * cap discipline as LSH band buckets (`maxHashDocs`).
+    *
+    * Output: (id_a, id_b, shared) with id_a < id_b, shared = count of
+    * distinct co-selected hashes. */
+  def winnowPairs(docs: DataFrame, minShared: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, w: Int = 4, maxHashDocs: Int = 0): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    val capped =
+      if (maxHashDocs <= 0) fp
+      else {
+        val hot = fp.groupBy("h").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxHashDocs).select("h")
+        fp.join(hot, Seq("h"), "left_anti")
+      }
+    capped.select(col("h"), col("id").as("id_a"))
+      .join(capped.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** Vocabulary growth curve (Heaps' law observable): with the corpus

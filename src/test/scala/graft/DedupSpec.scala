@@ -758,6 +758,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got("10")._2 - expected) < 1e-9)
   }
 
+  test("winnowPairs: shared-passage detection, guarantee, and hot-hash cap") {
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"unrelated preamble alpha $passage trailing words here"),
+      (2L, s"$passage completely different continuation text follows"),
+      (3L, "zqxwvut yxwvu tsrqp onmlk jihgf edcba zyxwvutsr qponm"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1 and 2 share a 40+ char normalized passage → winnowing
+    // GUARANTEES ≥ 1 shared fingerprint (any ≥ k+w−1 = 11 char match)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc 3 shares no 8-gram with the others")
+    // a cap of 1 drops every hash present in BOTH docs → no pairs
+    assert(TextAnalysis.winnowPairs(docs, 1, maxHashDocs = 1).isEmpty)
+  }
+
   test("vocabGrowth: deciles, thresholds, first-occurrence counting") {
     // doc i introduces token "toki00"; "common" first occurs in doc 0.
     val docs = (0L until 10L).map(i => (i, s"tok${i}00 common"))
