@@ -242,6 +242,30 @@ object Dedup {
     verified
   }
 
+  /** Duplicate-cluster size histogram — the dedup-effectiveness report:
+    * (cluster_size, n_clusters) over the component labels of the pair
+    * graph, with the singleton count derived from one corpus-size
+    * subtraction (corpus docs absent from every pair are their own
+    * cluster). Aggregations only — the corpus is counted, never joined.
+    */
+  def clusterHistogram(corpusIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = components(pairs).persist()
+    val clusterSizes = labels.groupBy("component")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = corpusIds.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_dup"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_dup")).as("n_clusters"))
+    val out = clusterSizes.unionByName(singles)
+      .groupBy("cluster_size")
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
   /** Directed containment pairs — the asymmetric sibling of
     * [[minHashNearDupPairs]]: containment(a→b) = |A∩B| / |A| (Broder
     * 1997's resemblance vs containment distinction). High containment

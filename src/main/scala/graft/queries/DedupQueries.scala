@@ -371,6 +371,47 @@ object DedupQueries {
               |SELECT id, min(lbl) AS component
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // ---- duplicate-cluster size histogram (dedup effectiveness report) ----
+    // cluster sizes from the component labels plus the singleton count
+    // from one corpus-size subtraction — the first chart anyone draws
+    // after a dedup pass. Aggregations only; the corpus is never joined.
+    "dd_cluster_histogram" -> QueryDef(
+      (s, dir) => Dedup.clusterHistogram(
+          table(s, dir, "documents").select(col("doc_id")),
+          Dedup.ngramJaccardPairs(docShingles(s, dir), 0.1)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("cluster_size"),
+      Some(s"""WITH RECURSIVE sh AS ($docShinglesSql),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM sh a JOIN sh b ON a.key = b.key AND a.id < b.id),
+              |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c JOIN sh ta ON ta.id = c.id_a
+              |              JOIN sh tb ON tb.id = c.id_b AND tb.key = ta.key
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+              |  WHERE i / (sa.sz + sb.sz - i) >= 0.1),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+              |  UNION
+              |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+              |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+              |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+              |hist AS (
+              |  SELECT sz AS cluster_size, count(*) AS n_clusters
+              |  FROM cs GROUP BY 1
+              |  UNION ALL
+              |  SELECT 1, (SELECT count(*) FROM documents)
+              |            - (SELECT count(*) FROM comp))
+              |SELECT cluster_size, sum(n_clusters)::bigint AS n_clusters
+              |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- corpus keep-list: the dedup pipeline's final answer --------------
     // every doc survives unless a component's non-minimal member; the
     // corpus table is scanned once and joined against the (tiny,

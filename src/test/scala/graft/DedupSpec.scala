@@ -758,6 +758,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got("10")._2 - expected) < 1e-9)
   }
 
+  test("clusterHistogram: cluster sizes plus singleton remainder") {
+    val corpus = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val got = Dedup.clusterHistogram(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {a,b,c} size 3, {d,e} size 2, f singleton
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // no pairs: everything is a singleton
+    val all1 = Dedup.clusterHistogram(corpus,
+        Seq.empty[(String, String)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all1 == Map(1L -> 6L))
+  }
+
   test("winnowPairs: shared-passage detection, guarantee, and hot-hash cap") {
     val passage = "the quick brown fox jumps over the lazy dog repeatedly"
     val docs = Seq(
