@@ -157,6 +157,29 @@ object EventAnalytics {
         (max(col("hr")) - min(col("hr"))).as("hour_span"))
   }
 
+  /** First-order Markov transition counts over each user's event-type
+    * sequence in event-time order: (from_type, to_type, n, p) where p
+    * is the row-normalized transition probability. The behavioral
+    * fingerprint behind next-event prediction and bot detection.
+    *
+    * Scale shape: one lag window partitioned BY USER (per-key ordering
+    * only), then a type-pair rollup — output is |types|² regardless of
+    * corpus size. */
+  def markovTransitions(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    trans.withColumn("p",
+      Num.stableRound(col("n") / sum(col("n")).over(totals), 6))
+  }
+
   /** Z-order clustered write — the layout whose statistics
     * [[zOrderStats]] measures: range-normalize (user, hour) to 16 bits,
     * interleave, `repartitionByRange` on the z-value (one range

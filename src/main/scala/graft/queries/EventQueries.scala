@@ -490,6 +490,23 @@ object EventQueries {
              |  floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- first-order Markov transition matrix ----------------------------
+    "ev_markov_transitions" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.markovTransitions(
+        QueryDef.events(s, dir)).orderBy("from_type", "to_type"),
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |             ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (
+             |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+             |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |       floor((n::double / sum(n) OVER (PARTITION BY from_type))
+             |             * 1e6 + 0.5) / 1e6 AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- mergeable HLL sketches with an honest tolerance gate ------------
     // the 100-TB architecture: per-DAY DataSketches HLL partials built
     // map-side, union-merged across days, estimated once — distinct

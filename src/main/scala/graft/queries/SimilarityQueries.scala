@@ -921,6 +921,77 @@ object SimilarityQueries {
            |FROM emb, canon ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- IVF recall report (honest ANN approximation gate) ---------------
+    // same search task for both paths (even queries vs odd candidates);
+    // recall@3 = |brute∩ivf| / 3 per query, averaged. The number to
+    // check BEFORE trading the brute-force baseline for the bucketed
+    // path at scale — a recall this query pins is a recall the
+    // production path actually delivers, same tie-breaking both engines.
+    "ann_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val brute = Similarity.topKCosine(l, r, 3)
+          .select(col("left_id"), col("right_id"))
+        val bucketed = e.filter(col("vec_id") % 2 === 1)
+          .select(col("label").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("embedding").as("vec"))
+        val ivf = Similarity.ivfTopK(l, bucketed, 3)
+          .select(col("left_id"), col("right_id"), lit(1).as("_hit"))
+        val perQuery = brute.join(ivf, Seq("left_id", "right_id"), "left")
+          .groupBy("left_id")
+          .agg((sum(coalesce(col("_hit"), lit(0))) / 3.0).as("rec"))
+        perQuery.agg(count(lit(1)).as("n_queries"),
+          Num.stableRound(avg(col("rec")), 6).as("recall_at3"))
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |bdots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+             |brute AS (SELECT left_id, right_id FROM (
+             |  SELECT left_id, right_id, row_number() OVER (PARTITION BY left_id
+             |      ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rk
+             |  FROM bdots JOIN norms na ON na.vec_id = left_id
+             |             JOIN norms nb ON nb.vec_id = right_id) WHERE rk <= 3),
+             |oddexpl AS (SELECT * FROM expl WHERE vec_id % 2 = 1),
+             |cents AS (SELECT label, i, avg(v) AS c FROM oddexpl GROUP BY label, i),
+             |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+             |qdots AS (
+             |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+             |  FROM expl e JOIN cents c ON e.i = c.i
+             |  WHERE e.vec_id % 2 = 0 GROUP BY 1, 2),
+             |assign AS (SELECT vec_id, label FROM (
+             |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+             |  FROM qdots q JOIN norms n ON n.vec_id = q.vec_id
+             |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
+             |idots AS (
+             |  SELECT s.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM assign s JOIN expl a ON a.vec_id = s.vec_id
+             |                JOIN oddexpl b ON b.label = s.label AND b.i = a.i
+             |  GROUP BY 1, 2),
+             |ivf AS (SELECT left_id, right_id FROM (
+             |  SELECT left_id, right_id, row_number() OVER (PARTITION BY left_id
+             |      ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rk
+             |  FROM idots JOIN norms na ON na.vec_id = left_id
+             |             JOIN norms nb ON nb.vec_id = right_id) WHERE rk <= 3),
+             |pq AS (
+             |  SELECT b.left_id,
+             |         sum(CASE WHEN i.right_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0 AS rec
+             |  FROM brute b LEFT JOIN ivf i
+             |    ON i.left_id = b.left_id AND i.right_id = b.right_id
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_queries,
+             |       floor((avg(rec)) * 1e6 + 0.5) / 1e6 AS recall_at3
+             |FROM pq""".stripMargin)),
+
     // ---- LSH (b, r) tuning S-curves --------------------------------------
     "mh_lsh_tuning" -> QueryDef(
       (s, dir) => MinHash.lshTuningCurve(s,

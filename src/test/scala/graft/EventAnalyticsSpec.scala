@@ -110,6 +110,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.forall(_._4 <= 8), "≤ 1/8 of the hour range per bucket")
   }
 
+  test("markovTransitions: per-user sequences, counts, row-normalized p") {
+    val df = Seq(
+      // u1: a → b → a → b ; u2: a → a
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (1L, "b", 40L, 4L),
+      (2L, "a", 10L, 5L), (2L, "a", 20L, 6L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val got = graft.events.EventAnalytics.markovTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: a→b twice (u1), a→a once (u2) → p = 2/3, 1/3
+    assert(got(("a", "b")) == ((2L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)))
+    assert(got(("a", "a")) == ((1L, math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)))
+    // from b: only b→a once (u1, crossing its own boundary) → p = 1.0
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    assert(got.size == 3, "no cross-user transitions")
+  }
+
   test("HLL: daily partial sketches union-merge to the whole-stream estimate") {
     val rows = for (d <- 1 to 5; u <- 1 to (20 * d)) yield (s"day$d", u.toLong)
     val df = rows.toDF("day", "uid")
