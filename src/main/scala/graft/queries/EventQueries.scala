@@ -507,6 +507,40 @@ object EventQueries {
              |             * 1e6 + 0.5) / 1e6 AS p
              |FROM c ORDER BY from_type, to_type""".stripMargin)),
 
+    // ---- streaming Markov transitions, batch form ------------------------
+    // single-batch run of streamMarkov ≡ the batch lag-window operator
+    // (per-key (us, id) sort), so after the count/normalize rollup the
+    // ev_markov_transitions oracle applies verbatim; cross-batch state
+    // is spec-tested in StreamingSpec.
+    "st_markov" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val ev = QueryDef.events(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            col("event_type").as("typ"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("id"))
+          .as[StreamingOps.MarkovEvent]
+        val trans = StreamingOps.streamMarkov(ev).toDF()
+          .groupBy(col("fromType").as("from_type"), col("toType").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+        trans.withColumn("p", Num.stableRound(col("n") / sum(col("n")).over(w), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |             ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (
+             |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+             |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |       floor((n::double / sum(n) OVER (PARTITION BY from_type))
+             |             * 1e6 + 0.5) / 1e6 AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- mergeable HLL sketches with an honest tolerance gate ------------
     // the 100-TB architecture: per-DAY DataSketches HLL partials built
     // map-side, union-merged across days, estimated once — distinct

@@ -866,6 +866,43 @@ object StreamingOps {
       }
   }
 
+  /** [[streamMarkov]] record/state/output. */
+  final case class MarkovEvent(key: String, typ: String, us: Long, id: Long)
+  final case class MarkovState(typ: String, us: Long, id: Long)
+  final case class MarkovTransition(key: String, fromType: String,
+      toType: String, us: Long)
+
+  /** Streaming first-order transition feed — the stateful-stream form
+    * of [[graft.events.EventAnalytics.markovTransitions]]: per user,
+    * emit (prev_type → type) as events arrive in event-time order.
+    * State per user is the single latest (type, us, id) triple; within
+    * a batch records sort by (us, id) (the [[streamAsofJoin]]
+    * contract), so a single-batch run produces exactly the batch
+    * operator's transition multiset and the driver-gated form shares
+    * `ev_markov_transitions`'s oracle after the count/normalize rollup.
+    * Late-data contract: an event older than the retained latest is
+    * treated as the next in sequence anyway (O(1) state cannot
+    * re-order history); per-key ordered feeds never hit it. */
+  def streamMarkov(events: Dataset[MarkovEvent])(
+      implicit spark: SparkSession): Dataset[MarkovTransition] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[MarkovState, MarkovTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[MarkovEvent],
+         state: GroupState[MarkovState]) =>
+          var st = state.getOption.orNull
+          val out = batch.toSeq.sortBy(e => (e.us, e.id)).flatMap { e =>
+            val t = if (st == null) None
+              else Some(MarkovTransition(key, st.typ, e.typ, e.us))
+            st = MarkovState(e.typ, e.us, e.id)
+            t
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Tokenize a raw (id, text, side) stream into TokenRecords. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, sideCol: String)(
       implicit spark: SparkSession): Dataset[TokenRecord] = {

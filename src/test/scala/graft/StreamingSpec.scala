@@ -853,6 +853,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(_._2 > 0).keySet == adv.keySet)
   }
 
+  test("streamMarkov: cross-batch transitions, per-batch event-time order") {
+    import graft.streaming.StreamingOps.{MarkovEvent, MarkovTransition}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[MarkovEvent]
+    val sq = StreamingOps.streamMarkov(mem.toDS())
+      .writeStream.format("memory").queryName("mk")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives OUT of order: must emit a→b then b→c
+      mem.addData(
+        MarkovEvent("u1", "c", 3000L, 3L), MarkovEvent("u1", "a", 1000L, 1L),
+        MarkovEvent("u1", "b", 2000L, 2L))
+      sq.processAllAvailable()
+      // batch 2: the chain continues from retained state c → d
+      mem.addData(MarkovEvent("u1", "d", 4000L, 4L))
+      sq.processAllAvailable()
+      val got = spark.table("mk").as[MarkovTransition].collect()
+        .map(t => (t.fromType, t.toType)).sorted.toSeq
+      assert(got == Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    } finally sq.stop()
+  }
+
   test("watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
