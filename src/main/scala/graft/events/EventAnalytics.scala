@@ -39,11 +39,17 @@ object EventAnalytics {
     val us = unix_micros(col(tsCol))
     val horizonUs = horizonSec * 1000000L
 
-    // stage 1: first entry per user
+    // stage 1: first entry per user. Each stage's survivor set is
+    // localCheckpoint'd (it is tiny — one row per surviving user) so the
+    // per-stage count aggregates and the next stage's join both read the
+    // materialized set instead of recomputing the whole prefix chain —
+    // without this a k-stage funnel costs O(k²) event scans (same
+    // lineage-truncation pattern as clusterHistogram / PageRank).
     var reached = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol))
       .agg(min(us).as("t0"))
       .withColumn("t_prev", col("t0"))
+      .localCheckpoint(eager = false)
 
     var counts = Seq(
       reached.agg(count(lit(1)).as("users"))
@@ -61,6 +67,7 @@ object EventAnalytics {
         // cardinality.
         .groupBy(col(userCol), col("t0"))
         .agg(min(col("u")).as("t_prev"))
+        .localCheckpoint(eager = false)
       counts = counts :+ reached.agg(count(lit(1)).as("users"))
         .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
           col("users"))

@@ -52,11 +52,11 @@ object DedupQueries {
 
   private val docShinglesSql: String =
     """SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
-      |  SELECT cast(doc_id AS varchar) AS id,
-      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-      |                     t -> length(t) >= 1) AS l
-      |  FROM documents), range(1, 10000) r(i)
-      |WHERE i + 2 <= len(l)""".stripMargin
+      |  SELECT id, l, unnest(range(1, len(l) - 1)) AS i FROM (
+      |    SELECT cast(doc_id AS varchar) AS id,
+      |           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                       t -> length(t) >= 1) AS l
+      |    FROM documents))""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -1134,10 +1134,10 @@ object DedupQueries {
            |tot AS (SELECT coalesce(sum(cu), 0)::double AS n,
            |               count(*)::double AS v FROM runi),
            |rbi AS (SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS cb
-           |        FROM rbase, range(1, 100000) r(i) WHERE i + 1 <= len(l)
+           |        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM rbase)
            |        GROUP BY 1, 2),
            |db AS (SELECT id, l[i] AS w1, l[i+1] AS w2
-           |       FROM base, range(1, 100000) r(i) WHERE i + 1 <= len(l)),
+           |       FROM (SELECT id, l, unnest(range(1, len(l))) AS i FROM base)),
            |s AS (SELECT id,
            |        CASE WHEN cb IS NOT NULL THEN cb / u1.cu
            |             ELSE 0.4 * (coalesce(u2.cu, 0) + 1.0)
@@ -1234,10 +1234,10 @@ object DedupQueries {
              |  FROM documents),
              |f AS (
              |  SELECT id, lang, l[i] AS f
-             |  FROM base, range(1, 10000) r(i) WHERE i <= len(l)
+             |  FROM (SELECT id, lang, l, unnest(range(1, len(l) + 1)) AS i FROM base)
              |  UNION ALL
              |  SELECT id, lang, l[i] || ' ' || l[i+1]
-             |  FROM base, range(1, 10000) r(i) WHERE i + 1 <= len(l)),
+             |  FROM (SELECT id, lang, l, unnest(range(1, len(l))) AS i FROM base)),
              |cf AS (SELECT id, lang,
              |              ('0x'||substr(md5(f), 1, 15))::bigint % 1024 AS bkt
              |       FROM f),
@@ -1321,15 +1321,19 @@ object DedupQueries {
     "tx_winnow" -> QueryDef(
       (s, dir) => TextAnalysis.winnow(table(s, dir, "documents"))
         .orderBy("doc_id"),
-      Some("""WITH norm AS (
+      // Position expansion is length-driven (unnest of a scalar range) —
+      // no silent document-length cap; the ONLY truncation is the shared
+      // WinnowPosMask + k contract bound, applied identically in Spark.
+      Some(s"""WITH norm AS (
              |  SELECT doc_id,
-             |         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS t
+             |         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'),
+             |                1, ${TextAnalysis.WinnowPosMask + 8}) AS t
              |  FROM documents),
              |grams AS (
              |  SELECT doc_id, i - 1 AS pos,
              |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
-             |  FROM norm, range(1, 100000) r(i)
-             |  WHERE i <= length(t) - 7),
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, length(t) - 6)) AS i FROM norm)),
              |keyed AS (
              |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
              |sel AS (
@@ -1351,15 +1355,16 @@ object DedupQueries {
       (s, dir) => TextAnalysis.winnowPairs(
           table(s, dir, "documents"), minShared = 5)
         .orderBy("id_a", "id_b"),
-      Some("""WITH norm AS (
+      Some(s"""WITH norm AS (
              |  SELECT doc_id,
-             |         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS t
+             |         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'),
+             |                1, ${TextAnalysis.WinnowPosMask + 8}) AS t
              |  FROM documents),
              |grams AS (
              |  SELECT doc_id, i - 1 AS pos,
              |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
-             |  FROM norm, range(1, 100000) r(i)
-             |  WHERE i <= length(t) - 7),
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(1, length(t) - 6)) AS i FROM norm)),
              |keyed AS (
              |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
              |sel AS (

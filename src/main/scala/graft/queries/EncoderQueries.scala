@@ -51,11 +51,11 @@ object EncoderQueries {
     * (same construction as DedupQueries' docShingles). */
   private def shingleSideSql(parity: Int) =
     s"""SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
-       |  SELECT cast(doc_id AS varchar) AS id,
-       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-       |                     t -> length(t) >= 1) AS l
-       |  FROM documents WHERE doc_id % 2 = $parity), range(1, 10000) r(i)
-       |WHERE i + 2 <= len(l)""".stripMargin
+       |  SELECT id, l, unnest(range(1, len(l) - 1)) AS i FROM (
+       |    SELECT cast(doc_id AS varchar) AS id,
+       |           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                       t -> length(t) >= 1) AS l
+       |    FROM documents WHERE doc_id % 2 = $parity))""".stripMargin
 
   /** True near-dup gold across the %2 parity split: 3-gram shingle
     * jaccard >= 0.5. Only genuinely copied text passes at this

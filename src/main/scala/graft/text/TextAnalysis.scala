@@ -122,6 +122,14 @@ object TextAnalysis {
     * Bounded accumulator keeps 31·acc + h < 2⁶³ (no overflow). */
   val FingerprintMod: Long = 1L << 40
 
+  /** Winnowing position bound: positions are packed into the low 20 bits
+    * of the arithmetic tie-break key (see [[winnowFingerprints]]), so a
+    * document contributes fingerprints only from its first
+    * `WinnowPosMask + k` normalized chars. Shared (with the same value)
+    * by the Spark contract AND the DuckDB oracles — both sides truncate
+    * identically, so there is no silent divergence on over-long docs. */
+  val WinnowPosMask: Int = (1 << 20) - 1
+
   def fingerprint(tokens: Column): Column =
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * 31 + Text.md5Long(t), lit(FingerprintMod)))
@@ -648,9 +656,12 @@ object TextAnalysis {
     * of md5 (40 bits — reproducible in DuckDB as
     * `('0x'||substr(md5(g),1,10))::bigint`), and min-with-rightmost-tie
     * is encoded arithmetically as min over `h·2²⁰ + (2²⁰−1−pos)` so both
-    * engines resolve ties identically in pure integer arithmetic
-    * (positions are bounded by 2²⁰ per document, so the key stays below
-    * 2⁶⁰ — no overflow).
+    * engines resolve ties identically in pure integer arithmetic.
+    * Positions are bounded by [[WinnowPosMask]] (2²⁰−1) per document —
+    * ENFORCED by truncating the normalized text at `WinnowPosMask + k`
+    * chars (both here and in the oracle), so the key stays below 2⁶⁰ and
+    * over-long documents degrade predictably instead of corrupting the
+    * min-selection.
     *
     * 100 TB shape: k-gram expansion is row-local (array transform); the
     * only per-document ordering is a window partitioned BY DOCUMENT
@@ -668,14 +679,19 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val posMask = (1 << 20) - 1
+    val posMask = WinnowPosMask
     // Materialize the normalized text in its own projection: the qgrams
     // transform-lambda references it once PER ARRAY ELEMENT, so inlining
     // the regexp_replace would re-run it ~|text| times per document
     // (measured 13 s → 3 s at sf0.1 for this one hoist).
+    // Truncate at posMask + k chars: positions beyond 2^20-1 would make
+    // the packed tie-break key (h·2^20 + (posMask − pos)) go negative and
+    // silently corrupt min-selection. Over-long documents degrade
+    // predictably — fingerprints cover the first ~1M normalized chars —
+    // instead of producing wrong fingerprints.
     val norm = docs.select(col(idCol),
-      regexp_replace(lower(coalesce(col(textCol), lit(""))),
-        "[^a-z0-9]", "").as("t"))
+      substring(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z0-9]", ""), 1, posMask + k).as("t"))
     val grams = norm.select(col(idCol),
       posexplode(Text.qgrams(col("t"), k)).as(Seq("pos", "gram")))
     val h40 = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
