@@ -24,6 +24,16 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-task maxima recorded NEXT TO each query's seconds: wall time is
+    // load-sensitive (a busy box stretches it 1.5-4x, see NOTES_r8 §16)
+    // but the worst task's input/shuffle bytes are not — so a regressed
+    // seconds row with unchanged maxima is mechanically a load window,
+    // and a grown-maxima row is a real plan change. Adjudicate with
+    // these, not with re-runs.
+    val listener = new TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit =
+      org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     // untimed warm-up: session/codegen/parquet-footer cold-start otherwise
     // lands on whichever query sorts first (~2-7 s of noise on its number)
@@ -34,6 +44,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (only.exists(!_.contains(name))) None
       else {
+        flush(); listener.reset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -42,21 +53,26 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        flush()
+        val metrics = listener.snapshotJson
+        val mline = listener.summaryLine
         // queries persist intermediates and rely on ContextCleaner GC to
         // unpersist; across 65 queries in ONE JVM the storage pool fills
         // and later queries pay eviction + GC. Clear between queries so
         // each is measured independently (the cleanup is outside the
         // query's own timer on purpose — a real pipeline runs one job).
         spark.catalog.clearCache()
-        System.err.println(f"[bench] $name%-28s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
-        Some((name, dt, ok))
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s  $mline" +
+          (if (ok) "" else "  FAILED"))
+        Some((name, dt, ok, metrics))
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val ms = results.map { case (k, _, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"metrics":$ms,"failed":$failed,"sf":"$sfDir"}"""
     // Print to stdout AND write to a file: under sbt, println goes through
     // the [info] logger, which the driver's JSON-line scraper can't parse.
     println(json)
@@ -73,7 +89,7 @@ object Bench {
     val bySlow = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
-    bySlow.foreach { case (k, v, _) =>
+    bySlow.foreach { case (k, v, _, _) =>
       val ent = "\"" + k + f"\":$v%.2f"
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }

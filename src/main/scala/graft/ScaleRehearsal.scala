@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,29 +28,6 @@ import graft.functions.Text
   * (defaults: /root/testdata/sf0.1, 10 copies, cap 256).
   */
 object ScaleRehearsal {
-
-  /** Max-observed task metrics across every job run while registered. */
-  private final class TaskMaxListener extends SparkListener {
-    @volatile var maxInputBytes = 0L
-    @volatile var maxShuffleReadBytes = 0L
-    @volatile var maxShuffleReadRecords = 0L
-    @volatile var tasks = 0L
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) synchronized {
-        tasks += 1
-        maxInputBytes = math.max(maxInputBytes, m.inputMetrics.bytesRead)
-        maxShuffleReadBytes =
-          math.max(maxShuffleReadBytes, m.shuffleReadMetrics.totalBytesRead)
-        maxShuffleReadRecords =
-          math.max(maxShuffleReadRecords, m.shuffleReadMetrics.recordsRead)
-      }
-    }
-    def reset(): Unit = synchronized {
-      maxInputBytes = 0L; maxShuffleReadBytes = 0L
-      maxShuffleReadRecords = 0L; tasks = 0L
-    }
-  }
 
   /** The skewed corpus: `copies` salted duplicates of every document,
     * with a shared boilerplate paragraph appended to every doc whose
@@ -115,10 +91,12 @@ object ScaleRehearsal {
       .head()
 
     def phase[A](name: String)(f: => A): (A, Double, Long, Long, Long) = {
+      org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
       listener.reset()
       val t0 = System.nanoTime()
       val a = f
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
       System.err.println(f"[rehearsal] $name%-24s $dt%8.1f s  " +
         f"maxTaskIn=${listener.maxInputBytes / 1e6}%.0fMB " +
         f"maxShufRead=${listener.maxShuffleReadBytes / 1e6}%.0fMB " +

@@ -23,56 +23,71 @@ object EventAnalytics {
     *
     * Output: one row per stage — (stage int, event_type, users bigint).
     *
-    * Scale shape: stage i is one equi-join keyed on the user column
-    * between the (monotonically shrinking) converted-user set and the
-    * type-filtered event scan, followed by a partial-agg min — all
-    * shuffles are keyed by user, so a hot event type cannot skew a
-    * global key, and the per-stage state is one timestamp per surviving
-    * user. The final per-stage counts are output-sized aggregates.
-    * Timestamps are compared in integer micros end-to-end (no double
-    * rounding at second boundaries).
+    * Scale shape: ONE shuffle, keyed by user. Stage-typed events are
+    * filtered at the scan, grouped per user, time-sorted row-locally,
+    * and the greedy stage chain is a single `aggregate` fold over the
+    * sorted array — the earliest qualifying event is picked at each
+    * stage, which is exactly the min-time join chain (fixed first-touch
+    * t0; a smaller t_prev only weakens later constraints, so greedy is
+    * optimal). The per-user state is (reached, t0, t_prev); the rollup
+    * to per-stage counts is output-sized. A k-stage funnel previously
+    * cost k user-keyed joins (k shuffles of the event scan, and O(k²)
+    * scans when the lineage was re-evaluated per stage count); the fold
+    * form is invariant in k. A hot USER concentrates its own events in
+    * one task, bounded by that user's activity — no global key exists
+    * for an event-type hotspot to skew. Timestamps are compared in
+    * integer micros end-to-end (no double rounding at second
+    * boundaries).
     */
   def funnel(events: DataFrame, stages: Seq[String], horizonSec: Long,
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least two stages")
-    val us = unix_micros(col(tsCol))
+    val k = stages.size
     val horizonUs = horizonSec * 1000000L
-
-    // stage 1: first entry per user. Each stage's survivor set is
-    // localCheckpoint'd (it is tiny — one row per surviving user) so the
-    // per-stage count aggregates and the next stage's join both read the
-    // materialized set instead of recomputing the whole prefix chain —
-    // without this a k-stage funnel costs O(k²) event scans (same
-    // lineage-truncation pattern as clusterHistogram / PageRank).
-    var reached = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol))
-      .agg(min(us).as("t0"))
-      .withColumn("t_prev", col("t0"))
-      .localCheckpoint(eager = false)
-
-    var counts = Seq(
-      reached.agg(count(lit(1)).as("users"))
-        .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
-          col("users")))
-
-    for (i <- 1 until stages.size) {
-      reached = events.filter(col(typeCol) === stages(i))
-        .select(col(userCol), us.as("u"))
-        .join(reached, Seq(userCol))
-        .filter(col("u") > col("t_prev") &&
-          col("u") <= col("t0") + lit(horizonUs))
-        // t0 is functionally dependent on the user key; grouping by both
-        // keeps it available without a re-join and does not change
-        // cardinality.
-        .groupBy(col(userCol), col("t0"))
-        .agg(min(col("u")).as("t_prev"))
-        .localCheckpoint(eager = false)
-      counts = counts :+ reached.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
-          col("users"))
+    // stage index via a when-chain (k is small); non-stage events are
+    // filtered out before the shuffle.
+    val stageIdx = stages.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === stages.head, lit(0))) { case (w, (s, i)) =>
+      w.when(col(typeCol) === s, lit(i))
     }
-    counts.reduce(_.unionByName(_))
+    // sorted (ts-micros, stage) pairs per user; struct sort is
+    // lexicographic, so timestamp ties process the EARLIER stage first —
+    // and the strict `u > tp` guard below then rejects the same-instant
+    // advance, matching the join formulation's strict inequality.
+    val perUser = events.filter(col(typeCol).isin(stages.map(lit): _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(unix_micros(col(tsCol)).as("u"), stageIdx.as("s")))).as("ev"))
+    // greedy chain fold: r = stages completed, t0 = first-touch micros,
+    // tp = previous stage's time. Advance on the next stage's first
+    // event strictly after tp and within the horizon of t0.
+    val init = struct(lit(0).as("r"), lit(0L).as("t0"), lit(0L).as("tp"))
+    val reached = perUser.select(
+      aggregate(col("ev"), init, (acc, e) => {
+        val r = acc.getField("r"); val t0 = acc.getField("t0")
+        val tp = acc.getField("tp")
+        val u = e.getField("u"); val s = e.getField("s")
+        when(r === 0 && s === 0,
+          struct(lit(1).as("r"), u.as("t0"), u.as("tp")))
+          .when(r > 0 && r < k && s === r && u > tp &&
+              u <= t0 + lit(horizonUs),
+            struct((r + 1).as("r"), t0.as("t0"), u.as("tp")))
+          .otherwise(acc)
+      }).getField("r").as("r"))
+    // per-stage counts: each user contributes to stages 1..r; emit every
+    // stage row even at zero users (join-form parity).
+    val cum = reached.filter(col("r") >= 1)
+      .select(explode(sequence(lit(1), col("r"))).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+    val stageRows = array(stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("stage"), lit(s).as("event_type"))
+    }: _*)
+    events.sparkSession.range(1)
+      .select(explode(stageRows).as("x")).select(col("x.*"))
+      .join(cum, Seq("stage"), "left")
+      .select(col("stage"), col("event_type"),
+        coalesce(col("users"), lit(0L)).as("users"))
   }
 
   /** Cohort retention: users grouped by the calendar day of their first
