@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.blockers._
 import graft.core.{BlockingDataset, Blocks}
-import graft.encoders.HashTokenEncoder
+import graft.encoders.{CachedEncoder, FrameEncoder, HashTokenEncoder}
 import graft.eval.Evaluation
 
 /** User-facing experiment front door — the Spark shape of the reference's
@@ -16,8 +16,16 @@ import graft.eval.Evaluation
   * spark-submit --class graft.Experiment graft.jar \
   *   --data /path/bundle --blocker token --out /tmp/blocks \
   *   [--format parquet|csv|json|openea] [--metrics /tmp/metrics.json] \
+  *   [--append-metrics /tmp/runs.jsonl] [--eval-only /tmp/blocks/blocks] \
+  *   [--embeddings /tmp/emb] [--force-encode] \
   *   [--sample-mod N] [--no-clean] [--no-write] [blocker params...]
   * }}}
+  *
+  * `--eval-only <blocks-dir>` re-scores previously written blocks without
+  * re-blocking (later_eval.py:27-72); `--embeddings <dir>` is the S7
+  * encode-once cache (blockers/embedding/blocker.py:162-239);
+  * `--append-metrics <file>` appends one JSON line per run — the
+  * multi-run tracker file (trackers.py).
   *
   * Every §2.9 composition is reachable by name (see [[blockerFor]]); the
   * metrics artifact is one JSON object with the reference's eval dict
@@ -40,6 +48,10 @@ object Experiment {
       out: String,
       format: String = "auto",
       metricsPath: Option[String] = None,
+      appendMetrics: Option[String] = None,
+      evalOnly: Option[String] = None,
+      embeddingsDir: Option[String] = None,
+      forceEncode: Boolean = false,
       compare: Option[String] = None,
       sampleMod: Option[Int] = None,
       clean: Boolean = true,
@@ -66,11 +78,21 @@ object Experiment {
       minOverlap: Int = 1,
       maxBlockComparisons: Long = 0L)
 
+  /** The encoder embedding blockers use: the deterministic
+    * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
+    * SURVEY.md M6/M7), wrapped in the S7 [[CachedEncoder]] when
+    * `--embeddings <dir>` is given — probe the cache, load if present,
+    * else encode + save (`--force-encode` overwrites). */
+  def encoderFor(c: Config): FrameEncoder = {
+    val base = HashTokenEncoder(c.dims)
+    c.embeddingsDir.map(d => CachedEncoder(base, d, c.forceEncode)).getOrElse(base)
+  }
+
   /** Blocker registry — one name per reference CLI command
-    * (experiment.py:659-1560). Embedding-based entries use the
-    * deterministic [[HashTokenEncoder]] (M4/M5 stand-in for external
-    * model inference, SURVEY.md M6/M7). */
-  def blockerFor(c: Config): Blocker = c.blocker match {
+    * (experiment.py:659-1560). */
+  def blockerFor(c: Config): Blocker = blockerFor(c, encoderFor(c))
+
+  def blockerFor(c: Config, enc: FrameEncoder): Blocker = c.blocker match {
     case "standard"    => StandardBlocker(c.key)
     case "qgrams"      => QgramsBlocker(c.key, c.q)
     case "token"       => TokenBlocker(c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
@@ -98,20 +120,20 @@ object Experiment {
       TokenBlocker(c.minTokenLength), Some(TokenBlocker(c.minTokenLength)),
       c.topNA, c.topNR)
     case "embedding-knn" =>
-      EmbeddingKnnBlocker(HashTokenEncoder(c.dims), c.k,
+      EmbeddingKnnBlocker(enc, c.k,
         sinkhornIterations = c.sinkhorn, strategy = annStrategy(c))
     case "composite-embedding" => CompositeEmbeddingBlocker(
-      HashTokenEncoder(c.dims), c.k, strategy = annStrategy(c),
+      enc, c.k, strategy = annStrategy(c),
       topNA = c.topNA, topNR = c.topNR,
       minTokenLength = c.minTokenLength)
     case "relational-deepblocker" => CompositeRelationalDeepBlocker(
-      HashTokenEncoder(c.dims), c.k, c.topNA, c.topNR,
+      enc, c.k, c.topNA, c.topNR,
       minTokenLength = c.minTokenLength)
     case "lightea" => CompositeLightEABlocker(
-      HashTokenEncoder(c.dims), c.depth, c.k, c.dims,
+      enc, c.depth, c.k, c.dims,
       minTokenLength = c.minTokenLength)
     case "kmeans-cluster" =>
-      KMeansClusterBlocker(HashTokenEncoder(c.dims), c.numClusters)
+      KMeansClusterBlocker(enc, c.numClusters)
     case "attribute-cluster" =>
       AttributeClusteringBlocker(HashBucketClusterAssigner(c.buckets), c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
@@ -157,12 +179,19 @@ object Experiment {
     }
     def req(k: String) = m.getOrElse(k,
       throw new IllegalArgumentException(s"missing required --$k"))
+    // --eval-only re-scores previously written blocks: no blocker runs and
+    // nothing is written, so those two options stop being required.
+    val evalOnly = m.get("eval-only")
     Config(
       data = req("data"),
-      blocker = req("blocker"),
-      out = req("out"),
+      blocker = if (evalOnly.isDefined) m.getOrElse("blocker", "eval-only") else req("blocker"),
+      out = if (evalOnly.isDefined) m.getOrElse("out", "") else req("out"),
       format = m.getOrElse("format", "auto"),
       metricsPath = m.get("metrics"),
+      appendMetrics = m.get("append-metrics"),
+      evalOnly = evalOnly,
+      embeddingsDir = m.get("embeddings"),
+      forceEncode = flags.contains("force-encode"),
       compare = m.get("compare"),
       sampleMod = m.get("sample-mod").map(_.toInt),
       clean = !flags.contains("no-clean"),
@@ -204,13 +233,101 @@ object Experiment {
     c.sampleMod.map(ds.sample(_)).getOrElse(ds)
   }
 
-  /** Run one experiment; returns the metrics JSON string (also written to
-    * `c.metricsPath` when set). Phases mirror experiment.py:545-575. */
-  def run(spark: SparkSession, c: Config): String = {
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The eval fragment of the metrics JSON, shared verbatim by the full
+    * pipeline and `--eval-only` so the two paths cannot drift. */
+  private def evalJson(c: Config, persisted: Blocks,
+      dataset: BlockingDataset, leftLen: Long, rightLen: Long): String =
+    dataset.gold match {
+      case Some(g) =>
+        val r = Evaluation.evaluate(persisted, g, leftLen, rightLen)
+        val metrics = r.toMap.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${fmtD(v)}""" }.mkString(",")
+        // optional A10 comparison: Sørensen-Dice of the two blockers'
+        // true-positive sets (eval.py:329-331), the reference's
+        // blocker-vs-blocker report
+        val dice = c.compare.map { name =>
+          val other = blockerFor(c.copy(blocker = name)).assign(
+            dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
+          s""","compare_blocker":"$name","dice_tp":${
+            fmtD(Evaluation.diceOfTruePositives(persisted, other, g))}"""
+        }.getOrElse("")
+        s""""tp":${r.truePositive},"fp":${r.falsePositive},"fn":${r.falseNegative},""" +
+          s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics$dice"""
+      case None => s""""pairs":${persisted.distinctPairs.count()}"""
     }
 
+  /** Write the metrics JSON to its sinks: `--metrics` (overwrite, one
+    * run) and `--append-metrics` (one JSON LINE per run appended — the
+    * reference's multi-run tracker file, trackers.py:1-240, so
+    * experiment sweeps are comparable offline). */
+  private def emit(c: Config, json: String): String = {
+    c.metricsPath.foreach { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(f.toPath, json + "\n")
+    }
+    c.appendMetrics.foreach { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(f.toPath, (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    json
+  }
+
+  /** JSON of every Config field (run provenance for the append-metrics
+    * tracker: two sweep lines differing only in a parameter stay
+    * distinguishable without re-deriving it from the output). */
+  def configJson(c: Config): String =
+    c.productElementNames.zip(c.productIterator).map { case (n, v) =>
+      val r = v match {
+        case None => "null"
+        case Some(x) => renderJsonScalar(x)
+        case x => renderJsonScalar(x)
+      }
+      s""""$n":$r"""
+    }.mkString("{", ",", "}")
+
+  private def renderJsonScalar(x: Any): String = x match {
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case d: Double => fmtD(d)
+    case other => other.toString // Int/Long/Boolean
+  }
+
+  /** `--eval-only <blocks-dir>`: re-score previously written blocks
+    * against the dataset's gold without re-running any blocker — the
+    * reference's later_eval.py:27-72 re-evaluation flow. Layout
+    * dispatch (plain / NN / composite) comes from [[Blocks.read]]. */
+  def runEvalOnly(spark: SparkSession, c: Config, blocksDir: String): String = {
+    val (ds, tLoad) = timed {
+      val d = loadDataset(spark, c)
+      (d, d.left.ids.distinct().count(), d.right.ids.distinct().count())
+    }
+    val (dataset, leftLen, rightLen) = ds
+    val (blocks, tRead) = timed(Blocks.read(spark, blocksDir))
+    val (evalPart, tEval) = timed(evalJson(c, blocks, dataset, leftLen, rightLen))
+    val total = tLoad + tRead + tEval
+    emit(c,
+      s"""{"blocker":"eval-only","data":"${c.data}","blocks":"$blocksDir",""" +
+        s""""left_len":$leftLen,"right_len":$rightLen,$evalPart,""" +
+        s""""total_time_in_s":${fmtD(total)},""" +
+        s""""phase_times":{"load":${fmtD(tLoad)},"read":${fmtD(tRead)},""" +
+        s""""eval":${fmtD(tEval)}},"config":${configJson(c)}}""")
+  }
+
+  /** Run one experiment; returns the metrics JSON string (also written to
+    * `c.metricsPath` when set). Phases mirror experiment.py:545-575. */
+  def run(spark: SparkSession, c: Config): String = c.evalOnly match {
+    case Some(blocksDir) => runEvalOnly(spark, c, blocksDir)
+    case None => runFull(spark, c)
+  }
+
+  private def runFull(spark: SparkSession, c: Config): String = {
     val (ds, tLoad) = timed {
       val d = loadDataset(spark, c)
       // count both sides here so the load phase (not eval) pays the scan;
@@ -219,8 +336,11 @@ object Experiment {
     }
     val (dataset, leftLen, rightLen) = ds
 
+    // built once so the S7 cache decorator's encode timer survives to the
+    // metrics below (blockerFor would otherwise build a fresh one)
+    val encoder = encoderFor(c)
     val (blocks, tAssign) = timed {
-      blockerFor(c).assign(
+      blockerFor(c, encoder).assign(
         dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
     }
 
@@ -242,41 +362,24 @@ object Experiment {
       }
     }
 
-    val (evalPart, tEval) = timed {
-      dataset.gold match {
-        case Some(g) =>
-          val r = Evaluation.evaluate(persisted, g, leftLen, rightLen)
-          val metrics = r.toMap.toSeq.sortBy(_._1)
-            .map { case (k, v) => s""""$k":${fmtD(v)}""" }.mkString(",")
-          // optional A10 comparison: Sørensen-Dice of the two blockers'
-          // true-positive sets (eval.py:329-331), the reference's
-          // blocker-vs-blocker report
-          val dice = c.compare.map { name =>
-            val other = blockerFor(c.copy(blocker = name)).assign(
-              dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
-            s""","compare_blocker":"$name","dice_tp":${
-              fmtD(Evaluation.diceOfTruePositives(persisted, other, g))}"""
-          }.getOrElse("")
-          s""""tp":${r.truePositive},"fp":${r.falsePositive},"fn":${r.falseNegative},""" +
-            s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics$dice"""
-        case None => s""""pairs":${persisted.distinctPairs.count()}"""
-      }
-    }
+    val (evalPart, tEval) = timed(evalJson(c, persisted, dataset, leftLen, rightLen))
     if (!c.writeBlocks) persisted.df.unpersist()
 
+    // S7 cache observability: encode wall time (≈0 on a cache hit — the
+    // hit is a lazy parquet read) and how many sides were re-encoded.
+    val encodePart = encoder match {
+      case ce: CachedEncoder =>
+        s""""encode":${fmtD(ce.secondsSpent)},"encode_misses":${ce.misses.get()},"""
+      case _ => ""
+    }
     val total = tLoad + tAssign + tWrite + tEval
     val json =
       s"""{"blocker":"${c.blocker}","data":"${c.data}","out":"${c.out}",""" +
         s""""left_len":$leftLen,"right_len":$rightLen,$evalPart,""" +
         s""""time_in_s":${fmtD(tAssign + tWrite)},"total_time_in_s":${fmtD(total)},""" +
-        s""""phase_times":{"load":${fmtD(tLoad)},"assign":${fmtD(tAssign)},""" +
-        s""""write":${fmtD(tWrite)},"eval":${fmtD(tEval)}}}"""
-    c.metricsPath.foreach { p =>
-      val f = new java.io.File(p)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      java.nio.file.Files.writeString(f.toPath, json + "\n")
-    }
-    json
+        s""""phase_times":{$encodePart"load":${fmtD(tLoad)},"assign":${fmtD(tAssign)},""" +
+        s""""write":${fmtD(tWrite)},"eval":${fmtD(tEval)}},"config":${configJson(c)}}"""
+    emit(c, json)
   }
 
   private def fmtD(d: Double): String =
@@ -285,6 +388,8 @@ object Experiment {
   private val Usage: String =
     s"""usage: graft.Experiment --data <dir> --blocker <name> --out <dir>
        |  [--format auto|parquet|csv|json|openea] [--metrics <file>]
+       |  [--append-metrics <file>] [--eval-only <blocks-dir>]
+       |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name>] [--sample-mod N] [--no-clean] [--no-write]
        |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]
        |  [--key <col>] [--q N] [--min-token-length N] [--threshold X]

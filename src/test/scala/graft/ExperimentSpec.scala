@@ -170,4 +170,75 @@ class ExperimentSpec extends SparkSpec {
     assert(json.contains("\"recall\":"))
     assert(graft.core.Blocks.read(spark, s"$out/blocks").df.count() > 0)
   }
+
+  private def jsonField(json: String, k: String): String =
+    s""""$k":([0-9.eE+-]+|null)""".r.findFirstMatchIn(json)
+      .getOrElse(fail(s"missing $k in $json")).group(1)
+
+  test("--eval-only re-scores written blocks with metrics equal to the inline path") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_eo").toString
+    val full = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "token", "--out", out)))
+    // re-evaluate the WRITTEN blocks without a blocker (later_eval.py flow)
+    val evalOnly = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--eval-only", s"$out/blocks")))
+    for (k <- Seq("tp", "fp", "fn", "pairs", "recall", "precision",
+        "f_measure", "h3r", "left_len", "right_len"))
+      assert(jsonField(evalOnly, k) == jsonField(full, k),
+        s"$k differs: eval-only=${jsonField(evalOnly, k)} full=${jsonField(full, k)}")
+    assert(evalOnly.contains(""""blocker":"eval-only""""))
+    // no blocker ran: the full pipeline's phases are absent
+    assert(!evalOnly.contains(""""assign":""") && !evalOnly.contains(""""write":"""))
+  }
+
+  test("--embeddings caches S7-style: second run skips encode and is identical") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_emb").toString
+    val emb = java.nio.file.Files.createTempDirectory("emb_cache").toString
+    def runOnce(extra: String*): String =
+      Experiment.run(spark, Experiment.parseArgs(Array(
+        "--data", data, "--blocker", "embedding-knn", "--out", out,
+        "--embeddings", emb, "--k", "2", "--no-write") ++ extra))
+    val first = runOnce()
+    assert(jsonField(first, "encode_misses") == "2",
+      "first run must encode both sides")
+    assert(new java.io.File(s"$emb/left.parquet").exists() &&
+      new java.io.File(s"$emb/right.parquet").exists())
+    val second = runOnce()
+    assert(jsonField(second, "encode_misses") == "0",
+      "second run must load both sides from the cache")
+    // a cache hit is a lazy parquet read — encode wall time ≈ 0
+    assert(jsonField(second, "encode").toDouble < 0.5,
+      s"cache-hit encode should be ~0, got ${jsonField(second, "encode")}")
+    // identical results off the cached embeddings
+    for (k <- Seq("tp", "fp", "fn", "pairs", "recall"))
+      assert(jsonField(second, k) == jsonField(first, k), s"$k differs")
+    // --force-encode re-encodes and overwrites
+    val forced = runOnce("--force-encode")
+    assert(jsonField(forced, "encode_misses") == "2")
+  }
+
+  test("--append-metrics appends one parseable JSON line per run (multi-run tracker)") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_tr").toString
+    val track = s"$out/runs.jsonl"
+    def runWith(blocker: String): String =
+      Experiment.run(spark, Experiment.parseArgs(Array(
+        "--data", data, "--blocker", blocker, "--out", out,
+        "--append-metrics", track, "--no-write")))
+    runWith("token")
+    runWith("unique-name")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(track)).toArray.map(_.toString)
+    assert(lines.length == 2, s"expected 2 tracker lines, got ${lines.length}")
+    lines.foreach { l =>
+      assert(l.startsWith("{") && l.endsWith("}"), s"not a JSON object: $l")
+      assert(l.contains(""""config":{"""), "config provenance missing")
+    }
+    // the two runs stay distinguishable by their config
+    assert(lines(0).contains(""""blocker":"token""""))
+    assert(lines(1).contains(""""blocker":"unique-name""""))
+    assert(lines(0) != lines(1))
+  }
 }
