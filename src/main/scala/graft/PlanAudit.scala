@@ -59,7 +59,8 @@ object PlanAudit {
     "tx_lm_bigram" -> "one-row (N, V) model-totals broadcast into the backoff projection (TextAnalysis.lmBigramScore)",
     "ev_zorder_stats" -> "one-row dimension-bounds broadcast into the range normalization (EventAnalytics.zOrderStats)",
     "mh_lsh_tuning" -> "5-row (b, r) config table crossJoin(broadcast) over the 19-row similarity grid (MinHash.lshTuningCurve)",
-    "ann_ivf_recall" -> "contains the documented brute-force baseline (broadcast query side) it measures IVF recall against")
+    "ann_ivf_recall" -> "contains the documented brute-force baseline (broadcast query side) it measures IVF recall against",
+    "ann_ivf_recall_curve" -> "brute baseline (broadcast query side) + 8-row centroid table broadcast, shared across the probes sweep")
 
   private val patterns = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -992,6 +992,85 @@ object SimilarityQueries {
              |       floor((avg(rec)) * 1e6 + 0.5) / 1e6 AS recall_at3
              |FROM pq""".stripMargin)),
 
+    // ---- IVF recall-vs-probes curve on CLUSTERABLE embeddings -------------
+    // ann_ivf_recall's honest 0.19 on the random embedding fixture proves
+    // the gate works but says nothing about the multi-probe knob; this
+    // query pins the knob's rising curve the way mh_lsh_tuning pins the
+    // LSH S-curve. Embeddings are synthesized DETERMINISTICALLY with real
+    // cluster structure: 8 md5-derived centers (amplitude 1) plus
+    // per-vector md5 noise (amplitude 0.5), identically reproducible in
+    // DuckDB — so recall@3 rises with probes by construction and the
+    // whole curve is hash-pinned, not asserted.
+    "ann_ivf_recall_curve" -> QueryDef(
+      (s, dir) => {
+        val lab = pmod(col("vec_id"), lit(8))
+        val e = embs(s, dir).select(col("vec_id"), lab.as("lab"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (Text.md5Long(concat(lab, lit(":"), i)) % 2001 - 1000) / 1000.0
+              + (Text.md5Long(concat(col("vec_id"), lit("n"), i)) % 2001 - 1000) / 2000.0
+          ).as("vec"))
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("vec"))
+        val bucketed = e.filter(col("vec_id") % 2 === 1)
+          .select(col("lab").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("vec"))
+        Similarity.ivfRecallCurve(q, bucketed, 3, Seq(1, 2, 4, 8))
+          .orderBy("probes")
+      },
+      Some("""WITH expl AS (
+             |  SELECT vec_id, vec_id % 8 AS label, i.i - 1 AS i,
+             |         ((('0x'||substr(md5((vec_id % 8) || ':' || (i.i - 1)), 1, 15))::bigint
+             |             % 2001 - 1000) / 1000.0
+             |          + (('0x'||substr(md5(vec_id || 'n' || (i.i - 1)), 1, 15))::bigint
+             |             % 2001 - 1000) / 2000.0) AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+             |bdots AS (
+             |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+             |  FROM expl a JOIN expl b ON a.i = b.i
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+             |brute AS (SELECT left_id, right_id FROM (
+             |  SELECT left_id, right_id, row_number() OVER (PARTITION BY left_id
+             |      ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rk
+             |  FROM bdots JOIN norms na ON na.vec_id = left_id
+             |             JOIN norms nb ON nb.vec_id = right_id) WHERE rk <= 3),
+             |oddexpl AS (SELECT * FROM expl WHERE vec_id % 2 = 1),
+             |cents AS (SELECT label, i, avg(v) AS c FROM oddexpl GROUP BY label, i),
+             |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+             |qdots AS (
+             |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+             |  FROM expl e JOIN cents c ON e.i = c.i
+             |  WHERE e.vec_id % 2 = 0 GROUP BY 1, 2),
+             |assign AS (
+             |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+             |  FROM qdots q JOIN norms n ON n.vec_id = q.vec_id
+             |               JOIN cnorms cn ON cn.label = q.label),
+             |grid AS (SELECT * FROM (VALUES (1), (2), (4), (8)) g(p)),
+             |cand AS (SELECT g.p, a.vec_id, a.label
+             |         FROM assign a JOIN grid g ON a.rn <= g.p),
+             |idots AS (
+             |  SELECT c.p, c.vec_id AS left_id, b.vec_id AS right_id,
+             |         sum(a.v * b.v) AS dot
+             |  FROM cand c JOIN expl a ON a.vec_id = c.vec_id
+             |              JOIN oddexpl b ON b.label = c.label AND b.i = a.i
+             |  GROUP BY 1, 2, 3),
+             |ivf AS (SELECT p, left_id, right_id FROM (
+             |  SELECT p, left_id, right_id, row_number() OVER (PARTITION BY p, left_id
+             |      ORDER BY dot / (na.nrm * nb.nrm) DESC, right_id ASC) AS rk
+             |  FROM idots JOIN norms na ON na.vec_id = left_id
+             |             JOIN norms nb ON nb.vec_id = right_id) WHERE rk <= 3),
+             |pq AS (
+             |  SELECT g.p, b.left_id,
+             |         sum(CASE WHEN i.right_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0 AS rec
+             |  FROM brute b CROSS JOIN grid g
+             |  LEFT JOIN ivf i ON i.p = g.p AND i.left_id = b.left_id
+             |                  AND i.right_id = b.right_id
+             |  GROUP BY 1, 2)
+             |SELECT p AS probes, count(*) AS n_queries,
+             |       floor((avg(rec)) * 1e6 + 0.5) / 1e6 AS recall_at3
+             |FROM pq GROUP BY 1 ORDER BY probes""".stripMargin)),
+
     // ---- LSH (b, r) tuning S-curves --------------------------------------
     "mh_lsh_tuning" -> QueryDef(
       (s, dir) => MinHash.lshTuningCurve(s,

@@ -98,6 +98,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall@k-vs-probes sweep — the approximation-quality curve for the
+    * IVF multi-probe knob, pinned the same way `mh_lsh_tuning` pins the
+    * LSH (b,r) S-curve. The centroid-assignment RANKING is computed once
+    * and every sweep point reuses it: a query's rank-r bucket fans out
+    * (row-locally) to each probe count p ≥ r, so the sweep costs one
+    * clustering pass + one candidate join sized by max(probes) — not one
+    * IVF run per point. The exact baseline is one [[topKCosine]] run.
+    *
+    * Output: (probes int, n_queries, recall_at`k`) — recall = mean over
+    * queries of |ivf∩brute| / k, rising in probes (monotone by
+    * construction: a larger p only widens the candidate union).
+    *
+    * 100 TB shape: same as [[ivfTopK]] (tiny broadcast centroids, bucket
+    * equi-join) with candidate volume multiplied by Σ p∈probesList —
+    * a diagnostic you run on a sample, not the whole corpus. */
+  def ivfRecallCurve(queries: DataFrame, bucketed: DataFrame, k: Int,
+      probesList: Seq[Int]): DataFrame = {
+    require(probesList.nonEmpty, "need at least one probe count")
+    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
+      col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
+    val cents = centroids(members.select(col("bucket"), col("_rv").as("vec")))
+      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
+      Vectors.l2Norm(col("vec")).as("_ln"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val assignW = Window.partitionBy("left_id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
+        (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") <= probesList.max)
+      .withColumn("probes", explode(filter(
+        array(probesList.map(lit): _*), p => p >= col("_rn"))))
+      .select(col("probes"), col("left_id"), col("_lv"), col("_ln"), col("bucket"))
+    val scored = assigned.join(members, Seq("bucket"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("probes"), col("left_id"), col("right_id"),
+        (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn2"))).as("cos"))
+    val w = Window.partitionBy("probes", "left_id")
+      .orderBy(col("cos").desc, col("right_id").asc)
+    val ivf = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probes"), col("left_id"), col("right_id"), lit(1).as("_hit"))
+    val brute = topKCosine(queries, bucketed.select(col("id"), col("vec")), k)
+      .select(col("left_id"), col("right_id"))
+      .withColumn("probes", explode(array(probesList.map(lit): _*)))
+    brute.join(ivf, Seq("probes", "left_id", "right_id"), "left")
+      .groupBy("probes", "left_id")
+      .agg((sum(coalesce(col("_hit"), lit(0))) / k.toDouble).as("rec"))
+      .groupBy("probes")
+      .agg(count(lit(1)).as("n_queries"),
+        Num.stableRound(avg(col("rec")), 6).as(s"recall_at$k"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: same md5 formula
     * as [[graft.functions.Text.md5Long]], evaluated on the driver —
     * value ∈ [-1, 1] with millesimal resolution. */

@@ -293,4 +293,26 @@ class SimilaritySpec extends SparkSpec {
       .assign(side("l"), side("r"))
     assert(bigCap.pairs.count() == 16L, "non-binding cap (native path) → all pairs")
   }
+
+  test("ivfRecallCurve: recall rises monotonically and hits 1.0 at full probes") {
+    // two clean clusters + queries that sit BETWEEN them: probes=1 sees
+    // only the nearest cluster's bucket, probes=2 sees both
+    def vec(a: Double, b: Double) = Seq(a, b, 0.1, 0.1)
+    val corpus = Seq(
+      ("c1", vec(1.0, 0.0)), ("c2", vec(0.95, 0.05)), ("c3", vec(0.9, 0.1)),
+      ("d1", vec(0.0, 1.0)), ("d2", vec(0.05, 0.95)), ("d3", vec(0.1, 0.9)))
+      .toDF("id", "vec")
+      .withColumn("bucket", when(col("id").startsWith("c"), "a").otherwise("b"))
+    val queries = Seq(
+      ("q1", vec(0.6, 0.55)), ("q2", vec(0.55, 0.6))).toDF("id", "vec")
+    val curve = graft.similarity.Similarity
+      .ivfRecallCurve(queries, corpus, 3, Seq(1, 2))
+      .orderBy("probes").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // top-3 of a between-clusters query spans both buckets: one probe
+    // cannot reach all of them, two probes must
+    assert(curve(1) < 1.0, s"probes=1 should miss cross-bucket neighbors: $curve")
+    assert(curve(2) == 1.0, s"probes=2 covers the whole corpus: $curve")
+    assert(curve(1) <= curve(2), "recall must be monotone in probes")
+  }
 }
