@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Text
+import graft.streaming.StreamingOps
+
+/** Streaming counterpart of [[ScaleRehearsal]]: feed the ×N skewed
+  * corpus through the stateful operators in rate-limited micro-batches
+  * and record, PER BATCH, the stream's own state-store size
+  * (`stateOperators.numRowsTotal`) and trigger duration — the evidence
+  * that state stays bounded by the admission caps while load keeps
+  * arriving:
+  *
+  *   - `streamMinHashNearDup`: state rows = band buckets; the injected
+  *     boilerplate bucket saturates at `maxIdsPerBucket` signatures and
+  *     then admits nothing, so batch duration stays flat instead of
+  *     growing with the B² candidate blowup;
+  *   - `incrementalTokenBlocks`: state rows = distinct shingle keys;
+  *     hot keys freeze at `maxIdsPerSide`;
+  *   - `streamFunnel`: state rows = distinct users (one O(1) row each);
+  *     once the population has been seen, state is FLAT across batches.
+  *
+  * MemoryStream feeds batches from the driver — a rehearsal harness
+  * convenience, not a scale claim about the feed; the operators under
+  * test only ever see an `addData` + `processAllAvailable` micro-batch,
+  * exactly what a Kafka source would hand them.
+  *
+  * Prints one markdown table per operator + one JSON line (NOTES
+  * material, not a driver contract).
+  *
+  * Usage: `runMain graft.StreamRehearsal [sfDir] [copies] [cap] [batches]`
+  * (defaults: /root/testdata/sf0.1, 10, 256, 10).
+  */
+object StreamRehearsal {
+
+  final case class BatchRow(batch: Int, input: Long, stateRows: Long,
+      outRows: Long, durMs: Long)
+
+  /** Drive `batches` through a started query, reading state rows and
+    * trigger duration off each progress event. */
+  private def drive[A](mem: MemoryStream[A], sq: StreamingQuery,
+      batches: Seq[Seq[A]]): Seq[BatchRow] =
+    batches.zipWithIndex.map { case (b, i) =>
+      if (b.nonEmpty) mem.addData(b)
+      sq.processAllAvailable()
+      val p = sq.lastProgress
+      val state = Option(p.stateOperators).filter(_.nonEmpty)
+        .map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      val dur = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(-1L)
+      val out = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+      BatchRow(i + 1, b.size.toLong, state, out, dur)
+    }
+
+  private def report(name: String, rows: Seq[BatchRow]): String = {
+    println(s"\n### $name (output rows: ${rows.map(_.outRows).sum})\n")
+    println("| batch | input rows | state rows total | output rows | trigger ms |")
+    println("|---|---|---|---|---|")
+    rows.foreach(r => println(
+      s"| ${r.batch} | ${r.input} | ${r.stateRows} | ${r.outRows} | ${r.durMs} |"))
+    s""""$name":{"out":${rows.map(_.outRows).sum},"batches":[""" + rows.map(r =>
+      s"""{"b":${r.batch},"in":${r.input},"state":${r.stateRows},"out":${r.outRows},"ms":${r.durMs}}""")
+      .mkString(",") + "]}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cap = args.drop(2).headOption.map(_.toInt).getOrElse(256)
+    val nBatches = args.drop(3).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming: fixed plan
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ---- the ×copies skewed corpus, tokenized once, split into batches
+    // by arrival wave (copy ordinal): every wave re-delivers a
+    // near-duplicate of the whole base corpus — the worst case for
+    // near-dup state, and the boilerplate bucket gets hotter every wave.
+    val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
+      .select(col("id"),
+        Text.wordShingles(
+          Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)
+          .as("tokens"))
+    val docRecords: Seq[(Int, StreamingOps.DocRecord)] = docs
+      .select(col("id"), col("tokens"))
+      .as[(String, Seq[String])]
+      .collect().toSeq
+      .map { case (id, toks) =>
+        (id.split("_").last.toInt % nBatches,
+          StreamingOps.DocRecord(id, toks.distinct))
+      }
+    val docBatches = (0 until nBatches).map(w => docRecords.collect {
+      case (b, r) if b == w => r
+    })
+    println(s"corpus: ${docRecords.size} docs in $nBatches waves, cap=$cap")
+
+    // ---- streamMinHashNearDup -------------------------------------------
+    val memN = MemoryStream[StreamingOps.DocRecord]
+    val ndQ = StreamingOps.streamMinHashNearDup(
+        memN.toDS(), 16, 4, 0.375, maxIdsPerBucket = cap)
+      .writeStream.format("noop")
+      .outputMode("append").start()
+    val ndRows = drive(memN, ndQ, docBatches)
+    ndQ.stop()
+    val j1 = report("stream_neardup", ndRows)
+
+    // ---- incrementalTokenBlocks -----------------------------------------
+    // shingle-keyed two-sided records; the boilerplate shingles are the
+    // hot keys (every fifth doc carries them in every wave)
+    val tokRecords: Seq[(Int, StreamingOps.TokenRecord)] = docRecords.flatMap {
+      case (w, d) =>
+        val side = if (d.id.hashCode % 2 == 0) "left" else "right"
+        d.tokens.map(t => (w, StreamingOps.TokenRecord(t, side, d.id)))
+    }
+    val tokBatches = (0 until nBatches).map(w => tokRecords.collect {
+      case (b, r) if b == w => r
+    })
+    val memT = MemoryStream[StreamingOps.TokenRecord]
+    val tkQ = StreamingOps.incrementalTokenBlocks(
+        memT.toDS(), maxIdsPerSide = cap)
+      .writeStream.format("noop")
+      .outputMode("append").start()
+    val tkRows = drive(memT, tkQ, tokBatches)
+    tkQ.stop()
+    val j2 = report("incremental_token_pairs", tkRows)
+
+    // ---- streamFunnel ----------------------------------------------------
+    // events table replayed copies× with per-copy salted users; batches
+    // split by time order so state growth = newly seen users per batch
+    val stages = Seq("signup", "view", "purchase")
+    val idx = stages.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (n, i)) =>
+        when(col("event_type") === n, i + 1).otherwise(acc)
+      }
+    val evBase = queries.QueryDef.events(spark, dir)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("string").as("u"), idx.as("stage"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("id"))
+    val evRecords = evBase
+      .select(col("u"), col("stage"), col("us"), col("id"),
+        explode(sequence(lit(0), lit(copies - 1))).as("copy"))
+      .select(concat(col("u"), lit("_"), col("copy")).as("key"),
+        col("stage").cast("int").as("stage"), col("us"), col("id"))
+      .as[StreamingOps.FunnelEvent]
+      .collect().toSeq.sortBy(e => (e.us, e.key))
+    val evBatches = evRecords.grouped(
+      math.max(1, (evRecords.size + nBatches - 1) / nBatches)).toSeq
+    val memF = MemoryStream[StreamingOps.FunnelEvent]
+    val fQ = StreamingOps.streamFunnel(memF.toDS(), stages.size, 7 * 86400L)
+      .writeStream.format("noop")
+      .outputMode("append").start()
+    val fRows = drive(memF, fQ, evBatches)
+    fQ.stop()
+    val j3 = report("stream_funnel", fRows)
+
+    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j3}""")
+    spark.stop()
+  }
+}
