@@ -492,9 +492,14 @@ object Dedup {
     // NB on partitioning: the fingerprint frame is tiny (one row per doc),
     // so AQE coalesces the pre-join exchange aggressively and the
     // candidate blowup after the equi-join runs under-parallel on this
-    // corpus. An explicit repartition(par, chunk) was measured WORSE
-    // (chunk keys are skewed; pinning the partitioning disables AQE's
-    // skew-join splitting, which matters more). Left to AQE on purpose.
+    // corpus. Two fixes measured and REJECTED at sf0.1: an explicit
+    // repartition(par, chunk) (worse — pins the skewed key layout without
+    // splitting the hot key) and an 8-way replication salt on the
+    // self-join (7.5 → 8.8 s — the cost here is TOTAL candidate volume on
+    // a near-dup-dense corpus, not one straggler key, so salting only
+    // added 8× probe-side exchange). Left to AQE on purpose; on a real
+    // heavy-tailed corpus where one degenerate chunk dominates, the
+    // saltFactor pattern in ngramJaccardPairs/capHotKeys applies.
     val chunks = fp.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         concat(lit(s"$c:"),

@@ -30,13 +30,26 @@ object PageRank {
     */
   def pageRank(arcs: DataFrame, iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    val a = arcs.select(col("src"), col("dst")).persist()
+    val a = arcs.select(col("src"), col("dst"))
     val deg = a.groupBy("src").agg(count(lit(1)).as("dg")).persist()
     val nDf = deg.agg(count(lit(1)).as("n"))
+    // The arcs⋈deg join is loop-INVARIANT: build the (src, dst, dg)
+    // contribution table once, hash-partitioned by src and persisted in
+    // that layout — every iteration's join then exchanges only the
+    // node-sized rank table against the cached partitioning, instead of
+    // re-joining (and re-shuffling) the arc-sized side each round. This
+    // is the shuffle-once idiom that matters at 100 TB: the big side
+    // moves exactly one time however many iterations run. (The per-round
+    // contribution keeps the r/dg division form — same operations as the
+    // SQL oracle's replay, no reciprocal-multiply drift.)
+    val contrib = a.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("dg"))
+      .repartition(col("src"))
+      .persist()
     var r = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to iterations) {
-      val m = a.join(deg, Seq("src"))
+      val m = contrib
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("r") / col("dg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
@@ -46,7 +59,7 @@ object PageRank {
     }
     val out = r.localCheckpoint()
     deg.unpersist()
-    a.unpersist()
+    contrib.unpersist()
     out
   }
 }
