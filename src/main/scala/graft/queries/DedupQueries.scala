@@ -58,6 +58,39 @@ object DedupQueries {
       |                       t -> length(t) >= 1) AS l
       |    FROM documents))""".stripMargin
 
+  /** DuckDB replay of [[TextAnalysis.bpeMerges]]: `rounds` chained CTE
+    * blocks, each = pair expansion → weighted count → deterministic
+    * argmax → delimiter-string merge (replace is left-to-right
+    * non-overlapping in both engines — the BPE greedy-apply rule). */
+  private def bpeMergesSql(rounds: Int): String = {
+    val v0 =
+      """words AS (
+        |  SELECT t AS w, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                              x -> length(x) >= 1)) AS t
+        |    FROM documents) GROUP BY 1),
+        |v0 AS (
+        |  SELECT '·' || array_to_string(
+        |           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '·')
+        |         || '·' AS sym, cnt
+        |  FROM words)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""e$k AS (SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+         |  SELECT cnt, list_filter(string_split(sym, '·'), x -> x != '') AS l
+         |  FROM v${k - 1})),
+         |p$k AS (SELECT l[i] || '·' || l[i+1] AS pair, sum(cnt) AS pcnt
+         |        FROM e$k GROUP BY 1),
+         |t$k AS (SELECT pair, pcnt FROM p$k ORDER BY pcnt DESC, pair ASC LIMIT 1),
+         |v$k AS (SELECT replace(sym, '·' || t.pair || '·',
+         |                       '·' || replace(t.pair, '·', '') || '·') AS sym, cnt
+         |        FROM v${k - 1}, t$k t)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to rounds)
+      .map(k => s"SELECT $k AS round, pair, pcnt::bigint AS cnt FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"WITH $v0,\n$roundCtes\n$finalSel\nORDER BY round"
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup on canonical token-set key ---------------------------
@@ -1005,6 +1038,59 @@ object DedupQueries {
              |      FROM d)
              |SELECT grp, id, n_tokens, (prev // 200)::bigint AS bin
              |FROM c ORDER BY grp, id""".stripMargin)),
+
+    // ---- overlapping token-window chunking (RAG/embedding prep) ----------
+    // row-local: whitespace split + window arithmetic + per-chunk md5 in
+    // one projection with a posexplode; no shuffle at all.
+    "tx_chunk_windows" -> QueryDef(
+      (s, dir) => TextAnalysis.chunkWindows(
+          table(s, dir, "documents"), "doc_id", "text", 64, 16)
+        .orderBy("id", "chunk_idx"),
+      Some("""WITH base AS (
+             |  SELECT cast(doc_id AS varchar) AS id,
+             |         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+             |                     t -> t != '') AS l
+             |  FROM documents),
+             |n AS (SELECT id, l, greatest(len(l), 1) AS m FROM base),
+             |c AS (SELECT id, l, greatest((m - 16 + 47) // 48, 1)::int AS nch FROM n),
+             |e AS (SELECT id, l, unnest(range(0, nch))::int AS chunk_idx FROM c),
+             |w AS (SELECT id, chunk_idx, chunk_idx * 48 AS chunk_start,
+             |             l[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS ck FROM e)
+             |SELECT id, chunk_idx, chunk_start::int AS chunk_start,
+             |       len(ck) AS n_tok, md5(array_to_string(ck, ' ')) AS chunk_md5
+             |FROM w ORDER BY id, chunk_idx""".stripMargin)),
+
+    // ---- deterministic weighted sampling (Efraimidis-Spirakis A-ES) ------
+    // per-source top-10 by u^(1/w), u content-addressed (md5 of id),
+    // w = whitespace token count ("sample proportionally to length").
+    "tx_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TextAnalysis.weightedSample(d, "doc_id", "source",
+            TextAnalysis.wsTokenCount(coalesce(col("text"), lit(""))), 10)
+          .orderBy("grp", "rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT source AS grp, cast(doc_id AS varchar) AS id,
+             |         len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::double AS w,
+             |         (('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint + 0.5)
+             |           / 1152921504606846976.0 AS u
+             |  FROM documents),
+             |k AS (SELECT grp, id, w, power(u, 1.0 / w) AS key FROM d WHERE w > 0),
+             |r AS (SELECT grp, id, w, row_number() OVER (PARTITION BY grp
+             |          ORDER BY key DESC, id ASC) AS rank FROM k)
+             |SELECT grp, id, w, rank::int AS rank FROM r
+             |WHERE rank <= 10 ORDER BY grp, rank""".stripMargin)),
+
+    // ---- distributed BPE merge learning (Sennrich et al. 2016) -----------
+    // corpus → (word, count) vocabulary ONCE; each round = vocab-sized
+    // pair count + one-row argmax broadcast + row-local delimiter-string
+    // merge. The oracle replays all rounds as chained CTEs.
+    "tx_bpe_merges" -> QueryDef(
+      (s, dir) => TextAnalysis.bpeMerges(
+          table(s, dir, "documents"), "text", rounds = 8)
+        .orderBy("round"),
+      Some(bpeMergesSql(8))),
 
     // ---- packed-bin materialization (the training samples themselves) ----
     // members concatenated in the same md5-priority order that packed

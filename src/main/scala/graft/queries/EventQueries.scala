@@ -512,6 +512,38 @@ object EventQueries {
     // (per-key (us, id) sort), so after the count/normalize rollup the
     // ev_markov_transitions oracle applies verbatim; cross-batch state
     // is spec-tested in StreamingSpec.
+    // ---- streaming cohort retention (batch form, shares ev_retention's
+    // oracle): first event pins the cohort, each later event emits its
+    // day-offset once; groupBy(cohort, offset) is the retention matrix.
+    "st_retention" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val epoch = to_date(lit("1970-01-01"))
+        val ev = QueryDef.events(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            datediff(to_date(col("ts")), epoch).cast("int").as("day"),
+            unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("id"))
+          .as[StreamingOps.RetentionEvent]
+        StreamingOps.streamRetention(ev, maxOffsetDays = 30).toDF()
+          .groupBy(col("cohort"), col("offset"))
+          .agg(count(lit(1)).as("users"))
+          .select(
+            date_format(date_add(epoch, col("cohort")), "yyyy-MM-dd").as("cohort_day"),
+            col("offset").cast("int").as("day_offset"), col("users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, min(ts)::date AS cohort FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, ts::date AS day FROM events),
+             |j AS (
+             |  SELECT cohort, date_diff('day', cohort, day) AS day_offset
+             |  FROM a JOIN f USING (user_id)
+             |  WHERE date_diff('day', cohort, day) <= 30)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             |       day_offset::int AS day_offset, count(*) AS users
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "st_markov" -> QueryDef(
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s

@@ -866,6 +866,49 @@ object StreamingOps {
       }
   }
 
+  /** [[streamRetention]] record/state/output. */
+  final case class RetentionEvent(key: String, day: Int, us: Long, id: Long)
+  final case class RetentionState(cohort: Int, seen: Seq[Int])
+  final case class RetentionMark(key: String, cohort: Int, offset: Int)
+
+  /** Streaming cohort retention — the stateful-stream form of
+    * [[graft.events.EventAnalytics.retention]]: per user, the first
+    * event pins the cohort day and each later event emits its
+    * day-offset the FIRST time that offset is seen (≤ `maxOffsetDays`).
+    * Downstream `groupBy(cohort, offset).count` is the retention
+    * matrix, so a single-batch run over a static frame shares
+    * `ev_retention`'s DuckDB oracle (within a batch records sort by
+    * (us, id) — the [[streamAsofJoin]] contract — so the cohort is the
+    * min-ts day exactly as the batch operator computes it).
+    *
+    * State per user: one cohort int + the distinct offsets emitted,
+    * bounded by `maxOffsetDays + 1` ints — O(1) in corpus size, the
+    * same boundedness class as [[streamFunnel]]. Late-data contract: an
+    * event EARLIER than the pinned cohort cannot re-pin it
+    * (O(1) state cannot re-derive already-emitted offsets); per-key
+    * event-time-ordered feeds never hit it. */
+  def streamRetention(events: Dataset[RetentionEvent], maxOffsetDays: Int)(
+      implicit spark: SparkSession): Dataset[RetentionMark] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RetentionState, RetentionMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[RetentionEvent],
+         state: GroupState[RetentionState]) =>
+          var st = state.getOption.orNull
+          val out = batch.toSeq.sortBy(e => (e.us, e.id)).flatMap { e =>
+            if (st == null) st = RetentionState(e.day, Seq.empty)
+            val off = e.day - st.cohort
+            if (off >= 0 && off <= maxOffsetDays && !st.seen.contains(off)) {
+              st = RetentionState(st.cohort, st.seen :+ off)
+              Some(RetentionMark(key, st.cohort, off))
+            } else None
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** [[streamMarkov]] record/state/output. */
   final case class MarkovEvent(key: String, typ: String, us: Long, id: Long)
   final case class MarkovState(typ: String, us: Long, id: Long)

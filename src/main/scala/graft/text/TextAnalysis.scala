@@ -299,6 +299,146 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) div ${window}L").as("bin"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/embedding prep
+    * step (split every document into ~`chunkSize`-token windows with
+    * `overlap` tokens of context carry-over, the standard RAG chunker).
+    * Chunks start every `chunkSize − overlap` tokens; the last window
+    * may be short but is never empty; a document shorter than one window
+    * yields exactly one chunk. Chunk text is emitted as an md5 digest
+    * plus its first token and length — the joinable/verifiable shape;
+    * callers embedding the chunks re-join the digest to their own
+    * chunk-text materialization (or change the select to carry the raw
+    * text; the plan shape is identical).
+    *
+    * 100 TB shape: entirely ROW-LOCAL — whitespace split, window
+    * arithmetic, and per-chunk digest are one projection with a
+    * posexplode; no shuffle at all until whatever the caller does next.
+    * Output: (id, chunk_idx, chunk_start, n_tok, chunk_md5). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      t => t =!= "")
+    // n chunks = ceil(max(n_tok - overlap, 1) / stride); window i covers
+    // tokens [i*stride, i*stride + chunkSize)
+    docs.select(col(idCol).cast("string").as("id"), toks.as("_t"))
+      .withColumn("_n", greatest(size(col("_t")), lit(1)))
+      // integral div (`div`, not `/` — int `/` promotes to double) with a
+      // floor of one chunk: a doc shorter than `overlap` tokens still
+      // yields its single window
+      .withColumn("_chunks", greatest(
+        expr(s"(_n - $overlap + ${stride - 1}) div $stride").cast("int"), lit(1)))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("_chunks") - 1), i =>
+          slice(col("_t"), i * stride + 1, lit(chunkSize)))).as(Seq("chunk_idx", "_c")))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        size(col("_c")).as("n_tok"),
+        md5(concat_ws(" ", col("_c"))).as("chunk_md5"))
+  }
+
+  /** Deterministic weighted sampling without replacement — per group,
+    * the Efraimidis–Spirakis A-ES rule (Inf. Process. Lett. 2006): each
+    * row draws u ∈ (0,1) and ranks by u^(1/w); the top k per group are
+    * a weighted sample without replacement. The uniform is
+    * CONTENT-ADDRESSED (md5 of the id — the same determinism discipline
+    * as [[mixtureSample]]), so the sample is reproducible across runs,
+    * engines, and refreshes, and a re-crawled document keeps its draw.
+    *
+    * `weight` is any positive column (here typically a quality score or
+    * token count — "sample proportionally to usefulness"). Rank ties
+    * break on id.
+    *
+    * 100 TB shape: the draw and key are row-local; the only shuffle is
+    * the per-group top-k window (partial-agg friendly; a hot group is
+    * one partition's window, k-bounded output).
+    *
+    * Output: (grp, id, w, rank) with rank 1..k by descending key. */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (Text.md5Long(col("id")).cast("double") + lit(0.5)) /
+      lit((1L << 60).toDouble)
+    val keyed = docs.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("string").as("id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("_key", pow(u, lit(1.0) / col("w")))
+    val win = Window.partitionBy("grp")
+      .orderBy(col("_key").desc, col("id").asc)
+    keyed.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("id"), col("w"), col("rank"))
+  }
+
+  /** Distributed BPE merge learning (Sennrich, Haddow & Birch, ACL 2016
+    * — "Neural Machine Translation of Rare Words with Subword Units"):
+    * `rounds` greedy merge steps over the corpus vocabulary. The corpus
+    * collapses ONCE to a (word, count) vocabulary table (the classic
+    * trick — all subsequent rounds run on vocab-sized data, ~√corpus);
+    * each round counts adjacent symbol pairs weighted by word count,
+    * takes the argmax pair (count desc, pair asc — deterministic), and
+    * applies the merge to every word's symbol sequence.
+    *
+    * Symbol sequences are encoded as `·`-delimited strings (`·a·b·c·`),
+    * so a merge of (x, y) is the literal string replace `·x·y·` →
+    * `·xy·` — left-to-right non-overlapping in BOTH engines, which is
+    * exactly the BPE greedy-application rule, and boundary-safe because
+    * every symbol is delimiter-wrapped. Pair COUNTS allow overlap
+    * (adjacent-pair multiset), matching the reference algorithm. No
+    * end-of-word marker (merges stay within words; add one by appending
+    * a sentinel symbol to the char expansion if cross-word boundary
+    * modeling is wanted).
+    *
+    * 100 TB shape: one corpus-wide word-count aggregate (map-side
+    * combined), then `rounds` iterations over the vocab table — each a
+    * vocab-sized explode + aggregate + one-row argmax broadcast + a
+    * row-local replace, with a localCheckpoint per round to keep the
+    * plan flat. The merge table itself is rounds-sized.
+    *
+    * Output: (round 1.., pair "x·y", cnt) — the learned merge table in
+    * order. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(Text.tokenize(
+        col(textCol), minLength = 1, stopwords = Nil)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var vocab = words.select(
+      concat(lit("·"), concat_ws("·",
+        transform(sequence(lit(1), length(col("w"))),
+          i => substring(col("w"), i, lit(1)))), lit("·")).as("sym"),
+      col("cnt")).localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 1 to rounds) {
+      val toks = filter(split(col("sym"), "·"), t => t =!= "")
+      // guard single-symbol words: sequence(1, 0) is DESCENDING in Spark
+      // ([1, 0]), which would probe element_at past the array bound
+      val adjacent = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit("·"),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val pairs = vocab
+        .select(col("cnt"), explode(adjacent).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("pcnt"))
+      val top = pairs.orderBy(col("pcnt").desc, col("pair").asc).limit(1)
+        .select(col("pair").as("_p"), col("pcnt").as("_c"))
+        .localCheckpoint() // one row; evaluated eagerly, reused twice
+      merges += top.select(lit(round).as("round"), col("_p").as("pair"),
+        col("_c").as("cnt"))
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(call_function("replace", col("sym"),
+          concat(lit("·"), col("_p"), lit("·")),
+          concat(lit("·"), call_function("replace", col("_p"), lit("·"), lit("")),
+            lit("·"))).as("sym"),
+          col("cnt"))
+        .localCheckpoint(eager = false)
+    }
+    merges.reduce(_.unionByName(_))
+  }
+
   /** Materialize [[packSequences]]' bins as training samples: one row
     * per (group, bin) with the member documents' text concatenated in
     * the SAME md5-priority order that packed them (so the sample a

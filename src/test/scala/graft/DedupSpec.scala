@@ -799,4 +799,58 @@ class DedupSpec extends SparkSpec {
     // thr_i = i → i docs seen, vocab = i new tokens + "common"
     assert(got.toSeq == (1 to 10).map(i => (i, i.toLong, i + 1L)))
   }
+
+  test("chunkWindows: stride/overlap coverage, short docs, empty text") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks → 2 chunks
+      (2L, "only three tokens"),                        // 1 short chunk
+      (3L, ""))                                         // empty → 1 empty chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text", 64, 16)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: [0,64) and [48,100) — the overlap region 48..63 is in both
+    assert(got.filter(_._1 == "1").toSeq ==
+      Seq(("1", 0, 0, 64), ("1", 1, 48, 52)))
+    assert(got.filter(_._1 == "2").toSeq == Seq(("2", 0, 0, 3)))
+    assert(got.count(_._1 == "3") == 1, "empty doc still yields one chunk")
+    // overlap tokens shared verbatim: chunk 1 starts 16 tokens before
+    // chunk 0's end
+    val c = TextAnalysis.chunkWindows(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", 64, 16)
+      .orderBy("chunk_idx").collect()
+    assert(c(1).getInt(2) == c(0).getInt(2) + 48)
+  }
+
+  test("weightedSample: deterministic, k-bounded, weight-monotone") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i <= 5) "src_heavy" else "src_light",
+        ("w " * (if (i % 2 == 0) 100 else 1)).trim))
+      .toDF("doc_id", "source", "text")
+    def run() = TextAnalysis.weightedSample(docs, "doc_id", "source",
+      TextAnalysis.wsTokenCount(col("text")), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSeq
+    val a = run()
+    assert(a == run(), "content-addressed draws must be reproducible")
+    assert(a.count(_._1 == "src_heavy") == 3 && a.count(_._1 == "src_light") == 3)
+    assert(a.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1, 2, 3)))
+    // weight monotonicity in expectation is statistical, but u^(1/w) with
+    // w=100 vs w=1 makes heavy docs overwhelmingly likely to win: among
+    // src_light's 45 docs (22 with w=100, 23 with w=1) the top 3 should
+    // all be heavy ones (P[any light doc beating a heavy] ~ u^1 vs u^0.01)
+    val lightTop = a.filter(_._1 == "src_light").map(_._2.toLong)
+    assert(lightTop.forall(_ % 2 == 0), s"expected heavy (even) ids, got $lightTop")
+  }
+
+  test("bpeMerges: hand-checkable corpus learns the dominant pair first") {
+    // "aaab" x3, "ab" x2: round-1 pairs: (a,a)=6, (a,b)=5 → merge a·a;
+    // round 2: vocab = ·aa·a·b· x3, ·a·b· x2 → (aa,a)=3, (a,b)=2+3?
+    // after merging a·a greedily in "aaab": ·aa·a·b· → pairs (aa,a)=3,
+    // (a,b)=3+2=5 → round 2 merges a·b.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a·a", 6L), (2, "a·b", 5L)), got.toString)
+  }
 }

@@ -876,6 +876,36 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamRetention: cohort pin, per-offset dedup, cross-batch continuation") {
+    import graft.streaming.StreamingOps.{RetentionEvent, RetentionMark}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[RetentionEvent]
+    val sq = StreamingOps.streamRetention(mem.toDS(), maxOffsetDays = 30)
+      .writeStream.format("memory").queryName("ret")
+      .outputMode("append").start()
+    try {
+      // batch 1 out of order: day 12 arrives before day 10 — cohort must
+      // pin to the EARLIEST (us-sorted) day; duplicate day-10 activity
+      // emits offset 0 only once
+      mem.addData(
+        RetentionEvent("u1", 12, 3000L, 3L),
+        RetentionEvent("u1", 10, 1000L, 1L),
+        RetentionEvent("u1", 10, 1500L, 2L))
+      sq.processAllAvailable()
+      // batch 2: new offset (day 13) emits; repeated offset (day 12) is
+      // deduped against retained state; beyond-horizon day is dropped
+      mem.addData(
+        RetentionEvent("u1", 13, 4000L, 4L),
+        RetentionEvent("u1", 12, 5000L, 5L),
+        RetentionEvent("u1", 99, 6000L, 6L))
+      sq.processAllAvailable()
+      val got = spark.table("ret").as[RetentionMark].collect()
+        .map(m => (m.cohort, m.offset)).sorted.toSeq
+      assert(got == Seq((10, 0), (10, 2), (10, 3)), got.toString)
+    } finally sq.stop()
+  }
+
   test("watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
