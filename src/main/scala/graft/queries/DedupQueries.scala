@@ -70,7 +70,7 @@ object DedupQueries {
         |                              x -> length(x) >= 1)) AS t
         |    FROM documents) GROUP BY 1),
         |v0 AS (
-        |  SELECT '·' || array_to_string(
+        |  SELECT w, '·' || array_to_string(
         |           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '·')
         |         || '·' AS sym, cnt
         |  FROM words)""".stripMargin
@@ -81,7 +81,7 @@ object DedupQueries {
          |p$k AS (SELECT l[i] || '·' || l[i+1] AS pair, sum(cnt) AS pcnt
          |        FROM e$k GROUP BY 1),
          |t$k AS (SELECT pair, pcnt FROM p$k ORDER BY pcnt DESC, pair ASC LIMIT 1),
-         |v$k AS (SELECT replace(sym, '·' || t.pair || '·',
+         |v$k AS (SELECT w, replace(sym, '·' || t.pair || '·',
          |                       '·' || replace(t.pair, '·', '') || '·') AS sym, cnt
          |        FROM v${k - 1}, t$k t)""".stripMargin
     }.mkString(",\n")
@@ -89,6 +89,29 @@ object DedupQueries {
       .map(k => s"SELECT $k AS round, pair, pcnt::bigint AS cnt FROM t$k")
       .mkString("\nUNION ALL ")
     s"WITH $v0,\n$roundCtes\n$finalSel\nORDER BY round"
+  }
+
+  /** DuckDB replay of [[TextAnalysis.bpeEncode]]: the same chained merge
+    * rounds (word carried through), then doc tokens joined to the final
+    * vocabulary's segmentation length. */
+  private def bpeEncodeSql(rounds: Int): String = {
+    // reuse the learn SQL's CTE chain (everything before its final
+    // merge-table select), then the encode rollup instead
+    val learn = bpeMergesSql(rounds)
+    val upToV = learn.substring(0, learn.indexOf("\nSELECT 1 AS round"))
+    // NB: do NOT re-stripMargin upToV — its `|| '·'` concatenation lines
+    // would lose their first pipe on a second pass
+    val tail =
+      s"""subs AS (SELECT w, len(list_filter(string_split(sym, '·'), x -> x != '')) AS n_sub
+         |         FROM v$rounds),
+         |dt AS (SELECT cast(doc_id AS varchar) AS id,
+         |              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                                 x -> length(x) >= 1)) AS w
+         |       FROM documents)
+         |SELECT id, count(*) AS n_words, sum(n_sub)::bigint AS n_subwords
+         |FROM dt JOIN subs USING (w)
+         |GROUP BY id ORDER BY id""".stripMargin
+    s"$upToV,\n$tail"
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -1091,6 +1114,16 @@ object DedupQueries {
           table(s, dir, "documents"), "text", rounds = 8)
         .orderBy("round"),
       Some(bpeMergesSql(8))),
+
+    // ---- BPE application (the encode side of the learned merges) ---------
+    // per-document word vs subword counts after the 8 learned merges —
+    // segmentation computed once per DISTINCT word, corpus pass = one
+    // vocab join.
+    "tx_bpe_encode" -> QueryDef(
+      (s, dir) => TextAnalysis.bpeEncode(
+          table(s, dir, "documents"), "doc_id", "text", rounds = 8)
+        .orderBy("id"),
+      Some(bpeEncodeSql(8))),
 
     // ---- packed-bin materialization (the training samples themselves) ----
     // members concatenated in the same md5-priority order that packed

@@ -399,13 +399,41 @@ object TextAnalysis {
     *
     * Output: (round 1.., pair "x·y", cnt) — the learned merge table in
     * order. */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeLearn(docs, textCol, rounds)._1
+
+  /** BPE application — segment the corpus with the merges [[bpeMerges]]
+    * learns and report the per-document subword count next to the word
+    * count (the compression a tokenizer buyer actually reads: how much
+    * did `rounds` merges shrink the sequence length?). Learning and
+    * application share the final vocabulary table, so a word's
+    * segmentation is computed once per DISTINCT word, and the corpus
+    * pass is one vocab join (AQE broadcasts the vocab when it fits —
+    * the usual case; vocabularies are ~√corpus).
+    *
+    * Output: (id, n_words, n_subwords). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val (_, vocab) = bpeLearn(docs, textCol, rounds)
+    val sub = vocab.select(col("w"),
+      size(filter(split(col("sym"), "·"), t => t =!= "")).as("n_sub"))
+    docs.select(col(idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(textCol), minLength = 1, stopwords = Nil)).as("w"))
+      .join(sub, Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  /** The shared BPE learner behind [[bpeMerges]] / [[bpeEncode]]:
+    * returns (merge table, final vocabulary with each word's segmented
+    * symbol string). */
+  private def bpeLearn(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "need at least one merge round")
-    val spark = docs.sparkSession
     val words = docs.select(explode(Text.tokenize(
         col(textCol), minLength = 1, stopwords = Nil)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var vocab = words.select(
+    var vocab = words.select(col("w"),
       concat(lit("·"), concat_ws("·",
         transform(sequence(lit(1), length(col("w"))),
           i => substring(col("w"), i, lit(1)))), lit("·")).as("sym"),
@@ -429,14 +457,15 @@ object TextAnalysis {
       merges += top.select(lit(round).as("round"), col("_p").as("pair"),
         col("_c").as("cnt"))
       vocab = vocab.crossJoin(broadcast(top))
-        .select(call_function("replace", col("sym"),
-          concat(lit("·"), col("_p"), lit("·")),
-          concat(lit("·"), call_function("replace", col("_p"), lit("·"), lit("")),
-            lit("·"))).as("sym"),
+        .select(col("w"),
+          call_function("replace", col("sym"),
+            concat(lit("·"), col("_p"), lit("·")),
+            concat(lit("·"), call_function("replace", col("_p"), lit("·"), lit("")),
+              lit("·"))).as("sym"),
           col("cnt"))
         .localCheckpoint(eager = false)
     }
-    merges.reduce(_.unionByName(_))
+    (merges.reduce(_.unionByName(_)), vocab)
   }
 
   /** Materialize [[packSequences]]' bins as training samples: one row
