@@ -80,13 +80,18 @@ object DedupQueries {
          |  FROM v${k - 1})),
          |p$k AS (SELECT l[i] || '·' || l[i+1] AS pair, sum(cnt) AS pcnt
          |        FROM e$k GROUP BY 1),
-         |t$k AS (SELECT pair, pcnt FROM p$k ORDER BY pcnt DESC, pair ASC LIMIT 1),
+         |t$k AS (SELECT pair, pcnt FROM (
+         |  SELECT pair, pcnt FROM p$k
+         |  UNION ALL SELECT chr(1) || '·' || chr(1), 0)
+         |  ORDER BY pcnt DESC, pair ASC LIMIT 1),
          |v$k AS (SELECT w, replace(sym, '·' || t.pair || '·',
          |                       '·' || replace(t.pair, '·', '') || '·') AS sym, cnt
          |        FROM v${k - 1}, t$k t)""".stripMargin
     }.mkString(",\n")
+    // pcnt > 0 excludes the no-op sentinel a pairless round falls back to
+    // (mirrors the Spark side: merges records real tops only)
     val finalSel = (1 to rounds)
-      .map(k => s"SELECT $k AS round, pair, pcnt::bigint AS cnt FROM t$k")
+      .map(k => s"SELECT $k AS round, pair, pcnt::bigint AS cnt FROM t$k WHERE pcnt > 0")
       .mkString("\nUNION ALL ")
     s"WITH $v0,\n$roundCtes\n$finalSel\nORDER BY round"
   }

@@ -456,7 +456,15 @@ object TextAnalysis {
         .localCheckpoint() // one row; evaluated eagerly, reused twice
       merges += top.select(lit(round).as("round"), col("_p").as("pair"),
         col("_c").as("cnt"))
-      vocab = vocab.crossJoin(broadcast(top))
+      // a round with NO pairs (all-singleton vocabulary) must be a no-op,
+      // not empty the vocab through the one-row crossJoin: fall back to a
+      // sentinel pair (U+0001 cannot appear in [a-z0-9] symbols) whose
+      // replace matches nothing. Real pairs always out-rank it (pcnt ≥ 1).
+      val sentinel = docs.sparkSession.range(1)
+        .select(lit("\u0001·\u0001").as("_p"), lit(0L).as("_c"))
+      val topOrNoop = top.unionByName(sentinel)
+        .orderBy(col("_c").desc, col("_p").asc).limit(1)
+      vocab = vocab.crossJoin(broadcast(topOrNoop))
         .select(col("w"),
           call_function("replace", col("sym"),
             concat(lit("·"), col("_p"), lit("·")),

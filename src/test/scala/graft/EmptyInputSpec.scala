@@ -101,4 +101,25 @@ class EmptyInputSpec extends SparkSpec {
       .collect()
     assert(backedOff.length == 1 && !backedOff(0).getDouble(2).isNaN)
   }
+
+  test("round-9 operators handle empty and degenerate input") {
+    import graft.text.TextAnalysis
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextAnalysis.chunkWindows(emptyDocs, "doc_id", "text", 64, 16).isEmpty)
+    assert(TextAnalysis.weightedSample(emptyDocs, "doc_id", "source",
+      TextAnalysis.wsTokenCount(col("text")), 5).isEmpty)
+    assert(TextAnalysis.bpeMerges(emptyDocs, "text", 2).isEmpty)
+    assert(TextAnalysis.bpeEncode(emptyDocs, "doc_id", "text", 2).isEmpty)
+    // degenerate BPE corpus: only single-char words → no adjacent pairs →
+    // no merges learned; the no-op sentinel keeps the vocabulary alive,
+    // so encode degrades to char-level segmentation instead of emptying
+    val singles = Seq((1L, "src", "a b c a")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.bpeMerges(singles, "text", 2).isEmpty)
+    val enc = TextAnalysis.bpeEncode(singles, "doc_id", "text", 2).collect()
+    assert(enc.length == 1 && enc(0).getLong(1) == 4L && enc(0).getLong(2) == 4L,
+      s"char-level fallback expected, got ${enc.toSeq}")
+    // zero-weight rows are excluded, never division-by-zero
+    val zeroW = Seq((1L, "s", "x")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.weightedSample(zeroW, "doc_id", "source", lit(0.0), 5).isEmpty)
+  }
 }
