@@ -41,19 +41,28 @@ object StreamRehearsal {
       outRows: Long, durMs: Long)
 
   /** Drive `batches` through a started query, reading state rows and
-    * trigger duration off each progress event. */
+    * trigger duration off each progress event. An EMPTY wave triggers no
+    * micro-batch, so lastProgress would still describe the previous one —
+    * report it as an explicit zero row instead of re-reporting stale
+    * numbers under a new index. */
   private def drive[A](mem: MemoryStream[A], sq: StreamingQuery,
       batches: Seq[Seq[A]]): Seq[BatchRow] =
     batches.zipWithIndex.map { case (b, i) =>
-      if (b.nonEmpty) mem.addData(b)
-      sq.processAllAvailable()
-      val p = sq.lastProgress
-      val state = Option(p.stateOperators).filter(_.nonEmpty)
-        .map(_.map(_.numRowsTotal).sum).getOrElse(0L)
-      val dur = Option(p.durationMs.get("triggerExecution"))
-        .map(_.longValue).getOrElse(-1L)
-      val out = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
-      BatchRow(i + 1, b.size.toLong, state, out, dur)
+      if (b.isEmpty) BatchRow(i + 1, 0L, -1L, 0L, 0L)
+      else {
+        mem.addData(b)
+        sq.processAllAvailable()
+        val p = sq.lastProgress
+        val state = Option(p).map(pp => Option(pp.stateOperators)
+          .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+          .getOrElse(-1L)
+        val dur = Option(p).flatMap(pp =>
+          Option(pp.durationMs.get("triggerExecution")).map(_.longValue))
+          .getOrElse(-1L)
+        val out = Option(p).flatMap(pp =>
+          Option(pp.sink).map(_.numOutputRows)).getOrElse(-1L)
+        BatchRow(i + 1, b.size.toLong, state, out, dur)
+      }
     }
 
   private def report(name: String, rows: Seq[BatchRow]): String = {

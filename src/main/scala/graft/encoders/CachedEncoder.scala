@@ -40,11 +40,12 @@ final case class CachedEncoder(
     val spark = frame.df.sparkSession
     val path = s"$dir/${frame.tableName}.parquet"
     val out =
-      if (!force && EmbeddingStore.exists(spark, path))
+      if (!force && EmbeddingStore.exists(spark, path) && metaMatches(path))
         EmbeddingStore.load(spark, path)
       else {
         misses.incrementAndGet()
         EmbeddingStore.save(inner.encode(frame, rel), path)
+        writeMeta(path)
         EmbeddingStore.load(spark, path)
       }
     nanosSpent.addAndGet(System.nanoTime() - t0)
@@ -52,4 +53,36 @@ final case class CachedEncoder(
   }
 
   def secondsSpent: Double = nanosSpent.get() / 1e9
+
+  // Stale-cache guard: the cache key is only the TABLE NAME, so a warm
+  // dir reused with a different encoder config (e.g. --dims changed)
+  // would silently serve wrong-dimension vectors. A sidecar records the
+  // inner encoder's configuration (case-class toString — dims etc. are
+  // constructor params); mismatch → treated as a miss and re-encoded.
+  // A DATASET change is the caller's responsibility (one cache dir per
+  // dataset, like the reference's per-dataset cache layout) — hashing
+  // the corpus here would cost what the cache saves.
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaMatches(path: String): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val (f, p) = fs(spark, s"$path.encoder")
+      f.exists(p) && {
+        val in = f.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim == inner.toString
+        finally in.close()
+      }
+    } catch { case _: Exception => false }
+
+  private def writeMeta(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (f, p) = fs(spark, s"$path.encoder")
+    val out = f.create(p, true)
+    try out.write((inner.toString + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 }

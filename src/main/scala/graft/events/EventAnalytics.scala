@@ -23,19 +23,24 @@ object EventAnalytics {
     *
     * Output: one row per stage — (stage int, event_type, users bigint).
     *
-    * Scale shape: ONE shuffle, keyed by user. Stage-typed events are
-    * filtered at the scan, grouped per user, time-sorted row-locally,
-    * and the greedy stage chain is a single `aggregate` fold over the
-    * sorted array — the earliest qualifying event is picked at each
-    * stage, which is exactly the min-time join chain (fixed first-touch
-    * t0; a smaller t_prev only weakens later constraints, so greedy is
-    * optimal). The per-user state is (reached, t0, t_prev); the rollup
-    * to per-stage counts is output-sized. A k-stage funnel previously
-    * cost k user-keyed joins (k shuffles of the event scan, and O(k²)
-    * scans when the lineage was re-evaluated per stage count); the fold
-    * form is invariant in k. A hot USER concentrates its own events in
-    * one task, bounded by that user's activity — no global key exists
-    * for an event-type hotspot to skew. Timestamps are compared in
+    * Scale shape: TWO user-keyed shuffles, invariant in stage count — a
+    * partial-agg min for the first-touch time, then one groupBy(user)
+    * over the HORIZON-FILTERED stage-typed events, time-sorted
+    * row-locally, with the greedy stage chain as a single `aggregate`
+    * fold over the sorted array — the earliest qualifying event is
+    * picked at each stage, which is exactly the min-time join chain
+    * (fixed first-touch t0; a smaller t_prev only weakens later
+    * constraints, so greedy is optimal). The per-user state is
+    * (reached, t0, t_prev); the rollup to per-stage counts is
+    * output-sized. A k-stage funnel previously cost k user-keyed joins
+    * (k shuffles of the event scan, and O(k²) scans when the lineage
+    * was re-evaluated per stage count). The horizon prefilter is what
+    * bounds the per-user array: only events in [t0, t0 + horizon] can
+    * participate, so a bot user with unbounded history contributes at
+    * most its in-horizon events — no global key exists for an
+    * event-type hotspot to skew. Stage lists may REPEAT a type
+    * ("view", "purchase", "view"): the fold matches the event type
+    * against stages(reached) positionally. Timestamps are compared in
     * integer micros end-to-end (no double rounding at second
     * boundaries).
     */
@@ -45,33 +50,48 @@ object EventAnalytics {
     require(stages.size >= 2, "a funnel needs at least two stages")
     val k = stages.size
     val horizonUs = horizonSec * 1000000L
-    // stage index via a when-chain (k is small); non-stage events are
-    // filtered out before the shuffle.
+    val us = unix_micros(col(tsCol))
+    val stagesArr = array(stages.map(lit): _*)
+    // Horizon prefilter — this is what BOUNDS the per-user array below:
+    // t0 (the first-touch time) is a partial-agg min, and only
+    // stage-typed events inside [t0, t0 + horizon] can ever participate
+    // in the chain, so a bot user with years of activity contributes at
+    // most its in-horizon events to the collect_list. Users with no
+    // stage-0 event drop here (they reach no stage).
+    val firsts = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(us).as("t0"))
+    // sorted (ts-micros, first-stage-index, type) triples per user;
+    // struct sort is lexicographic, so timestamp ties process the
+    // EARLIER stage first — and the strict `u > tp` guard below then
+    // rejects the same-instant advance, matching the join formulation's
+    // strict inequality. The event TYPE rides along so a stage list with
+    // a REPEATED type ("view", "purchase", "view") matches positionally
+    // against stages(r) — a first-match index alone cannot reach the
+    // second occurrence.
     val stageIdx = stages.zipWithIndex.tail.foldLeft(
       when(col(typeCol) === stages.head, lit(0))) { case (w, (s, i)) =>
       w.when(col(typeCol) === s, lit(i))
     }
-    // sorted (ts-micros, stage) pairs per user; struct sort is
-    // lexicographic, so timestamp ties process the EARLIER stage first —
-    // and the strict `u > tp` guard below then rejects the same-instant
-    // advance, matching the join formulation's strict inequality.
-    val perUser = events.filter(col(typeCol).isin(stages.map(lit): _*))
+    val perUser = events.filter(col(typeCol).isin(stages.distinct.map(lit): _*))
+      .select(col(userCol), us.as("u"), stageIdx.as("s"), col(typeCol).as("t"))
+      .join(firsts, Seq(userCol))
+      .filter(col("u") >= col("t0") && col("u") <= col("t0") + lit(horizonUs))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(
-        struct(unix_micros(col(tsCol)).as("u"), stageIdx.as("s")))).as("ev"))
+        struct(col("u"), col("s"), col("t")))).as("ev"))
     // greedy chain fold: r = stages completed, t0 = first-touch micros,
-    // tp = previous stage's time. Advance on the next stage's first
-    // event strictly after tp and within the horizon of t0.
+    // tp = previous stage's time. Advance when the event's TYPE equals
+    // the next stage's type, strictly after tp and within the horizon.
     val init = struct(lit(0).as("r"), lit(0L).as("t0"), lit(0L).as("tp"))
     val reached = perUser.select(
       aggregate(col("ev"), init, (acc, e) => {
         val r = acc.getField("r"); val t0 = acc.getField("t0")
         val tp = acc.getField("tp")
-        val u = e.getField("u"); val s = e.getField("s")
-        when(r === 0 && s === 0,
+        val u = e.getField("u"); val t = e.getField("t")
+        when(r === 0 && t === lit(stages.head),
           struct(lit(1).as("r"), u.as("t0"), u.as("tp")))
-          .when(r > 0 && r < k && s === r && u > tp &&
-              u <= t0 + lit(horizonUs),
+          .when(r > 0 && r < k && t === element_at(stagesArr, r + 1) &&
+              u > tp && u <= t0 + lit(horizonUs),
             struct((r + 1).as("r"), t0.as("t0"), u.as("tp")))
           .otherwise(acc)
       }).getField("r").as("r"))

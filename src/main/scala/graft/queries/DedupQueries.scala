@@ -71,7 +71,7 @@ object DedupQueries {
         |    FROM documents) GROUP BY 1),
         |v0 AS (
         |  SELECT w, '·' || array_to_string(
-        |           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '·')
+        |           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '··')
         |         || '·' AS sym, cnt
         |  FROM words)""".stripMargin
     val roundCtes = (1 to rounds).map { k =>
@@ -84,7 +84,7 @@ object DedupQueries {
          |  SELECT pair, pcnt FROM p$k
          |  UNION ALL SELECT chr(1) || '·' || chr(1), 0)
          |  ORDER BY pcnt DESC, pair ASC LIMIT 1),
-         |v$k AS (SELECT w, replace(sym, '·' || t.pair || '·',
+         |v$k AS (SELECT w, replace(sym, '·' || replace(t.pair, '·', '··') || '·',
          |                       '·' || replace(t.pair, '·', '') || '·') AS sym, cnt
          |        FROM v${k - 1}, t$k t)""".stripMargin
     }.mkString(",\n")

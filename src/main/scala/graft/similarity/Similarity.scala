@@ -67,28 +67,8 @@ object Similarity {
     * salting costs more than it buys below ~10⁷ rows per bucket). */
   def ivfTopK(queries: DataFrame, bucketed: DataFrame, k: Int,
               excludeSelf: Boolean = true, probes: Int = 1): DataFrame = {
-    // ONE normalized projection of the bucketed side, feeding both the
-    // centroid aggregate (broadcast) and the probe join. Deliberately NOT
-    // persisted: the two consumers re-scan a column-pruned parquet source
-    // — cheaper than cache materialization (A/B measured −0.3 s at
-    // sf0.1), and at 100 TB caching an input-sized member table is
-    // memory-hostile while a second pruned scan is just I/O. (In
-    // production IVF the centroids come from a prior clustering step
-    // anyway, making this a single-scan plan.)
-    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
-        col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
-    val cents = centroids(members.select(col("bucket"), col("_rv").as("vec")))
-      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
-    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
-      Vectors.l2Norm(col("vec")).as("_ln"))
-      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
-    val assignW = Window.partitionBy("left_id")
-      .orderBy(col("_ccos").desc, col("bucket").asc)
-    val assigned = q.crossJoin(broadcast(cents))
-      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
-        (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
-      .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") <= probes)
+    val (members, ranked) = ivfAssignment(queries, bucketed)
+    val assigned = ranked.filter(col("_rn") <= probes)
       .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"))
     val joined = assigned.join(members, Seq("bucket"))
     val scored = (if (excludeSelf) joined.filter(col("left_id") =!= col("right_id")) else joined)
@@ -96,6 +76,38 @@ object Similarity {
         (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn2"))).as("cos"))
     val w = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Shared IVF prologue — ONE definition for [[ivfTopK]] and
+    * [[ivfRecallCurve]] so the curve always measures exactly the
+    * operator's algorithm (normalization, tie-breaks, centroid
+    * construction): returns the normalized member table and the
+    * query-to-bucket centroid-assignment RANKING (every bucket ranked
+    * per query; callers filter `_rn` to their probe count).
+    *
+    * The member projection is deliberately NOT persisted: it feeds both
+    * the centroid aggregate (broadcast) and the probe join, and two
+    * column-pruned parquet scans beat cache materialization (A/B
+    * measured −0.3 s at sf0.1); at 100 TB caching an input-sized member
+    * table is memory-hostile while a second pruned scan is just I/O.
+    * (In production IVF the centroids come from a prior clustering step
+    * anyway, making this a single-scan plan.) */
+  private def ivfAssignment(
+      queries: DataFrame, bucketed: DataFrame): (DataFrame, DataFrame) = {
+    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
+      col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
+    val cents = centroids(members.select(col("bucket"), col("_rv").as("vec")))
+      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
+      Vectors.l2Norm(col("vec")).as("_ln"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val assignW = Window.partitionBy("left_id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    val ranked = q.crossJoin(broadcast(cents))
+      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
+        (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
+      .withColumn("_rn", row_number().over(assignW))
+    (members, ranked)
   }
 
   /** Recall@k-vs-probes sweep — the approximation-quality curve for the
@@ -116,25 +128,17 @@ object Similarity {
   def ivfRecallCurve(queries: DataFrame, bucketed: DataFrame, k: Int,
       probesList: Seq[Int]): DataFrame = {
     require(probesList.nonEmpty, "need at least one probe count")
-    val members = bucketed.select(col("bucket"), col("id").as("right_id"),
-      col("vec").as("_rv"), Vectors.l2Norm(col("vec")).as("_rn2"))
-    val cents = centroids(members.select(col("bucket"), col("_rv").as("vec")))
-      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
-    val q = queries.select(col("id").as("left_id"), col("vec").as("_lv"),
-      Vectors.l2Norm(col("vec")).as("_ln"))
-      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
-    val assignW = Window.partitionBy("left_id")
-      .orderBy(col("_ccos").desc, col("bucket").asc)
-    val assigned = q.crossJoin(broadcast(cents))
-      .select(col("left_id"), col("_lv"), col("_ln"), col("bucket"),
-        (Vectors.dot(col("_lv"), col("centroid")) / (col("_ln") * col("_cn"))).as("_ccos"))
-      .withColumn("_rn", row_number().over(assignW))
+    val (members, ranked) = ivfAssignment(queries, bucketed)
+    val assigned = ranked
       .filter(col("_rn") <= probesList.max)
       .withColumn("probes", explode(filter(
         array(probesList.map(lit): _*), p => p >= col("_rn"))))
       .select(col("probes"), col("left_id"), col("_lv"), col("_ln"), col("bucket"))
+    // NO self-match exclusion on either side: brute and IVF see the
+    // identical search task, so the curve is symmetric even when the
+    // query set overlaps the corpus ids (self-search) — an asymmetric
+    // exclusion would understate recall by 1/k per overlapping query.
     val scored = assigned.join(members, Seq("bucket"))
-      .filter(col("left_id") =!= col("right_id"))
       .select(col("probes"), col("left_id"), col("right_id"),
         (Vectors.dot(col("_lv"), col("_rv")) / (col("_ln") * col("_rn2"))).as("cos"))
     val w = Window.partitionBy("probes", "left_id")

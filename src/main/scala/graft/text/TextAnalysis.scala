@@ -381,11 +381,14 @@ object TextAnalysis {
     * takes the argmax pair (count desc, pair asc — deterministic), and
     * applies the merge to every word's symbol sequence.
     *
-    * Symbol sequences are encoded as `·`-delimited strings (`·a·b·c·`),
-    * so a merge of (x, y) is the literal string replace `·x·y·` →
-    * `·xy·` — left-to-right non-overlapping in BOTH engines, which is
-    * exactly the BPE greedy-application rule, and boundary-safe because
-    * every symbol is delimiter-wrapped. Pair COUNTS allow overlap
+    * Symbol sequences are encoded as dot-delimited strings with DOUBLE
+    * separators (`·a··b··c·`), so a merge of (x, y) is the literal
+    * string replace `·x··y·` → `·xy·` — left-to-right non-overlapping
+    * in BOTH engines and adjacency-safe (each match consumes one dot
+    * from each shared separator, leaving the other for the neighboring
+    * occurrence), which is exactly the BPE greedy-application rule, and
+    * boundary-safe because every symbol is delimiter-wrapped. Pair
+    * COUNTS allow overlap
     * (adjacent-pair multiset), matching the reference algorithm. No
     * end-of-word marker (merges stay within words; add one by appending
     * a sentinel symbol to the char expansion if cross-word boundary
@@ -433,8 +436,16 @@ object TextAnalysis {
     val words = docs.select(explode(Text.tokenize(
         col(textCol), minLength = 1, stopwords = Nil)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // Symbols are joined by DOUBLE dots with single dots at the ends
+    // (`·a··b··c·`): a merge replace (`·x··y·` → `·xy·`) then consumes
+    // one boundary dot from EACH side of the pair, leaving the shared
+    // separator's other dot for the neighboring occurrence — so
+    // adjacent occurrences of the merged pair (`abab`, `aaaa`) all merge
+    // in one left-to-right pass, exactly the reference greedy-apply
+    // rule. (A single-dot encoding under-merges: the first replace eats
+    // the trailing delimiter the next match needs.)
     var vocab = words.select(col("w"),
-      concat(lit("·"), concat_ws("·",
+      concat(lit("·"), concat_ws("··",
         transform(sequence(lit(1), length(col("w"))),
           i => substring(col("w"), i, lit(1)))), lit("·")).as("sym"),
       col("cnt")).localCheckpoint(eager = false)
@@ -467,7 +478,9 @@ object TextAnalysis {
       vocab = vocab.crossJoin(broadcast(topOrNoop))
         .select(col("w"),
           call_function("replace", col("sym"),
-            concat(lit("·"), col("_p"), lit("·")),
+            concat(lit("·"),
+              call_function("replace", col("_p"), lit("·"), lit("··")),
+              lit("·")),
             concat(lit("·"), call_function("replace", col("_p"), lit("·"), lit("")),
               lit("·"))).as("sym"),
           col("cnt"))

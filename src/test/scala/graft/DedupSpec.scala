@@ -853,4 +853,28 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1, "a·a", 6L), (2, "a·b", 5L)), got.toString)
   }
+
+  test("bpeEncode: adjacent merged pairs all merge (greedy-apply regression)") {
+    // 'abab' with merge (a,b) must segment to [ab, ab] — the single-dot
+    // encoding's consumed-delimiter bug left [ab, a, b]
+    val docs = Seq((1L, "abab ab ab aaaa aaaa")).toDF("doc_id", "text")
+    // round 1 learns (a,b): pairs (a,b)=2+1+1+... abab: (a,b)x2,(b,a)x1;
+    // ab: (a,b)x1 each; aaaa: (a,a)x3 each x2 = 6 → (a,a) wins round 1!
+    // Use a corpus where (a,b) wins: drop the aaaa's.
+    val d2 = Seq((1L, "abab ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(d2, "text", rounds = 1).collect()
+    assert(merges.head.getString(1) == "a·b")
+    val enc = TextAnalysis.bpeEncode(d2, "doc_id", "text", rounds = 1)
+      .collect().head
+    // words: abab (4 chars → 2 subwords), ab, ab (1 each) = 3 words, 4 subwords
+    assert(enc.getLong(1) == 3L && enc.getLong(2) == 4L,
+      s"expected (3 words, 4 subwords), got (${enc.getLong(1)}, ${enc.getLong(2)})")
+    // consecutive-run case: aaaa with merge (a,a) → [aa, aa]; the doc has
+    // the word twice → 2 words, 4 subwords
+    val d3 = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val enc3 = TextAnalysis.bpeEncode(d3, "doc_id", "text", rounds = 1)
+      .collect().head
+    assert(enc3.getLong(1) == 2L && enc3.getLong(2) == 4L,
+      s"aaaa → [aa, aa] per word, got ${enc3.getLong(2)} subwords")
+  }
 }

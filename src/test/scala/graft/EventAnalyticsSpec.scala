@@ -42,6 +42,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 2L), (2, 1L)))
   }
 
+  test("funnel: repeated stage types match positionally") {
+    // view → purchase → view: the SECOND view occurrence must be
+    // reachable (a first-match stage index would leave stage 3 at 0)
+    val df = evts(Seq(
+      (1L, "view", 1000L), (1L, "purchase", 1010L), (1L, "view", 1020L),
+      (2L, "view", 1000L), (2L, "purchase", 1010L)))
+    val got = EventAnalytics.funnel(df, Seq("view", "purchase", "view"), 86400L)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, "view", 2L), (2, "purchase", 2L), (3, "view", 1L)), got.toSeq.toString)
+  }
+
   test("retention: cohort day from first event, distinct days, offset cap") {
     val day = 86400L
     val jan1 = 1704067200L // 2024-01-01 00:00:00 UTC

@@ -217,6 +217,13 @@ class ExperimentSpec extends SparkSpec {
     // --force-encode re-encodes and overwrites
     val forced = runOnce("--force-encode")
     assert(jsonField(forced, "encode_misses") == "2")
+    // stale-cache guard: a different encoder config (dims) on the SAME
+    // warm dir must re-encode, not silently serve 8-dim vectors
+    val redim = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "embedding-knn", "--out", out,
+      "--embeddings", emb, "--k", "2", "--dims", "16", "--no-write")))
+    assert(jsonField(redim, "encode_misses") == "2",
+      "changed --dims must invalidate the cache")
   }
 
   test("--append-metrics appends one parseable JSON line per run (multi-run tracker)") {
