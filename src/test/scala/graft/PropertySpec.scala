@@ -303,6 +303,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: full token coverage, stride positions, bounded sizes") {
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunkSize = 4; val overlap = 1; val stride = chunkSize - overlap
+      val got = graft.text.TextAnalysis
+        .chunkWindows(docs, "doc_id", "text", chunkSize, overlap)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1)
+      rows.zipWithIndex.foreach { case (t, i) =>
+        val n = t.trim.split("\\s+").count(_.nonEmpty)
+        val chunks = got(i.toString).sortBy(_._2)
+        // chunk indices are contiguous from 0; starts follow the stride
+        assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+        chunks.foreach { case (_, idx, start, sz) =>
+          assert(start == idx * stride && sz >= 1 && sz <= chunkSize)
+        }
+        // every token position is covered by some chunk
+        val covered = chunks.flatMap { case (_, _, s, sz) => s until (s + sz) }.toSet
+        assert((0 until math.max(n, 0)).forall(covered.contains),
+          s"uncovered positions for '$t'")
+      }
+    }
+  }
+
+  test("weightedSample: subset of input, k-bounded, rank-contiguous per group") {
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val docs = rows.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"g${i % 2}", t) }.toDF("doc_id", "source", "text")
+      val k = 2
+      val got = graft.text.TextAnalysis.weightedSample(docs, "doc_id", "source",
+        graft.text.TextAnalysis.wsTokenCount(col("text")), k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+      val inputIds = rows.indices.map(_.toString).toSet
+      assert(got.forall(x => inputIds.contains(x._2)))
+      got.groupBy(_._1).foreach { case (g, xs) =>
+        assert(xs.length <= k)
+        assert(xs.map(_._3).sorted.toSeq == (1 to xs.length))
+      }
+    }
+  }
+
+  test("bpeEncode: subwords per doc between word count and char count") {
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.bpeEncode(docs, "doc_id", "text", 3)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      rows.zipWithIndex.foreach { case (t, i) =>
+        val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val (nw, nsub) = got(i.toString)
+        assert(nw == ws.length)
+        // merges only ever SHRINK a word's segmentation, never below 1
+        assert(nsub >= nw && nsub <= ws.map(_.length).sum,
+          s"'$t': $nsub subwords outside [$nw, ${ws.map(_.length).sum}]")
+      }
+    }
+  }
+
   test("winnow fingerprint count is bounded by the full-window count") {
     forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
       val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
