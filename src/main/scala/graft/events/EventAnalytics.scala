@@ -268,4 +268,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"),
         q(0.25, "p25"), q(0.50, "p50"), q(0.90, "p90"), q(0.99, "p99"))
   }
+
+  /** Robust outlier report per group — median/MAD (median absolute
+    * deviation), the heavy-tail-safe alternative to mean/stddev z-scores
+    * (Iglewicz & Hoaglin 1993; the modified z-score M = 0.6745·(x −
+    * med)/MAD with the standard |M| > 3.5 cut). Mean/stddev anomaly
+    * scoring breaks exactly when it matters — the outliers drag the
+    * mean; the median and MAD have 50% breakdown.
+    *
+    * Three passes by construction (MAD needs the median, the cut needs
+    * the MAD): each is a per-group exact-percentile/count aggregate with
+    * the group-count-sized result broadcast back — all keyed by the
+    * group column, no global sort. A constant group (MAD = 0) reports 0
+    * outliers rather than dividing by zero.
+    *
+    * Output: (groupCol, n, med, mad, n_outliers). */
+  def madOutliers(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", cut: Double = 3.5): DataFrame = {
+    val meds = events.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("_med"))
+    val stats = events.join(broadcast(meds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("_med")).as("_med"),
+        percentile(abs(col(valueCol) - col("_med")), lit(0.5)).as("_mad"))
+    events.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        Num.stableRound(first(col("_med")), 4).as("med"),
+        Num.stableRound(first(col("_mad")), 4).as("mad"),
+        sum(when(col("_mad") > 0 &&
+            lit(0.6745) * abs(col(valueCol) - col("_med")) >
+              lit(cut) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

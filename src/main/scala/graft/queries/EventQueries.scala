@@ -477,6 +477,28 @@ object EventQueries {
              |       day_offset::int AS day_offset, count(*) AS users
              |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- robust outliers: median/MAD modified z (Iglewicz-Hoaglin) -------
+    // three keyed passes (med → MAD → count); exact percentile parity with
+    // DuckDB's quantile_cont, rounding via the shared e4 floor.
+    "ev_mad_outliers" -> QueryDef(
+      (s, dir) => graft.events.EventAnalytics.madOutliers(
+        QueryDef.events(s, dir)).orderBy("event_type"),
+      Some("""WITH m AS (
+             |  SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |s AS (
+             |  SELECT event_type, any_value(med) AS med,
+             |         quantile_cont(abs(value - med), 0.5) AS mad
+             |  FROM events JOIN m USING (event_type) GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |       floor((any_value(s.med)) * 1e4 + 0.5) / 1e4 AS med,
+             |       floor((any_value(s.mad)) * 1e4 + 0.5) / 1e4 AS mad,
+             |       sum(CASE WHEN s.mad > 0
+             |                 AND 0.6745 * abs(value - s.med) > 3.5 * s.mad
+             |                THEN 1 ELSE 0 END)::bigint AS n_outliers
+             |FROM events JOIN s USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact per-type value quantiles ----------------------------------
     // Spark's exact `percentile` vs DuckDB quantile_cont — both
     // interpolate linearly at rank q·(n−1); stable-rounded to 4 decimals.

@@ -469,6 +469,50 @@ object RelationalQueries {
              |                   JOIN deg d ON a.src = d.src GROUP BY 1),
              |r3 AS (SELECT node, 0.15 / n.n + 0.85 * m AS r FROM m3, n)
              |SELECT node, floor((r * n.n) * 1e4 + 0.5) / 1e4 AS rank_x
-             |FROM r3, n ORDER BY node""".stripMargin))
+             |FROM r3, n ORDER BY node""".stripMargin)),
+
+    // ---- community detection: synchronous label propagation --------------
+    // (Raghavan et al. 2007) over the same customer-supplier co-purchase
+    // graph as rel_pagerank; 3 deterministic rounds (max-count label,
+    // min-label tie-break) replayed verbatim by the oracle.
+    "rel_communities" -> QueryDef(
+      (s, dir) => {
+        val pairs = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("su"))
+          .distinct()
+        val arcs = pairs.select(col("c").as("src"), col("su").as("dst"))
+          .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
+        graft.relational.PageRank.labelPropagation(arcs, 3)
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |arcs AS (
+             |  SELECT c AS src, su AS dst FROM pairs
+             |  UNION ALL SELECT su, c FROM pairs),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM arcs),
+             |c1 AS (SELECT src, label, count(*) AS c FROM (
+             |  SELECT a.src, l.label FROM arcs a JOIN l0 l ON l.node = a.dst
+             |  UNION ALL SELECT node AS src, label FROM l0) GROUP BY 1, 2),
+             |l1 AS (SELECT src AS node, label FROM (
+             |  SELECT src, label, row_number() OVER (PARTITION BY src
+             |      ORDER BY c DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT src, label, count(*) AS c FROM (
+             |  SELECT a.src, l.label FROM arcs a JOIN l1 l ON l.node = a.dst
+             |  UNION ALL SELECT node AS src, label FROM l1) GROUP BY 1, 2),
+             |l2 AS (SELECT src AS node, label FROM (
+             |  SELECT src, label, row_number() OVER (PARTITION BY src
+             |      ORDER BY c DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT src, label, count(*) AS c FROM (
+             |  SELECT a.src, l.label FROM arcs a JOIN l2 l ON l.node = a.dst
+             |  UNION ALL SELECT node AS src, label FROM l2) GROUP BY 1, 2),
+             |l3 AS (SELECT src AS node, label FROM (
+             |  SELECT src, label, row_number() OVER (PARTITION BY src
+             |      ORDER BY c DESC, label ASC) AS rn FROM c3) WHERE rn = 1)
+             |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin))
   )
 }

@@ -62,4 +62,53 @@ object PageRank {
     contrib.unpersist()
     out
   }
+
+  /** Synchronous label-propagation community detection (Raghavan, Albert
+    * & Kumara 2007, Phys. Rev. E 76): every node starts as its own
+    * community; each round it adopts the most frequent label among its
+    * neighbors AND itself (the self-vote is load-bearing: without it the
+    * all-distinct first round is one giant tie and the lexicographic
+    * tie-break floods the global minimum label through the graph —
+    * min-label propagation, i.e. connected components, not communities;
+    * verified on two bridged cliques), ties broken by the
+    * LEXICOGRAPHICALLY SMALLEST label — fully deterministic, so a fixed
+    * iteration count is SQL-replayable (async/randomized LPA variants
+    * trade that determinism for faster convergence; the fixed-round
+    * synchronous form is the oracle-able one, and oscillation on
+    * bipartite structures is likewise deterministic). Same arc contract
+    * as [[pageRank]]: both directions present for undirected graphs;
+    * nodes appear iff they have an edge.
+    *
+    * 100 TB shape: one round = an arc⋈label equi-join (arcs
+    * hash-partitioned by dst ONCE, persisted — only the node-sized label
+    * table moves per round) + a (src, label) count + a per-src argmax
+    * window; labels are localCheckpoint'd per round so the plan stays
+    * flat. Everything is keyed by node id; communities are never
+    * collected.
+    *
+    * Output: (node, community). */
+  def labelPropagation(arcs: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = arcs.select(col("src"), col("dst"))
+      .repartition(col("dst")).persist()
+    var labels = a.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val votes = a.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("node").as("src"), col("label")))
+      val counts = votes.groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("c").desc, col("label").asc)
+      labels = counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(eager = false)
+    }
+    val out = labels.select(col("node"), col("label").as("community"))
+      .localCheckpoint()
+    a.unpersist()
+    out
+  }
 }

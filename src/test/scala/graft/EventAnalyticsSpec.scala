@@ -55,6 +55,20 @@ class EventAnalyticsSpec extends SparkSpec {
       (1, "view", 2L), (2, "purchase", 2L), (3, "view", 1L)), got.toSeq.toString)
   }
 
+  test("madOutliers: robust to the outlier itself; constant groups score none") {
+    import spark.implicits._
+    // group a: 9 values near 10 plus one wild outlier — mean/std z would
+    // be dragged by the outlier; median/MAD flags exactly it
+    val a = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.2, 10.5, 10.8, 11.0, 1000.0)
+    val b = Seq(5.0, 5.0, 5.0, 5.0) // constant: MAD 0 → no outliers
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("event_type", "value")
+    val got = graft.events.EventAnalytics.madOutliers(df)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(4)))
+    assert(got(0) == ("a", 10L, 10.1, 1L), got(0).toString)
+    assert(got(1) == ("b", 4L, 5.0, 0L), got(1).toString)
+  }
+
   test("retention: cohort day from first event, distinct days, offset cap") {
     val day = 86400L
     val jan1 = 1704067200L // 2024-01-01 00:00:00 UTC

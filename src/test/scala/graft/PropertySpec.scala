@@ -280,6 +280,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques joined by one bridge form two communities") {
+    // clique A: a0-a1-a2 complete; clique B: b0-b1-b2 complete; one
+    // bridge a0-b0. After convergence each clique shares one label and
+    // the two labels differ (the bridge is outvoted by clique neighbors).
+    def clique(p: String) = for {
+      i <- 0 to 3; j <- 0 to 3 if i != j
+    } yield (s"$p$i", s"$p$j")
+    val arcs = (clique("a") ++ clique("b") ++
+      Seq(("a0", "b0"), ("b0", "a0"))).toDF("src", "dst")
+    val got = graft.relational.PageRank.labelPropagation(arcs, 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == (0 to 3).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+    assert((0 to 3).map(i => got(s"a$i")).toSet.size == 1, s"clique A split: $got")
+    assert((0 to 3).map(i => got(s"b$i")).toSet.size == 1, s"clique B split: $got")
+    assert(got("a0") != got("b0"), s"cliques merged: $got")
+  }
+
   test("containment dominates jaccard and hits 1.0 exactly for subsets") {
     val docGen = Gen.nonEmptyListOf(word).map(_.distinct)
     forAll(Gen.nonEmptyListOf(docGen)) { docs =>
