@@ -430,7 +430,59 @@ object EventQueries {
              |SELECT g.id, g.bucket::int AS bucket,
              |       coalesce(c.c, 0) / g.n AS v, false AS decoded
              |FROM grid g LEFT JOIN counts c ON g.id = c.id AND g.bucket = c.bucket
-             |ORDER BY g.id, g.bucket""".stripMargin))
+             |ORDER BY g.id, g.bucket""".stripMargin)),
+
+    // ---- multimodal: perceptual-hash duplicate groups ---------------------
+    // quantized perceptual hash over the decoded feature vectors: phash =
+    // md5 of the per-dim features floored at 1e-4 — media items identical
+    // at that resolution form a duplicate group (dd_exact's group form;
+    // output is group-sized, never pairwise-quadratic). Design note,
+    // measured on this corpus: a DCT-style SIGN-bit hash (12 md5
+    // hyperplanes over mean-centered features) collapses to ≤2 groups —
+    // the 8-dim char-class histograms vary along ~one direction, so sign
+    // bits carry ~1 bit; quantization at 1e-4 resolves the corpus's REAL
+    // duplicate structure (115 groups at sf0.01, sizes to 8 — the copied
+    // documents). With richer real-image features the sign-bit variant
+    // becomes viable; the grouping pipeline is identical either way.
+    // Zero-length media still hash (n floor-guarded to 1 upstream).
+    "mm_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        Multimodal.decodeFeatures(
+            Multimodal.withBinary(table(s, dir, "documents"), "doc_id", "text")
+              .as[Multimodal.MediaRecord])
+          .toDF()
+          .select(col("id").cast("string").as("id"),
+            md5(concat_ws(",",
+              transform(col("features"),
+                v => floor(v * 10000).cast("long")))).as("phash"))
+          .groupBy("phash")
+          .agg(array_join(array_sort(collect_set(col("id"))), ",").as("ids"),
+            countDistinct(col("id")).as("n"))
+          .filter(col("n") >= 2)
+          .orderBy("phash")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id AS id, unnest(split(text, '')) AS ch FROM documents),
+             |counts AS (
+             |  SELECT id, ord(ch) // 32 AS bucket, count(*)::double AS c
+             |  FROM chars GROUP BY id, bucket),
+             |grid AS (
+             |  SELECT doc_id AS id,
+             |         greatest(octet_length(encode(text)), 1)::double AS n,
+             |         r.range AS i
+             |  FROM documents CROSS JOIN range(8) r),
+             |f AS (SELECT g.id, g.i, coalesce(c.c, 0) / g.n AS v
+             |      FROM grid g LEFT JOIN counts c ON g.id = c.id AND g.i = c.bucket),
+             |bk AS (SELECT cast(id AS varchar) AS id,
+             |              md5(string_agg(cast(floor(v * 10000) AS bigint)::varchar,
+             |                             ',' ORDER BY i)) AS phash
+             |       FROM f GROUP BY id)
+             |SELECT phash, array_to_string(list_sort(list(DISTINCT id)), ',') AS ids,
+             |       count(DISTINCT id) AS n
+             |FROM bk GROUP BY phash HAVING count(DISTINCT id) >= 2
+             |ORDER BY phash""".stripMargin))
   ) ++ Map(
 
     // ---- ordered funnel (signup → view → purchase, 7-day horizon) --------
