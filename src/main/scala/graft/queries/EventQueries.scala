@@ -13,6 +13,11 @@ import QueryDef.table
   * runs them in batch, StreamingSpec runs them against MemoryStream. */
 object EventQueries {
 
+  /** ev_mad_outliers' modified-z cut — ONE definition interpolated into
+    * both the Spark call and the DuckDB oracle (the standard 3.5 of
+    * Iglewicz & Hoaglin 1993). */
+  private val MadCut = 3.5
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- tumbling-window aggregation (the streaming headline) ------------
@@ -534,8 +539,8 @@ object EventQueries {
     // DuckDB's quantile_cont, rounding via the shared e4 floor.
     "ev_mad_outliers" -> QueryDef(
       (s, dir) => graft.events.EventAnalytics.madOutliers(
-        QueryDef.events(s, dir)).orderBy("event_type"),
-      Some("""WITH m AS (
+        QueryDef.events(s, dir), cut = MadCut).orderBy("event_type"),
+      Some(s"""WITH m AS (
              |  SELECT event_type, quantile_cont(value, 0.5) AS med
              |  FROM events GROUP BY 1),
              |s AS (
@@ -546,7 +551,7 @@ object EventQueries {
              |       floor((any_value(s.med)) * 1e4 + 0.5) / 1e4 AS med,
              |       floor((any_value(s.mad)) * 1e4 + 0.5) / 1e4 AS mad,
              |       sum(CASE WHEN s.mad > 0
-             |                 AND 0.6745 * abs(value - s.med) > 3.5 * s.mad
+             |                 AND 0.6745 * abs(value - s.med) > $MadCut * s.mad
              |                THEN 1 ELSE 0 END)::bigint AS n_outliers
              |FROM events JOIN s USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -52,6 +52,28 @@ object RelationalQueries {
     s"""SELECT head AS id, string_agg(DISTINCT trim(tail), ' ' ORDER BY trim(tail)) AS txt
        |FROM ($attrSql) WHERE tail IS NOT NULL GROUP BY head""".stripMargin
 
+  /** Shared customer-supplier co-purchase graph for the graph-analytics
+    * queries (rel_pagerank, rel_communities) — ONE definition on each
+    * engine so the two queries can never drift onto different graphs. */
+  private def coPurchaseArcs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("su"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("su").as("dst"))
+      .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
+  }
+
+  private val coPurchaseArcsSql =
+    """pairs AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |arcs AS (
+      |  SELECT c AS src, su AS dst FROM pairs
+      |  UNION ALL SELECT su, c FROM pairs)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- U3: reverse relations -------------------------------------------
@@ -430,15 +452,8 @@ object RelationalQueries {
     // precision protocol).
     "rel_pagerank" -> QueryDef(
       (s, dir) => {
-        val pairs = table(s, dir, "lineitem")
-          .join(table(s, dir, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("su"))
-          .distinct()
-        val arcs = pairs.select(col("c").as("src"), col("su").as("dst"))
-          .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
-        val ranks = graft.relational.PageRank.pageRank(arcs, 3)
+        val ranks = graft.relational.PageRank.pageRank(
+          coPurchaseArcs(s, dir), 3)
         // node count from the (checkpointed, node-sized) rank table —
         // recomputing it from `arcs` would re-run the lineitem join
         val nDf = ranks.agg(count(lit(1)).as("n"))
@@ -447,12 +462,8 @@ object RelationalQueries {
           .select(col("node"), Num.stableRound(col("r") * col("n"), 4).as("rank_x"))
           .orderBy("node")
       },
-      Some("""WITH pairs AS (
-             |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |arcs AS (
-             |  SELECT c AS src, su AS dst FROM pairs
-             |  UNION ALL SELECT su, c FROM pairs),
+      Some(s"""WITH $coPurchaseArcsSql,
+             |
              |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
              |n AS (SELECT count(*) AS n FROM deg),
              |r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg, n),
@@ -477,23 +488,12 @@ object RelationalQueries {
     // min-label tie-break) replayed verbatim by the oracle.
     "rel_communities" -> QueryDef(
       (s, dir) => {
-        val pairs = table(s, dir, "lineitem")
-          .join(table(s, dir, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("su"))
-          .distinct()
-        val arcs = pairs.select(col("c").as("src"), col("su").as("dst"))
-          .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
-        graft.relational.PageRank.labelPropagation(arcs, 3)
+        graft.relational.PageRank.labelPropagation(
+          coPurchaseArcs(s, dir), 3)
           .orderBy("node")
       },
-      Some("""WITH pairs AS (
-             |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |arcs AS (
-             |  SELECT c AS src, su AS dst FROM pairs
-             |  UNION ALL SELECT su, c FROM pairs),
+      Some(s"""WITH $coPurchaseArcsSql,
+             |
              |l0 AS (SELECT DISTINCT src AS node, src AS label FROM arcs),
              |c1 AS (SELECT src, label, count(*) AS c FROM (
              |  SELECT a.src, l.label FROM arcs a JOIN l0 l ON l.node = a.dst

@@ -66,11 +66,15 @@ object PageRank {
   /** Synchronous label-propagation community detection (Raghavan, Albert
     * & Kumara 2007, Phys. Rev. E 76): every node starts as its own
     * community; each round it adopts the most frequent label among its
-    * neighbors AND itself (the self-vote is load-bearing: without it the
-    * all-distinct first round is one giant tie and the lexicographic
-    * tie-break floods the global minimum label through the graph —
-    * min-label propagation, i.e. connected components, not communities;
-    * verified on two bridged cliques), ties broken by the
+    * neighbors AND itself. The self-vote is load-bearing — but as a
+    * LATER-ROUND stabilizer, not a first-round guard: round 1 is all
+    * ties either way and the lexicographic tie-break still leaks small
+    * labels across bridges; with the self-vote a dense neighborhood's
+    * own labels out-count the leaked one in subsequent rounds and the
+    * community RECOVERS, whereas without it the flood is absorbing and
+    * the operator degenerates into min-label propagation (= connected
+    * components; verified by simulation and the bridged-cliques spec).
+    * Ties broken by the
     * LEXICOGRAPHICALLY SMALLEST label — fully deterministic, so a fixed
     * iteration count is SQL-replayable (async/randomized LPA variants
     * trade that determinism for faster convergence; the fixed-round

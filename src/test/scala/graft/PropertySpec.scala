@@ -281,9 +281,12 @@ class PropertySpec extends SparkSpec {
   }
 
   test("labelPropagation: two cliques joined by one bridge form two communities") {
-    // clique A: a0-a1-a2 complete; clique B: b0-b1-b2 complete; one
-    // bridge a0-b0. After convergence each clique shares one label and
-    // the two labels differ (the bridge is outvoted by clique neighbors).
+    // clique A: a0..a3 complete (K4); clique B: b0..b3 complete (K4);
+    // one bridge a0-b0. After convergence each clique shares one label
+    // and the two labels differ (the bridge label leaked in the tie-
+    // heavy first round is outvoted by clique neighbors in later rounds
+    // — the self-vote's stabilizer role; 3-cliques are too small for
+    // the recovery, which is why K4s are used here).
     def clique(p: String) = for {
       i <- 0 to 3; j <- 0 to 3 if i != j
     } yield (s"$p$i", s"$p$j")
