@@ -173,7 +173,12 @@ object Multimodal {
     val nFrames = ceil(length(col("data")).cast("double") / frameSize).cast("int")
     df.select(col("id"), col("data"), nFrames.as("n_frames"))
       .select(col("id"), col("data"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        // guard zero-length media: sequence(0, -1) in Spark is the
+        // DESCENDING [0, -1], which would emit phantom frames; empty
+        // data emits NO frames (matching the oracle's empty range)
+        explode(when(col("n_frames") >= 1,
+          sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .filter(col("frame_idx") % every === 0)
       .select(col("id"), col("frame_idx"),
         col("data").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))

@@ -122,4 +122,14 @@ class EmptyInputSpec extends SparkSpec {
     val zeroW = Seq((1L, "s", "x")).toDF("doc_id", "source", "text")
     assert(TextAnalysis.weightedSample(zeroW, "doc_id", "source", lit(0.0), 5).isEmpty)
   }
+
+  test("sampleFrames: zero-length media emits no frames (descending-sequence guard)") {
+    import graft.multimodal.Multimodal
+    val df = Seq((1L, Array.empty[Byte]), (2L, "abcd".getBytes("UTF-8")))
+      .toDF("id", "data")
+    val got = graft.multimodal.Multimodal.sampleFrames(df, frameSize = 2, every = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(!got.exists(_._1 == 1L), "empty media must emit no frames")
+    assert(got.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 1))
+  }
 }
