@@ -67,12 +67,18 @@ object Bench {
         Some((name, dt, ok, metrics))
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT formatting everywhere a double lands in JSON: `f"%.3f"`
+    // uses the JVM default locale, and comma decimals break bench.json.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val ms = results.map { case (k, _, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"metrics":$ms,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"metrics":$ms,"failed":$failed,"sf":"$sfDir"}"""
     // Print to stdout AND write to a file: under sbt, println goes through
     // the [info] logger, which the driver's JSON-line scraper can't parse.
     println(json)
@@ -90,12 +96,12 @@ object Bench {
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     bySlow.foreach { case (k, v, _, _) =>
-      val ent = "\"" + k + f"\":$v%.2f"
+      val ent = "\"" + k + "\":" + d2(v)
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val omitted = results.size - kept.size
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"bench.json"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"bench.json"}"""
     println(compact)
     spark.stop()
   }

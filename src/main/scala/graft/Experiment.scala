@@ -246,14 +246,41 @@ object Experiment {
         val r = Evaluation.evaluate(persisted, g, leftLen, rightLen)
         val metrics = r.toMap.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${fmtD(v)}""" }.mkString(",")
-        // optional A10 comparison: Sørensen-Dice of the two blockers'
-        // true-positive sets (eval.py:329-331), the reference's
-        // blocker-vs-blocker report
-        val dice = c.compare.map { name =>
-          val other = blockerFor(c.copy(blocker = name)).assign(
-            dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
-          s""","compare_blocker":"$name","dice_tp":${
-            fmtD(Evaluation.diceOfTruePositives(persisted, other, g))}"""
+        // optional comparison: one name → A10 pairwise Dice of TP sets
+        // (eval.py:329-331); several comma-separated names → the N-way
+        // report (eval.py:457-521 multiple_block_comparison as the
+        // per-blocker report form): this run's blocking plus each named
+        // blocker, metrics + dice-vs-best + joined-h3r improvement.
+        val dice = c.compare.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).collect {
+          case Seq(name) =>
+            val other = blockerFor(c.copy(blocker = name)).assign(
+              dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
+            s""","compare_blocker":"$name","dice_tp":${
+              fmtD(Evaluation.diceOfTruePositives(persisted, other, g))}"""
+          case names if names.size > 1 =>
+            val others = names.map { n =>
+              n -> blockerFor(c.copy(blocker = n)).assign(
+                dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
+            }
+            // primary blocking first; disambiguate a compare name that
+            // collides with it (or with an earlier duplicate)
+            val seen = scala.collection.mutable.Set(c.blocker)
+            val labeled = (c.blocker -> persisted) +: others.map { case (n, b) =>
+              var label = n; var i = 1
+              while (seen(label)) { i += 1; label = s"${n}_$i" }
+              seen += label; label -> b
+            }
+            val report = Evaluation.comparisonReport(
+              dataset.left.df.sparkSession, labeled, g, leftLen, rightLen)
+            val rows = report.collect().map { r =>
+              s"""{"blocker":${renderJsonScalar(r.getString(0))},""" +
+                s""""is_best":${r.getBoolean(1)},"tp":${r.getLong(2)},"pairs":${r.getLong(3)},""" +
+                s""""recall":${fmtD(r.getDouble(4))},"precision":${fmtD(r.getDouble(5))},""" +
+                s""""f_measure":${fmtD(r.getDouble(6))},"reduction_ratio":${fmtD(r.getDouble(7))},""" +
+                s""""h3r":${fmtD(r.getDouble(8))},"dice_vs_best":${fmtD(r.getDouble(9))},""" +
+                s""""improvement_h3r":${fmtD(r.getDouble(10))}}"""
+            }
+            s""","comparison":${rows.mkString("[", ",", "]")}"""
         }.getOrElse("")
         s""""tp":${r.truePositive},"fp":${r.falsePositive},"fn":${r.falseNegative},""" +
           s""""pairs":${r.compWithBlocking},"comp_without_blocking":${r.compWithoutBlocking},$metrics$dice"""
@@ -383,14 +410,15 @@ object Experiment {
   }
 
   private def fmtD(d: Double): String =
-    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    if (d.isNaN || d.isInfinite) "null"
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
 
   private val Usage: String =
     s"""usage: graft.Experiment --data <dir> --blocker <name> --out <dir>
        |  [--format auto|parquet|csv|json|openea] [--metrics <file>]
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--embeddings <dir>] [--force-encode]
-       |  [--compare <name>] [--sample-mod N] [--no-clean] [--no-write]
+       |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]
        |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]
        |  [--key <col>] [--q N] [--min-token-length N] [--threshold X]
        |  [--num-perm N] [--fn-weight X] [--bands N] [--top-n-a N]

@@ -153,8 +153,12 @@ object ScaleRehearsal {
     rows.foreach { case (n, t, i, sr, rr, res) =>
       println(f"| $n | $t%.1f | ${i / 1e6}%.0f | ${sr / 1e6}%.0f | $rr | $res |")
     }
+    // Locale.ROOT: f-interpolated doubles are locale-sensitive, and a
+    // comma decimal would corrupt the JSON line.
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val json = rows.map { case (n, t, i, sr, rr, res) =>
-      s""""$n":{"wall_s":${f"$t%.1f"},"max_task_input_mb":${i / 1000000},""" +
+      s""""$n":{"wall_s":${d1(t)},"max_task_input_mb":${i / 1000000},""" +
         s""""max_task_shuffle_mb":${sr / 1000000},"max_task_shuffle_records":$rr,"result":"$res"}"""
     }.mkString(
       s"""{"dir":"$dir","copies":$copies,"cap":$cap,"docs":$nDocs,""" +

@@ -47,9 +47,12 @@ final class TaskMaxListener extends SparkListener {
   }
 
   /** One compact JSON object of the current maxima (MB at 1 decimal —
-    * enough to separate a 16 MB task from a 160 MB one). */
+    * enough to separate a 16 MB task from a 160 MB one). Formatted with
+    * Locale.ROOT: `f"%.1f"` uses the JVM default locale, and a
+    * comma-decimal locale would emit invalid JSON. */
   def snapshotJson: String = synchronized {
-    def mb(b: Long): String = f"${b / 1e6}%.1f"
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1e6))
     s"""{"max_task_input_mb":${mb(maxInputBytes)},""" +
       s""""max_task_shuffle_read_mb":${mb(maxShuffleReadBytes)},""" +
       s""""max_task_shuffle_write_mb":${mb(maxShuffleWriteBytes)},""" +
@@ -58,9 +61,11 @@ final class TaskMaxListener extends SparkListener {
   }
 
   def summaryLine: String = synchronized {
-    f"maxTaskIn=${maxInputBytes / 1e6}%.0fMB " +
-      f"maxShufRead=${maxShuffleReadBytes / 1e6}%.0fMB " +
-      f"maxShufWrite=${maxShuffleWriteBytes / 1e6}%.0fMB " +
-      f"maxShufRecords=$maxShuffleReadRecords spill=${spillBytes / 1e6}%.0fMB"
+    def mb0(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(b / 1e6))
+    s"maxTaskIn=${mb0(maxInputBytes)}MB " +
+      s"maxShufRead=${mb0(maxShuffleReadBytes)}MB " +
+      s"maxShufWrite=${mb0(maxShuffleWriteBytes)}MB " +
+      s"maxShufRecords=$maxShuffleReadRecords spill=${mb0(spillBytes)}MB"
   }
 }

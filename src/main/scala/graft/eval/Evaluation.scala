@@ -35,6 +35,11 @@ final case class EvalResult(
   def toMap: Map[String, Double] = Map(
     "recall" -> recall, "precision" -> precision, "f_measure" -> fMeasure,
     "reduction_ratio" -> reductionRatio, "h3r" -> h3r)
+
+  /** Metric by its reference name (eval.py to_dict keys). */
+  def metric(name: String): Double = toMap.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"unknown metric '$name'; one of ${toMap.keys.mkString(", ")}"))
 }
 
 object Evaluation {
@@ -67,8 +72,11 @@ object Evaluation {
   /** The metrics as a one-row DataFrame (rounded) — the oracle-checkable
     * surface of J7/A8. */
   def evaluateDF(spark: SparkSession, blocks: Blocks, gold: DataFrame,
-                 leftLen: Long, rightLen: Long, scale: Int = 6): DataFrame = {
-    val r = evaluate(blocks, gold, leftLen, rightLen)
+                 leftLen: Long, rightLen: Long, scale: Int = 6): DataFrame =
+    resultDF(spark, evaluate(blocks, gold, leftLen, rightLen), scale)
+
+  /** Any [[EvalResult]] as the one-row oracle-checkable DataFrame. */
+  def resultDF(spark: SparkSession, r: EvalResult, scale: Int = 6): DataFrame = {
     import spark.implicits._
     Seq((r.truePositive, r.compWithBlocking, r.recall, r.precision, r.fMeasure,
          r.reductionRatio, r.h3r))
@@ -127,5 +135,159 @@ object Evaluation {
       .head()
     val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
     if (na + nb == 0) 0.0 else 2.0 * ni / (na + nb)
+  }
+
+  /** Joint evaluation of two blockings WITHOUT re-blocking — the
+    * reference's `Evaluation.from_joined_evals` (eval.py:262-279): the
+    * true-positive set is the UNION of the two TP sets, while candidate
+    * comparisons and false positives are SUMMED per-blocking (a candidate
+    * both blockings generate is paid for twice — the reference's exact
+    * algebra, since each blocking's comparisons happen regardless). Gold
+    * and search space must be identical; `jointTruePositive` is
+    * |TP_a ∪ TP_b| (see [[jointTruePositiveCount]]).
+    *
+    * Pure arithmetic on two already-computed results — the point of the
+    * combinator is that evaluating both blockings AND their union costs
+    * two evaluations plus one distinct-count, never a third blocking. */
+  def fromJoinedEvals(a: EvalResult, b: EvalResult, jointTruePositive: Long): EvalResult = {
+    val goldA = a.truePositive + a.falseNegative
+    val goldB = b.truePositive + b.falseNegative
+    require(goldA == goldB && a.compWithoutBlocking == b.compWithoutBlocking,
+      s"can only join evals over the identical dataset (gold $goldA vs $goldB, " +
+        s"space ${a.compWithoutBlocking} vs ${b.compWithoutBlocking})")
+    require(jointTruePositive >= math.max(a.truePositive, b.truePositive) &&
+        jointTruePositive <= math.min(goldA, a.truePositive + b.truePositive),
+      s"joint TP $jointTruePositive inconsistent with inputs")
+    EvalResult(
+      truePositive = jointTruePositive,
+      falsePositive = a.falsePositive + b.falsePositive,
+      falseNegative = goldA - jointTruePositive,
+      compWithBlocking = a.compWithBlocking + b.compWithBlocking,
+      compWithoutBlocking = a.compWithoutBlocking)
+  }
+
+  /** |TP_a ∪ TP_b| — one union-distinct count over the two TP plans. */
+  def jointTruePositiveCount(a: Blocks, b: Blocks, gold: DataFrame): Long =
+    truePositivePairs(a, gold).unionByName(truePositivePairs(b, gold))
+      .distinct().count()
+
+  /** End-to-end joint evaluation of two blockings (two single-pass evals
+    * + one TP-union count). */
+  def joinedEvaluate(a: Blocks, b: Blocks, gold: DataFrame,
+                     leftLen: Long, rightLen: Long): EvalResult =
+    fromJoinedEvals(
+      evaluate(a, gold, leftLen, rightLen),
+      evaluate(b, gold, leftLen, rightLen),
+      jointTruePositiveCount(a, b, gold))
+
+  /** All pairwise TP-set cardinalities for N blockings in ONE shuffle
+    * chain: tag each blocking's TP pairs, aggregate the set of blockings
+    * per gold pair, expand to ordered blocker pairs, count. Returns
+    * ordered-pair counts; the diagonal (n, n) is |TP_n|. N is small
+    * (blockers under comparison), the gold-pair space is
+    * benchmark-sized — the n² driver map is a few dozen longs, while the
+    * reference holds every TP SET in driver memory (eval.py:150-166).
+    * Each TP plan executes once, vs the reference's n² pairwise set ops
+    * re-touching each set n−1 times. */
+  private def tpIntersections(
+      blocks: Seq[(String, Blocks)], gold: DataFrame): Map[(String, String), Long] = {
+    val tagged = blocks.map { case (name, b) =>
+      truePositivePairs(b, gold)
+        .select(col("left_id"), col("right_id"), lit(name).as("blocker"))
+    }.reduce(_.unionByName(_))
+    tagged.groupBy("left_id", "right_id")
+      .agg(collect_set("blocker").as("bs"))
+      .select(explode(col("bs")).as("a"), col("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+  }
+
+  private def pct(joined: Double, base: Double): Double =
+    if (base == 0) 0.0 else (joined - base) / base
+
+  /** N-way blocker comparison — the reference's
+    * `multiple_block_comparison` (eval.py:457-521): for every unordered
+    * pair of blockings, two rows (base, other) with the percent
+    * improvement each metric gains when the base is joined with the
+    * other (`(joined − base) / base`), plus the Dice coefficient of
+    * their TP sets. Each blocking is evaluated ONCE and all TP-set
+    * intersections come from one aggregation ([[tpIntersections]]) —
+    * n evaluations + 1 shuffle, vs the reference's n² driver set ops. */
+  def multipleBlockComparison(
+      spark: SparkSession, blocks: Seq[(String, Blocks)], gold: DataFrame,
+      leftLen: Long, rightLen: Long,
+      improvementMetrics: Seq[String] = Seq("h3r"),
+      scale: Int = 6): DataFrame = {
+    require(blocks.map(_._1).distinct.size == blocks.size, "duplicate blocker names")
+    val evals = blocks.map { case (n, b) => n -> evaluate(b, gold, leftLen, rightLen) }.toMap
+    val inter = tpIntersections(blocks, gold)
+    def tp(n: String) = inter.getOrElse((n, n), 0L)
+    val names = blocks.map(_._1)
+    val rows = for {
+      i <- names.indices; j <- (i + 1) until names.size
+      (a, b) = (names(i), names(j))
+    } yield {
+      val ni = inter.getOrElse((a, b), 0L)
+      val (na, nb) = (tp(a), tp(b))
+      val dice = if (na + nb == 0) 0.0 else 2.0 * ni / (na + nb)
+      val joined = fromJoinedEvals(evals(a), evals(b), na + nb - ni)
+      def improvements(base: String) =
+        improvementMetrics.map(m => pct(joined.metric(m), evals(base).metric(m)))
+      Seq((a, b, improvements(a), dice), (b, a, improvements(b), dice))
+    }
+    import spark.implicits._
+    val flat = rows.flatten.map { case (base, other, ims, dice) =>
+      (base, other, ims, dice)
+    }
+    val df = flat.toDF("base", "other", "_ims", "dice_tp")
+    val imCols = improvementMetrics.zipWithIndex.map { case (m, i) =>
+      Num.stableRound(col("_ims").getItem(i), scale).as(s"improvement_$m")
+    }
+    df.select(col("base") +: col("other") +: imCols :+
+        Num.stableRound(col("dice_tp"), scale).as("dice_tp"): _*)
+      .orderBy("base", "other")
+  }
+
+  /** One-row-per-blocker comparison report: each blocking's own metrics
+    * plus how it relates to the BEST blocking (highest h3r, ties by
+    * name): Dice of TP sets vs best and the percent h3r improvement the
+    * best would gain by joining with it (what this blocker ADDS on top
+    * of the best — 0 for the best itself). Same cost shape as
+    * [[multipleBlockComparison]]. */
+  def comparisonReport(
+      spark: SparkSession, blocks: Seq[(String, Blocks)], gold: DataFrame,
+      leftLen: Long, rightLen: Long, scale: Int = 6): DataFrame = {
+    require(blocks.map(_._1).distinct.size == blocks.size, "duplicate blocker names")
+    val evals = blocks.map { case (n, b) => n -> evaluate(b, gold, leftLen, rightLen) }.toMap
+    val inter = tpIntersections(blocks, gold)
+    def tp(n: String) = inter.getOrElse((n, n), 0L)
+    val best = blocks.map(_._1).maxBy(n => (evals(n).h3r, n))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse))
+    val rows = blocks.map { case (name, _) =>
+      val e = evals(name)
+      val (na, nb) = (tp(name), tp(best))
+      val ni = if (name == best) na else inter.getOrElse((name, best), 0L)
+      val dice = if (na + nb == 0) 0.0 else 2.0 * ni / (na + nb)
+      val addOnBest =
+        if (name == best) 0.0
+        else pct(fromJoinedEvals(evals(best), e, na + nb - ni).h3r, evals(best).h3r)
+      (name, name == best, e.truePositive, e.compWithBlocking,
+        e.recall, e.precision, e.fMeasure, e.reductionRatio, e.h3r, dice, addOnBest)
+    }
+    import spark.implicits._
+    rows.toDF("blocker", "is_best", "tp", "pairs", "recall", "precision",
+        "f_measure", "reduction_ratio", "h3r", "dice_vs_best", "improvement_h3r")
+      .select(col("blocker"), col("is_best"), col("tp"), col("pairs"),
+        Num.stableRound(col("recall"), scale).as("recall"),
+        Num.stableRound(col("precision"), scale).as("precision"),
+        Num.stableRound(col("f_measure"), scale).as("f_measure"),
+        Num.stableRound(col("reduction_ratio"), scale).as("reduction_ratio"),
+        Num.stableRound(col("h3r"), scale).as("h3r"),
+        Num.stableRound(col("dice_vs_best"), scale).as("dice_vs_best"),
+        Num.stableRound(col("improvement_h3r"), scale).as("improvement_h3r"))
+      .orderBy("blocker")
   }
 }

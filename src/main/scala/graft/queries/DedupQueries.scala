@@ -61,8 +61,13 @@ object DedupQueries {
   /** DuckDB replay of [[TextAnalysis.bpeMerges]]: `rounds` chained CTE
     * blocks, each = pair expansion → weighted count → deterministic
     * argmax → delimiter-string merge (replace is left-to-right
-    * non-overlapping in both engines — the BPE greedy-apply rule). */
-  private def bpeMergesSql(rounds: Int): String = {
+    * non-overlapping in both engines — the BPE greedy-apply rule).
+    *
+    * Returns (cteChain, finalSelect) as SEPARATE parts so
+    * [[bpeEncodeSql]] can reuse the chain with its own rollup instead of
+    * substring-slicing the assembled SQL (which silently breaks if the
+    * final select is ever reworded). */
+  private def bpeMergesParts(rounds: Int): (String, String) = {
     val v0 =
       """words AS (
         |  SELECT t AS w, count(*) AS cnt FROM (
@@ -93,19 +98,22 @@ object DedupQueries {
     val finalSel = (1 to rounds)
       .map(k => s"SELECT $k AS round, pair, pcnt::bigint AS cnt FROM t$k WHERE pcnt > 0")
       .mkString("\nUNION ALL ")
-    s"WITH $v0,\n$roundCtes\n$finalSel\nORDER BY round"
+    (s"WITH $v0,\n$roundCtes", s"$finalSel\nORDER BY round")
+  }
+
+  private def bpeMergesSql(rounds: Int): String = {
+    val (ctes, finalSel) = bpeMergesParts(rounds)
+    s"$ctes\n$finalSel"
   }
 
   /** DuckDB replay of [[TextAnalysis.bpeEncode]]: the same chained merge
     * rounds (word carried through), then doc tokens joined to the final
     * vocabulary's segmentation length. */
   private def bpeEncodeSql(rounds: Int): String = {
-    // reuse the learn SQL's CTE chain (everything before its final
-    // merge-table select), then the encode rollup instead
-    val learn = bpeMergesSql(rounds)
-    val upToV = learn.substring(0, learn.indexOf("\nSELECT 1 AS round"))
-    // NB: do NOT re-stripMargin upToV — its `|| '·'` concatenation lines
-    // would lose their first pipe on a second pass
+    // reuse the learn SQL's CTE chain, swap in the encode rollup
+    val (ctes, _) = bpeMergesParts(rounds)
+    // NB: ctes is already margin-stripped — do NOT re-stripMargin it;
+    // its `|| '·'` concatenation lines would lose their first pipe
     val tail =
       s"""subs AS (SELECT w, len(list_filter(string_split(sym, '·'), x -> x != '')) AS n_sub
          |         FROM v$rounds),
@@ -116,7 +124,7 @@ object DedupQueries {
          |SELECT id, count(*) AS n_words, sum(n_sub)::bigint AS n_subwords
          |FROM dt JOIN subs USING (w)
          |GROUP BY id ORDER BY id""".stripMargin
-    s"$upToV,\n$tail"
+    s"$ctes,\n$tail"
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -47,6 +47,141 @@ object EncoderQueries {
     """SELECT 'o'||l_orderkey AS head, 'ln_'||l_linenumber AS rel, 'p'||l_partkey AS tail
       |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
 
+  /** The A10-A12 comparison framing: three independent blockings of the
+    * documents parity split (token-overlap on text, key-equality on lang
+    * and on source) with the synthetic (doc_id, doc_id+1) gold. Returns
+    * (tok, lang, src, gold, leftLen, rightLen). */
+  private def docBlockings(s: SparkSession, dir: String)
+      : (Blocks, Blocks, Blocks, DataFrame, Long, Long) = {
+    val docs = table(s, dir, "documents")
+    def side(p: Int, c: String) = EntityFrame(
+      docs.filter(col("doc_id") % 2 === p).select(col("doc_id"), col(c)),
+      s"side$p", "doc_id")
+    val tok = TokenBlocker().assign(side(0, "text"), side(1, "text"))
+    val lang = StandardBlocker("lang").assign(side(0, "lang"), side(1, "lang"))
+    val src = StandardBlocker("source").assign(side(0, "source"), side(1, "source"))
+    val gold = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("l"), (col("doc_id") + 1).as("r"))
+    val nl = docs.filter(col("doc_id") % 2 === 0).count()
+    val nr = docs.filter(col("doc_id") % 2 === 1).count()
+    (tok, lang, src, gold, nl, nr)
+  }
+
+  /** Shared oracle CTE prefix for a11_/a12_: per-blocker distinct
+    * candidate pairs (`cand`), TP pairs (`tps`), and the metric row per
+    * blocker (`m2` — tp, pairs, fp, rec, prec, rr, f, h3r + gc/total
+    * constants). The `names` anchor keeps a zero-pair blocker present
+    * with pairs=0 (matching the engine, which always emits a row). */
+  private lazy val multiBlockSqlPrefix: String =
+    s"""WITH lt AS (SELECT DISTINCT * FROM (
+       |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+       |rt AS (SELECT DISTINCT * FROM (
+       |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+       |tokp AS (SELECT DISTINCT lt.id AS l, rt.id AS r FROM lt JOIN rt USING (key)),
+       |langp AS (SELECT DISTINCT cast(a.doc_id AS varchar) AS l, cast(b.doc_id AS varchar) AS r
+       |          FROM documents a JOIN documents b ON a.lang = b.lang
+       |          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |srcp AS (SELECT DISTINCT cast(a.doc_id AS varchar) AS l, cast(b.doc_id AS varchar) AS r
+       |         FROM documents a JOIN documents b ON a.source = b.source
+       |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |gold AS (SELECT cast(doc_id AS varchar) AS l, cast(doc_id + 1 AS varchar) AS r
+       |         FROM documents WHERE doc_id % 2 = 0),
+       |cons AS (SELECT (SELECT count(*) FROM gold) AS gc,
+       |                (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+       |                * (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS total),
+       |names AS (SELECT unnest(['lang', 'src', 'tok']) AS blocker),
+       |cand AS (SELECT 'tok' AS blocker, l, r FROM tokp
+       |         UNION ALL SELECT 'lang', l, r FROM langp
+       |         UNION ALL SELECT 'src', l, r FROM srcp),
+       |tps AS (SELECT blocker, l, r FROM cand SEMI JOIN gold USING (l, r)),
+       |per AS (SELECT blocker, coalesce(cnt, 0) AS pairs FROM names
+       |        LEFT JOIN (SELECT blocker, count(*) AS cnt FROM cand GROUP BY 1) USING (blocker)),
+       |tpc AS (SELECT blocker, count(*) AS tp FROM tps GROUP BY 1),
+       |m AS (SELECT p.blocker, coalesce(tp, 0) AS tp, pairs,
+       |             pairs - coalesce(tp, 0) AS fp, gc, total,
+       |             coalesce(tp, 0) / gc AS rec,
+       |             CASE WHEN pairs = 0 THEN 0 ELSE coalesce(tp, 0) / pairs END AS prec,
+       |             1 - pairs / total AS rr
+       |      FROM per p LEFT JOIN tpc USING (blocker) CROSS JOIN cons),
+       |m2 AS (SELECT *,
+       |       CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END AS f,
+       |       CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END AS h3r
+       |       FROM m)""".stripMargin
+
+  /** Joint (tok ⊕ lang) evaluation — `from_joined_evals` algebra: TP set
+    * UNION, comparisons and false positives SUMMED. */
+  private lazy val joinedEvalSqlTail: String =
+    s""",
+       |j AS (SELECT
+       |  (SELECT count(*) FROM (SELECT l, r FROM tps WHERE blocker IN ('tok','lang') GROUP BY 1, 2)) AS tpu,
+       |  (SELECT sum(pairs)::bigint FROM m2 WHERE blocker IN ('tok','lang')) AS pairs,
+       |  (SELECT sum(fp)::bigint FROM m2 WHERE blocker IN ('tok','lang')) AS fp,
+       |  (SELECT gc FROM cons) AS gc, (SELECT total FROM cons) AS total),
+       |x AS (SELECT tpu, pairs, tpu / gc AS rec,
+       |      CASE WHEN tpu + fp = 0 THEN 0 ELSE tpu / (tpu + fp) END AS prec,
+       |      1 - pairs / total AS rr FROM j)
+       |SELECT tpu AS tp, pairs,
+       |  ${Num.stableRoundSql("rec", 6)} AS recall,
+       |  ${Num.stableRoundSql("prec", 6)} AS precision,
+       |  ${Num.stableRoundSql("CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END", 6)} AS f_measure,
+       |  ${Num.stableRoundSql("rr", 6)} AS reduction_ratio,
+       |  ${Num.stableRoundSql("CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END", 6)} AS h3r
+       |FROM x""".stripMargin
+
+  /** The reference's multiple_block_comparison table: one row per ORDERED
+    * blocker pair with percent h3r improvement of joining base with other
+    * and the Dice coefficient of their TP sets. */
+  private lazy val multiCompareSqlTail: String =
+    s""",
+       |prs AS (SELECT a.blocker AS base, b.blocker AS other, count(*) AS ni
+       |        FROM tps a JOIN tps b ON a.l = b.l AND a.r = b.r AND a.blocker <> b.blocker
+       |        GROUP BY 1, 2),
+       |cmp AS (SELECT x.blocker AS base, y.blocker AS other,
+       |        x.tp AS xtp, y.tp AS ytp, x.pairs + y.pairs AS jpairs,
+       |        coalesce(ni, 0) AS ni, x.h3r AS bh3r, x.gc AS gc, x.total AS total
+       |        FROM m2 x JOIN m2 y ON x.blocker <> y.blocker
+       |        LEFT JOIN prs ON prs.base = x.blocker AND prs.other = y.blocker),
+       |jm AS (SELECT base, other,
+       |       (xtp + ytp - ni) / gc AS jrec, 1 - jpairs / total AS jrr,
+       |       CASE WHEN xtp + ytp = 0 THEN 0 ELSE 2.0 * ni / (xtp + ytp) END AS dice,
+       |       bh3r FROM cmp),
+       |jm2 AS (SELECT base, other, dice, bh3r,
+       |        CASE WHEN jrr + jrec = 0 THEN 0 ELSE 2*jrr*jrec/(jrr+jrec) END AS jh3r
+       |        FROM jm)
+       |SELECT base, other,
+       |  ${Num.stableRoundSql("CASE WHEN bh3r = 0 THEN 0 ELSE (jh3r - bh3r) / bh3r END", 6)} AS improvement_h3r,
+       |  ${Num.stableRoundSql("dice", 6)} AS dice_tp
+       |FROM jm2 ORDER BY base, other""".stripMargin
+
+  /** Per-blocker report: own metrics + Dice vs the best blocking (by
+    * h3r, ties to the smaller name) + the h3r percent improvement the
+    * best gains when joined with this blocking (0 for the best). */
+  private lazy val blockerReportSqlTail: String =
+    s""",
+       |best AS (SELECT blocker AS bb, tp AS btp, pairs AS bpairs, h3r AS bh3r
+       |         FROM m2 ORDER BY h3r DESC, blocker ASC LIMIT 1),
+       |ints AS (SELECT a.blocker, count(*) AS ni FROM tps a
+       |         JOIN tps b ON a.l = b.l AND a.r = b.r AND b.blocker = (SELECT bb FROM best)
+       |         GROUP BY 1),
+       |rep AS (SELECT m2.blocker, m2.blocker = bb AS is_best, m2.tp, m2.pairs,
+       |        rec, prec, f, rr, h3r,
+       |        CASE WHEN m2.tp + btp = 0 THEN 0
+       |             ELSE 2.0 * coalesce(ni, 0) / (m2.tp + btp) END AS dice,
+       |        (m2.tp + btp - coalesce(ni, 0)) / gc AS jrec,
+       |        1 - (m2.pairs + bpairs) / total AS jrr, bh3r
+       |        FROM m2 CROSS JOIN best LEFT JOIN ints ON ints.blocker = m2.blocker),
+       |rep2 AS (SELECT *, CASE WHEN jrr + jrec = 0 THEN 0 ELSE 2*jrr*jrec/(jrr+jrec) END AS jh3r
+       |         FROM rep)
+       |SELECT blocker, is_best, tp, pairs,
+       |  ${Num.stableRoundSql("rec", 6)} AS recall,
+       |  ${Num.stableRoundSql("prec", 6)} AS precision,
+       |  ${Num.stableRoundSql("f", 6)} AS f_measure,
+       |  ${Num.stableRoundSql("rr", 6)} AS reduction_ratio,
+       |  ${Num.stableRoundSql("h3r", 6)} AS h3r,
+       |  ${Num.stableRoundSql("dice", 6)} AS dice_vs_best,
+       |  ${Num.stableRoundSql("CASE WHEN is_best OR bh3r = 0 THEN 0 ELSE (jh3r - bh3r) / bh3r END", 6)} AS improvement_h3r
+       |FROM rep2 ORDER BY blocker""".stripMargin
+
   /** One parity side of the documents table as distinct 3-gram shingles
     * (same construction as DedupQueries' docShingles). */
   private def shingleSideSql(parity: Int) =
@@ -264,6 +399,37 @@ object EncoderQueries {
              |  row_number() OVER (PARTITION BY left_id ORDER BY s DESC, right_id ASC)::int AS rank,
              |  right_id, floor((s * 1e6) * 1e2 + 0.5) / 1e2 AS s_scaled
              |FROM i2c ORDER BY left_id, rank""".stripMargin)),
+
+    // ---- A11/A12: joint + N-way blocker evaluation ------------------------
+    // Three cheap SQL-expressible blockings over the documents parity
+    // split (token / lang-key / source-key) share one oracle CTE prefix
+    // (multiBlockSqlPrefix below): per-blocker distinct candidate pairs,
+    // TP sets vs the (doc_id, doc_id+1) gold, and the full metric row.
+    // Engine best-pick and SQL best-pick agree bit-for-bit because both
+    // compute h3r with the identical double expression tree
+    // (2*rr*rec/(rr+rec) over integer-derived ratios).
+    "a11_joined_eval" -> QueryDef(
+      (s, dir) => {
+        val (tok, lang, _, gold, nl, nr) = docBlockings(s, dir)
+        Evaluation.resultDF(s, Evaluation.joinedEvaluate(tok, lang, gold, nl, nr))
+      },
+      Some(multiBlockSqlPrefix + joinedEvalSqlTail)),
+
+    "a11_multi_compare" -> QueryDef(
+      (s, dir) => {
+        val (tok, lang, src, gold, nl, nr) = docBlockings(s, dir)
+        Evaluation.multipleBlockComparison(s,
+          Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr)
+      },
+      Some(multiBlockSqlPrefix + multiCompareSqlTail)),
+
+    "a12_blocker_report" -> QueryDef(
+      (s, dir) => {
+        val (tok, lang, src, gold, nl, nr) = docBlockings(s, dir)
+        Evaluation.comparisonReport(s,
+          Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr)
+      },
+      Some(multiBlockSqlPrefix + blockerReportSqlTail)),
 
     // ---- A10: dice overlap of two blockings' true-positive sets -----------
     "a10_dice_tp" -> QueryDef(

@@ -491,8 +491,13 @@ object EventQueries {
   ) ++ Map(
 
     // ---- ordered funnel (signup → view → purchase, 7-day horizon) --------
-    // first-touch min-time semantics; every stage is a user-keyed
-    // equi-join + partial-agg min, timestamps compared in integer micros.
+    // first-touch min-time semantics, timestamps compared in integer
+    // micros. The engine is the horizon-prefiltered fold (NOTES_r9 §2):
+    // filter to stage-typed events, ONE groupBy(user) with a time-sorted
+    // collect_list, greedy row-local chain walk — one shuffle, invariant
+    // in stage count. The oracle deliberately keeps the per-stage
+    // equi-join + min formulation: it is the independently-derived
+    // definition the fold must agree with, not a port of the plan.
     "ev_funnel" -> QueryDef(
       (s, dir) => graft.events.EventAnalytics.funnel(
         QueryDef.events(s, dir), Seq("signup", "view", "purchase"),

@@ -161,6 +161,23 @@ class ExperimentSpec extends SparkSpec {
     assert(dice >= 0.0 && dice <= 1.0)
   }
 
+  test("--compare with several names emits the N-way blocker report") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_cmpn").toString
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "token", "--out", out,
+      "--compare", "unique-name,standard", "--key", "Name", "--no-write")))
+    assert(json.contains(""""comparison":["""))
+    // three report rows: the primary token run + the two named blockers
+    val blockers = """"blocker":"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toSet
+    assert(blockers == Set("token", "unique-name", "standard"))
+    // exactly one best row, and its self-referential columns are fixed
+    val bests = """"is_best":(true|false)""".r.findAllMatchIn(json).count(_.group(1) == "true")
+    assert(bests == 1)
+    assert(json.contains(""""dice_vs_best":1.000000""") ||
+      json.contains(""""dice_vs_best":0.000000""")) // best self-dice (0 only if best has 0 TPs)
+  }
+
   test("relational blockers run end-to-end through the CLI on the fixture") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_rel").toString
