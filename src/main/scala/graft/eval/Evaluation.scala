@@ -44,8 +44,18 @@ final case class EvalResult(
 
 object Evaluation {
 
-  /** gold: DataFrame(left_id, right_id) by position. */
-  def evaluate(blocks: Blocks, gold: DataFrame, leftLen: Long, rightLen: Long): EvalResult = {
+  /** gold: DataFrame(left_id, right_id) by position.
+    *
+    * Broadcast contract: by default the gold standard is BROADCAST into
+    * the TP join — gold is benchmark-sized (labeled match pairs, the
+    * reference's contract throughout eval.py) and broadcasting keeps the
+    * candidate side shuffle-free no matter how many pairs blocking
+    * generates. If gold ever outgrows the driver/executor broadcast
+    * budget (pathological: machine-generated gold at corpus scale), pass
+    * `broadcastGold = false` for a plain shuffle hash join — identical
+    * metrics (spec-asserted), one extra exchange on the candidate side. */
+  def evaluate(blocks: Blocks, gold: DataFrame, leftLen: Long, rightLen: Long,
+               broadcastGold: Boolean = true): EvalResult = {
     val Array(gl, gr) = gold.columns.take(2)
     // Gold is a SET (eval.py gold_pair_set): dedup before the join, else
     // duplicate gold rows multiply candidate rows through the left join
@@ -53,9 +63,11 @@ object Evaluation {
     val g = gold.select(col(gl).cast("string").as("left_id"),
                         col(gr).cast("string").as("right_id")).distinct()
     val cand = blocks.distinctPairs
-    // one pass: candidate count + TP count (gold broadcast)
+    // one pass: candidate count + TP count
+    val flagged = g.withColumn("_g", lit(1))
     val counts = cand
-      .join(broadcast(g.withColumn("_g", lit(1))), Seq("left_id", "right_id"), "left")
+      .join(if (broadcastGold) broadcast(flagged) else flagged,
+        Seq("left_id", "right_id"), "left")
       .agg(count("*").as("pairs"), count(col("_g")).as("tp"))
       .head()
     val pairs = counts.getLong(0)
@@ -103,10 +115,13 @@ object Evaluation {
     * unlike monotonically_increasing_id — so the two explode scans agree
     * without a persist; identical duplicate rows collide harmlessly since
     * their pair sets are identical and the result is distinct'd.) */
-  def truePositivePairs(blocks: Blocks, gold: DataFrame): DataFrame = {
+  def truePositivePairs(blocks: Blocks, gold: DataFrame,
+                        broadcastGold: Boolean = true): DataFrame = {
     val Array(gl, gr) = gold.columns.take(2)
-    val g = broadcast(gold.select(col(gl).cast("string").as("left_id"),
-                                  col(gr).cast("string").as("right_id")))
+    val gp = gold.select(col(gl).cast("string").as("left_id"),
+                         col(gr).cast("string").as("right_id"))
+    // same broadcast contract as [[evaluate]]
+    val g = if (broadcastGold) broadcast(gp) else gp
     val rows = blocks.df.select(
       xxhash64(col(Blocks.KeyCol), col(Blocks.LeftCol), col(Blocks.RightCol)).as("_row"),
       col(Blocks.LeftCol), col(Blocks.RightCol))

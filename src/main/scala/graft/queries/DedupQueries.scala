@@ -106,6 +106,32 @@ object DedupQueries {
     s"$ctes\n$finalSel"
   }
 
+  /** DuckDB replay of [[TextAnalysis.winnowFingerprints]] reduced to the
+    * joinable per-doc-distinct (doc_id, h) table `fp` — shared by the
+    * uncapped and hot-hash-capped winnow pair queries so the fingerprint
+    * definition cannot drift between them. */
+  private lazy val winnowFpSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'),
+       |                1, ${TextAnalysis.WinnowPosMask + 8}) AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, length(t) - 6)) AS i FROM norm)),
+       |keyed AS (
+       |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
+       |sel AS (
+       |  SELECT doc_id, pos,
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+       |  FROM keyed),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, sel // 1048576 AS h
+       |  FROM sel WHERE pos >= 3)""".stripMargin
+
   /** DuckDB replay of [[TextAnalysis.bpeEncode]]: the same chained merge
     * rounds (word carried through), then doc tokens joined to the final
     * vocabulary's segmentation length. */
@@ -1487,29 +1513,31 @@ object DedupQueries {
       (s, dir) => TextAnalysis.winnowPairs(
           table(s, dir, "documents"), minShared = 5)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH norm AS (
-             |  SELECT doc_id,
-             |         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'),
-             |                1, ${TextAnalysis.WinnowPosMask + 8}) AS t
-             |  FROM documents),
-             |grams AS (
-             |  SELECT doc_id, i - 1 AS pos,
-             |         ('0x'||substr(md5(substr(t, i, 8)), 1, 10))::bigint AS h
-             |  FROM (SELECT doc_id, t,
-             |          unnest(range(1, length(t) - 6)) AS i FROM norm)),
-             |keyed AS (
-             |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM grams),
-             |sel AS (
-             |  SELECT doc_id, pos,
-             |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
-             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
-             |  FROM keyed),
-             |fp AS (
-             |  SELECT DISTINCT doc_id, sel // 1048576 AS h
-             |  FROM sel WHERE pos >= 3),
+      Some(s"""$winnowFpSql,
              |p AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
              |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared FROM p WHERE shared >= 5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- capped variant: the 100×-scale lever itself, hash-checked -------
+    // maxHashDocs = 32 drops every fingerprint hash held by more than 32
+    // documents BEFORE the equi-join (the boilerplate guard — at sf0.01
+    // this prunes ~120 hot hashes, ~1% of the hash vocabulary, so the cap
+    // path is genuinely exercised, not a no-op). The oracle folds the
+    // IDENTICAL cap rule (df > 32 on the per-doc-distinct fingerprint
+    // table) into the same join — the dd_minhash_neardup cap pattern.
+    "tx_winnow_pairs_capped" -> QueryDef(
+      (s, dir) => TextAnalysis.winnowPairs(
+          table(s, dir, "documents"), minShared = 5, maxHashDocs = 32)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$winnowFpSql,
+             |hot AS (SELECT h FROM fp GROUP BY h HAVING count(*) > 32),
+             |fpc AS (SELECT doc_id, h FROM fp ANTI JOIN hot USING (h)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, shared FROM p WHERE shared >= 5
              |ORDER BY id_a, id_b""".stripMargin)),

@@ -121,6 +121,16 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(rows(("ex", "dup"))._1 - expected) < 1e-6)
   }
 
+  test("shuffle-join gold path returns identical metrics to broadcast") {
+    val b = blocksOf(example)
+    val bc = Evaluation.evaluate(b, gold, 8, 7)
+    val sh = Evaluation.evaluate(b, gold, 8, 7, broadcastGold = false)
+    assert(bc == sh)
+    val tpBc = Evaluation.truePositivePairs(b, gold).collect().toSet
+    val tpSh = Evaluation.truePositivePairs(b, gold, broadcastGold = false).collect().toSet
+    assert(tpBc == tpSh && tpBc.nonEmpty)
+  }
+
   test("comparisonReport: best row flagged, dice-vs-best 1, improvement 0") {
     val named = Seq("ex" -> blocksOf(example), "no" -> blocksOf(nothing))
     val df = Evaluation.comparisonReport(spark, named, gold, 8, 7)
