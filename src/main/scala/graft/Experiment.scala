@@ -53,6 +53,7 @@ object Experiment {
       embeddingsDir: Option[String] = None,
       forceEncode: Boolean = false,
       compare: Option[String] = None,
+      graphPair: Option[String] = None,
       sampleMod: Option[Int] = None,
       clean: Boolean = true,
       writeBlocks: Boolean = true,
@@ -193,6 +194,7 @@ object Experiment {
       embeddingsDir = m.get("embeddings"),
       forceEncode = flags.contains("force-encode"),
       compare = m.get("compare"),
+      graphPair = m.get("graph-pair"),
       sampleMod = m.get("sample-mod").map(_.toInt),
       clean = !flags.contains("no-clean"),
       writeBlocks = !flags.contains("no-write"),
@@ -218,18 +220,39 @@ object Experiment {
       maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong)
   }
 
-  /** Dataset load with layout autodetection: a dir containing
-    * `attr_triples_1` is the OpenEA/sylloge benchmark shape
-    * (ea_dataset.py:28-110); otherwise a `left.<fmt>`/`right.<fmt>`
-    * bundle. */
+  /** Dataset load with layout autodetection (ea_dataset.py:28-110's
+    * sylloge families, probed in specificity order):
+    *  - `attr_triples_1` in the dir → OpenEA TSV bundle (incl. the
+    *    cluster-gold variant);
+    *  - `attr_triples_left.parquet` → sylloge normalized parquet cache
+    *    (the OAEI-KG-track on-disk shape);
+    *  - `--graph-pair` given, or a `[data/]<pair>/attr_triples_1`
+    *    subfolder → MovieGraphBenchmark repository layout;
+    *  - otherwise a `left.<fmt>`/`right.<fmt>` bundle.
+    * `--format openea|sylloge|moviegraph` forces a branch. */
   def loadDataset(spark: SparkSession, c: Config): BlockingDataset = {
+    def exists(p: String) = new java.io.File(p).exists()
+    def soleMoviePair: Option[String] = {
+      def pairsIn(d: String) = Option(new java.io.File(d).listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && exists(s"$f/attr_triples_1")).map(_.getName)
+      val direct = pairsIn(c.data)
+      val nested = pairsIn(s"${c.data}/data")
+      (direct ++ nested).distinct match { case Seq(one) => Some(one); case _ => None }
+    }
     val fmt =
       if (c.format != "auto") c.format
-      else if (new java.io.File(s"${c.data}/attr_triples_1").exists()) "openea"
+      else if (exists(s"${c.data}/attr_triples_1")) "openea"
+      else if (exists(s"${c.data}/attr_triples_left.parquet")) "sylloge"
+      else if (c.graphPair.isDefined || soleMoviePair.isDefined) "moviegraph"
       else "parquet"
-    val ds =
-      if (fmt == "openea") BlockingDataset.loadOpenEA(spark, c.data, clean = c.clean)
-      else BlockingDataset.load(spark, c.data, fmt)
+    val ds = fmt match {
+      case "openea" => BlockingDataset.loadOpenEA(spark, c.data, clean = c.clean)
+      case "sylloge" => BlockingDataset.loadSylloge(spark, c.data, clean = c.clean)
+      case "moviegraph" => BlockingDataset.loadMovieGraph(spark, c.data,
+        c.graphPair.orElse(soleMoviePair).getOrElse("imdb-tmdb"), clean = c.clean)
+      case other => BlockingDataset.load(spark, c.data, other)
+    }
     c.sampleMod.map(ds.sample(_)).getOrElse(ds)
   }
 
@@ -415,7 +438,8 @@ object Experiment {
 
   private val Usage: String =
     s"""usage: graft.Experiment --data <dir> --blocker <name> --out <dir>
-       |  [--format auto|parquet|csv|json|openea] [--metrics <file>]
+       |  [--format auto|parquet|csv|json|openea|sylloge|moviegraph]
+       |  [--graph-pair <name>] [--metrics <file>]
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]

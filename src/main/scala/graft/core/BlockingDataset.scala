@@ -93,11 +93,111 @@ object BlockingDataset {
     }
     def optTsv(name: String, cols: Seq[String]): Option[DataFrame] =
       if (new java.io.File(s"$dir/$name").exists()) Some(tsv(name, cols)) else None
+    // gold: ent_links TSV when present; else an eche-style cluster dump
+    // (ent_clusters: one line per cluster, tab-separated prefixed ids)
+    // expanded to all inter-dataset pairs — ea_dataset.py:93-103's
+    // PrefixedClusterHelper.all_pairs_no_intra path (the
+    // MovieGraphBenchmark multi-source gold shape).
+    val gold = optTsv("ent_links", Seq(leftName, rightName)).orElse {
+      if (new java.io.File(s"$dir/ent_clusters").exists())
+        Some(goldFromClusterFile(spark, s"$dir/ent_clusters", leftName, rightName))
+      else None
+    }
     BlockingDataset(
       attr("attr_triples_1", leftName), attr("attr_triples_2", rightName),
       optTsv("rel_triples_1", Seq("head", "rel", "tail")),
       optTsv("rel_triples_2", Seq("head", "rel", "tail")),
-      optTsv("ent_links", Seq(leftName, rightName)))
+      gold)
+  }
+
+  /** Expand an eche PrefixedClusterHelper text dump (one cluster per
+    * line, members tab-separated, each id carrying its dataset prefix
+    * like `imdb:123`) into the (left, right) gold-pair table. Dataset
+    * membership is the id's prefix up to the first ':'; only
+    * inter-dataset pairs are emitted (`all_pairs_no_intra`). Distributed
+    * end-to-end: text lines split + exploded, cluster key is a hash of
+    * the line (clusters are set-unique lines), pairing via
+    * [[Gold.fromClusters]]' cluster self-join. */
+  def goldFromClusterFile(
+      spark: SparkSession, path: String,
+      leftPrefix: String, rightPrefix: String): DataFrame = {
+    val members = spark.read.text(path)
+      .select(xxhash64(col("value")).as("cluster"),
+        explode(split(col("value"), "\t")).as("entity"))
+      .filter(length(trim(col("entity"))) > 0)
+      .select(col("cluster"), trim(col("entity")).as("entity"),
+        substring_index(col("entity"), ":", 1).as("dataset"))
+    Gold.fromClusters(members, leftPrefix, rightPrefix)
+      .toDF(leftPrefix, rightPrefix)
+  }
+
+  /** Loader for the MovieGraphBenchmark repository layout
+    * (ea_dataset.py:28-110 via sylloge's MovieGraphBenchmark; the
+    * published ScaDS dump): per graph pair one folder of OpenEA-style
+    * TSVs, conventionally under `data/`:
+    *
+    * {{{
+    *   <root>/[data/]<pair>/attr_triples_1 …rel_triples_2, ent_links
+    * }}}
+    *
+    * where `<pair>` is e.g. `imdb-tmdb`; table names come from splitting
+    * the pair on '-'. Everything else (cleaning, cluster gold, schema)
+    * is [[loadOpenEA]]. */
+  def loadMovieGraph(
+      spark: SparkSession, root: String, graphPair: String = "imdb-tmdb",
+      clean: Boolean = true): BlockingDataset = {
+    val dir = Seq(s"$root/$graphPair", s"$root/data/$graphPair", root)
+      .find(d => new java.io.File(s"$d/attr_triples_1").exists())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no MovieGraphBenchmark pair '$graphPair' under $root"))
+    val names = graphPair.split("-", 2)
+    val (l, r) = if (names.length == 2) (names(0), names(1)) else ("left", "right")
+    loadOpenEA(spark, dir, clean, l, r)
+  }
+
+  /** Loader for the sylloge normalized cache layout — how sylloge
+    * materializes ANY of its benchmark families (OpenEA, OAEI KG track,
+    * MovieGraphBenchmark) after parsing, and therefore the shape an
+    * OAEI dataset reaches disk in (the raw OAEI interchange is RDF/XML,
+    * which is parsed upstream — a Spark engine consumes the normalized
+    * triple tables):
+    *
+    * {{{
+    *   <dir>/attr_triples_left.parquet    head | relation | tail
+    *   <dir>/attr_triples_right.parquet
+    *   <dir>/rel_triples_left.parquet     head | relation | tail
+    *   <dir>/rel_triples_right.parquet
+    *   <dir>/ent_links.parquet            left | right
+    * }}}
+    *
+    * The middle column arrives as `relation` and is normalized to `rel`
+    * (this engine's triple convention). `clean` applies the S2 datatype
+    * strip to attribute tails. */
+  def loadSylloge(
+      spark: SparkSession, dir: String,
+      clean: Boolean = true,
+      leftName: String = "left", rightName: String = "right"): BlockingDataset = {
+    def read(name: String): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val Array(h, rl, t) = df.columns.take(3)
+      df.select(col(h).cast("string").as("head"), col(rl).cast("string").as("rel"),
+        col(t).cast("string").as("tail"))
+    }
+    def attr(name: String, tableName: String): EntityFrame = {
+      val raw = read(name)
+      val df = if (clean) raw.withColumn("tail", Text.stripDatatype(col("tail"))) else raw
+      EntityFrame(df, tableName, "head", isTriple = true)
+    }
+    def opt(name: String)(f: String => DataFrame): Option[DataFrame] =
+      if (new java.io.File(s"$dir/$name.parquet").exists()) Some(f(name)) else None
+    BlockingDataset(
+      attr("attr_triples_left", leftName), attr("attr_triples_right", rightName),
+      opt("rel_triples_left")(read), opt("rel_triples_right")(read),
+      opt("ent_links") { n =>
+        val g = spark.read.parquet(s"$dir/$n.parquet")
+        val Array(l, r) = g.columns.take(2)
+        g.select(col(l).cast("string").as(leftName), col(r).cast("string").as(rightName))
+      })
   }
 }
 

@@ -35,6 +35,66 @@ class ExperimentSpec extends SparkSpec {
     dir
   }
 
+  test("loadMovieGraph resolves the repository pair layout and names the sides") {
+    // MovieGraphBenchmark repo shape: <root>/data/<pair>/<openea files>
+    val root = java.nio.file.Files.createTempDirectory("mgb").toString
+    val pairDir = s"$root/data/imdb-tmdb"
+    new java.io.File(pairDir).mkdirs()
+    val src = openEaFixture()
+    for (f <- Seq("attr_triples_1", "attr_triples_2", "rel_triples_1",
+        "rel_triples_2", "ent_links"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$src/$f"),
+        java.nio.file.Paths.get(s"$pairDir/$f"))
+    val ds = BlockingDataset.loadMovieGraph(spark, root, "imdb-tmdb")
+    assert(ds.left.tableName == "imdb" && ds.right.tableName == "tmdb")
+    assert(ds.left.df.count() == 6 && ds.gold.get.count() == 3)
+    // --format auto finds the sole pair dir without --graph-pair
+    val auto = Experiment.loadDataset(spark, Experiment.parseArgs(Array(
+      "--data", root, "--blocker", "token", "--out", "/tmp/x")))
+    assert(auto.left.tableName == "imdb")
+  }
+
+  test("loadSylloge reads the normalized parquet cache (OAEI shape)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sylloge").toString
+    // sylloge normalizes to (head, relation, tail) + ent_links(left, right)
+    Seq(("a1", "hasName", "John"), ("a2", "hasName", "\"5\"^^xsd:int"))
+      .toDF("head", "relation", "tail")
+      .write.parquet(s"$dir/attr_triples_left.parquet")
+    Seq(("b1", "name", "John"), ("b2", "name", "Jane"))
+      .toDF("head", "relation", "tail")
+      .write.parquet(s"$dir/attr_triples_right.parquet")
+    Seq(("a1", "knows", "a2")).toDF("head", "relation", "tail")
+      .write.parquet(s"$dir/rel_triples_left.parquet")
+    Seq(("a1", "b1")).toDF("left", "right")
+      .write.parquet(s"$dir/ent_links.parquet")
+    val ds = BlockingDataset.loadSylloge(spark, dir)
+    assert(ds.left.isTriple && ds.left.df.columns.toSeq == Seq("head", "rel", "tail"))
+    assert(ds.left.df.filter(col("head") === "a2").head.getString(2) == "\"5\"",
+      "datatype suffix must be stripped")
+    assert(ds.rightRel.isEmpty && ds.leftRel.get.count() == 1)
+    assert(ds.gold.get.columns.toSeq == Seq("left", "right"))
+    // --format auto detects the parquet cache shape
+    val auto = Experiment.loadDataset(spark, Experiment.parseArgs(Array(
+      "--data", dir, "--blocker", "token", "--out", "/tmp/x")))
+    assert(auto.left.isTriple && auto.gold.get.count() == 1)
+  }
+
+  test("cluster-file gold expands to inter-dataset pairs only") {
+    val dir = openEaFixture()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/ent_links"))
+    // one 3-member cluster spanning sides (2 intra-left ids → 2 cross
+    // pairs, no intra pair), one singleton-per-side cluster, one
+    // left-only cluster (contributes nothing)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ent_clusters"),
+      "imdb:a1\timdb:a2\ttmdb:b1\nimdb:a3\ttmdb:b3\nimdb:a4\timdb:a5\n")
+    val ds = BlockingDataset.loadOpenEA(spark, dir, leftName = "imdb", rightName = "tmdb")
+    val pairs = ds.gold.get.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("imdb:a1", "tmdb:b1"), ("imdb:a2", "tmdb:b1"),
+      ("imdb:a3", "tmdb:b3")))
+  }
+
   test("loadOpenEA reads the sylloge folder layout with datatype cleaning") {
     val ds = BlockingDataset.loadOpenEA(spark, openEaFixture())
     assert(ds.left.isTriple && ds.right.isTriple && ds.left.idCol == "head")
