@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.EntityFrame
+import graft.dedup.Dedup
+import graft.functions.{MinHash, Text}
+import graft.text.TextAnalysis
+
+/** Batch scale GROWTH CURVES: the measured answer to "would this plan
+  * survive 100×?" for the top-cost batch family (VERDICT r9 item 1 —
+  * the batch analog of StreamRehearsal's boundedness runs).
+  *
+  * Runs the operators on [[ScaleRehearsal.skewedDocs]] corpora at ×1,
+  * ×10 and ×100 the base SF (salted near-duplicate copies + a
+  * boilerplate paragraph on a fifth of all documents) and records, per
+  * operator per factor, wall seconds and the load-insensitive per-task
+  * maxima (input / shuffle-read bytes / shuffle records / spill). The
+  * judgment row is the GROWTH RATIO of the per-task maxima across each
+  * ×10 step: data grows 10× per step, so
+  *
+  *   - ratio ≪ 10 (ideally ~1): the plan sheds scale into MORE tasks —
+  *     AQE re-plans reducer counts toward the advisory partition size
+  *     and splits skewed join partitions — so the worst task an executor
+  *     must absorb stays bounded; adding executors absorbs the rest.
+  *     This is the property that survives a 1000-executor 100 TB run.
+  *   - ratio ~10: some stage concentrates the growth in a fixed number
+  *     of tasks (a global agg, an uncapped hot key) — a real finding.
+  *
+  * Methodology notes, deliberate choices:
+  *   - shuffle.partitions stays at the bench default and AQE
+  *     (coalescePartitions with a high initialPartitionNum + skewJoin)
+  *     chooses reducer counts — exactly how a production job holds
+  *     per-task size constant while data grows; a fixed reducer count
+  *     would force per-task bytes to track data size by construction
+  *     and measure nothing.
+  *   - every near-dup operator runs WITH its hot-key cap at 256 — big
+  *     enough that the ×100 duplicate groups (100 members) stay intact,
+  *     small enough that the boilerplate keys (a fifth of the corpus)
+  *     are intercepted. Cap engagement is reported per factor.
+  *   - wall seconds are secondary (this box is load-noisy); the maxima
+  *     are the adjudicated signal, same rule as bench.json.
+  *
+  * Usage: `runMain graft.ScaleCurve [sfDir] [factors] [cap]`
+  * (defaults: /root/testdata/sf0.01, 1,10,100, 256).
+  */
+object ScaleCurve {
+
+  final case class Cell(
+      wallS: Double, maxIn: Long, maxShufRead: Long, maxShufWrite: Long,
+      maxShufRecords: Long, spill: Long, result: Long)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factors = args.drop(1).headOption.getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cap = args.drop(2).headOption.map(_.toInt).getOrElse(256)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+
+    def measure(name: String)(f: => Long): Cell = {
+      org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
+      listener.reset()
+      val t0 = System.nanoTime()
+      val result = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
+      val c = Cell(dt, listener.maxInputBytes, listener.maxShuffleReadBytes,
+        listener.maxShuffleWriteBytes, listener.maxShuffleReadRecords,
+        listener.spillBytes, result)
+      System.err.println(f"[curve] $name%-22s ${c.wallS}%8.1f s  " +
+        listener.summaryLine + s"  result=$result")
+      spark.catalog.clearCache()
+      c
+    }
+
+    // (operator, corpus => materialized result count)
+    def ops(docs: DataFrame, sh: DataFrame): Seq[(String, () => Long)] = Seq(
+      "winnow_pairs_capped" -> (() =>
+        TextAnalysis.winnowPairs(docs, minShared = 5, idCol = "id",
+          textCol = "text", maxHashDocs = cap).count()),
+      "incremental_sig" -> (() => {
+        val corpus = sh.filter(Text.md5Long(col("id")) % 4 =!= 0)
+        Dedup.minHashNearDupAgainstSig(
+          MinHash.signature(corpus, 16), corpus,
+          sh.filter(Text.md5Long(col("id")) % 4 === 0),
+          numPerm = 16, bands = 4, threshold = 0.2,
+          estPrefilter = 0.375, maxBucketSize = cap).count()
+      }),
+      "incremental_neardup" -> (() =>
+        Dedup.minHashNearDupAgainst(
+          sh.filter(Text.md5Long(col("id")) % 4 =!= 0),
+          sh.filter(Text.md5Long(col("id")) % 4 === 0),
+          numPerm = 16, bands = 4, threshold = 0.2,
+          estPrefilter = 0.375, maxBucketSize = cap).count()),
+      "keep_best" -> (() =>
+        Dedup.keepBest(
+          docs.select(col("id"), length(col("text")).as("score")),
+          "id", "score",
+          Dedup.ngramJaccardPairs(sh, 0.5, maxDocFreq = cap)
+            .select(col("id_a"), col("id_b"))).count()),
+      "pagerank_hubbed" -> (() => {
+        val fwd = docs.select(col("id").as("src"),
+          concat(lit("hub"), pmod(Text.md5Long(col("id")), lit(4))).as("dst"))
+        val arcs = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.relational.PageRank.pageRank(arcs, 3).count()
+      }),
+      "tfidf_token_blocker" -> (() => {
+        def side(p: Int) = EntityFrame(
+          docs.filter(pmod(Text.md5Long(col("id")), lit(2)) === p)
+            .select(col("id"), col("text")), s"curve$p", "id")
+        graft.blockers.TfIdfFilteredTokenBlocker(threshold = 0.15)
+          .assign(side(0), side(1)).df.count()
+      }))
+
+    val opNames = Seq("winnow_pairs_capped", "incremental_sig",
+      "incremental_neardup", "keep_best", "pagerank_hubbed",
+      "tfidf_token_blocker")
+    val results = factors.map { copies =>
+      val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
+        .persist()
+      val sh = docs.select(col("id"),
+          explode(Text.wordShingles(
+            Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)).as("key"))
+        .distinct().persist()
+      val nDocs = docs.count()
+      val nShingles = sh.count()
+      // cap engagement on the band buckets at this factor
+      val hot = MinHash.buckets(sh, 16, 4).groupBy("key")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("n") > cap, 1).otherwise(0)).as("hot"),
+          max(col("n")).as("maxb")).head()
+      System.err.println(s"[curve] x$copies: docs=$nDocs shingles=$nShingles " +
+        s"hotBuckets=${hot.getLong(0)} maxBucket=${hot.getLong(1)}")
+      val cells = ops(docs, sh).map { case (n, f) => n -> measure(s"x$copies $n")(f()) }
+      docs.unpersist(); sh.unpersist()
+      (copies, nDocs, nShingles, hot.getLong(0), hot.getLong(1), cells.toMap)
+    }
+
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def mb(b: Long): String = d1(b / 1e6)
+    def ratio(a: Long, b: Long): String =
+      if (a <= 0) "-" else d1(b.toDouble / a) + "x"
+
+    println(s"\n### Batch scale curve: $dir factors=${factors.mkString(",")} cap=$cap\n")
+    println("| factor | docs | shingle rows | hot buckets | max bucket |")
+    println("|---|---|---|---|---|")
+    results.foreach { case (c, nd, ns, hb, mx, _) =>
+      println(s"| x$c | $nd | $ns | $hb | $mx |")
+    }
+    for (op <- opNames) {
+      println(s"\n#### $op")
+      println("| factor | wall s | max task input MB | max shuf-read MB | max shuf-write MB | max shuf records | spill MB | result |")
+      println("|---|---|---|---|---|---|---|---|")
+      results.foreach { case (c, _, _, _, _, cells) =>
+        val x = cells(op)
+        println(s"| x$c | ${d1(x.wallS)} | ${mb(x.maxIn)} | ${mb(x.maxShufRead)} | " +
+          s"${mb(x.maxShufWrite)} | ${x.maxShufRecords} | ${mb(x.spill)} | ${x.result} |")
+      }
+      // growth ratios across consecutive factors (data grows by the
+      // factor quotient per step; the plan survives if these stay far
+      // below it)
+      results.sliding(2).foreach {
+        case Seq((c1, _, _, _, _, a), (c2, _, _, _, _, b)) =>
+          val (x, y) = (a(op), b(op))
+          println(s"growth x$c1→x$c2 (data ${c2 / c1}x): " +
+            s"shuf-read ${ratio(x.maxShufRead, y.maxShufRead)}, " +
+            s"shuf-records ${ratio(x.maxShufRecords, y.maxShufRecords)}, " +
+            s"input ${ratio(x.maxIn, y.maxIn)}, " +
+            s"wall ${ratio((x.wallS * 1000).toLong, (y.wallS * 1000).toLong)}")
+        case _ => ()
+      }
+    }
+    val json = results.map { case (c, nd, ns, hb, mx, cells) =>
+      val inner = opNames.map { op =>
+        val x = cells(op)
+        s""""$op":{"wall_s":${d1(x.wallS)},"max_task_input_mb":${x.maxIn / 1000000},""" +
+          s""""max_task_shuffle_mb":${x.maxShufRead / 1000000},""" +
+          s""""max_task_shuffle_records":${x.maxShufRecords},""" +
+          s""""spill_mb":${x.spill / 1000000},"result":${x.result}}"""
+      }.mkString(",")
+      s""""x$c":{"docs":$nd,"shingle_rows":$ns,"hot_buckets":$hb,"max_bucket":$mx,$inner}"""
+    }.mkString(s"""{"dir":"$dir","cap":$cap,""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

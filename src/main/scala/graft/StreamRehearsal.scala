@@ -76,6 +76,31 @@ object StreamRehearsal {
       .mkString(",") + "]}"
   }
 
+  /** One adjudicable summary row per operator — the streaming analog of
+    * bench.json's per-task maxima. The LOAD-INSENSITIVE columns are the
+    * state/row counts (plan + cap determined, deterministic for a fixed
+    * corpus): input, output, final and max state rows, and whether state
+    * grew in the last half of the run (the boundedness verdict). Trigger
+    * milliseconds are the load-sensitive secondary, summarized as
+    * median/max. Adjudication rule: a trigger-time regression with
+    * unchanged state columns is a load window; a grown `max_state` or a
+    * flipped `state_flat_tail` is a real plan/cap change. */
+  private def summaryJson(name: String, rows: Seq[BatchRow]): String = {
+    val real = rows.filter(_.stateRows >= 0)
+    val states = real.map(_.stateRows)
+    val durs = real.map(_.durMs).sorted
+    val med = if (durs.isEmpty) 0L else durs(durs.size / 2)
+    // bounded-state verdict: max state in the run's second half does not
+    // exceed the first half's max (caps saturated / population seen)
+    val (h1, h2) = states.splitAt(math.max(1, states.size / 2))
+    val flatTail = h2.isEmpty || h2.max <= h1.max
+    s""""$name":{"in":${rows.map(_.input).sum},"out":${rows.map(_.outRows).sum},""" +
+      s""""batches":${rows.size},"final_state":${states.lastOption.getOrElse(-1L)},""" +
+      s""""max_state":${if (states.isEmpty) -1L else states.max},""" +
+      s""""state_flat_tail":$flatTail,""" +
+      s""""trigger_ms_median":$med,"trigger_ms_max":${if (durs.isEmpty) 0L else durs.last}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -177,6 +202,19 @@ object StreamRehearsal {
     val j3 = report("stream_funnel", fRows)
 
     println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j3}""")
+    // sibling bench artifact: one line of adjudicable per-operator
+    // summary rows (same maxima-first discipline as bench.json — see
+    // [[summaryJson]]), re-runnable via
+    //   runMain graft.StreamRehearsal [sfDir] [copies] [cap] [batches]
+    val summary = s"""{"metric":"stream","dir":"$dir","copies":$copies,""" +
+      s""""cap":$cap,${summaryJson("stream_neardup", ndRows)},""" +
+      s"""${summaryJson("incremental_token_pairs", tkRows)},""" +
+      s"""${summaryJson("stream_funnel", fRows)}}"""
+    println(summary)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "bench_stream.json")),
+      (summary + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
