@@ -75,6 +75,7 @@ object ScaleCurve {
     def measure(name: String)(f: => Long): Cell = {
       org.apache.spark.sql.graft.ListenerBridge.flushListenerBus(spark.sparkContext)
       listener.reset()
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val result = f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -84,7 +85,13 @@ object ScaleCurve {
         listener.spillBytes, result)
       System.err.println(f"[curve] $name%-22s ${c.wallS}%8.1f s  " +
         listener.summaryLine + s"  result=$result")
-      spark.catalog.clearCache()
+      // Release only what THIS op cached (operators persist internally,
+      // e.g. PartitioningTokenBlocker's rt): a blanket clearCache() here
+      // would also evict the docs/sh frames persisted for the whole
+      // factor and bill every later op for the shared corpus rebuild.
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !cachedBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       c
     }
 
@@ -149,6 +156,9 @@ object ScaleCurve {
         s"hotBuckets=${hot.getLong(0)} maxBucket=${hot.getLong(1)}")
       val cells = ops(docs, sh).map { case (n, f) => n -> measure(s"x$copies $n")(f()) }
       docs.unpersist(); sh.unpersist()
+      // factor boundary: sweep any CacheManager entries whose backing
+      // RDDs measure() already dropped (docs/sh rebuild next factor)
+      spark.catalog.clearCache()
       (copies, nDocs, nShingles, hot.getLong(0), hot.getLong(1), cells.toMap)
     }
 

@@ -127,6 +127,20 @@ object BlockingDataset {
       .filter(length(trim(col("entity"))) > 0)
       .select(col("cluster"), trim(col("entity")).as("entity"),
         substring_index(col("entity"), ":", 1).as("dataset"))
+    // Fail loudly when the requested prefixes match nothing: a cluster
+    // dump with ids like `imdb:123` loaded under the default
+    // left/right names would otherwise expand to an EMPTY gold table
+    // and every metric downstream silently reports 0. The distinct
+    // prefix set is tiny (one per source dataset), so the check is one
+    // cheap action at load time.
+    val present = members.select("dataset").distinct()
+      .collect().map(_.getString(0)).sorted
+    val missing = Seq(leftPrefix, rightPrefix).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"cluster file $path has no members with dataset prefix " +
+        s"${missing.mkString("'", "', '", "'")}; prefixes present: " +
+        s"${present.mkString("'", "', '", "'")} — pass matching " +
+        "leftName/rightName (ids are prefixed `dataset:id`)")
     Gold.fromClusters(members, leftPrefix, rightPrefix)
       .toDF(leftPrefix, rightPrefix)
   }

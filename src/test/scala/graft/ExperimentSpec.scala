@@ -93,6 +93,13 @@ class ExperimentSpec extends SparkSpec {
     val pairs = ds.gold.get.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("imdb:a1", "tmdb:b1"), ("imdb:a2", "tmdb:b1"),
       ("imdb:a3", "tmdb:b3")))
+    // prefixes that match NO cluster member must fail loudly instead of
+    // expanding to an empty gold (every metric would silently report 0)
+    val e = intercept[IllegalArgumentException] {
+      BlockingDataset.loadOpenEA(spark, dir).gold.get.count()
+    }
+    assert(e.getMessage.contains("imdb") && e.getMessage.contains("tmdb"),
+      s"error must list the prefixes actually present, got: ${e.getMessage}")
   }
 
   test("loadOpenEA reads the sylloge folder layout with datatype cleaning") {
