@@ -34,6 +34,7 @@ object PlanAudit {
     "ann_pq_adc_topk" -> "PQ codebook (k×m floats) broadcast to every partition",
     "ann_ivf_pq_topk" -> "PQ codebook + centroid table broadcast (both tiny by construction)",
     "ann_ivf_pq_residual" -> "PQ codebook + centroid table broadcast (both tiny by construction)",
+    "ann_ivf_pq_saved" -> "loaded centroid table broadcast (one row per IVF bucket, tiny by construction)",
     "ann_pq_encode" -> "PQ codebook broadcast to every partition",
     "ann_ivf_label" -> "centroid table broadcast (k rows)",
     "ann_ivf_multiprobe" -> "centroid table broadcast (k rows)",

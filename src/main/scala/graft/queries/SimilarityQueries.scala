@@ -6,7 +6,7 @@ import graft.blockers._
 import graft.core.{Blocks, EntityFrame}
 import graft.encoders.HashTokenEncoder
 import graft.functions.{MinHash, Num, Text}
-import graft.similarity.Similarity
+import graft.similarity.{IndexStore, Similarity}
 import QueryDef.{table, duckTokens}
 
 /** Similarity layer (SURVEY.md §2.8): MinHash-LSH, TF-IDF filtering,
@@ -34,6 +34,58 @@ object SimilarityQueries {
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
+
+  /** IVF-PQ top-k oracle — shared by `ann_ivf_pq_topk` (direct operator)
+    * and `ann_ivf_pq_saved` (build -> save -> load -> search round-trip):
+    * identical semantics by construction, so one SQL serves both. */
+  private lazy val ivfPqTopkSql: String =
+    s"""WITH oexpl AS (
+              |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 1),
+              |cents AS (SELECT label, i, avg(v) AS c FROM oexpl GROUP BY label, i),
+              |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+              |qexpl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 0),
+              |qnorms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM qexpl GROUP BY vec_id),
+              |qdots AS (
+              |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+              |  FROM qexpl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |assign AS (SELECT vec_id AS left_id, label FROM (
+              |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+              |  FROM qdots q JOIN qnorms n ON n.vec_id = q.vec_id
+              |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
+              |g AS (
+              |  SELECT vec_id, label, s.s AS s, c.c AS c,
+              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3, 4),
+              |codes AS (
+              |  SELECT vec_id AS right_id, label, s, c FROM (
+              |    SELECT vec_id, label, s, c, row_number() OVER (
+              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |    FROM g) WHERE rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS left_id, s.s AS s, c.c AS c,
+              |         sum(embedding[s.s*8 + d.d + 1]::double
+              |             * ${Similarity.pqComponentSql("s.s", "c.c", "d.d")})) AS part
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT a.left_id, cd.right_id, sum(l.part) AS adc
+              |  FROM assign a
+              |  JOIN codes cd ON cd.label = a.label
+              |  JOIN lut l ON l.left_id = a.left_id AND l.s = cd.s AND l.c = cd.c
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT left_id, right_id, adc, row_number() OVER (
+              |      PARTITION BY left_id
+              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
+              |  FROM scored)
+              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
+              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -423,53 +475,31 @@ object SimilarityQueries {
             Num.stableRound(col("adc"), 6).as("adc"))
           .orderBy("left_id", "rank")
       },
-      Some(s"""WITH oexpl AS (
-              |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
-              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 1),
-              |cents AS (SELECT label, i, avg(v) AS c FROM oexpl GROUP BY label, i),
-              |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
-              |qexpl AS (
-              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
-              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 0),
-              |qnorms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM qexpl GROUP BY vec_id),
-              |qdots AS (
-              |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
-              |  FROM qexpl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
-              |assign AS (SELECT vec_id AS left_id, label FROM (
-              |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
-              |  FROM qdots q JOIN qnorms n ON n.vec_id = q.vec_id
-              |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
-              |g AS (
-              |  SELECT vec_id, label, s.s AS s, c.c AS c,
-              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
-              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
-              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
-              |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3, 4),
-              |codes AS (
-              |  SELECT vec_id AS right_id, label, s, c FROM (
-              |    SELECT vec_id, label, s, c, row_number() OVER (
-              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
-              |    FROM g) WHERE rn = 1),
-              |lut AS (
-              |  SELECT vec_id AS left_id, s.s AS s, c.c AS c,
-              |         sum(embedding[s.s*8 + d.d + 1]::double
-              |             * ${Similarity.pqComponentSql("s.s", "c.c", "d.d")})) AS part
-              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
-              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2, 3),
-              |scored AS (
-              |  SELECT a.left_id, cd.right_id, sum(l.part) AS adc
-              |  FROM assign a
-              |  JOIN codes cd ON cd.label = a.label
-              |  JOIN lut l ON l.left_id = a.left_id AND l.s = cd.s AND l.c = cd.c
-              |  GROUP BY 1, 2),
-              |ranked AS (
-              |  SELECT left_id, right_id, adc, row_number() OVER (
-              |      PARTITION BY left_id
-              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
-              |  FROM scored)
-              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
-              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+      Some(ivfPqTopkSql)),
+
+    // ---- persisted IVF-PQ index: build -> save -> load -> search ----------
+    // the serving contract: corpus-side work (centroids + PQ codes) is
+    // done once and written as parquet; the query batch runs against the
+    // LOADED artifacts only. Shares ann_ivf_pq_topk's oracle — the
+    // round-trip must be bit-identical to the direct operator, and the
+    // hash check proves it (parquet preserves doubles exactly).
+    "ann_ivf_pq_saved" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val bucketed = e.filter(col("vec_id") % 2 === 1)
+          .select(col("label").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("embedding").as("vec"))
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivfpq_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        IndexStore.save(IndexStore.buildIvfPq(bucketed), path)
+        IndexStore.search(q, IndexStore.load(s, path), 3, rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("adc"), 6).as("adc"))
+          .orderBy("left_id", "rank")
+      },
+      Some(ivfPqTopkSql)),
 
     // ---- residual IVF-PQ: quantize v − centroid, score ⟨q,c⟩ + ADC --------
     // the production IVF-PQ layout (Jégou et al. §IV-A): the codebook's

@@ -1,0 +1,139 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PqOps
+
+import graft.functions.{Num, Vectors}
+
+/** Persisted ANN index: build the IVF-PQ corpus-side artifacts ONCE,
+  * save them as parquet, and serve every later query batch from the
+  * saved index — the production "index once, query many" contract.
+  * [[Similarity.ivfPqTopK]] recomputes centroids and codes per call
+  * (fine for one-shot analytics); a serving pipeline at 100 TB amortizes
+  * that corpus-sized work across query batches and ships the index, not
+  * the vectors:
+  *
+  *   - `centroids.parquet` — one row per IVF bucket (tiny, broadcast at
+  *     query time);
+  *   - `codes.parquet` — one row per corpus vector: bucket + `subspaces`
+  *     small ints (the PQ compression that fits a billion vectors where
+  *     raw floats cannot), written partitioned by a bucket hash so a
+  *     probe's scan touches a bounded file set;
+  *   - `meta.json` — the build parameters; [[load]] refuses an index
+  *     whose geometry doesn't parse, and [[search]] derives every knob
+  *     from meta so a caller cannot query with mismatched dims/books.
+  *
+  * The PQ codebook itself is the deterministic md5 family
+  * ([[Similarity.pqComponent]]) — a pure function of (subspaces,
+  * codebookSize, width), so it is regenerated from meta rather than
+  * stored. Search reproduces [[Similarity.ivfPqTopK]]'s expression
+  * shapes exactly (zero-norm guard, probe ranking tie-breaks, residual
+  * score reconstruction, rounded rank key), so a saved-and-loaded index
+  * returns bit-identical results to the direct operator — hash-checked
+  * end-to-end by the `ann_ivf_pq_saved` query, which shares
+  * `ann_ivf_pq_topk`'s DuckDB oracle.
+  */
+object IndexStore {
+
+  final case class IvfPqIndex(
+      centroids: DataFrame, // (bucket, centroid array<double>)
+      codes: DataFrame,     // (bucket, right_id, codes array<int>)
+      dims: Int, subspaces: Int, codebookSize: Int, residual: Boolean)
+
+  /** Corpus-side build: centroids + PQ codes from a bucketed corpus
+    * (`bucketed`: (bucket, id, vec) — any bucketing: label column,
+    * KMeans cells, sign-LSH). Residual mode quantizes v − centroid
+    * (Jégou et al. §IV-A), same trade as [[Similarity.ivfPqTopK]]. */
+  def buildIvfPq(bucketed: DataFrame, dims: Int = 64, subspaces: Int = 8,
+                 codebookSize: Int = 16, residual: Boolean = false): IvfPqIndex = {
+    val members = bucketed.select(col("bucket"), col("id"), col("vec"))
+    val cents = Similarity.centroids(members.select(col("bucket"), col("vec")))
+    val codeInput =
+      if (residual)
+        members.join(broadcast(cents), Seq("bucket"))
+          .select(col("id"),
+            zip_with(col("vec"), col("centroid"), (a, b) => a - b).as("vec"))
+      else members.select(col("id"), col("vec"))
+    val codes = Similarity.pqEncode(codeInput, dims, subspaces, codebookSize)
+      .join(members.select(col("id"), col("bucket")), Seq("id"))
+      .select(col("bucket"), col("id").as("right_id"), col("codes"))
+    IvfPqIndex(cents, codes, dims, subspaces, codebookSize, residual)
+  }
+
+  /** Write the index under `path`. Codes are repartitioned by bucket so
+    * each probe reads a bounded file subset; centroids are coalesced to
+    * one file (one row per bucket — driver-tiny by construction). */
+  def save(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids.parquet")
+    index.codes.repartition(col("bucket")).write.mode("overwrite")
+      .parquet(s"$path/codes.parquet")
+    val meta =
+      s"""{"dims":${index.dims},"subspaces":${index.subspaces},""" +
+        s""""codebookSize":${index.codebookSize},"residual":${index.residual}}"""
+    val spark = index.centroids.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((meta + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def intField(k: String): Int = {
+      val m = s""""$k":(\\d+)""".r.findFirstMatchIn(meta)
+      require(m.isDefined, s"index meta at $path/meta.json lacks '$k': $meta")
+      m.get.group(1).toInt
+    }
+    val residual = s""""residual":(true|false)""".r.findFirstMatchIn(meta)
+    require(residual.isDefined, s"index meta at $path/meta.json lacks 'residual': $meta")
+    IvfPqIndex(
+      spark.read.parquet(s"$path/centroids.parquet"),
+      spark.read.parquet(s"$path/codes.parquet"),
+      intField("dims"), intField("subspaces"), intField("codebookSize"),
+      residual.get.group(1).toBoolean)
+  }
+
+  /** IVF-PQ top-k against a prebuilt index — [[Similarity.ivfPqTopK]]'s
+    * query side verbatim, minus all corpus-sized work: centroids arrive
+    * broadcast-tiny from the index, codes join on the probed buckets.
+    * Per query batch the cost is |Q|·|buckets| centroid ranking + the
+    * probed buckets' ADC lookups; nothing corpus-wide is recomputed. */
+  def search(queries: DataFrame, index: IvfPqIndex, k: Int,
+             probes: Int = 1, rankScale: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centroids
+      .withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val q = queries.select(col("id").as("left_id"), col("vec"),
+      Vectors.l2Norm(col("vec")).as("_ln"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val assignW = Window.partitionBy("left_id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("left_id"), col("vec"), col("bucket"),
+        when(col("_ln") * col("_cn") === 0, lit(0.0))
+          .otherwise(Vectors.dot(col("vec"), col("centroid")) / (col("_ln") * col("_cn")))
+          .as("_ccos"),
+        Vectors.dot(col("vec"), col("centroid")).as("_qc"))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") <= probes)
+      .select(col("left_id"), col("vec"), col("bucket"), col("_qc"))
+    val book = Similarity.pqCodebook(
+      index.subspaces, index.codebookSize, index.dims / index.subspaces)
+    val lut = assigned.select(col("left_id"), col("bucket"), col("_qc"),
+      PqOps.pqLut(col("vec"), book).as("_lut"))
+    val adcExpr = PqOps.pqAdc(col("_lut"), col("codes"), index.codebookSize)
+    val scored = lut.join(index.codes, Seq("bucket"))
+      .select(col("left_id"), col("right_id"),
+        (if (index.residual) col("_qc") + adcExpr else adcExpr).as("adc"))
+    val rankKey =
+      if (rankScale >= 0) Num.stableRound(col("adc"), rankScale) else col("adc")
+    val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+}
