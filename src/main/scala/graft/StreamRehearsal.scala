@@ -79,25 +79,46 @@ object StreamRehearsal {
   /** One adjudicable summary row per operator — the streaming analog of
     * bench.json's per-task maxima. The LOAD-INSENSITIVE columns are the
     * state/row counts (plan + cap determined, deterministic for a fixed
-    * corpus): input, output, final and max state rows, and whether state
-    * grew in the last half of the run (the boundedness verdict). Trigger
-    * milliseconds are the load-sensitive secondary, summarized as
-    * median/max. Adjudication rule: a trigger-time regression with
-    * unchanged state columns is a load window; a grown `max_state` or a
-    * flipped `state_flat_tail` is a real plan/cap change. */
+    * corpus): input, output, final and max state rows, plus two
+    * boundedness signals:
+    *
+    *   - `state_plateau`: every state reading in the run's last quarter
+    *     is identical — the population/keyspace has been fully seen
+    *     (the streamFunnel shape: per-user O(1) rows, flat once all
+    *     users arrived);
+    *   - `tail_growth_ratio`: (second-half state growth) / (first-half
+    *     state growth). Operators whose state tracks DISTINCT keys
+    *     (band buckets, shingle keys) legitimately keep admitting new
+    *     keys as mutated waves arrive — their boundedness claim is the
+    *     per-key cap (and the flat trigger times), not total-row
+    *     flatness; this ratio decelerating (< 1) plus flat triggers is
+    *     the healthy signature, a ratio ≥ 1 with growing triggers is a
+    *     real leak.
+    *
+    * Trigger milliseconds are the load-sensitive secondary, summarized
+    * as median/max. Adjudication rule: a trigger-time regression with
+    * unchanged state columns is a load window; a grown `max_state`, a
+    *  flipped `state_plateau`, or a jumped `tail_growth_ratio` is a
+    * real plan/cap change. */
   private def summaryJson(name: String, rows: Seq[BatchRow]): String = {
     val real = rows.filter(_.stateRows >= 0)
     val states = real.map(_.stateRows)
     val durs = real.map(_.durMs).sorted
     val med = if (durs.isEmpty) 0L else durs(durs.size / 2)
-    // bounded-state verdict: max state in the run's second half does not
-    // exceed the first half's max (caps saturated / population seen)
-    val (h1, h2) = states.splitAt(math.max(1, states.size / 2))
-    val flatTail = h2.isEmpty || h2.max <= h1.max
+    val quarter = states.takeRight(math.max(1, states.size / 4))
+    val plateau = states.nonEmpty && quarter.distinct.size == 1
+    val growthRatio =
+      if (states.size < 3) -1.0
+      else {
+        val mid = states(states.size / 2 - 1)
+        val firstHalf = math.max(1L, mid - states.head)
+        (states.last - mid).toDouble / firstHalf
+      }
+    val gr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(growthRatio))
     s""""$name":{"in":${rows.map(_.input).sum},"out":${rows.map(_.outRows).sum},""" +
       s""""batches":${rows.size},"final_state":${states.lastOption.getOrElse(-1L)},""" +
       s""""max_state":${if (states.isEmpty) -1L else states.max},""" +
-      s""""state_flat_tail":$flatTail,""" +
+      s""""state_plateau":$plateau,"tail_growth_ratio":$gr,""" +
       s""""trigger_ms_median":$med,"trigger_ms_max":${if (durs.isEmpty) 0L else durs.last}}"""
   }
 
