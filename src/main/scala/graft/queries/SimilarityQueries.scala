@@ -501,6 +501,29 @@ object SimilarityQueries {
       },
       Some(ivfPqTopkSql)),
 
+    // ---- streaming ANN serving (batch form of the stateful operator) ------
+    // same semantics as ann_ivf_pq_topk through the streaming-safe plan
+    // (row-local probe selection, stream-static code join, fMGWS top-k);
+    // MemoryStream parity lives in StreamingSpec. Shares the oracle.
+    "st_ann_serve" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val bucketed = e.filter(col("vec_id") % 2 === 1)
+          .select(col("label").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("embedding").as("vec"))
+        graft.streaming.AnnServing
+          .serveIvfPq(q, graft.similarity.IndexStore.buildIvfPq(bucketed),
+            3, rankScale = 6)
+          .toDF()
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("adc"), 6).as("adc"))
+          .orderBy("left_id", "rank")
+      },
+      Some(ivfPqTopkSql)),
+
     // ---- residual IVF-PQ: quantize v − centroid, score ⟨q,c⟩ + ADC --------
     // the production IVF-PQ layout (Jégou et al. §IV-A): the codebook's
     // resolution is spent on what the coarse quantizer missed; the score

@@ -99,6 +99,59 @@ object IndexStore {
       residual.get.group(1).toBoolean)
   }
 
+  /** Assign bucketless vectors to their nearest existing IVF cell
+    * (cosine to the index's centroids, tie-break on bucket) — the
+    * ingest front door for [[appendIvfPq]]: a delta arrives as plain
+    * (id, vec) rows and leaves as (bucket, id, vec) rows compatible
+    * with the index geometry. Centroids broadcast (tiny); one window
+    * per delta row. */
+  def assignBuckets(vectors: DataFrame, index: IvfPqIndex): DataFrame = {
+    val cents = index.centroids.withColumn("_cn", Vectors.l2Norm(col("centroid")))
+    val w = Window.partitionBy("id")
+      .orderBy(col("_ccos").desc, col("bucket").asc)
+    vectors.select(col("id"), col("vec"),
+        Vectors.l2Norm(col("vec")).as("_ln"))
+      .crossJoin(broadcast(cents))
+      .select(col("bucket"), col("id"), col("vec"),
+        when(col("_ln") * col("_cn") === 0, lit(0.0))
+          .otherwise(Vectors.dot(col("vec"), col("centroid")) / (col("_ln") * col("_cn")))
+          .as("_ccos"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("bucket"), col("id"), col("vec"))
+  }
+
+  /** Incremental ingest: encode a bucketed delta with the index's
+    * EXISTING geometry — centroids stay fixed (no re-clustering; in
+    * residual mode the delta quantizes against the stored centroids)
+    * and only the delta pays encode cost. This is how a 100 TB index
+    * absorbs daily arrivals: the O(corpus) build ran once, each delta
+    * is O(delta). Centroids drifting too far from the data is the
+    * rebuild trigger, a policy decision left to the caller. Deltas in
+    * unknown buckets would be unreachable (no centroid row to probe),
+    * so they are rejected loudly — route bucketless rows through
+    * [[assignBuckets]] first. */
+  def appendIvfPq(index: IvfPqIndex, bucketed: DataFrame): IvfPqIndex = {
+    val members = bucketed.select(col("bucket"), col("id"), col("vec"))
+    val unknown = members.select("bucket").distinct()
+      .join(index.centroids.select("bucket"), Seq("bucket"), "left_anti")
+      .take(3)
+    require(unknown.isEmpty,
+      s"delta references buckets with no centroid (${unknown.map(_.get(0)).mkString(", ")}…); " +
+        "assign deltas with assignBuckets() or rebuild the index")
+    val codeInput =
+      if (index.residual)
+        members.join(broadcast(index.centroids), Seq("bucket"))
+          .select(col("id"),
+            zip_with(col("vec"), col("centroid"), (a, b) => a - b).as("vec"))
+      else members.select(col("id"), col("vec"))
+    val newCodes = Similarity.pqEncode(
+        codeInput, index.dims, index.subspaces, index.codebookSize)
+      .join(members.select(col("id"), col("bucket")), Seq("id"))
+      .select(col("bucket"), col("id").as("right_id"), col("codes"))
+    index.copy(codes = index.codes.unionByName(newCodes))
+  }
+
   /** IVF-PQ top-k against a prebuilt index — [[Similarity.ivfPqTopK]]'s
     * query side verbatim, minus all corpus-sized work: centroids arrive
     * broadcast-tiny from the index, codes join on the probed buckets.

@@ -57,6 +57,54 @@ class IndexStoreSpec extends SparkSpec {
     assert(width.map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("serveIvfPq batch parity: streaming-safe plan equals IndexStore.search") {
+    implicit val sp = spark
+    for ((residual, probes) <- Seq((false, 1), (true, 2))) {
+      val corpus = vecs(24)
+      val queries = vecs(33).filter(col("id") % 3 === 0).select("id", "vec")
+      val idx = IndexStore.buildIvfPq(
+        corpus, dims = dims, subspaces = 4, codebookSize = 8, residual = residual)
+      val direct = IndexStore.search(queries, idx, k = 3, probes = probes, rankScale = 9)
+        .select("left_id", "rank", "right_id", "adc")
+        .orderBy("left_id", "rank").collect()
+      val served = graft.streaming.AnnServing
+        .serveIvfPq(queries, idx, k = 3, probes = probes, rankScale = 9)
+        .toDF().select("left_id", "rank", "right_id", "adc")
+        .orderBy("left_id", "rank").collect()
+      assert(direct.nonEmpty && served.toSeq == direct.toSeq,
+        s"serve drift (residual=$residual probes=$probes)")
+    }
+  }
+
+  test("appendIvfPq ingests a delta against fixed centroids") {
+    val base = vecs(20)
+    val idx = IndexStore.buildIvfPq(base, dims = dims, subspaces = 4, codebookSize = 8)
+    // bucketless delta routed through assignBuckets: vectors built like
+    // parity-0/1 rows land in their respective clusters
+    val delta = vecs(28).filter(col("id") >= 20).select("id", "vec")
+    val assigned = IndexStore.assignBuckets(delta, idx)
+    assert(assigned.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      (20L until 28L).map(i => ((i % 2).toString, i)).toSet,
+      "nearest-centroid assignment must recover the generating cluster")
+    val grown = IndexStore.appendIvfPq(idx, assigned)
+    assert(grown.codes.count() == 28)
+    // appended vectors are reachable: a cluster-1 query probes bucket 1
+    // and must now see delta members among its top hits (PQ codes are
+    // quantized, so assert reachability/cluster, not exact self-match)
+    val q = delta.filter(col("id") === 27)
+    val top = IndexStore.search(q, grown, k = 28, rankScale = 9).collect()
+    assert(top.nonEmpty && top.forall(_.getAs[Long]("right_id") % 2 == 1),
+      s"cluster-1 query must stay in bucket 1, got ${top.toSeq}")
+    assert(top.exists(_.getAs[Long]("right_id") >= 21),
+      s"delta members must be reachable after append, got ${top.toSeq}")
+    // unknown buckets are rejected loudly
+    val bad = base.limit(1).withColumn("bucket", lit("nope"))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendIvfPq(idx, bad)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("load fails loudly on a corrupt meta file") {
     val path = tmp("ivfpq_bad")
     IndexStore.save(IndexStore.buildIvfPq(vecs(10), dims = dims), path)

@@ -956,4 +956,37 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("file_agg").collect().toSet == batch)
     } finally sq.stop()
   }
+
+  test("serveIvfPq: MemoryStream serving equals the batch search") {
+    implicit val sp = spark
+    val dims = 16
+    def vec(i: Int): Array[Double] = {
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (0 until dims).map(d => base + 0.01 * ((i * 7 + d * 3) % 11)).toArray
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, (i % 2).toString, vec(i)))
+      .toDF("id", "bucket", "vec")
+    val idx = graft.similarity.IndexStore.buildIvfPq(
+      corpus, dims = dims, subspaces = 4, codebookSize = 8)
+    val qRows = Seq(20L, 21L, 22L).map(i => (i, vec(i.toInt)))
+    val batch = graft.streaming.AnnServing.serveIvfPq(
+        qRows.toDF("id", "vec"), idx, k = 3, rankScale = 9)
+      .collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    val sq = graft.streaming.AnnServing.serveIvfPq(
+        mem.toDF().toDF("id", "vec"), idx, k = 3, rankScale = 9)
+      .writeStream.format("memory").queryName("ann_serve")
+      .outputMode("append").start()
+    try {
+      mem.addData(qRows.take(2): _*)
+      sq.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      sq.processAllAvailable()
+      val got = spark.table("ann_serve")
+        .as[graft.streaming.AnnServing.AnnHit].collect().toSet
+      assert(got == batch, s"stream/batch drift: ${got.diff(batch)} vs ${batch.diff(got)}")
+    } finally sq.stop()
+  }
 }
