@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{MinHash, SimHash, Text}
 
@@ -749,6 +750,79 @@ object Dedup {
     val dup = wins.groupBy("gram").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount).select("gram")
     val covered = wins.join(dup, Seq("gram"), "left_semi")
+      .select(col("id"), explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
+      .distinct()
+    val positions = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = positions.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"))
+          .as("kept_text"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Windows whose exact n-token text occurs in ≥ 2 DISTINCT documents
+    * (and, with `maxDocFreq > 0`, in at most that many — the boilerplate
+    * lever: at corpus scale header/footer text would otherwise cover
+    * every document and the cap drops it BEFORE any span work): the
+    * matched-position stream (id, p) behind [[crossDocSpans]] /
+    * [[crossDocCut]]. One gram-keyed shuffle for the doc-frequency
+    * filter; everything else row-local. */
+  private def crossDocMatchedWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Long): DataFrame = {
+    val wins = tokenWindows(orderedTokens(docs, idCol, textCol), n)
+    val freq = wins.select(col("gram"), col("id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("_d"))
+    val shared = freq
+      .filter(col("_d") >= 2 &&
+        (if (maxDocFreq > 0) col("_d") <= maxDocFreq else lit(true)))
+      .select("gram")
+    wins.join(shared, Seq("gram"), "left_semi").select("id", "p")
+  }
+
+  /** Cross-document repeated spans (the cross-doc half of Lee et al.
+    * 2021's ExactSubstr, arXiv:2107.06499 — public method): maximal
+    * token ranges covered by n-token windows whose exact text appears in
+    * at least one OTHER document. Output: (id, span_start, span_len,
+    * n_windows) with 0-based token positions — the report a curation
+    * pipeline reads before deciding to cut ([[crossDocCut]]) or keep.
+    *
+    * 100 TB shape: window expansion is row-local; the only corpus-wide
+    * shuffle is the gram doc-frequency aggregate; span merging
+    * (gaps-and-islands over matched positions) is a window partitioned
+    * BY DOCUMENT — bounded by document length, never global. */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, maxDocFreq: Long = 0L): DataFrame = {
+    val ord = Window.partitionBy(col("id")).orderBy(col("p"))
+    crossDocMatchedWindows(docs, idCol, textCol, n, maxDocFreq)
+      .withColumn("_prev", lag(col("p"), 1).over(ord))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("p") > col("_prev") + 1, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(n) - min(col("p"))).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select("id", "span_start", "span_len", "n_windows")
+  }
+
+  /** Cross-document span removal: drop every token covered by a window
+    * shared with another document ([[crossDocSpans]] semantics), keep
+    * the rest in order — same output contract as [[spanDedup]]
+    * (id, n_tokens, n_kept, kept_text), but the trigger is CROSS-doc
+    * repetition only: a phrase repeated within one document survives
+    * unless some other document also carries it. */
+  def crossDocCut(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, maxDocFreq: Long = 0L): DataFrame = {
+    val toks = orderedTokens(docs, idCol, textCol)
+    val covered = crossDocMatchedWindows(docs, idCol, textCol, n, maxDocFreq)
       .select(col("id"), explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
       .distinct()
     val positions = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))

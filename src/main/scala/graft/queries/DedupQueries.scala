@@ -829,6 +829,66 @@ object DedupQueries {
              |FROM toks LEFT JOIN kept k ON k.id = toks.id
              |ORDER BY toks.id""".stripMargin)),
 
+    // ---- cross-doc exact-substring dedup (ExactSubstr, cross-doc half) ---
+    // maximal spans of 8-token windows shared with ANOTHER document, and
+    // the cut form removing them; within-doc repeats alone do not
+    // trigger. Same whitespace tokenization and window expansion as
+    // dd_span_dedup; the island merge is a per-document window.
+    "dd_crossdoc_spans" -> QueryDef(
+      (s, dir) => Dedup.crossDocSpans(table(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("id", "span_start"),
+      Some("""WITH toks AS (
+             |  SELECT cast(doc_id AS varchar) AS id,
+             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT id,
+             |         unnest(range(0, greatest(len(t) - 7, 0))) AS p,
+             |         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+             |                               q -> array_to_string(t[q+1:q+8], ' '))) AS gram
+             |  FROM toks),
+             |shared AS (SELECT gram FROM (
+             |    SELECT gram, count(DISTINCT id) AS d FROM wins GROUP BY 1) WHERE d >= 2),
+             |m AS (SELECT id, p FROM wins SEMI JOIN shared USING (gram)),
+             |isl AS (SELECT id, p, sum(brk) OVER (PARTITION BY id ORDER BY p) AS isl FROM (
+             |  SELECT id, p, CASE WHEN lag(p) OVER (PARTITION BY id ORDER BY p) IS NULL
+             |                       OR p > lag(p) OVER (PARTITION BY id ORDER BY p) + 1
+             |                     THEN 1 ELSE 0 END AS brk FROM m))
+             |SELECT id, min(p)::bigint AS span_start,
+             |       (max(p) + 8 - min(p))::bigint AS span_len, count(*) AS n_windows
+             |FROM isl GROUP BY id, isl ORDER BY id, span_start""".stripMargin)),
+
+    "dd_crossdoc_cut" -> QueryDef(
+      (s, dir) => Dedup.crossDocCut(table(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("id"),
+      Some("""WITH toks AS (
+             |  SELECT cast(doc_id AS varchar) AS id,
+             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT id,
+             |         unnest(range(0, greatest(len(t) - 7, 0))) AS p,
+             |         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+             |                               q -> array_to_string(t[q+1:q+8], ' '))) AS gram
+             |  FROM toks),
+             |shared AS (SELECT gram FROM (
+             |    SELECT gram, count(DISTINCT id) AS d FROM wins GROUP BY 1) WHERE d >= 2),
+             |cov AS (SELECT DISTINCT id, pos FROM (
+             |          SELECT w.id, unnest(range(w.p, w.p + 8)) AS pos
+             |          FROM wins w SEMI JOIN shared USING (gram))),
+             |pos AS (SELECT id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+             |        FROM toks),
+             |kept AS (SELECT p.id, count(*) AS n_kept,
+             |                string_agg(p.tok, ' ' ORDER BY p.pos) AS kept_text
+             |         FROM pos p LEFT JOIN cov c ON c.id = p.id AND c.pos = p.pos
+             |         WHERE c.pos IS NULL
+             |         GROUP BY p.id)
+             |SELECT toks.id, len(toks.t)::bigint AS n_tokens,
+             |       coalesce(k.n_kept, 0)::bigint AS n_kept,
+             |       coalesce(k.kept_text, '') AS kept_text
+             |FROM toks LEFT JOIN kept k ON k.id = toks.id
+             |ORDER BY toks.id""".stripMargin)),
+
     "dd_decontaminate" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")

@@ -877,4 +877,35 @@ class DedupSpec extends SparkSpec {
     assert(enc3.getLong(1) == 2L && enc3.getLong(2) == 4L,
       s"aaaa → [aa, aa] per word, got ${enc3.getLong(2)} subwords")
   }
+
+  test("crossDocSpans: cross-doc shared runs merge to maximal spans; within-doc repeats don't trigger") {
+    import spark.implicits._
+    // A and B share tokens a3..a11 (9 tokens -> two overlapping 8-windows
+    // in A at p=2,3 merging to one span of length 9); C repeats ITS OWN
+    // 8-token run twice but shares nothing across docs
+    val shared = (3 to 11).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      ("A", "a0 a1 a2 " + shared + " z1 z2"),
+      ("B", "b0 " + shared + " b1"),
+      ("C", (1 to 8).map(i => s"c$i").mkString(" ") + " " + (1 to 8).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.crossDocSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set(("A", 3L, 9L, 2L), ("B", 1L, 9L, 2L)),
+      s"got $spans")
+    // the cut form removes exactly the shared ranges, keeps C intact
+    val cut = graft.dedup.Dedup.crossDocCut(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut("A") == ((14L, 5L, "a0 a1 a2 z1 z2")), s"got ${cut("A")}")
+    assert(cut("B") == ((11L, 2L, "b0 b1")), s"got ${cut("B")}")
+    assert(cut("C")._1 == 16L && cut("C")._2 == 16L, s"got ${cut("C")}")
+  }
+
+  test("crossDocSpans: maxDocFreq cap drops boilerplate grams") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = (0 until 5).map(i => (s"d$i", s"x$i " + boiler)).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.crossDocSpans(docs, "doc_id", "text", 8).count() == 5)
+    assert(graft.dedup.Dedup.crossDocSpans(docs, "doc_id", "text", 8, maxDocFreq = 4).count() == 0)
+  }
 }
