@@ -133,11 +133,15 @@ object ScaleCurve {
             .select(col("id"), col("text")), s"curve$p", "id")
         graft.blockers.TfIdfFilteredTokenBlocker(threshold = 0.15)
           .assign(side(0), side(1)).df.count()
-      }))
+      }),
+      // cross-doc span family: the boilerplate paragraph is shared by a
+      // fifth of all docs, so maxDocFreq=cap intercepts it pre-span
+      "crossdoc_cut" -> (() =>
+        Dedup.crossDocCut(docs, "id", "text", 8, maxDocFreq = cap).count()))
 
     val opNames = Seq("winnow_pairs_capped", "incremental_sig",
       "incremental_neardup", "keep_best", "pagerank_hubbed",
-      "tfidf_token_blocker")
+      "tfidf_token_blocker", "crossdoc_cut")
     val results = factors.map { copies =>
       val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
         .persist()

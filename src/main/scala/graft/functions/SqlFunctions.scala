@@ -95,6 +95,17 @@ object SqlFunctions {
       // expression's own type check enforces foldability
       arity("graft_bloom_might_contain", args, 2 to 2)
       org.apache.spark.sql.graft.BloomMightContain(args.head, args(1))
+    },
+    "graft_normalize" -> { args =>
+      // (string [, form literal 'NFC'|'NFD'|'NFKC'|'NFKD']) — Unicode
+      // normalization via the codegen'd JDK-Normalizer expression
+      arity("graft_normalize", args, 1 to 2)
+      val form = args.drop(1).headOption.map {
+        case Literal(v, t) if t.typeName == "string" && v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize form must be a string literal, got $other")
+      }.getOrElse("NFC")
+      org.apache.spark.sql.graft.UnicodeNormalize(args.head, form)
     })
 
   /** Convenience mirrors of the Column API for SQL-built columns. */

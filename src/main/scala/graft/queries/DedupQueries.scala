@@ -1513,6 +1513,37 @@ object DedupQueries {
           |JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Unicode NFC normalization (codegen'd JDK Normalizer) ------------
+    // the corpus-prep identity step: composed and decomposed encodings of
+    // the same text must hash identically before any dedup/fingerprint
+    // work. The framing appends a composed suffix to even ids and its
+    // DECOMPOSED equivalent to odd ids; after NFC the md5s collapse per
+    // parity pair while raw lengths differ — DuckDB's nfc_normalize is
+    // the oracle.
+    "tx_nfc_normalize" -> QueryDef(
+      (s, dir) => {
+        val suffix = when(col("doc_id") % 2 === 0, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301"))
+        val raw = concat(coalesce(col("text"), lit("")), suffix)
+        val norm = org.apache.spark.sql.graft.TextOps.normalize(raw)
+        table(s, dir, "documents").select(col("doc_id"),
+            length(raw).cast("long").as("len_raw"),
+            length(norm).cast("long").as("len_nfc"),
+            (raw =!= norm).as("changed"),
+            md5(norm).as("nfc_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raws AS (
+             |  SELECT doc_id, coalesce(text, '') ||
+             |         CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+             |              ELSE ' cafe' || chr(769) END AS raw
+             |  FROM documents)
+             |SELECT doc_id, length(raw)::bigint AS len_raw,
+             |       length(nfc_normalize(raw))::bigint AS len_nfc,
+             |       raw <> nfc_normalize(raw) AS changed,
+             |       md5(nfc_normalize(raw)) AS nfc_md5
+             |FROM raws ORDER BY doc_id""".stripMargin)),
+
     "tx_fingerprint" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),

@@ -168,4 +168,22 @@ class FunctionsSpec extends SparkSpec {
       assert(selfPairs.contains((id, id)))
     }
   }
+
+  test("UnicodeNormalize: NFC collapses decomposed sequences; NFKC folds compatibility forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TextOps
+    val df = Seq(("cafe\u0301", "caf\u00e9"), ("\ufb01le", "file")).toDF("raw", "want")
+    val nfc = df.select(TextOps.normalize(col("raw")).as("n"), col("raw"), col("want")).collect()
+    assert(nfc(0).getString(0) == "caf\u00e9", "NFC must compose e+combining-acute")
+    assert(nfc(1).getString(0) == "\ufb01le", "NFC must NOT fold the fi ligature")
+    val nfkc = df.select(TextOps.normalize(col("raw"), "NFKC").as("n")).collect()
+    assert(nfkc(0).getString(0) == "caf\u00e9" && nfkc(1).getString(0) == "file",
+      "NFKC must fold compatibility ligatures")
+    // SQL registration
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    // NB: Spark's chr() is ASCII-mod-256 (unlike DuckDB's codepoint
+    // chr), so the combining char goes in as a literal
+    val viaSql = spark.sql("SELECT graft_normalize('cafe\u0301'), graft_normalize('\ufb01le', 'NFKC')").head()
+    assert(viaSql.getString(0) == "caf\u00e9" && viaSql.getString(1) == "file")
+  }
 }
