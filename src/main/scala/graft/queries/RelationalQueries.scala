@@ -513,6 +513,43 @@ object RelationalQueries {
              |l3 AS (SELECT src AS node, label FROM (
              |  SELECT src, label, row_number() OVER (PARTITION BY src
              |      ORDER BY c DESC, label ASC) AS rn FROM c3) WHERE rn = 1)
-             |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin))
+             |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin)),
+
+    // ---- skew diagnostics: measure before you salt ------------------------
+    // the operational pre-check for every hot-key lever in the library,
+    // framed on the real hazard: document token frequencies (~30 shared
+    // vocab tokens, each in most docs → skew_ratio far above 1).
+    "diag_token_skew" -> QueryDef(
+      (s, dir) => graft.relational.Diagnostics.keySkew(
+        table(s, dir, "documents")
+          .select(explode(graft.functions.Text.tokenize(col("text"))).as("key")),
+        "key"),
+      Some(s"""WITH t AS (${duckTokens("doc_id", "text", "documents")}),
+              |c AS (SELECT key, count(*) AS c FROM t GROUP BY 1)
+              |SELECT count(*) AS n_keys, sum(c)::bigint AS total_rows,
+              |  max(c)::bigint AS max_key_rows,
+              |  ${Num.stableRoundSql("max(c)::double / sum(c)", 6)} AS top1_share,
+              |  ${Num.stableRoundSql("quantile_cont(c, 0.5)", 6)} AS p50,
+              |  ${Num.stableRoundSql("quantile_cont(c, 0.9)", 6)} AS p90,
+              |  ${Num.stableRoundSql("quantile_cont(c, 0.99)", 6)} AS p99,
+              |  ${Num.stableRoundSql("quantile_cont(c, 0.99) / quantile_cont(c, 0.5)", 6)} AS skew_ratio
+              |FROM c""".stripMargin)),
+
+    "diag_heavy_hitters" -> QueryDef(
+      (s, dir) => graft.relational.Diagnostics.heavyHitters(
+        table(s, dir, "documents")
+          .select(explode(graft.functions.Text.tokenize(col("text"))).as("key")),
+        "key", topN = 10).orderBy("rank"),
+      Some(s"""WITH t AS (${duckTokens("doc_id", "text", "documents")}),
+              |c AS (SELECT key, count(*) AS key_rows FROM t GROUP BY 1),
+              |tot AS (SELECT sum(key_rows)::double AS total FROM c),
+              |r AS (SELECT row_number() OVER (ORDER BY key_rows DESC, key ASC) AS rank,
+              |             key, key_rows,
+              |             sum(key_rows) OVER (ORDER BY key_rows DESC, key ASC
+              |               ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM c)
+              |SELECT rank::int AS rank, key, key_rows,
+              |       ${Num.stableRoundSql("cum / total", 6)} AS cum_share
+              |FROM r CROSS JOIN tot WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }
