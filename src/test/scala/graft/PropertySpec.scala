@@ -400,4 +400,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("IVF-PQ: direct operator == built index search == streaming-safe serve, on random vectors") {
+    implicit val sp = spark
+    val dims = 8
+    val vecGen = Gen.listOfN(dims, Gen.choose(-1000, 1000).map(_ / 500.0))
+    val corpusGen = for {
+      n <- Gen.choose(6, 14)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, (i % 3).toString, v.toArray) }
+    forAll(corpusGen) { rows =>
+      val corpus = rows.toDF("id", "bucket", "vec")
+      val queries = rows.take(4).map { case (i, _, v) => (i + 100L, v) }.toDF("id", "vec")
+      for (residual <- Seq(false, true)) {
+        val direct = graft.similarity.Similarity.ivfPqTopK(
+            queries, corpus, k = 2, dims = dims, subspaces = 2, codebookSize = 4,
+            probes = 2, rankScale = 9, residual = residual)
+          .select("left_id", "rank", "right_id", "adc")
+          .orderBy("left_id", "rank").collect().toSeq
+        val idx = graft.similarity.IndexStore.buildIvfPq(
+          corpus, dims = dims, subspaces = 2, codebookSize = 4, residual = residual)
+        val viaIndex = graft.similarity.IndexStore.search(
+            queries, idx, k = 2, probes = 2, rankScale = 9)
+          .select("left_id", "rank", "right_id", "adc")
+          .orderBy("left_id", "rank").collect().toSeq
+        val served = graft.streaming.AnnServing.serveIvfPq(
+            queries, idx, k = 2, probes = 2, rankScale = 9)
+          .toDF().select("left_id", "rank", "right_id", "adc")
+          .orderBy("left_id", "rank").collect().toSeq
+        assert(viaIndex == direct, s"index-search drift (residual=$residual)")
+        assert(served == direct, s"serve drift (residual=$residual)")
+      }
+    }
+  }
 }
