@@ -58,6 +58,9 @@ object AnnServing {
       .withColumn("_cn", Vectors.l2Norm(col("centroid")))
       .select(col("bucket").cast("string"), col("centroid"), col("_cn"))
       .collect()
+    // empty index: a zero-element literal struct array has no resolvable
+    // type, so short-circuit to the (correct) empty answer
+    if (cents.isEmpty) return spark.emptyDataset[AnnHit]
     val centsLit = array(cents.map { r =>
       struct(
         typedlit(r.getSeq[Double](1)).as("cvec"),

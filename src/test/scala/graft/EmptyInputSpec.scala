@@ -132,4 +132,41 @@ class EmptyInputSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L), "empty media must emit no frames")
     assert(got.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 1))
   }
+
+  test("round-11 operators handle empty and degenerate input") {
+    implicit val sp = spark
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // cross-doc dedup: empty corpus and all-short docs emit no spans;
+    // cut passes short docs through intact
+    assert(Dedup.crossDocSpans(emptyDocs, "doc_id", "text", 8).isEmpty)
+    assert(Dedup.crossDocCut(emptyDocs, "doc_id", "text", 8).isEmpty)
+    val short = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.crossDocSpans(short, "doc_id", "text", 8).isEmpty)
+    val cut = Dedup.crossDocCut(short, "doc_id", "text", 8).collect()
+    assert(cut.length == 2 && cut.forall(_.getString(3) == "too short"))
+    // skew diagnostics: empty input → one row of zero keys, no divide crash
+    val skew = graft.relational.Diagnostics.keySkew(
+      Seq.empty[String].toDF("key"), "key").collect()
+    assert(skew.length == 1 && skew.head.getLong(0) == 0L)
+    assert(graft.relational.Diagnostics.heavyHitters(
+      Seq.empty[String].toDF("key"), "key").isEmpty)
+    // index over an empty corpus searches to nothing (no throw)
+    val dims = 8
+    val emptyCorpus = Seq.empty[(Long, String, Array[Double])].toDF("id", "bucket", "vec")
+    val idx = graft.similarity.IndexStore.buildIvfPq(
+      emptyCorpus, dims = dims, subspaces = 2, codebookSize = 4)
+    val q = Seq((1L, Array.fill(dims)(1.0))).toDF("id", "vec")
+    assert(graft.similarity.IndexStore.search(q, idx, 3).isEmpty)
+    assert(graft.streaming.AnnServing.serveIvfPq(q, idx, 3).isEmpty)
+    // serving with an empty query batch is also empty
+    val corpus = Seq((1L, "0", Array.fill(dims)(1.0))).toDF("id", "bucket", "vec")
+    val idx2 = graft.similarity.IndexStore.buildIvfPq(
+      corpus, dims = dims, subspaces = 2, codebookSize = 4)
+    assert(graft.streaming.AnnServing.serveIvfPq(
+      Seq.empty[(Long, Array[Double])].toDF("id", "vec"), idx2, 3).isEmpty)
+    // NFC on null/empty strings
+    val n = Seq((1L, null: String), (2L, "")).toDF("id", "s")
+      .select(org.apache.spark.sql.graft.TextOps.normalize(col("s")).as("n")).collect()
+    assert(n(0).isNullAt(0) && n(1).getString(0) == "")
+  }
 }
