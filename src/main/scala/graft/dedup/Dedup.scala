@@ -88,6 +88,13 @@ object Dedup {
     def keys(t: DataFrame) = t.groupBy("id")
       .agg(md5(concat_ws(" ", array_sort(collect_set(col("key"))))).as("dup_key"))
     val corpusKeys = keys(corpusToks)
+    // Empty corpus: nothing can be a duplicate. Also dodges a Spark
+    // defect — stat.bloomFilter over zero rows yields a filter whose
+    // bit buffer is null and whose probe NPEs executor-side. The extra
+    // action is free relative to the stat.bloomFilter action below.
+    if (corpusKeys.isEmpty)
+      return keys(newToks)
+        .select(col("id"), col("dup_key"), lit(false).as("in_corpus"))
     val bloomBytes = org.apache.spark.sql.graft.BloomOps.serialize(
       corpusKeys.stat.bloomFilter("dup_key", expectedItems, fpp))
     val probed = keys(newToks).withColumn("_maybe",

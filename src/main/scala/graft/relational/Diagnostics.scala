@@ -26,13 +26,32 @@ object Diagnostics {
     * is EXACT (single-reducer over #keys values) so the operator stays
     * DuckDB-oracle-checkable; at corpus scale swap in
     * `percentile_approx` — same output shape, bounded memory. */
-  def keySkew(df: DataFrame, keyCol: String, scale: Int = 6): DataFrame = {
+  def keySkew(df: DataFrame, keyCol: String, scale: Int = 6): DataFrame =
+    skewProfile(df, keyCol, scale,
+      expr("percentile(_c, array(0.5, 0.9, 0.99))"))
+
+  /** [[keySkew]] with `percentile_approx` percentiles — the corpus-scale
+    * form promised there: the exact `percentile` is a single-reducer sort
+    * over #keys values, while the approx sketch (Greenwald–Khanna) merges
+    * map-side in bounded memory, so this variant survives a key table
+    * that itself no longer fits one reducer. Rank error ≤ 1/`accuracy`;
+    * at the default 10⁴ the percentiles are exact whenever #keys < 10⁴
+    * (the `diag_token_skew_approx` oracle grades the bounded-error
+    * contract explicitly). Same output shape as [[keySkew]]. */
+  def keySkewApprox(df: DataFrame, keyCol: String, scale: Int = 6,
+                    accuracy: Int = 10000): DataFrame =
+    skewProfile(df, keyCol, scale,
+      percentile_approx(col("_c"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(accuracy)))
+
+  private def skewProfile(df: DataFrame, keyCol: String, scale: Int,
+                          percentiles: org.apache.spark.sql.Column): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
     counts.agg(
         count(lit(1)).as("n_keys"),
         sum(col("_c")).as("total_rows"),
         max(col("_c")).as("max_key_rows"),
-        expr("percentile(_c, array(0.5, 0.9, 0.99))").as("_p"))
+        percentiles.as("_p"))
       .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
         graft.functions.Num.stableRound(
           col("max_key_rows") / col("total_rows"), scale).as("top1_share"),
@@ -56,7 +75,16 @@ object Diagnostics {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("key_rows"))
-    val total = counts.agg(sum(col("key_rows"))).head().getLong(0)
+    // sum over zero rows is NULL — coalesce so an empty input yields an
+    // empty result instead of a ROW_VALUE_IS_NULL crash on getLong.
+    val total =
+      counts.agg(coalesce(sum(col("key_rows")), lit(0L))).head().getLong(0)
+    if (total == 0L) {
+      return counts.sparkSession.emptyDataFrame
+        .select(lit(0).as("rank"), lit("").as("key"),
+          lit(0L).as("key_rows"), lit(0.0).as("cum_share"))
+        .limit(0)
+    }
     val top = counts.orderBy(col("key_rows").desc, col("key").asc).limit(topN)
     val w = Window.orderBy(col("key_rows").desc, col("key").asc)
     top

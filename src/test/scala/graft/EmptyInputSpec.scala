@@ -46,6 +46,12 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("left_id", "right_id", "cos")
     assert(Similarity.topKCosine(emptyVec, emptyVec, 3).isEmpty)
     assert(Similarity.cslsRerank(emptyCand, 3, 5).isEmpty)
+    assert(Similarity.nicdmRerank(emptyCand, 3, 5).isEmpty)
+    assert(Similarity.localScalingRerank(emptyCand, 3, 5).isEmpty)
+    assert(Similarity.mutualProximityRerank(emptyCand, 3).isEmpty)
+    // approx skew profile: same empty contract as keySkew/heavyHitters
+    assert(graft.relational.Diagnostics.keySkewApprox(
+      emptyCand.select(col("left_id").as("key")), "key").count() == 1)
   }
 
   test("SVD-backed encoders pass empty frames through") {
