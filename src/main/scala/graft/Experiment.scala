@@ -6,6 +6,7 @@ import graft.blockers._
 import graft.core.{BlockingDataset, Blocks}
 import graft.encoders.{CachedEncoder, FrameEncoder, HashTokenEncoder}
 import graft.eval.Evaluation
+import graft.similarity.Similarity
 
 /** User-facing experiment front door — the Spark shape of the reference's
   * chained click CLI (experiment.py:481-567 `process_pipeline`: load
@@ -18,7 +19,9 @@ import graft.eval.Evaluation
   *   [--format parquet|csv|json|openea] [--metrics /tmp/metrics.json] \
   *   [--append-metrics /tmp/runs.jsonl] [--eval-only /tmp/blocks/blocks] \
   *   [--embeddings /tmp/emb] [--force-encode] \
-  *   [--sample-mod N] [--no-clean] [--no-write] [blocker params...]
+  *   [--sample-mod N] [--no-clean] [--no-write] \
+  *   [--hubness csls|nicdm|ls|mp] [--hubness-candidates N] \
+  *   [blocker params...]
   * }}}
   *
   * `--eval-only <blocks-dir>` re-scores previously written blocks without
@@ -60,6 +63,10 @@ object Experiment {
       bucketed: Option[Int] = None,
       strategy: String = "brute",
       sinkhorn: Int = 0,
+      // kiez hubness surface (blockbuilder.py:107-167): method + the
+      // n_candidates searched before reduction keeps k
+      hubness: Option[String] = None,
+      hubnessCandidates: Int = 10,
       // blocker params (reference experiment.py:659-1560 option surface)
       key: String = "",
       q: Int = 3,
@@ -122,7 +129,9 @@ object Experiment {
       c.topNA, c.topNR)
     case "embedding-knn" =>
       EmbeddingKnnBlocker(enc, c.k,
-        sinkhornIterations = c.sinkhorn, strategy = annStrategy(c))
+        sinkhornIterations = c.sinkhorn, strategy = annStrategy(c),
+        hubness = c.hubness.map(Similarity.HubnessReduction.byName(_)),
+        hubnessCandidates = c.hubnessCandidates)
     case "composite-embedding" => CompositeEmbeddingBlocker(
       enc, c.k, strategy = annStrategy(c),
       topNA = c.topNA, topNR = c.topNR,
@@ -201,6 +210,8 @@ object Experiment {
       bucketed = m.get("bucketed").map(_.toInt),
       strategy = m.getOrElse("strategy", "brute"),
       sinkhorn = m.getOrElse("sinkhorn", "0").toInt,
+      hubness = m.get("hubness"),
+      hubnessCandidates = m.getOrElse("hubness-candidates", "10").toInt,
       key = m.getOrElse("key", ""),
       q = m.getOrElse("q", "3").toInt,
       minTokenLength = m.getOrElse("min-token-length", "3").toInt,

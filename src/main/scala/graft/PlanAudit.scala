@@ -27,6 +27,11 @@ object PlanAudit {
     "a10_dice_tp" -> "one-row scalar assembly after distributed TP set algebra",
     "w5_sinkhorn_rerank" -> "per-block dense re-rank over broadcast-small candidate lists",
     "m13_csls_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "m13_nicdm_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "m13_ls_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "m13_mp_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "ann_ivf_pq_append" -> "centroid table broadcast (one row per IVF bucket) for delta assignment + probe",
+    "diag_token_skew_approx" -> "one-row approx profile crossed with one-row exact rank bounds",
     "m4_sif_pc_embedding" -> "one-row first-PC vector broadcast into the projection",
     "m5_pca_reduce" -> "one-row PCA basis broadcast into the projection",
     "m8_graph_propagation" -> "one-row degree-normalization scalar broadcast",

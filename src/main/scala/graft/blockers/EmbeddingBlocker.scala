@@ -41,7 +41,11 @@ final case class EmbeddingKnnBlocker(
     k: Int = 5,
     sinkhornIterations: Int = 0,
     broadcastRight: Boolean = true,
-    strategy: AnnStrategy = AnnStrategy.Brute) extends Blocker {
+    strategy: AnnStrategy = AnnStrategy.Brute,
+    // kiez contract (blockbuilder.py:107-167): search `hubnessCandidates`
+    // neighbors, hubness-reduce over that candidate graph, keep k
+    hubness: Option[Similarity.HubnessReduction] = None,
+    hubnessCandidates: Int = 10) extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
@@ -65,9 +69,10 @@ final case class EmbeddingKnnBlocker(
          re0.join(cr, re0("id") === cr("_cid"), "left_anti"))
       case None => (le0, re0)
     }
-    val base = strategy match {
+    val kSearch = if (hubness.isDefined) math.max(k, hubnessCandidates) else k
+    val cand = strategy match {
       case AnnStrategy.Brute =>
-        Similarity.topKCosine(le, re, k, broadcastRight)
+        Similarity.topKCosine(le, re, kSearch, broadcastRight)
       case AnnStrategy.Ivf(numBuckets, seed, probes) =>
         // persist: KMeans re-evaluates its input every iteration, and the
         // feature frame is the whole encode pipeline
@@ -76,9 +81,14 @@ final case class EmbeddingKnnBlocker(
           .setFeaturesCol("features").setPredictionCol("_bkt")
           .fit(feat).transform(feat)
           .select(col("_bkt").cast("string").as("bucket"), col("id"), col("vec"))
-        Similarity.ivfTopK(le, bucketed, k, excludeSelf = false, probes = probes)
+        Similarity.ivfTopK(le, bucketed, kSearch, excludeSelf = false, probes = probes)
       case AnnStrategy.SignLsh(numPlanes, planeDims) =>
-        Similarity.lshTopK(le, re, k, numPlanes, planeDims)
+        Similarity.lshTopK(le, re, kSearch, numPlanes, planeDims)
+    }
+    val base = hubness match {
+      case Some(h) =>
+        h.rerank(cand.select("left_id", "right_id", "cos"), k)
+      case None => cand
     }
     val ranked =
       if (sinkhornIterations > 0) {

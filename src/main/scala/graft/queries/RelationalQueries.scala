@@ -535,6 +535,50 @@ object RelationalQueries {
               |  ${Num.stableRoundSql("quantile_cont(c, 0.99) / quantile_cont(c, 0.5)", 6)} AS skew_ratio
               |FROM c""".stripMargin)),
 
+    // The percentile_approx form of diag_token_skew — the variant that
+    // survives a key table too large for the exact single-reducer
+    // percentile. Invariant-graded like ev_hll_users: the deterministic
+    // columns (counts, max, top1 share) are hash-checked exactly; each
+    // approx percentile is checked against the Greenwald–Khanna rank
+    // contract itself (a returned value's rank interval must overlap
+    // q·n ± n/accuracy, +1 for the member-vs-interpolation definition
+    // gap), and the oracle asserts those flags are all true. Rank
+    // counting, not value bounds — value bounds collapse when #keys is
+    // small enough that one rank step exceeds the ±ε·n window.
+    "diag_token_skew_approx" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(explode(graft.functions.Text.tokenize(col("text"))).as("key"))
+        val approx = graft.relational.Diagnostics.keySkewApprox(toks, "key")
+        val ranks = toks.groupBy(col("key")).agg(count(lit(1)).as("_c"))
+          .crossJoin(broadcast(approx.select(col("p50"), col("p90"), col("p99"))))
+          .agg(
+            sum(when(col("_c") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("_c") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("_c") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+            sum(when(col("_c") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+            sum(when(col("_c") < col("p99"), 1L).otherwise(0L)).as("lt99"),
+            sum(when(col("_c") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+        def rankOk(q: Double, lt: String, le: String) = {
+          val target = lit(q) * col("n_keys")
+          val err = col("n_keys") / lit(10000.0) + lit(1.0)
+          (col(lt) <= target + err) && (col(le) >= target - err)
+        }
+        approx.crossJoin(broadcast(ranks))
+          .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
+            col("top1_share"),
+            rankOk(0.5, "lt50", "le50").as("p50_ok"),
+            rankOk(0.9, "lt90", "le90").as("p90_ok"),
+            rankOk(0.99, "lt99", "le99").as("p99_ok"))
+      },
+      Some(s"""WITH t AS (${duckTokens("doc_id", "text", "documents")}),
+              |c AS (SELECT key, count(*) AS c FROM t GROUP BY 1)
+              |SELECT count(*) AS n_keys, sum(c)::bigint AS total_rows,
+              |  max(c)::bigint AS max_key_rows,
+              |  ${Num.stableRoundSql("max(c)::double / sum(c)", 6)} AS top1_share,
+              |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+              |FROM c""".stripMargin)),
+
     "diag_heavy_hitters" -> QueryDef(
       (s, dir) => graft.relational.Diagnostics.heavyHitters(
         table(s, dir, "documents")

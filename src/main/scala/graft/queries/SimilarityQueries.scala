@@ -35,6 +35,39 @@ object SimilarityQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
 
+  /** Shared brute-force candidate graph for the m13 hubness-reduction
+    * family: top-10 cosine candidates, even vec_ids querying odd. */
+  private def m13Candidates(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val l = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val r = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.topKCosine(l, r, 10)
+  }
+
+  /** The DuckDB side of [[m13Candidates]]: CTE chain ending in
+    * `cand(left_id, right_id, cos)` — prepend as `WITH $knnCandCtesSql,
+    * ...`. Identical to the inline chain in m13_csls_knn's oracle. */
+  private lazy val knnCandCtesSql: String =
+    s"""expl AS (
+       |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+       |  FROM embeddings, range(1, 65) i(i)),
+       |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, sum(a.v * b.v) AS dot
+       |  FROM expl a JOIN expl b ON a.i = b.i
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT left_id, right_id, dot / (na.nrm * nb.nrm) AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = left_id
+       |            JOIN norms nb ON nb.vec_id = right_id),
+       |cand AS (
+       |  SELECT left_id, right_id, cos FROM (
+       |    SELECT left_id, right_id, cos, row_number() OVER (
+       |      PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS r
+       |    FROM scored) WHERE r <= 10)""".stripMargin
+
   /** IVF-PQ top-k oracle — shared by `ann_ivf_pq_topk` (direct operator)
     * and `ann_ivf_pq_saved` (build -> save -> load -> search round-trip):
     * identical semantics by construction, so one SQL serves both. */
@@ -314,6 +347,101 @@ object SimilarityQueries {
              |SELECT left_id, rank::int AS rank, right_id, floor((csls) * 1e6 + 0.5) / 1e6 AS csls
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // ---- M13 non-CSLS hubness reduction (kiez parity) ---------------------
+    // the other reduction methods kiez layers over any NN algorithm
+    // (reference blockers/embedding/blockbuilder.py:107-167): NICDM
+    // (mean-local-scale distance rescale), local scaling (exp kernel on
+    // the scaleK-th NN distance), and empiric mutual proximity (pure
+    // rank-based joint farther-probability). All share the brute top-10
+    // candidate graph with m13_csls_knn.
+    "m13_nicdm_knn" -> QueryDef(
+      (s, dir) => {
+        Similarity.nicdmRerank(m13Candidates(s, dir), k = 3, scaleK = 5,
+            rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("nicdm"), 6).as("nicdm"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH $knnCandCtesSql,
+             |mul AS (
+             |  SELECT left_id, avg(1 - cos) AS mq FROM (
+             |    SELECT left_id, cos, row_number() OVER (
+             |      PARTITION BY left_id ORDER BY (1 - cos) ASC, right_id ASC) AS r
+             |    FROM cand) WHERE r <= 5 GROUP BY left_id),
+             |mur AS (
+             |  SELECT right_id, avg(1 - cos) AS mt FROM (
+             |    SELECT right_id, cos, row_number() OVER (
+             |      PARTITION BY right_id ORDER BY (1 - cos) ASC, left_id ASC) AS r
+             |    FROM cand) WHERE r <= 5 GROUP BY right_id),
+             |sc AS (
+             |  SELECT c.left_id, c.right_id,
+             |         CASE WHEN mul.mq * mur.mt <= 0 THEN 1 - c.cos
+             |              ELSE (1 - c.cos) / sqrt(mul.mq * mur.mt) END AS nicdm
+             |  FROM cand c JOIN mul USING (left_id) JOIN mur USING (right_id)),
+             |ranked AS (SELECT left_id, right_id, nicdm, row_number() OVER (
+             |    PARTITION BY left_id
+             |    ORDER BY floor((nicdm) * 1e6 + 0.5) / 1e6 ASC, right_id ASC) AS rank
+             |  FROM sc)
+             |SELECT left_id, rank::int AS rank, right_id,
+             |       floor((nicdm) * 1e6 + 0.5) / 1e6 AS nicdm
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    "m13_ls_knn" -> QueryDef(
+      (s, dir) => {
+        Similarity.localScalingRerank(m13Candidates(s, dir), k = 3, scaleK = 5,
+            rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("ls"), 6).as("ls"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH $knnCandCtesSql,
+             |sgl AS (
+             |  SELECT left_id, (1 - cos) AS sq FROM (
+             |    SELECT left_id, cos, row_number() OVER (
+             |      PARTITION BY left_id ORDER BY (1 - cos) ASC, right_id ASC) AS r
+             |    FROM cand) WHERE r = 5),
+             |sgr AS (
+             |  SELECT right_id, (1 - cos) AS st FROM (
+             |    SELECT right_id, cos, row_number() OVER (
+             |      PARTITION BY right_id ORDER BY (1 - cos) ASC, left_id ASC) AS r
+             |    FROM cand) WHERE r = 5),
+             |sc AS (
+             |  SELECT c.left_id, c.right_id,
+             |         CASE WHEN sgl.sq * sgr.st <= 0
+             |              THEN CASE WHEN (1 - c.cos) <= 0 THEN 1.0 ELSE 0.0 END
+             |              ELSE exp(-((1 - c.cos) * (1 - c.cos)) / (sgl.sq * sgr.st))
+             |         END AS ls
+             |  FROM cand c JOIN sgl USING (left_id) JOIN sgr USING (right_id)),
+             |ranked AS (SELECT left_id, right_id, ls, row_number() OVER (
+             |    PARTITION BY left_id
+             |    ORDER BY floor((ls) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
+             |  FROM sc)
+             |SELECT left_id, rank::int AS rank, right_id,
+             |       floor((ls) * 1e6 + 0.5) / 1e6 AS ls
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    "m13_mp_knn" -> QueryDef(
+      (s, dir) => {
+        Similarity.mutualProximityRerank(m13Candidates(s, dir), k = 3)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("mp"), 6).as("mp"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH $knnCandCtesSql,
+             |sc AS (
+             |  SELECT left_id, right_id, cos,
+             |         ((rank() OVER (PARTITION BY left_id ORDER BY cos ASC)) - 1)::double
+             |           / (count(*) OVER (PARTITION BY left_id))
+             |         * ((rank() OVER (PARTITION BY right_id ORDER BY cos ASC)) - 1)::double
+             |           / (count(*) OVER (PARTITION BY right_id)) AS mp
+             |  FROM cand),
+             |ranked AS (SELECT left_id, right_id, mp, row_number() OVER (
+             |    PARTITION BY left_id ORDER BY mp DESC, cos DESC, right_id ASC) AS rank
+             |  FROM sc)
+             |SELECT left_id, rank::int AS rank, right_id,
+             |       floor((mp) * 1e6 + 0.5) / 1e6 AS mp
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- IVF kNN: label buckets, nearest-centroid probe -------------------
     "ann_ivf_label" -> QueryDef(
       (s, dir) => {
@@ -491,8 +619,12 @@ object SimilarityQueries {
         val bucketed = e.filter(col("vec_id") % 2 === 1)
           .select(col("label").cast("string").as("bucket"),
             col("vec_id").as("id"), col("embedding").as("vec"))
-        val path = sys.props("java.io.tmpdir") +
-          s"/graft_ivfpq_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // per-run temp dir: two concurrent runs against the same dataset
+        // must not race on one fixed path (cleanup is the tmp policy's —
+        // the index must outlive this lambda because search scans the
+        // saved parquet lazily, when the driver evaluates the result)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_index_").toString
         IndexStore.save(IndexStore.buildIvfPq(bucketed), path)
         IndexStore.search(q, IndexStore.load(s, path), 3, rankScale = 6)
           .select(col("left_id"), col("rank"), col("right_id"),
@@ -500,6 +632,97 @@ object SimilarityQueries {
           .orderBy("left_id", "rank")
       },
       Some(ivfPqTopkSql)),
+
+    // ---- incremental ingest: assignBuckets -> appendIvfPq -> search -------
+    // the daily-arrivals serving contract: the index is built on the base
+    // corpus (odd ids with vec_id % 4 = 1), the delta (% 4 = 3) arrives
+    // BUCKETLESS, is routed to its nearest existing IVF cell by
+    // assignBuckets, and appendIvfPq encodes it against the FIXED base
+    // geometry — only the delta pays encode cost. The oracle replays the
+    // whole path: base-split centroids, nearest-centroid delta
+    // assignment, PQ codes over the full odd corpus (bucket-independent
+    // in non-residual mode), then the standard probe/ADC query plan.
+    "ann_ivf_pq_append" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val base = e.filter(col("vec_id") % 4 === 1)
+          .select(col("label").cast("string").as("bucket"),
+            col("vec_id").as("id"), col("embedding").as("vec"))
+        val delta = e.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val baseIdx = IndexStore.buildIvfPq(base)
+        val appended = IndexStore.appendIvfPq(baseIdx,
+          IndexStore.assignBuckets(delta, baseIdx))
+        IndexStore.search(q, appended, 3, rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("adc"), 6).as("adc"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH bexpl AS (
+              |  SELECT vec_id, label, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 4 = 1),
+              |cents AS (SELECT label, i, avg(v) AS c FROM bexpl GROUP BY label, i),
+              |cnorms AS (SELECT label, sqrt(sum(c*c)) AS nrm FROM cents GROUP BY label),
+              |dexpl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 4 = 3),
+              |dnorms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM dexpl GROUP BY vec_id),
+              |ddots AS (
+              |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+              |  FROM dexpl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |dassign AS (SELECT vec_id, label FROM (
+              |  SELECT d.vec_id, d.label, row_number() OVER (PARTITION BY d.vec_id
+              |      ORDER BY d.dot / (n.nrm * cn.nrm) DESC, d.label::varchar ASC) AS rn
+              |  FROM ddots d JOIN dnorms n ON n.vec_id = d.vec_id
+              |               JOIN cnorms cn ON cn.label = d.label) WHERE rn = 1),
+              |buckets AS (
+              |  SELECT vec_id, label FROM embeddings WHERE vec_id % 4 = 1
+              |  UNION ALL SELECT vec_id, label FROM dassign),
+              |qexpl AS (
+              |  SELECT vec_id, i.i AS i, embedding[i.i]::double AS v
+              |  FROM embeddings, range(1, 65) i(i) WHERE vec_id % 2 = 0),
+              |qnorms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM qexpl GROUP BY vec_id),
+              |qdots AS (
+              |  SELECT e.vec_id, c.label, sum(e.v * c.c) AS dot
+              |  FROM qexpl e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+              |assign AS (SELECT vec_id AS left_id, label FROM (
+              |  SELECT q.vec_id, q.label, row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY q.dot / (n.nrm * cn.nrm) DESC, q.label::varchar ASC) AS rn
+              |  FROM qdots q JOIN qnorms n ON n.vec_id = q.vec_id
+              |               JOIN cnorms cn ON cn.label = q.label) WHERE rn = 1),
+              |g AS (
+              |  SELECT vec_id, s.s AS s, c.c AS c,
+              |         floor((sum(power(embedding[s.s*8 + d.d + 1]::double
+              |             - ${Similarity.pqComponentSql("s.s", "c.c", "d.d")}), 2))) * 1e6 + 0.5) / 1e6 AS dist
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 1 GROUP BY 1, 2, 3),
+              |codes AS (
+              |  SELECT g2.vec_id AS right_id, b.label, g2.s, g2.c FROM (
+              |    SELECT vec_id, s, c, row_number() OVER (
+              |        PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              |    FROM g) g2 JOIN buckets b ON b.vec_id = g2.vec_id
+              |  WHERE g2.rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS left_id, s.s AS s, c.c AS c,
+              |         sum(embedding[s.s*8 + d.d + 1]::double
+              |             * ${Similarity.pqComponentSql("s.s", "c.c", "d.d")})) AS part
+              |  FROM embeddings, range(0, 8) s(s), range(0, 16) c(c), range(0, 8) d(d)
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT a.left_id, cd.right_id, sum(l.part) AS adc
+              |  FROM assign a
+              |  JOIN codes cd ON cd.label = a.label
+              |  JOIN lut l ON l.left_id = a.left_id AND l.s = cd.s AND l.c = cd.c
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT left_id, right_id, adc, row_number() OVER (
+              |      PARTITION BY left_id
+              |      ORDER BY floor((adc) * 1e6 + 0.5) / 1e6 DESC, right_id ASC) AS rank
+              |  FROM scored)
+              |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
+              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // ---- streaming ANN serving (batch form of the stateful operator) ------
     // same semantics as ann_ivf_pq_topk through the streaming-safe plan

@@ -254,6 +254,149 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** NICDM hubness reduction (non-iterative contextual dissimilarity
+    * measure, Jégou et al. CVPR 2007 — kiez's "nicdm" method,
+    * `blockers/embedding/blockbuilder.py:107-167` reaches it through the
+    * kiez registry): rescale each candidate distance by the local
+    * distance scale of BOTH endpoints,
+    *
+    *   d'(q,x) = d(q,x) / sqrt(μ_s(q) · μ_s(x)),   d = 1 − cos,
+    *
+    * with μ_s = mean distance to the `scaleK` nearest candidates (the
+    * reverse view on the right side, like [[cslsRerank]]). A hub with a
+    * small local scale gets its distances inflated; an anti-hub
+    * deflated. Zero local scale (exact-duplicate neighborhoods) falls
+    * back to the raw distance rather than dividing by zero. Same
+    * candidate-stream contract and O(candidates) cost as [[cslsRerank]];
+    * output re-ranks per left id by ascending `nicdm`. */
+  def nicdmRerank(candidates: DataFrame, k: Int, scaleK: Int,
+                  rankScale: Int = -1): DataFrame = {
+    val cand = candidates.select(col("left_id"), col("right_id"), col("cos"),
+      (lit(1.0) - col("cos")).as("_d")).persist()
+    val wL = Window.partitionBy("left_id").orderBy(col("_d").asc, col("right_id").asc)
+    val wR = Window.partitionBy("right_id").orderBy(col("_d").asc, col("left_id").asc)
+    val muL = cand.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") <= scaleK)
+      .groupBy("left_id").agg(avg("_d").as("_mq"))
+    val muR = cand.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= scaleK)
+      .groupBy("right_id").agg(avg("_d").as("_mt"))
+    val scored = cand.join(muL, Seq("left_id")).join(muR, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("cos"),
+        when(col("_mq") * col("_mt") <= 0, col("_d"))
+          .otherwise(col("_d") / sqrt(col("_mq") * col("_mt"))).as("nicdm"))
+    val rankKey =
+      if (rankScale >= 0) Num.stableRound(col("nicdm"), rankScale)
+      else col("nicdm")
+    val w = Window.partitionBy("left_id")
+      .orderBy(rankKey.asc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Local-scaling hubness reduction (Zelnik-Manor & Perona NIPS 2004 —
+    * kiez's "ls" method): similarity rescaled by the distance to each
+    * endpoint's `scaleK`-th nearest candidate,
+    *
+    *   s'(q,x) = exp(−d(q,x)² / (σ(q) · σ(x))),   d = 1 − cos,
+    *
+    * σ = the `scaleK`-th smallest candidate distance (NOT the mean —
+    * that's [[nicdmRerank]]). Zero σ (duplicate neighborhoods) falls
+    * back to s' = 1 for d = 0 / s' = 0 otherwise via a guarded division.
+    * Output re-ranks per left id by descending `ls`. */
+  def localScalingRerank(candidates: DataFrame, k: Int, scaleK: Int,
+                         rankScale: Int = -1): DataFrame = {
+    val cand = candidates.select(col("left_id"), col("right_id"), col("cos"),
+      (lit(1.0) - col("cos")).as("_d")).persist()
+    val wL = Window.partitionBy("left_id").orderBy(col("_d").asc, col("right_id").asc)
+    val wR = Window.partitionBy("right_id").orderBy(col("_d").asc, col("left_id").asc)
+    val sigL = cand.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") === scaleK).select(col("left_id"), col("_d").as("_sq"))
+    val sigR = cand.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") === scaleK).select(col("right_id"), col("_d").as("_st"))
+    // inner joins: a side with < scaleK candidates has no σ row and its
+    // pairs drop out — kiez's fit on the candidate graph has the same
+    // n_candidates floor
+    val scored = cand.join(sigL, Seq("left_id")).join(sigR, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("cos"),
+        when(col("_sq") * col("_st") <= 0,
+          when(col("_d") <= 0, lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(exp(-(col("_d") * col("_d")) / (col("_sq") * col("_st"))))
+          .as("ls"))
+    val rankKey =
+      if (rankScale >= 0) Num.stableRound(col("ls"), rankScale) else col("ls")
+    val w = Window.partitionBy("left_id")
+      .orderBy(rankKey.desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Empiric mutual proximity (Schnitzer et al. JMLR 2012 — kiez's "mp"
+    * with method="empiric"): re-score a pair by the joint probability
+    * that a random candidate of each endpoint lies FARTHER than the
+    * other endpoint,
+    *
+    *   MP(q,x) = |{z ∈ C(q): d(q,z) > d(q,x)}| / |C(q)|
+    *           · |{z ∈ C(x): d(x,z) > d(x,q)}| / |C(x)|,
+    *
+    * over the candidate graph (reverse view on the right side). Strictly
+    * rank-based — no distance arithmetic survives, which is what makes
+    * MP immune to heterogeneous density. Computed with one `rank()` per
+    * side: ascending-cos rank − 1 = #strictly-farther (ties collapse,
+    * exactly the empirical P(D > d)). Higher MP = closer; re-ranks per
+    * left id by descending `mp`, ties on raw cos then right id. */
+  def mutualProximityRerank(candidates: DataFrame, k: Int): DataFrame = {
+    val cand = candidates.select("left_id", "right_id", "cos").persist()
+    val scored = cand
+      .withColumn("_fq",
+        (rank().over(Window.partitionBy("left_id").orderBy(col("cos").asc)) - 1)
+          .cast("double") /
+          count(lit(1)).over(Window.partitionBy("left_id")))
+      .withColumn("_ft",
+        (rank().over(Window.partitionBy("right_id").orderBy(col("cos").asc)) - 1)
+          .cast("double") /
+          count(lit(1)).over(Window.partitionBy("right_id")))
+      .select(col("left_id"), col("right_id"), col("cos"),
+        (col("_fq") * col("_ft")).as("mp"))
+    val w = Window.partitionBy("left_id")
+      .orderBy(col("mp").desc, col("cos").desc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Named hubness-reduction method over a (left_id, right_id, cos)
+    * candidate stream — the knob [[graft.blockers.EmbeddingKnnBlocker]]
+    * exposes, mirroring kiez's `hubness=` argument (reference
+    * blockers/embedding/blockbuilder.py:107-167: search n_candidates,
+    * reduce, keep n_neighbors). Every method returns the reranked top-k
+    * with `left_id`, `right_id`, `cos` and its own score column. */
+  sealed trait HubnessReduction {
+    def rerank(candidates: DataFrame, k: Int): DataFrame
+  }
+  object HubnessReduction {
+    final case class Csls(scaleK: Int = 5) extends HubnessReduction {
+      def rerank(c: DataFrame, k: Int): DataFrame = cslsRerank(c, k, scaleK)
+    }
+    final case class Nicdm(scaleK: Int = 5) extends HubnessReduction {
+      def rerank(c: DataFrame, k: Int): DataFrame = nicdmRerank(c, k, scaleK)
+    }
+    final case class LocalScaling(scaleK: Int = 5) extends HubnessReduction {
+      def rerank(c: DataFrame, k: Int): DataFrame =
+        localScalingRerank(c, k, scaleK)
+    }
+    case object MutualProximity extends HubnessReduction {
+      def rerank(c: DataFrame, k: Int): DataFrame =
+        mutualProximityRerank(c, k)
+    }
+    /** kiez-style string names, for the CLI: csls | nicdm | ls | mp. */
+    def byName(name: String, scaleK: Int = 5): HubnessReduction =
+      name match {
+        case "csls"  => Csls(scaleK)
+        case "nicdm" => Nicdm(scaleK)
+        case "ls"    => LocalScaling(scaleK)
+        case "mp"    => MutualProximity
+        case other => throw new IllegalArgumentException(
+          s"unknown hubness method '$other'; known: csls, nicdm, ls, mp")
+      }
+  }
+
   /** Scale path of [[selfJoinNearDup]]: only pairs sharing a sign-LSH
     * bucket are compared — the self-join becomes an equi-join on the
     * bucket key (shuffle, no nested loop). Recall is bounded by bucket

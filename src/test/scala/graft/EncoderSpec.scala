@@ -105,6 +105,24 @@ class EncoderSpec extends SparkSpec {
     }
   }
 
+  test("EmbeddingKnnBlocker hubness knob reranks over the widened candidate graph") {
+    import graft.similarity.Similarity.HubnessReduction
+    for (h <- Seq(HubnessReduction.Csls(3), HubnessReduction.Nicdm(3),
+        HubnessReduction.LocalScaling(3), HubnessReduction.MutualProximity)) {
+      val b = EmbeddingKnnBlocker(HashTokenEncoder(8), k = 2,
+          hubness = Some(h), hubnessCandidates = 4)
+        .assign(tableA, tableB)
+      val m = blockMap(b)
+      assert(m.size == 5, s"$h: one block per left entity")
+      m.foreach { case (key, (l, r)) =>
+        assert(l == Set(key) && r.size <= 2 && r.nonEmpty, s"$h: $key")
+      }
+    }
+    // byName round-trip + unknown-name loudness
+    assert(HubnessReduction.byName("nicdm", 7) == HubnessReduction.Nicdm(7))
+    intercept[IllegalArgumentException] { HubnessReduction.byName("dsl") }
+  }
+
   test("Sinkhorn preserves the candidate set and positivity") {
     val cand = Seq(
       ("l1", "r1", 0.9), ("l1", "r2", 0.5),

@@ -433,4 +433,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mutual proximity is invariant under monotone transforms of cos; nicdm under distance scaling") {
+    import org.apache.spark.sql.functions._
+    val candGen = for {
+      nl <- Gen.choose(2, 4)
+      nr <- Gen.choose(3, 6)
+      // distinct cos per (l, r) pair via a bijective-ish rational grid —
+      // keeps tie structure identical across engines and transforms
+      rows <- Gen.listOfN(nl * nr, Gen.choose(-900, 900))
+    } yield {
+      val pairs = for { l <- 0 until nl; r <- 0 until nr } yield (l, r)
+      pairs.zip(rows).map { case ((l, r), c) => (s"l$l", s"r$r", c / 1000.0) }
+    }
+    forAll(candGen) { rows =>
+      val cand = rows.toDF("left_id", "right_id", "cos")
+      def ranks(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
+        df.select("left_id", "rank", "right_id").orderBy("left_id", "rank")
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      // MP is pure rank arithmetic: x → x/3 + 2 (strictly increasing)
+      // preserves every per-partition rank, hence every MP score ratio
+      val mp = ranks(graft.similarity.Similarity.mutualProximityRerank(cand, 3))
+      val mpT = ranks(graft.similarity.Similarity.mutualProximityRerank(
+        cand.withColumn("cos", col("cos") / 3 + 2), 3))
+      assert(mpT == mp, "MP must be invariant under a monotone cos transform")
+      // NICDM: scaling every distance by c > 0 cancels in d/sqrt(μμ).
+      // cos' = 1 − 4·(1 − cos) scales d by 4 exactly in binary floats
+      val nd = ranks(graft.similarity.Similarity.nicdmRerank(cand, 3, 2))
+      val ndT = ranks(graft.similarity.Similarity.nicdmRerank(
+        cand.withColumn("cos", lit(1.0) - (lit(1.0) - col("cos")) * 4), 3, 2))
+      assert(ndT == nd, "NICDM ranking must be invariant under distance scaling")
+    }
+  }
 }

@@ -315,4 +315,39 @@ class SimilaritySpec extends SparkSpec {
     assert(curve(2) == 1.0, s"probes=2 covers the whole corpus: $curve")
     assert(curve(1) <= curve(2), "recall must be monotone in probes")
   }
+
+  test("nicdm/ls/mp hubness reranks match hand-computed values") {
+    // asymmetric candidate graph: l1 sees 3 rights, l2 sees 2; r3 has a
+    // single candidate (exercises the scaleK floor each method documents)
+    val cand = Seq(
+      ("l1", "r1", 0.9), ("l1", "r2", 0.8), ("l1", "r3", 0.5),
+      ("l2", "r1", 0.7), ("l2", "r2", 0.6)).toDF("left_id", "right_id", "cos")
+    def rows(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.select(col("left_id"), col("right_id"), col("rank"), col(score))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getInt(2), r.getDouble(3)))).toMap
+
+    // μ_2(l1)=.15 μ_2(l2)=.35 μ_2(r1)=.2 μ_2(r2)=.3 μ_1..(r3)=.5
+    val nicdm = rows(graft.similarity.Similarity.nicdmRerank(cand, 3, 2), "nicdm")
+    assert(math.abs(nicdm(("l1", "r1"))._2 - 0.1 / math.sqrt(0.15 * 0.2)) < 1e-9)
+    assert(math.abs(nicdm(("l1", "r3"))._2 - 0.5 / math.sqrt(0.15 * 0.5)) < 1e-9)
+    assert(math.abs(nicdm(("l2", "r2"))._2 - 0.4 / math.sqrt(0.35 * 0.3)) < 1e-9)
+    assert(nicdm(("l1", "r1"))._1 == 1 && nicdm(("l1", "r3"))._1 == 3)
+
+    // σ_2: l1=.2 l2=.4 r1=.3 r2=.4; r3 has <2 candidates → its pair drops
+    val ls = rows(graft.similarity.Similarity.localScalingRerank(cand, 3, 2), "ls")
+    assert(!ls.contains(("l1", "r3")))
+    assert(math.abs(ls(("l1", "r1"))._2 - math.exp(-0.01 / (0.2 * 0.3))) < 1e-9)
+    assert(math.abs(ls(("l2", "r2"))._2 - math.exp(-0.16 / (0.4 * 0.4))) < 1e-9)
+    assert(ls(("l1", "r1"))._1 == 1 && ls(("l2", "r1"))._1 == 1)
+
+    // rank-based farther fractions: MP(l1,r1)=2/3·1/2, MP(l1,r2)=1/3·1/2,
+    // MP(l1,r3)=0; both l2 pairs 0 (tie broken by raw cos desc)
+    val mp = rows(graft.similarity.Similarity.mutualProximityRerank(cand, 3), "mp")
+    assert(math.abs(mp(("l1", "r1"))._2 - 1.0 / 3) < 1e-9)
+    assert(math.abs(mp(("l1", "r2"))._2 - 1.0 / 6) < 1e-9)
+    assert(mp(("l1", "r3"))._2 == 0.0 && mp(("l2", "r1"))._2 == 0.0)
+    assert(mp(("l1", "r1"))._1 == 1 && mp(("l2", "r1"))._1 == 1
+      && mp(("l2", "r2"))._1 == 2)
+  }
 }
