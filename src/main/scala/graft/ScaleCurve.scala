@@ -136,12 +136,18 @@ object ScaleCurve {
       }),
       // cross-doc span family: the boilerplate paragraph is shared by a
       // fifth of all docs, so maxDocFreq=cap intercepts it pre-span
+      "crossdoc_spans" -> (() =>
+        Dedup.crossDocSpans(docs, "id", "text", 8, maxDocFreq = cap).count()),
+      // count docs that LOST tokens, not rows: a bare count() lets
+      // Catalyst eliminate the unique-key left join (and with it the
+      // whole coverage computation), measuring nothing
       "crossdoc_cut" -> (() =>
-        Dedup.crossDocCut(docs, "id", "text", 8, maxDocFreq = cap).count()))
+        Dedup.crossDocCut(docs, "id", "text", 8, maxDocFreq = cap)
+          .filter(col("n_kept") < col("n_tokens")).count()))
 
     val opNames = Seq("winnow_pairs_capped", "incremental_sig",
       "incremental_neardup", "keep_best", "pagerank_hubbed",
-      "tfidf_token_blocker", "crossdoc_cut")
+      "tfidf_token_blocker", "crossdoc_spans", "crossdoc_cut")
     val results = factors.map { copies =>
       val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
         .persist()
