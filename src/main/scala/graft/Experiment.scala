@@ -135,7 +135,9 @@ object Experiment {
     case "composite-embedding" => CompositeEmbeddingBlocker(
       enc, c.k, strategy = annStrategy(c),
       topNA = c.topNA, topNR = c.topNR,
-      minTokenLength = c.minTokenLength)
+      minTokenLength = c.minTokenLength,
+      hubness = c.hubness.map(Similarity.HubnessReduction.byName(_)),
+      hubnessCandidates = c.hubnessCandidates)
     case "relational-deepblocker" => CompositeRelationalDeepBlocker(
       enc, c.k, c.topNA, c.topNR,
       minTokenLength = c.minTokenLength)

@@ -25,10 +25,14 @@ object CompositeEmbeddingBlocker {
       strategy: AnnStrategy = AnnStrategy.Brute,
       topNA: Option[Int] = None,
       topNR: Option[Int] = None,
-      minTokenLength: Int = 3): CompositeUniqueNameBlocker =
+      minTokenLength: Int = 3,
+      hubness: Option[graft.similarity.Similarity.HubnessReduction] = None,
+      hubnessCandidates: Int = 10): CompositeUniqueNameBlocker =
     CompositeUniqueNameBlocker(
       attributeBlocker = TokenBlocker(minTokenLength),
-      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k, strategy = strategy)),
+      relationBlocker = Some(EmbeddingKnnBlocker(encoder, k,
+        strategy = strategy, hubness = hubness,
+        hubnessCandidates = hubnessCandidates)),
       topNA = topNA, topNR = topNR, useUniqueName = true)
 }
 

@@ -214,6 +214,19 @@ class ExperimentSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Experiment.blockerFor(base.copy(strategy = "hnsw"))
     }
+    // --hubness reaches the kNN blocker, directly and through the
+    // composite's relation pass
+    assert(Experiment.blockerFor(base.copy(hubness = Some("nicdm")))
+      .asInstanceOf[graft.blockers.EmbeddingKnnBlocker]
+      .hubness.contains(graft.similarity.Similarity.HubnessReduction.Nicdm(5)))
+    assert(Experiment
+      .blockerFor(base.copy(blocker = "composite-embedding", hubness = Some("mp")))
+      .asInstanceOf[graft.blockers.CompositeUniqueNameBlocker]
+      .relationBlocker.get.asInstanceOf[graft.blockers.EmbeddingKnnBlocker]
+      .hubness.contains(graft.similarity.Similarity.HubnessReduction.MutualProximity))
+    intercept[IllegalArgumentException] {
+      Experiment.blockerFor(base.copy(hubness = Some("dsl")))
+    }
   }
 
   test("--compare emits the A10 dice of the two blockers' TP sets") {
