@@ -239,10 +239,13 @@ object Experiment {
     *    cluster-gold variant);
     *  - `attr_triples_left.parquet` → sylloge normalized parquet cache
     *    (the OAEI-KG-track on-disk shape);
+    *  - `source.{nt,rdf,xml,owl}` → raw OAEI pair directory (RDF dumps +
+    *    Alignment-format reference links, parsed natively by
+    *    [[graft.sources.Rdf.loadOaei]] — no Python pre-pass);
     *  - `--graph-pair` given, or a `[data/]<pair>/attr_triples_1`
     *    subfolder → MovieGraphBenchmark repository layout;
     *  - otherwise a `left.<fmt>`/`right.<fmt>` bundle.
-    * `--format openea|sylloge|moviegraph` forces a branch. */
+    * `--format openea|sylloge|oaei|moviegraph` forces a branch. */
   def loadDataset(spark: SparkSession, c: Config): BlockingDataset = {
     def exists(p: String) = new java.io.File(p).exists()
     def soleMoviePair: Option[String] = {
@@ -253,15 +256,19 @@ object Experiment {
       val nested = pairsIn(s"${c.data}/data")
       (direct ++ nested).distinct match { case Seq(one) => Some(one); case _ => None }
     }
+    def oaeiRaw: Boolean = Seq("nt", "rdf", "xml", "owl")
+      .exists(e => exists(s"${c.data}/source.$e"))
     val fmt =
       if (c.format != "auto") c.format
       else if (exists(s"${c.data}/attr_triples_1")) "openea"
       else if (exists(s"${c.data}/attr_triples_left.parquet")) "sylloge"
+      else if (oaeiRaw) "oaei"
       else if (c.graphPair.isDefined || soleMoviePair.isDefined) "moviegraph"
       else "parquet"
     val ds = fmt match {
       case "openea" => BlockingDataset.loadOpenEA(spark, c.data, clean = c.clean)
       case "sylloge" => BlockingDataset.loadSylloge(spark, c.data, clean = c.clean)
+      case "oaei" => graft.sources.Rdf.loadOaei(spark, c.data, clean = c.clean)
       case "moviegraph" => BlockingDataset.loadMovieGraph(spark, c.data,
         c.graphPair.orElse(soleMoviePair).getOrElse("imdb-tmdb"), clean = c.clean)
       case other => BlockingDataset.load(spark, c.data, other)
@@ -451,7 +458,7 @@ object Experiment {
 
   private val Usage: String =
     s"""usage: graft.Experiment --data <dir> --blocker <name> --out <dir>
-       |  [--format auto|parquet|csv|json|openea|sylloge|moviegraph]
+       |  [--format auto|parquet|csv|json|openea|sylloge|oaei|moviegraph]
        |  [--graph-pair <name>] [--metrics <file>]
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--embeddings <dir>] [--force-encode]

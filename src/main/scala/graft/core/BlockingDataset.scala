@@ -172,9 +172,9 @@ object BlockingDataset {
   /** Loader for the sylloge normalized cache layout — how sylloge
     * materializes ANY of its benchmark families (OpenEA, OAEI KG track,
     * MovieGraphBenchmark) after parsing, and therefore the shape an
-    * OAEI dataset reaches disk in (the raw OAEI interchange is RDF/XML,
-    * which is parsed upstream — a Spark engine consumes the normalized
-    * triple tables):
+    * OAEI dataset reaches disk in once cached (for the RAW OAEI
+    * interchange — RDF dumps + Alignment-format reference links — use
+    * [[graft.sources.Rdf.loadOaei]], which parses them natively):
     *
     * {{{
     *   <dir>/attr_triples_left.parquet    head | relation | tail

@@ -465,4 +465,26 @@ class PropertySpec extends SparkSpec {
       assert(ndT == nd, "NICDM ranking must be invariant under distance scaling")
     }
   }
+
+  test("N-Triples escape/unescape are exact inverses on arbitrary strings") {
+    // mirror of Rdf.toNTriples' regexp_replace chain, in plain Scala
+    def escape(s: String): String = s
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r")
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\\', '"', '\n', '\r', '\t', ' ', 'é', '∀', '中'),
+      Gen.choose(0x20.toChar, 0x7e.toChar))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    samples(strGen, 40).foreach { s =>
+      val enc = escape(s)
+      assert(!enc.contains("\n") && !enc.contains("\r"),
+        "escaped form must be single-line")
+      assert(org.apache.spark.sql.graft.RdfUnescape.decode(enc) === s,
+        s"round-trip failed for ${s.map(_.toInt).mkString(",")}")
+    }
+    // UCHAR forms decode too (the parser accepts more than the writer emits)
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("\\u0041\\U0001F600x") === "A\ud83d\ude00x")
+    // malformed escapes pass through rather than throwing
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("a\\zb\\uZZZZc\\") === "a\\zb\\uZZZZc\\")
+  }
 }
