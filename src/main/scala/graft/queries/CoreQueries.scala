@@ -43,6 +43,45 @@ object CoreQueries {
              |  count(*) AS count_order
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- S1: raw RDF source round-trip ----------------------------------
+    // The N-Triples parse path proven on corpus data: documents are
+    // serialized to N-Triples (escape encoding, per-run temp dir — the
+    // write is part of the measured round-trip), re-parsed by the
+    // distributed line parser (codegen'd RdfUnescape), and pivoted back
+    // to one row per document. Adversarial characters (quote, backslash,
+    // newline, tab, non-ASCII) are injected into every text value so the
+    // escape/unescape path is load-bearing in the hash compare; the
+    // DuckDB oracle reproduces the injected suffix, NOT the round-trip —
+    // byte equality against the original corpus is the whole check.
+    "src_ntriples_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.Rdf
+        val docs = table(s, dir, "documents")
+        val head = concat(lit("http://g/doc/"), col("doc_id"))
+        val triples = docs.select(
+          head.as("head"), lit("http://g/p/text").as("rel"),
+          concat(col("text"), lit("\"\\\n\té")).as("tail"),
+          lit(true).as("is_literal"))
+          .unionByName(docs.select(
+            head.as("head"), lit("http://g/p/source").as("rel"),
+            concat(lit("http://g/src/"), col("source")).as("tail"),
+            lit(false).as("is_literal")))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_nt_rt_").toString + "/nt"
+        Rdf.toNTriples(triples).write.mode("overwrite").text(out)
+        Rdf.loadNTriples(s, out)
+          .groupBy(regexp_extract(col("head"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"))
+          .agg(
+            max(when(col("rel") === "http://g/p/text", col("tail"))).as("text_rt"),
+            max(when(col("rel") === "http://g/p/source", col("tail"))).as("source_rt"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  text || '"\' || chr(10) || chr(9) || 'é' AS text_rt,
+             |  'http://g/src/' || source AS source_rt
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- S1/S2: load + literal cleaning ---------------------------------
     "s2_clean_datatype" -> QueryDef(
       (s, dir) => table(s, dir, "customer")
