@@ -143,11 +143,25 @@ object ScaleCurve {
       // whole coverage computation), measuring nothing
       "crossdoc_cut" -> (() =>
         Dedup.crossDocCut(docs, "id", "text", 8, maxDocFreq = cap)
-          .filter(col("n_kept") < col("n_tokens")).count()))
+          .filter(col("n_kept") < col("n_tokens")).count()),
+      // full curation funnel: the benchmark side stays FIXED (src0 of the
+      // base dir) while the corpus grows — the eval-suite-sized broadcast
+      // contract at 100 TB. Counting the DROPPED docs forces every
+      // stage's signal (a bare count() would let Catalyst eliminate the
+      // row-preserving left joins).
+      "curation_verdicts" -> (() =>
+        graft.text.Curation.verdicts(
+            docs,
+            spark.read.parquet(s"$dir/documents.parquet")
+              .filter(col("source") === "src0")
+              .select(col("doc_id").cast("string").as("id"), col("text")),
+            "id", "text", allowedLangs = Seq("en", "de", "fr"), contamN = 4)
+          .filter(!col("keep")).count()))
 
     val opNames = Seq("winnow_pairs_capped", "incremental_sig",
       "incremental_neardup", "keep_best", "pagerank_hubbed",
-      "tfidf_token_blocker", "crossdoc_spans", "crossdoc_cut")
+      "tfidf_token_blocker", "crossdoc_spans", "crossdoc_cut",
+      "curation_verdicts")
     val results = factors.map { copies =>
       val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
         .persist()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.{MinHash, Num, SimHash, Text}
 import graft.similarity.Similarity
-import graft.text.TextAnalysis
+import graft.text.{Curation, TextAnalysis}
 import QueryDef.{table, duckTokens}
 
 /** Dedup + text-analysis suite over the `documents` corpus — the
@@ -57,6 +57,82 @@ object DedupQueries {
       |           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
       |                       t -> length(t) >= 1) AS l
       |    FROM documents))""".stripMargin
+
+  /** DuckDB replay of [[Curation.verdicts]] on the documents table
+    * (corpus = source<>'src0', benchmark = src0, allowed langs
+    * en/de/fr, 4-gram decontamination): a WITH-chain ending in CTE `v`
+    * with the verdict columns, shared by `cur_verdicts` (plain select)
+    * and `cur_funnel` (per-source rollup). Each stage's SQL is the
+    * SAME mirror its standalone query uses (tx_langid scores,
+    * tx_quality_filter rules, dd_exact's canonical key row-locally,
+    * dd_decontaminate's window grams). */
+  private val curationVerdictsSql: String = {
+    val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val scoreExprs = TextAnalysis.Lexicons.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> list_contains($list, t))) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.Lexicons.map(_._1)
+    val conds = langs.map(l => s"s_$l").mkString(", ")
+    val best =
+      s"""CASE WHEN greatest($conds) = 0 THEN 'und'
+         |  ${langs.map(l => s"WHEN s_$l = greatest($conds) THEN '$l'").mkString("\n  ")}
+         |END""".stripMargin
+    s"""WITH ql AS (
+       |  SELECT cast(doc_id AS varchar) AS id, text,
+       |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS wtoks
+       |  FROM documents WHERE source <> 'src0'),
+       |sig AS (
+       |  SELECT id, len(wtoks) AS m,
+       |         list_sum(list_transform(wtoks, t -> length(t)))::double / len(wtoks) AS mean_len,
+       |         len(list_filter(wtoks, t -> list_contains($stop, t))) AS stop_cnt,
+       |         (len(wtoks) - len(list_distinct(wtoks)))::double / len(wtoks) AS dup_frac,
+       |         $scoreExprs
+       |  FROM ql),
+       |tag AS (
+       |  SELECT id, m::bigint AS n_tokens,
+       |         CASE WHEN m < 20 OR m > 100000 THEN 'n_tokens'
+       |              WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
+       |              WHEN stop_cnt < 1 THEN 'stopwords'
+       |              WHEN dup_frac > 0.6 THEN 'repetition' END AS quality_reason,
+       |         $best AS lang
+       |  FROM sig),
+       |gate AS (SELECT id FROM tag
+       |         WHERE quality_reason IS NULL AND lang IN ('en', 'de', 'fr')),
+       |keys AS (
+       |  SELECT g.id, md5(array_to_string(list_sort(list_distinct(
+       |           list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+       |                       t -> length(t) >= 3 AND NOT list_contains($stop, t)))), ' ')) AS dup_key
+       |  FROM documents d JOIN gate g ON cast(d.doc_id AS varchar) = g.id),
+       |dup AS (
+       |  SELECT id, CASE WHEN id <> min(id) OVER (PARTITION BY dup_key)
+       |                  THEN min(id) OVER (PARTITION BY dup_key) END AS dup_of
+       |  FROM keys),
+       |ctoks AS (SELECT cast(doc_id AS varchar) AS id, source,
+       |                 regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS t
+       |          FROM documents),
+       |wins AS (SELECT id, source,
+       |                unnest(list_transform(range(0, greatest(len(t) - 3, 0)),
+       |                                      q -> array_to_string(t[q+1:q+4], ' '))) AS gram
+       |         FROM ctoks),
+       |hits AS (SELECT id, count(DISTINCT gram) AS n_hits FROM wins
+       |         WHERE source <> 'src0'
+       |           AND gram IN (SELECT gram FROM wins WHERE source = 'src0')
+       |         GROUP BY id),
+       |v AS (
+       |  SELECT t.id, t.lang, t.n_tokens, t.quality_reason, d.dup_of,
+       |         coalesce(h.n_hits, 0)::bigint AS n_hits,
+       |         CASE WHEN t.lang NOT IN ('en', 'de', 'fr') THEN 'lang'
+       |              WHEN t.quality_reason IS NOT NULL THEN 'quality'
+       |              WHEN d.dup_of IS NOT NULL THEN 'duplicate'
+       |              WHEN coalesce(h.n_hits, 0) > 0 THEN 'contaminated' END AS drop_stage,
+       |         (CASE WHEN t.lang NOT IN ('en', 'de', 'fr') THEN 'lang'
+       |               WHEN t.quality_reason IS NOT NULL THEN 'quality'
+       |               WHEN d.dup_of IS NOT NULL THEN 'duplicate'
+       |               WHEN coalesce(h.n_hits, 0) > 0 THEN 'contaminated' END) IS NULL AS keep
+       |  FROM tag t LEFT JOIN dup d ON d.id = t.id
+       |             LEFT JOIN hits h ON h.id = t.id)""".stripMargin
+  }
 
   /** DuckDB replay of [[TextAnalysis.bpeMerges]]: `rounds` chained CTE
     * blocks, each = pair expansion → weighted count → deterministic
@@ -1081,6 +1157,53 @@ object DedupQueries {
            |SELECT doc_id, n_tokens, dup_frac_e6, reason, reason IS NULL AS keep
            |FROM r ORDER BY doc_id""".stripMargin
       }),
+
+    // ---- END-TO-END curation verdicts ("tag, don't drop" funnel) ----------
+    // Every independently-oracled stage (tx_langid gate, tx_quality_filter
+    // rules, dd_exact canonical key, dd_decontaminate 4-gram overlap)
+    // composed into ONE per-document verdict row with first-failure
+    // drop_stage attribution — the observable form of pipe_refine_corpus.
+    // Parameters chosen so every stage engages on the synthetic corpus
+    // (lang 115 / quality 168 / duplicate 1 / contaminated 17 / keep 174
+    // at sf0.01). Benchmark = src0 (the dd_decontaminate framing).
+    "cur_verdicts" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Curation.verdicts(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text",
+            allowedLangs = Seq("en", "de", "fr"), contamN = 4)
+          .orderBy("id")
+      },
+      Some(s"$curationVerdictsSql\nSELECT * FROM v ORDER BY id")),
+
+    // funnel report over the same verdicts, per source: stage drop counts
+    // + surviving token mass — the dashboard a corpus owner reads before
+    // committing to the gates
+    "cur_funnel" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v = Curation.verdicts(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text",
+            allowedLangs = Seq("en", "de", "fr"), contamN = 4)
+          .join(docs.select(col("doc_id").cast("string").as("id"),
+            col("source")), Seq("id"))
+        Curation.funnel(v, Seq("source")).orderBy("source")
+      },
+      Some(s"""$curationVerdictsSql
+             |SELECT d.source,
+             |       count(*) AS n_docs,
+             |       count(*) FILTER (WHERE drop_stage = 'lang') AS n_lang,
+             |       count(*) FILTER (WHERE drop_stage = 'quality') AS n_quality,
+             |       count(*) FILTER (WHERE drop_stage = 'duplicate') AS n_duplicate,
+             |       count(*) FILTER (WHERE drop_stage = 'contaminated') AS n_contaminated,
+             |       count(*) FILTER (WHERE keep) AS n_kept,
+             |       coalesce(sum(n_tokens) FILTER (WHERE keep), 0)::bigint AS kept_tokens
+             |FROM v JOIN documents d ON cast(d.doc_id AS varchar) = v.id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
     // ---- per-source document cap (batch crawl throttle) -------------------
     // keep the 10 highest-quality docs per source (the batch analog of the

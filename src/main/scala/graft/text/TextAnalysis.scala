@@ -82,38 +82,43 @@ object TextAnalysis {
     * `stopwords`; duplicate-token fraction above `maxDupFrac` →
     * `repetition`; otherwise keep (reason null).
     *
-    * Output: (idCol, n_tokens, dup_frac_e6, reason, keep). Row-local
-    * column expressions only — no shuffle, no join; at 100 TB this is a
-    * single codegen'd projection over the corpus scan. */
+    * Output: (idCol, n_tokens, dup_frac_e6, reason, keep) plus any
+    * `passthrough` columns carried through verbatim (lets a composed
+    * pipeline keep sibling row-local signals — e.g. langId — in the SAME
+    * projection instead of re-joining on id). Row-local column
+    * expressions only — no shuffle, no join; at 100 TB this is a single
+    * codegen'd projection over the corpus scan. */
   def qualityFilter(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minWords: Int = 20, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minStopwords: Int = 1, maxDupFrac: Double = 0.6): DataFrame = {
+      minStopwords: Int = 1, maxDupFrac: Double = 0.6,
+      passthrough: Seq[String] = Nil): DataFrame = {
     // coalesce null text to '' FIRST: otherwise size(null) is -1 (legacy)
     // or null (ANSI) and a null document's keep/reason flips with the
     // engine config. '' tokenizes to [''] → m = 1 < minWords → dropped as
     // 'n_tokens', deterministically, on both engines (oracles mirror the
     // coalesce).
     val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val extra = passthrough.map(col)
     docs
-      .select(col(idCol), toks.as("_toks"))
-      .select(col(idCol),
+      .select(col(idCol) +: toks.as("_toks") +: extra: _*)
+      .select(Seq(col(idCol),
         size(col("_toks")).as("_m"),
         (aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
           .cast("double") / size(col("_toks"))).as("_mean"),
         size(filter(col("_toks"),
           t => array_contains(typedLit(Text.Stopwords), t))).as("_stop"),
         ((size(col("_toks")) - size(array_distinct(col("_toks")))).cast("double")
-          / size(col("_toks"))).as("_dup"))
-      .select(col(idCol),
+          / size(col("_toks"))).as("_dup")) ++ extra: _*)
+      .select(Seq(col(idCol),
         col("_m").cast("long").as("n_tokens"),
         floor(col("_dup") * 1e6).cast("long").as("dup_frac_e6"),
         when(col("_m") < minWords || col("_m") > maxWords, "n_tokens")
           .when(col("_mean") < minMeanLen || col("_mean") > maxMeanLen, "mean_word_len")
           .when(col("_stop") < minStopwords, "stopwords")
           .when(col("_dup") > maxDupFrac, "repetition")
-          .as("reason"))
+          .as("reason")) ++ extra: _*)
       .withColumn("keep", col("reason").isNull)
   }
 
