@@ -487,4 +487,70 @@ class PropertySpec extends SparkSpec {
     // malformed escapes pass through rather than throwing
     assert(org.apache.spark.sql.graft.RdfUnescape.decode("a\\zb\\uZZZZc\\") === "a\\zb\\uZZZZc\\")
   }
+
+  // ---- curation funnel invariants ----------------------------------------
+
+  /** Random corpora for the curation properties: a mix of English-ish
+    * (stopword-bearing), German-ish, and degenerate-short texts so every
+    * stage can fire; properties assume nothing about WHICH fires. */
+  private val curDocGen: Gen[String] = {
+    val en = Gen.listOfN(25, Gen.oneOf("the", "and", "with", "from",
+      "quick", "brown", "jumps", "lazy", "fields", "hills", "distant",
+      "speed", "green", "runs")).map(_.mkString(" "))
+    val de = Gen.listOfN(12, Gen.oneOf("der", "die", "das", "und",
+      "mit", "von", "ist", "wort", "satz", "heute")).map(_.mkString(" "))
+    val short = Gen.oneOf("the and", "for that", "x")
+    Gen.frequency(5 -> en, 3 -> de, 2 -> short)
+  }
+
+  test("curation: drop stages partition the corpus; keep == no stage") {
+    forAll(Gen.nonEmptyListOf(curDocGen)) { (texts: List[String]) =>
+      // duplicate the first doc so the dedup stage can fire
+      val rows = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toString, t) }
+      val corpus = rows.toDF("doc_id", "text")
+      val bench = Seq(("b0", texts.head)).toDF("doc_id", "text")
+      val vdf = graft.text.Curation.verdicts(corpus, bench,
+        allowedLangs = Seq("en"), contamN = 4,
+        minWords = 5, minStopwords = 0)
+      val v = vdf.collect()
+      assert(v.length == rows.length)
+      v.foreach { r =>
+        val stage = r.getAs[String]("drop_stage")
+        assert(r.getAs[Boolean]("keep") == (stage == null))
+        assert(stage == null || Set("lang", "quality", "duplicate",
+          "contaminated").contains(stage))
+      }
+      val f = graft.text.Curation.funnel(vdf).head()
+      assert(f.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(f.getAs[Long]("n_lang") + f.getAs[Long]("n_quality") +
+        f.getAs[Long]("n_duplicate") + f.getAs[Long]("n_contaminated") +
+        f.getAs[Long]("n_kept") == rows.length.toLong)
+    }
+  }
+
+  test("curation: every dup_of target is a gate-surviving group minimum") {
+    forAll(Gen.nonEmptyListOf(curDocGen)) { (texts: List[String]) =>
+      val rows = (texts ++ texts.take(2)).zipWithIndex
+        .map { case (t, i) => (i.toString, t) }
+      val corpus = rows.toDF("doc_id", "text")
+      val bench = Seq(("b0", "benchmark gram window marker here"))
+        .toDF("doc_id", "text")
+      val v = graft.text.Curation.verdicts(corpus, bench,
+          allowedLangs = Seq("en", "de"), contamN = 4,
+          minWords = 3, minStopwords = 0).collect()
+        .map(r => r.getAs[String]("id") -> r).toMap
+      v.values.foreach { r =>
+        Option(r.getAs[String]("dup_of")).foreach { target =>
+          assert(target < r.getAs[String]("id")) // lexicographic group min
+          val t = v(target)
+          // the canonical passed lang+quality and is nobody's duplicate;
+          // it may still fall to the LATER contamination stage
+          assert(t.getAs[String]("dup_of") == null)
+          val ts = t.getAs[String]("drop_stage")
+          assert(ts == null || ts == "contaminated", s"canonical $target: $ts")
+        }
+      }
+    }
+  }
 }
