@@ -49,6 +49,7 @@ object PlanAudit {
     "m11_cluster_blocks" -> "centroid table broadcast (k rows)",
     "m11_kmeans_blocker" -> "MLlib KMeans internals broadcast centroids",
     "mh_mllib_minhash_blocker" -> "one-row invariant-summary scalars crossJoined for the single-row output",
+    "tx_quality_classifier" -> "one-row invariant-summary scalars crossJoined for the single-row output",
     "dd_embedding_neardup_lsh" -> "sign-LSH hyperplane matrix broadcast",
     "a4_rel_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:98)",
     "a5_name_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:120)",

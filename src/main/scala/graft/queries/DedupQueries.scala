@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.{MinHash, Num, SimHash, Text}
 import graft.similarity.Similarity
-import graft.text.{Curation, TextAnalysis}
+import graft.text.{Curation, QualityClassifier, TextAnalysis}
 import QueryDef.{table, duckTokens}
 
 /** Dedup + text-analysis suite over the `documents` corpus — the
@@ -1204,6 +1204,66 @@ object DedupQueries {
              |       coalesce(sum(n_tokens) FILTER (WHERE keep), 0)::bigint AS kept_tokens
              |FROM v JOIN documents d ON cast(d.doc_id AS varchar) = v.id
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ---- discriminative quality classifier (GPT-3-style quality pump) ----
+    // train LR on reference-vs-degraded (bootstrap negatives: stopword-
+    // stripped 8-token prefixes of a deterministic corpus sample), score
+    // the corpus as a literal-weight codegen projection. Invariant-graded
+    // oracle (the m11/mh_mllib pattern): exact set sizes + exact corpus
+    // feature mean, pinned flags for score range, train-set accuracy
+    // (measured 1.0 at sf0.001/0.01/0.1, floor 0.9) and pos/neg mean
+    // separation.
+    "tx_quality_classifier" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val corpus = docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("text"))
+        val ref = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), col("text"))
+        val pos = QualityClassifier.features(ref, "doc_id", "text")
+          .withColumn("label", lit(1.0))
+        val neg = QualityClassifier.features(
+            corpus.filter(Text.md5Long(col("doc_id").cast("string")) % 7 === 0)
+              .select(col("doc_id"),
+                QualityClassifier.degrade(col("text")).as("text")),
+            "doc_id", "text")
+          .withColumn("label", lit(0.0))
+        val model = QualityClassifier.fit(pos.unionByName(neg))
+        val scored = QualityClassifier.features(corpus, "doc_id", "text")
+          .withColumn("q", model.score)
+        val corpusAgg = scored.agg(
+          count(lit(1)).as("n_corpus"),
+          Num.gridSafeRound(avg(col("stop_ratio")), 6).as("mean_stop_ratio"),
+          (min(col("q")) >= 0.0 && max(col("q")) <= 1.0).as("range_ok"))
+        val posAgg = pos.withColumn("q", model.score).agg(
+          count(lit(1)).as("n_pos"),
+          avg(col("q")).as("_pos_mean"),
+          (avg(when(col("q") > 0.5, 1.0).otherwise(0.0)) >= 0.9).as("pos_acc_ok"))
+        val negAgg = neg.withColumn("q", model.score).agg(
+          count(lit(1)).as("n_neg"),
+          avg(col("q")).as("_neg_mean"),
+          (avg(when(col("q") < 0.5, 1.0).otherwise(0.0)) >= 0.9).as("neg_acc_ok"))
+        corpusAgg.crossJoin(posAgg).crossJoin(negAgg)
+          .select(col("n_corpus"), col("n_pos"), col("n_neg"),
+            col("mean_stop_ratio"), col("range_ok"),
+            col("pos_acc_ok"), col("neg_acc_ok"),
+            (col("_pos_mean") > col("_neg_mean")).as("separation_ok"))
+      },
+      Some {
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH c AS (
+           |  SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS wtoks
+           |  FROM documents WHERE source <> 'src0')
+           |SELECT (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_corpus,
+           |       (SELECT count(*) FROM documents WHERE source = 'src0') AS n_pos,
+           |       (SELECT count(*) FROM documents WHERE source <> 'src0'
+           |          AND (('0x'||substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 7) = 0) AS n_neg,
+           |       (SELECT ${Num.gridSafeRoundSql(
+                      s"avg(len(list_filter(wtoks, t -> list_contains($stop, t)))::double / len(wtoks))", 6)}
+           |        FROM c) AS mean_stop_ratio,
+           |       true AS range_ok, true AS pos_acc_ok, true AS neg_acc_ok,
+           |       true AS separation_ok""".stripMargin
+      }),
 
     // ---- per-source document cap (batch crawl throttle) -------------------
     // keep the 10 highest-quality docs per source (the batch analog of the

@@ -32,7 +32,8 @@ class RegistryEmptyInputSpec extends SparkSpec {
   /** Queries whose empty-corpus contract is a loud failure, with why. */
   private val expectFailure: Map[String, String] = Map(
     "m11_kmeans_blocker" -> "MLlib KMeans.fit requires a non-empty corpus",
-    "mh_mllib_minhash_blocker" -> "MLlib MinHashLSH.fit requires a non-empty corpus")
+    "mh_mllib_minhash_blocker" -> "MLlib MinHashLSH.fit requires a non-empty corpus",
+    "tx_quality_classifier" -> "MLlib LogisticRegression.fit requires a non-empty labeled set")
 
   test("every registry query handles an empty corpus per its contract") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
