@@ -20,7 +20,7 @@ import graft.similarity.Similarity
   *   [--append-metrics /tmp/runs.jsonl] [--eval-only /tmp/blocks/blocks] \
   *   [--embeddings /tmp/emb] [--force-encode] \
   *   [--sample-mod N] [--no-clean] [--no-write] \
-  *   [--hubness csls|nicdm|ls|mp] [--hubness-candidates N] \
+  *   [--hubness csls|nicdm|ls|mp|dsl] [--hubness-candidates N] \
   *   [blocker params...]
   * }}}
   *

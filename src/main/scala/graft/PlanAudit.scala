@@ -30,6 +30,7 @@ object PlanAudit {
     "m13_nicdm_knn" -> "neighborhood-statistics join over the bounded candidate list",
     "m13_ls_knn" -> "neighborhood-statistics join over the bounded candidate list",
     "m13_mp_knn" -> "neighborhood-statistics join over the bounded candidate list",
+    "m13_dsl_knn" -> "neighborhood-statistics join over the bounded candidate list",
     "ann_ivf_pq_append" -> "centroid table broadcast (one row per IVF bucket) for delta assignment + probe",
     "diag_token_skew_approx" -> "one-row approx profile crossed with one-row exact rank bounds",
     "m4_sif_pc_embedding" -> "one-row first-PC vector broadcast into the projection",

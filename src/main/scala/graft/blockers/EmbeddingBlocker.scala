@@ -87,7 +87,10 @@ final case class EmbeddingKnnBlocker(
     }
     val base = hubness match {
       case Some(h) =>
-        h.rerank(cand.select("left_id", "right_id", "cos"), k)
+        // vector-aware overload: DisSimLocal needs the encoded vectors;
+        // distance-only methods ignore the extra frames
+        h.rerank(cand.select("left_id", "right_id", "cos"),
+          le.select("id", "vec"), re.select("id", "vec"), k)
       case None => cand
     }
     val ranked =

@@ -34,6 +34,18 @@ object Vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Elementwise mean of a non-empty `array<array<float|double>>` of
+    * equal-length vectors, as array<double> — the centroid kernel for
+    * DisSimLocal hubness reduction. Codegen'd higher-order functions
+    * only (aggregate/zip_with/transform); accumulation in double. */
+  def meanVec(vs: Column): Column =
+    transform(
+      aggregate(
+        vs,
+        transform(element_at(vs, 1), _ => lit(0.0)),
+        (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double"))),
+      s => s / size(vs))
+
   /** a / ‖a‖₂ as array<double> (zero vectors pass through unchanged).
     * The norm is letBound — captured inside the divide-lambda it would
     * be recomputed per element (O(d²) per row). */

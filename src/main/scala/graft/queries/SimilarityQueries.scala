@@ -442,6 +442,64 @@ object SimilarityQueries {
              |       floor((mp) * 1e6 + 0.5) / 1e6 AS mp
              |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // DisSimLocal (Hara et al. AAAI 2016 — kiez's "dsl", the vector-aware
+    // member of its registry): ‖q−x‖² − ‖q−c(q)‖² − ‖x−c(x)‖² with local
+    // centroids over the scaleK nearest candidate vectors (reverse view on
+    // the right side). Completes the kiez method set: csls/nicdm/ls/mp/dsl.
+    "m13_dsl_knn" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val l = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val r = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cand = Similarity.topKCosine(l, r, 10)
+        Similarity.dslRerank(cand, l, r, k = 3, scaleK = 5, rankScale = 6)
+          .select(col("left_id"), col("rank"), col("right_id"),
+            Num.stableRound(col("dsl"), 6).as("dsl"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""WITH $knnCandCtesSql,
+             |topl AS (
+             |  SELECT left_id, right_id FROM (
+             |    SELECT left_id, right_id, row_number() OVER (
+             |      PARTITION BY left_id ORDER BY cos DESC, right_id ASC) AS r
+             |    FROM cand) WHERE r <= 5),
+             |cl AS (
+             |  SELECT t.left_id, e.i, avg(e.v) AS c
+             |  FROM topl t JOIN expl e ON e.vec_id = t.right_id GROUP BY 1, 2),
+             |selfl AS (
+             |  SELECT cl.left_id, sum((q.v - cl.c) * (q.v - cl.c)) AS sq
+             |  FROM cl JOIN expl q ON q.vec_id = cl.left_id AND q.i = cl.i
+             |  GROUP BY 1),
+             |topr AS (
+             |  SELECT left_id, right_id FROM (
+             |    SELECT left_id, right_id, row_number() OVER (
+             |      PARTITION BY right_id ORDER BY cos DESC, left_id ASC) AS r
+             |    FROM cand) WHERE r <= 5),
+             |cr AS (
+             |  SELECT t.right_id, e.i, avg(e.v) AS c
+             |  FROM topr t JOIN expl e ON e.vec_id = t.left_id GROUP BY 1, 2),
+             |selfr AS (
+             |  SELECT cr.right_id, sum((x.v - cr.c) * (x.v - cr.c)) AS st
+             |  FROM cr JOIN expl x ON x.vec_id = cr.right_id AND x.i = cr.i
+             |  GROUP BY 1),
+             |d2 AS (
+             |  SELECT c.left_id, c.right_id, sum((a.v - b.v) * (a.v - b.v)) AS d2
+             |  FROM cand c JOIN expl a ON a.vec_id = c.left_id
+             |              JOIN expl b ON b.vec_id = c.right_id AND b.i = a.i
+             |  GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT d2.left_id, d2.right_id, d2.d2 - selfl.sq - selfr.st AS dsl
+             |  FROM d2 JOIN selfl USING (left_id) JOIN selfr USING (right_id)),
+             |ranked AS (SELECT left_id, right_id, dsl, row_number() OVER (
+             |    PARTITION BY left_id
+             |    ORDER BY floor((dsl) * 1e6 + 0.5) / 1e6 ASC, right_id ASC) AS rank
+             |  FROM sc)
+             |SELECT left_id, rank::int AS rank, right_id,
+             |       floor((dsl) * 1e6 + 0.5) / 1e6 AS dsl
+             |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // ---- IVF kNN: label buckets, nearest-centroid probe -------------------
     "ann_ivf_label" -> QueryDef(
       (s, dir) => {

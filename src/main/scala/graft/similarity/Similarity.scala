@@ -361,14 +361,82 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** DisSimLocal hubness reduction (Hara et al. AAAI 2016 — kiez's
+    * "dsl" method, the one member of its registry that needs the
+    * VECTORS, not just the candidate distances): flatten spatial
+    * centrality by subtracting each endpoint's squared distance to its
+    * local neighborhood centroid,
+    *
+    *   dsl(q, x) = ‖q − x‖² − ‖q − c(q)‖² − ‖x − c(x)‖²
+    *
+    * where c(q) = centroid of q's `scaleK` nearest candidate vectors.
+    * A hub sits close to its local centroid (small self-term, little
+    * correction); a point on a sparse fringe gets a large self-term
+    * subtracted, pulling its pairs closer. kiez computes the target
+    * self-term from a separate target-to-target kNN fit; like every
+    * rerank here, this one stays on the given candidate graph — the
+    * right-side centroid comes from the REVERSE candidate view (left
+    * vectors; same space in the alignment setting), the documented
+    * candidate-graph divergence shared with [[cslsRerank]].
+    *
+    * `left`/`right` are (id, vec) frames for the candidate endpoints.
+    * ‖q − x‖² is recomputed exactly from the vectors (kiez requires
+    * squared Euclidean from the NN algorithm; the stream here carries
+    * cos, so the distance is derived, not converted). Scale shape: two
+    * window-rank passes, two collect_list centroid aggregates (bounded:
+    * scaleK vectors per id), four hash joins keyed on candidate ids —
+    * O(candidates · dim), centroid math in codegen'd higher-order
+    * functions. Output re-ranks per left id by ASCENDING dsl (it is a
+    * dissimilarity; can go negative), ties on right id. */
+  def dslRerank(candidates: DataFrame, left: DataFrame, right: DataFrame,
+                k: Int, scaleK: Int, rankScale: Int = -1): DataFrame = {
+    val lv = left.select(col("id").as("left_id"), col("vec").as("_qv"))
+    val rv = right.select(col("id").as("right_id"), col("vec").as("_xv"))
+    val cand = candidates.select("left_id", "right_id", "cos").persist()
+    val wL = Window.partitionBy("left_id").orderBy(col("cos").desc, col("right_id").asc)
+    val wR = Window.partitionBy("right_id").orderBy(col("cos").desc, col("left_id").asc)
+    val selfL = cand.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") <= scaleK)
+      .join(rv, Seq("right_id"))
+      .groupBy("left_id").agg(collect_list(col("_xv")).as("_vs"))
+      .join(lv, Seq("left_id"))
+      .select(col("left_id"),
+        Vectors.sqDist(col("_qv"), Vectors.meanVec(col("_vs"))).as("_sq"))
+    val selfR = cand.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= scaleK)
+      .join(lv, Seq("left_id"))
+      .groupBy("right_id").agg(collect_list(col("_qv")).as("_vs"))
+      .join(rv, Seq("right_id"))
+      .select(col("right_id"),
+        Vectors.sqDist(col("_xv"), Vectors.meanVec(col("_vs"))).as("_st"))
+    val scored = cand
+      .join(lv, Seq("left_id")).join(rv, Seq("right_id"))
+      .join(selfL, Seq("left_id")).join(selfR, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("cos"),
+        (Vectors.sqDist(col("_qv"), col("_xv")) - col("_sq") - col("_st"))
+          .as("dsl"))
+    val rankKey =
+      if (rankScale >= 0) Num.stableRound(col("dsl"), rankScale) else col("dsl")
+    val w = Window.partitionBy("left_id")
+      .orderBy(rankKey.asc, col("right_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Named hubness-reduction method over a (left_id, right_id, cos)
     * candidate stream — the knob [[graft.blockers.EmbeddingKnnBlocker]]
     * exposes, mirroring kiez's `hubness=` argument (reference
     * blockers/embedding/blockbuilder.py:107-167: search n_candidates,
     * reduce, keep n_neighbors). Every method returns the reranked top-k
-    * with `left_id`, `right_id`, `cos` and its own score column. */
+    * with `left_id`, `right_id`, `cos` and its own score column.
+    * DisSimLocal additionally needs the endpoint VECTORS — the
+    * vector-aware overload receives them; distance-only methods ignore
+    * them. */
   sealed trait HubnessReduction {
     def rerank(candidates: DataFrame, k: Int): DataFrame
+    /** Vector-aware form: `left`/`right` are (id, vec) frames. Default
+      * delegates to the distance-only form. */
+    def rerank(candidates: DataFrame, left: DataFrame, right: DataFrame,
+               k: Int): DataFrame = rerank(candidates, k)
   }
   object HubnessReduction {
     final case class Csls(scaleK: Int = 5) extends HubnessReduction {
@@ -385,15 +453,25 @@ object Similarity {
       def rerank(c: DataFrame, k: Int): DataFrame =
         mutualProximityRerank(c, k)
     }
-    /** kiez-style string names, for the CLI: csls | nicdm | ls | mp. */
+    final case class DisSimLocal(scaleK: Int = 5) extends HubnessReduction {
+      def rerank(c: DataFrame, k: Int): DataFrame =
+        throw new IllegalArgumentException(
+          "DisSimLocal needs the endpoint vectors — use the " +
+            "rerank(candidates, left, right, k) overload")
+      override def rerank(c: DataFrame, left: DataFrame, right: DataFrame,
+                          k: Int): DataFrame =
+        dslRerank(c, left, right, k, scaleK)
+    }
+    /** kiez-style string names, for the CLI: csls | nicdm | ls | mp | dsl. */
     def byName(name: String, scaleK: Int = 5): HubnessReduction =
       name match {
         case "csls"  => Csls(scaleK)
         case "nicdm" => Nicdm(scaleK)
         case "ls"    => LocalScaling(scaleK)
         case "mp"    => MutualProximity
+        case "dsl"   => DisSimLocal(scaleK)
         case other => throw new IllegalArgumentException(
-          s"unknown hubness method '$other'; known: csls, nicdm, ls, mp")
+          s"unknown hubness method '$other'; known: csls, nicdm, ls, mp, dsl")
       }
   }
 

@@ -350,4 +350,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mp(("l1", "r1"))._1 == 1 && mp(("l2", "r1"))._1 == 1
       && mp(("l2", "r2"))._1 == 2)
   }
+
+  test("dslRerank matches hand-computed DisSimLocal scores") {
+    // collinear fixture: cos values only steer the centroid windows, the
+    // scores below are pure Euclidean arithmetic on the vectors
+    val cand = Seq(
+      ("l1", "r1", 0.9), ("l1", "r2", 0.8), ("l1", "r3", 0.5),
+      ("l2", "r2", 0.7), ("l2", "r3", 0.6)).toDF("left_id", "right_id", "cos")
+    val lv = Seq(("l1", Seq(0.0, 0.0)), ("l2", Seq(10.0, 0.0))).toDF("id", "vec")
+    val rv = Seq(("r1", Seq(1.0, 0.0)), ("r2", Seq(2.0, 0.0)),
+      ("r3", Seq(4.0, 0.0))).toDF("id", "vec")
+    val got = graft.similarity.Similarity
+      .dslRerank(cand, lv, rv, k = 3, scaleK = 2)
+      .select(col("left_id"), col("right_id"), col("rank"), col("dsl"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    // centroids over the top-2 candidate vectors: c(l1)=(1.5,0) c(l2)=(3,0);
+    // reverse view: c(r1)=l1=(0,0), c(r2)=c(r3)=mean(l1,l2)=(5,0)
+    // dsl = d² − selfL − selfR
+    assert(math.abs(got(("l1", "r1"))._2 - (1.0 - 2.25 - 1.0)) < 1e-9)
+    assert(math.abs(got(("l1", "r2"))._2 - (4.0 - 2.25 - 9.0)) < 1e-9)
+    assert(math.abs(got(("l1", "r3"))._2 - (16.0 - 2.25 - 1.0)) < 1e-9)
+    assert(math.abs(got(("l2", "r2"))._2 - (64.0 - 49.0 - 9.0)) < 1e-9)
+    assert(math.abs(got(("l2", "r3"))._2 - (36.0 - 49.0 - 1.0)) < 1e-9)
+    // ascending dissimilarity: the raw-nearest r1 is NOT l1's top pick
+    assert(got(("l1", "r2"))._1 == 1 && got(("l1", "r1"))._1 == 2)
+    assert(got(("l2", "r3"))._1 == 1 && got(("l2", "r2"))._1 == 2)
+  }
 }
