@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{MinHash, SimHash, Text}
@@ -730,6 +730,30 @@ object Dedup {
         sequence(lit(0), size(col("t")) - n),
         p => concat_ws(" ", slice(col("t"), p + 1, lit(n))))))
       .toDF("id", "p", "gram")
+
+  /** DISTINCT n-token windows of ONE document as a row-local array
+    * column — the un-exploded form of [[tokenWindows]] over
+    * [[orderedTokens]]'s tokenization, kept in lockstep with both (same
+    * split/trim/lower, same slice windows). `size(array_intersect(this,
+    * benchGrams))` equals [[decontaminate]]'s per-document
+    * `countDistinct` hit count by construction. Documents shorter than
+    * n yield an empty array. */
+  def windowsArray(text: Column, n: Int): Column =
+    graft.functions.Text.letBind(
+      split(trim(lower(coalesce(text, lit("")))), "\\s+")) { t =>
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          p => concat_ws(" ", slice(t, p + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** The distinct benchmark gram set [[decontaminate]] broadcasts —
+    * exposed so streaming curation can snapshot the SAME set at plan
+    * time (eval-suite-sized by contract). */
+  def benchmarkGrams(benchmark: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    tokenWindows(orderedTokens(benchmark, idCol, textCol), n)
+      .select("gram").distinct()
 
   /** Exact duplicated-span removal (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499 —

@@ -1178,6 +1178,24 @@ object DedupQueries {
       },
       Some(s"$curationVerdictsSql\nSELECT * FROM v ORDER BY id")),
 
+    // same verdicts through the STREAMING-safe plan (row-local tagging,
+    // plan-literal bloom + exact-confirm contamination, fMGWS dedup
+    // canonical); batch invocation == Curation.verdicts by construction,
+    // so it shares the oracle. MemoryStream parity lives in StreamingSpec.
+    "st_curation_verdicts" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val docs = table(s, dir, "documents")
+        graft.streaming.StreamingCuration.verdicts(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text",
+            allowedLangs = Seq("en", "de", "fr"), contamN = 4)
+          .toDF()
+          .orderBy("id")
+      },
+      Some(s"$curationVerdictsSql\nSELECT * FROM v ORDER BY id")),
+
     // funnel report over the same verdicts, per source: stage drop counts
     // + surviving token mass — the dashboard a corpus owner reads before
     // committing to the gates

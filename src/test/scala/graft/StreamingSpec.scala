@@ -989,4 +989,77 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"stream/batch drift: ${got.diff(batch)} vs ${batch.diff(got)}")
     } finally sq.stop()
   }
+
+  // ---- streaming curation ------------------------------------------------
+
+  /** All five verdict outcomes engage: keep, lang, quality, duplicate,
+    * contaminated. Ids as strings: "1" < "4" so min-id = d1. */
+  private val curationDocs = Seq(
+    (1L, "the quick brown fox jumps"),            // keep (dup canonical)
+    (2L, "der hund und die katze laufen"),        // lang = de -> drop lang
+    (3L, "the cat"),                              // en but 2 tokens -> quality
+    (4L, "the quick brown fox jumps jumps"),      // same distinct token set as d1
+    (5L, "see alpha beta gamma here the end"))    // shares a 3-gram with bench
+  private val curationBench = Seq((100L, "alpha beta gamma delta"))
+
+  private def curationBatch(docs: Seq[(Long, String)]) =
+    graft.text.Curation.verdicts(
+      docs.toDF("doc_id", "text"), curationBench.toDF("doc_id", "text"),
+      allowedLangs = Seq("en"), contamN = 3,
+      minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1)
+
+  private def curationStream(docs: org.apache.spark.sql.DataFrame) = {
+    implicit val s = spark
+    graft.streaming.StreamingCuration.verdicts(
+      docs, curationBench.toDF("doc_id", "text"),
+      allowedLangs = Seq("en"), contamN = 3,
+      minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1)
+  }
+
+  test("streaming curation: batch invocation equals Curation.verdicts") {
+    val expected = curationBatch(curationDocs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)), r.getLong(5),
+        Option(r.getString(6)), r.getBoolean(7))).toSet
+    val got = curationStream(curationDocs.toDF("doc_id", "text"))
+      .collect().map(v => (v.id, v.lang, v.n_tokens, v.quality_reason,
+        v.dup_of, v.n_hits, v.drop_stage, v.keep)).toSet
+    assert(got == expected,
+      s"stream/batch drift: ${got.diff(expected)} vs ${expected.diff(got)}")
+    // the fixture engages every stage
+    val stages = got.map(_._7)
+    assert(stages == Set(None, Some("lang"), Some("quality"),
+      Some("duplicate"), Some("contaminated")), s"stages: $stages")
+  }
+
+  test("streaming curation: MemoryStream parity + first-seen canonical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sq = curationStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      // d4 arrives BEFORE its lexicographically-smaller duplicate d1:
+      // streaming canonical is first-seen, so d1 must point at d4
+      mem.addData((4L, "the quick brown fox jumps jumps"),
+        (2L, "der hund und die katze laufen"))
+      sq.processAllAvailable()
+      mem.addData((1L, "the quick brown fox jumps"),
+        (3L, "the cat"), (5L, "see alpha beta gamma here the end"))
+      sq.processAllAvailable()
+      val got = spark.table("cur_stream")
+        .as[graft.streaming.StreamingCuration.CurationVerdict]
+        .collect().map(v => v.id -> v).toMap
+      assert(got.size == 5)
+      assert(got("4").keep && got("4").dup_of.isEmpty,
+        s"first-seen doc is the canonical: ${got("4")}")
+      assert(got("1").drop_stage.contains("duplicate")
+        && got("1").dup_of.contains("4"),
+        s"later duplicate points at the first-seen canonical: ${got("1")}")
+      assert(got("2").drop_stage.contains("lang"))
+      assert(got("3").drop_stage.contains("quality"))
+      assert(got("5").drop_stage.contains("contaminated")
+        && got("5").n_hits == 1L)
+    } finally sq.stop()
+  }
 }
