@@ -23,6 +23,10 @@ import graft.streaming.StreamingOps
   *     hot keys freeze at `maxIdsPerSide`;
   *   - `streamFunnel`: state rows = distinct users (one O(1) row each);
   *     once the population has been seen, state is FLAT across batches.
+  *   - `StreamingCuration.verdicts`: state rows = distinct surviving
+  *     dup keys; the recrawl feed (every wave re-delivers the whole
+  *     corpus under fresh ids) must plateau after wave 1 while later
+  *     waves' copies all resolve to `duplicate`.
   *
   * MemoryStream feeds batches from the driver — a rehearsal harness
   * convenience, not a scale claim about the feed; the operators under
@@ -222,7 +226,36 @@ object StreamRehearsal {
     fQ.stop()
     val j3 = report("stream_funnel", fRows)
 
-    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j3}""")
+    // ---- streaming curation ---------------------------------------------
+    // the recrawl scenario: every wave re-delivers the WHOLE base corpus
+    // under fresh ids with unchanged text, so the dup-canonical state
+    // must PLATEAU after wave 1 (distinct surviving content fully seen)
+    // while each later wave's copies resolve to 'duplicate' against the
+    // first-seen canonicals. The benchmark (src0) stays fixed while the
+    // corpus grows — the cur_verdicts broadcast contract.
+    val curBase = spark.read.parquet(s"$dir/documents.parquet")
+    val curBench = curBase.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val curRecords: Seq[(Int, (String, String))] = curBase
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)].collect().toSeq
+      .flatMap { case (id, text) =>
+        (0 until nBatches).map(w => (w, (s"${id}_$w", text)))
+      }
+    val curBatches = (0 until nBatches).map(w => curRecords.collect {
+      case (b, r) if b == w => r
+    })
+    val memC = MemoryStream[(String, String)]
+    val cQ = graft.streaming.StreamingCuration.verdicts(
+        memC.toDF().toDF("doc_id", "text"), curBench,
+        allowedLangs = Seq("en", "de", "fr"), contamN = 4)
+      .writeStream.format("noop").outputMode("append").start()
+    val cRows = drive(memC, cQ, curBatches)
+    cQ.stop()
+    val j4 = report("stream_curation", cRows)
+
+    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j3,$j4}""")
     // sibling bench artifact: one line of adjudicable per-operator
     // summary rows (same maxima-first discipline as bench.json — see
     // [[summaryJson]]), re-runnable via
@@ -230,7 +263,8 @@ object StreamRehearsal {
     val summary = s"""{"metric":"stream","dir":"$dir","copies":$copies,""" +
       s""""cap":$cap,${summaryJson("stream_neardup", ndRows)},""" +
       s"""${summaryJson("incremental_token_pairs", tkRows)},""" +
-      s"""${summaryJson("stream_funnel", fRows)}}"""
+      s"""${summaryJson("stream_funnel", fRows)},""" +
+      s"""${summaryJson("stream_curation", cRows)}}"""
     println(summary)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(

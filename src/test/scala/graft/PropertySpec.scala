@@ -553,4 +553,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dslRerank is translation invariant (pure Euclidean geometry)") {
+    // DisSimLocal is built from ‖·‖² of DIFFERENCES only, so shifting
+    // every vector by the same Δ must leave scores and ranks unchanged —
+    // the property that distinguishes it from the cosine-based reranks
+    // (which are origin-anchored and NOT translation invariant).
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-5.0, 5.0))
+    val graphGen = for {
+      nl <- Gen.choose(2, 4)
+      nr <- Gen.choose(2, 5)
+      lvs <- Gen.listOfN(nl, vecGen)
+      rvs <- Gen.listOfN(nr, vecGen)
+      shift <- vecGen
+      cos <- Gen.listOfN(nl * nr, Gen.chooseNum(-1.0, 1.0))
+    } yield (lvs, rvs, shift, cos)
+    forAll(graphGen) { case (lvs, rvs, shift, coss) =>
+      val cand = (for {
+        i <- lvs.indices; j <- rvs.indices
+      } yield (s"l$i", s"r$j", coss(i * rvs.size + j)))
+        .toDF("left_id", "right_id", "cos")
+      def frames(vs: List[List[Double]], p: String, d: List[Double]) =
+        vs.zipWithIndex.map { case (v, i) =>
+          (s"$p$i", v.zip(d).map { case (a, b) => a + b })
+        }.toDF("id", "vec")
+      def run(d: List[Double]) = graft.similarity.Similarity
+        .dslRerank(cand, frames(lvs, "l", d), frames(rvs, "r", d),
+          k = 3, scaleK = 2)
+        .select("left_id", "right_id", "rank", "dsl").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getInt(2), r.getDouble(3))).toMap
+      val base = run(List(0.0, 0.0, 0.0))
+      val shifted = run(shift)
+      assert(base.keySet == shifted.keySet)
+      base.foreach { case (k, (rank, s)) =>
+        assert(shifted(k)._1 == rank && math.abs(shifted(k)._2 - s) < 1e-6,
+          s"$k: ($rank, $s) vs ${shifted(k)} under shift $shift")
+      }
+    }
+  }
 }
