@@ -33,9 +33,15 @@ import graft.text.TextAnalysis
   *   3. the exact-duplicate canonical is the one stateful op:
   *      `flatMapGroupsWithState` keyed on the row-local dup_key (md5 of
   *      the sorted distinct token set — [[Dedup.exactDuplicates]]'s
-  *      key), state = the first-seen surviving id. Gate failures bypass
-  *      the state entirely (batch semantics: a dropped document never
-  *      shadows a surviving copy) and are unioned back stateless.
+  *      key), state = the first-seen surviving id. EVERY document rides
+  *      this op — gate failures pass through without touching the state
+  *      (batch semantics: a dropped document never shadows a surviving
+  *      copy) — so the heavy row-local tagging evaluates exactly ONCE
+  *      per document. The shuffled record is the tagged summary (~100
+  *      bytes: ids, flags, counts — never the text), which beats the
+  *      alternative (route failures around the state via a union) at
+  *      any scale: a union's two branches each re-evaluate the source
+  *      and its tagging expressions, per micro-batch, forever.
   *
   * Canonical choice: FIRST-SEEN across micro-batches (ingest order —
   * the only meaningful order a stream has), lexicographic min id within
@@ -51,9 +57,11 @@ import graft.text.TextAnalysis
   */
 object StreamingCuration {
 
-  /** A gate-surviving document entering the dedup state op. */
-  final case class GateDoc(id: String, lang: String, nTokens: Long,
-      nHits: Long, dupKey: String)
+  /** A tagged document entering the dedup state op (text already
+    * dropped — this is the ~100-byte shuffle record). */
+  final case class TaggedDoc(id: String, lang: String, nTokens: Long,
+      qualityReason: Option[String], nHits: Long, dupKey: String,
+      langOk: Boolean, gateOk: Boolean)
 
   /** One per-document verdict row — the schema of
     * [[graft.text.Curation.verdicts]]. */
@@ -110,39 +118,39 @@ object StreamingCuration {
         array_sort(array_distinct(Text.tokenize(col("_text")))))))
     val langOk = col("lang").isin(allowedLangs: _*)
 
-    // gate failures: stateless verdicts, first-failure attribution
-    val failed = enriched.filter(!(col("keep") && langOk))
-      .select(col("id"), col("lang"), col("n_tokens"),
-        col("quality_reason"),
-        lit(null).cast("string").as("dup_of"), col("n_hits"),
-        when(!langOk, "lang").otherwise("quality").as("drop_stage"),
-        lit(false).as("keep"))
-      .as[CurationVerdict]
-
-    // gate survivors: the one stateful op — first-seen canonical per
-    // dup_key; min-id within a batch so batch replay = batch semantics
-    val survivors = enriched.filter(col("keep") && langOk)
+    // every document rides the one stateful op as a tagged ~100-byte
+    // record; only gate survivors touch the canonical state. First-seen
+    // canonical across batches, min surviving id within a batch — so a
+    // single-batch (= batch-mode) run reproduces the batch group-min.
+    val routed = enriched
       .select(col("id"), col("lang"), col("n_tokens").as("nTokens"),
-        col("n_hits").as("nHits"), col("dup_key").as("dupKey"))
-      .as[GateDoc]
-    val judged = survivors.groupByKey(_.dupKey)
+        col("quality_reason").as("qualityReason"),
+        col("n_hits").as("nHits"), col("dup_key").as("dupKey"),
+        langOk.as("langOk"), (col("keep") && langOk).as("gateOk"))
+      .as[TaggedDoc]
+    routed.groupByKey(_.dupKey)
       .flatMapGroupsWithState[String, CurationVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, it, state) =>
           val docs = it.toIndexedSeq.sortBy(_.id)
-          val canon =
-            if (state.exists) state.get
-            else { state.update(docs.head.id); docs.head.id }
+          val canon: Option[String] =
+            if (state.exists) Some(state.get)
+            else docs.find(_.gateOk).map { d => state.update(d.id); d.id }
           docs.iterator.map { d =>
-            val dupOf = if (d.id == canon) None else Some(canon)
-            val drop =
-              if (dupOf.isDefined) Some("duplicate")
-              else if (d.nHits > 0) Some("contaminated")
-              else None
-            CurationVerdict(d.id, d.lang, d.nTokens, None, dupOf, d.nHits,
-              drop, drop.isEmpty)
+            if (!d.gateOk)
+              CurationVerdict(d.id, d.lang, d.nTokens, d.qualityReason,
+                None, d.nHits,
+                Some(if (!d.langOk) "lang" else "quality"), keep = false)
+            else {
+              val dupOf = canon.filter(_ != d.id)
+              val drop =
+                if (dupOf.isDefined) Some("duplicate")
+                else if (d.nHits > 0) Some("contaminated")
+                else None
+              CurationVerdict(d.id, d.lang, d.nTokens, None, dupOf, d.nHits,
+                drop, drop.isEmpty)
+            }
           }
       }
-    judged.union(failed)
   }
 }

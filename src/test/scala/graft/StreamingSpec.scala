@@ -1032,6 +1032,17 @@ class StreamingSpec extends SparkSpec {
       Some("duplicate"), Some("contaminated")), s"stages: $stages")
   }
 
+  test("streaming curation batch plan: one dup-key exchange, no joins") {
+    // the 100 TB shape claim, asserted: tagging + contamination are
+    // row-local (plan-literal bloom + exact confirm, no benchmark join),
+    // so the ONLY exchange is the dup-state groupByKey
+    val plan = curationStream(curationDocs.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"verdicts must be join-free:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(ex == 1, s"exactly the dup-state exchange expected, got $ex:\n$plan")
+  }
+
   test("streaming curation: MemoryStream parity + first-seen canonical") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
