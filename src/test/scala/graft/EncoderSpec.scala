@@ -120,7 +120,8 @@ class EncoderSpec extends SparkSpec {
     }
     // byName round-trip + unknown-name loudness
     assert(HubnessReduction.byName("nicdm", 7) == HubnessReduction.Nicdm(7))
-    intercept[IllegalArgumentException] { HubnessReduction.byName("dsl") }
+    assert(HubnessReduction.byName("dsl", 7) == HubnessReduction.DisSimLocal(7))
+    intercept[IllegalArgumentException] { HubnessReduction.byName("hubless") }
   }
 
   test("Sinkhorn preserves the candidate set and positivity") {

@@ -224,8 +224,11 @@ class ExperimentSpec extends SparkSpec {
       .asInstanceOf[graft.blockers.CompositeUniqueNameBlocker]
       .relationBlocker.get.asInstanceOf[graft.blockers.EmbeddingKnnBlocker]
       .hubness.contains(graft.similarity.Similarity.HubnessReduction.MutualProximity))
+    assert(Experiment.blockerFor(base.copy(hubness = Some("dsl")))
+      .asInstanceOf[graft.blockers.EmbeddingKnnBlocker]
+      .hubness.contains(graft.similarity.Similarity.HubnessReduction.DisSimLocal(5)))
     intercept[IllegalArgumentException] {
-      Experiment.blockerFor(base.copy(hubness = Some("dsl")))
+      Experiment.blockerFor(base.copy(hubness = Some("hubless")))
     }
   }
 
