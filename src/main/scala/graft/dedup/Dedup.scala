@@ -491,6 +491,86 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Empirical recall gate for the MinHash-LSH near-dup path — the
+    * dedup analog of the ANN recall gate
+    * ([[graft.similarity.Similarity.ivfRecallCurve]]): at corpus scale the
+    * true duplicate-pair set is unknowable, so measure it on a
+    * deterministic hash-mod document sample (content-addressed via
+    * [[Text.md5Long]], so re-runs and engines agree on the sample)
+    * where exact Jaccard IS computable, and report what the production
+    * banding catches there.
+    *
+    * Ground truth on the sample is the inverted-index join
+    * ([[ngramJaccardPairs]]): every pair with Jaccard ≥ `threshold` > 0
+    * shares at least one shingle, so the index is complete and nothing
+    * here is cartesian. Candidates come from the production
+    * signature/band path ([[graft.functions.MinHash]]) over the same
+    * sample. One row out:
+    *
+    *   - `n_docs`, `n_true_pairs`, `n_candidates`, `n_caught`;
+    *   - `recall` — caught/true (1.0 when the sample holds no true
+    *     pair: vacuously green, widen the sample);
+    *   - `expected_recall` — the S-curve prediction averaged over the
+    *     true pairs' exact similarities, E[1 − (1 − Jʳ)ᵇ]
+    *     (Leskovec/Rajaraman/Ullman, MMDS ch. 3). Measured ≪ expected
+    *     means the implementation or tokenization is broken, not the
+    *     (b, r) choice — the complement of the a-priori tuning curve
+    *     ([[graft.functions.MinHash.lshTuningCurve]]);
+    *   - `false_candidate_rate` — candidates below threshold over all
+    *     candidates: the verify-join volume the banding wastes.
+    *
+    * Scale contract: pick `sampleMod` so the sample is ~10⁴ documents
+    * (the sample is a 1/`sampleMod` fraction of the corpus); every join
+    * is then sample-sized and the gate costs one signature pass over
+    * the sample. Run it BEFORE the corpus-wide dedup — the same
+    * measure-first discipline as [[graft.relational.Diagnostics]]. */
+  def lshRecall(tokenPairs: DataFrame, numPerm: Int, bands: Int,
+                threshold: Double, sampleMod: Int, scale: Int = 6): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    // sample is referenced five times (truth sizes + both join sides,
+    // signature, doc count) — persist, release after the one-row
+    // checkpoint below.
+    val toks = tokenPairs
+      .filter(Text.md5Long(col("id")) % sampleMod === 0)
+      .distinct()
+      .persist()
+    val truth = ngramJaccardPairs(toks, threshold)
+    val buckets =
+      MinHash.bandBuckets(MinHash.signature(toks, numPerm), bands, r)
+    val cand = buckets.withColumnRenamed("id", "id_a")
+      .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = truth.withColumn("is_true", lit(true))
+      .join(cand.withColumn("is_cand", lit(true)),
+        Seq("id_a", "id_b"), "full_outer")
+    val pairAgg = pairs.agg(
+      count(col("is_true")).as("n_true_pairs"),
+      count(col("is_cand")).as("n_candidates"),
+      count(when(col("is_true") && col("is_cand"), 1)).as("n_caught"),
+      avg(when(col("is_true"), lit(1.0) -
+        pow(lit(1.0) - pow(col("jaccard"), lit(r.toDouble)),
+          lit(bands.toDouble)))).as("_exp"))
+    val out = toks.select("id").distinct().agg(count(lit(1)).as("n_docs"))
+      .crossJoin(pairAgg)
+      .select(col("n_docs"), col("n_true_pairs"), col("n_candidates"),
+        col("n_caught"),
+        graft.functions.Num.stableRound(
+          when(col("n_true_pairs") === 0, lit(1.0))
+            .otherwise(col("n_caught").cast("double") / col("n_true_pairs")),
+          scale).as("recall"),
+        graft.functions.Num.stableRound(coalesce(col("_exp"), lit(1.0)),
+          scale).as("expected_recall"),
+        graft.functions.Num.stableRound(
+          when(col("n_candidates") === 0, lit(0.0))
+            .otherwise((col("n_candidates") - col("n_caught")).cast("double")
+              / col("n_candidates")), scale).as("false_candidate_rate"))
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
   /** SimHash near-dups: 60-bit fingerprints, candidates collide on one of
     * four 15-bit chunks (any pair within hamming ≤ 3 of each other is
     * guaranteed caught; larger distances best-effort), verified by exact

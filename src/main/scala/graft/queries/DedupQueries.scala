@@ -409,6 +409,61 @@ object DedupQueries {
            |FROM dirs WHERE c >= 0.5 ORDER BY id_from, id_to""".stripMargin
       }),
 
+    // ---- empirical LSH recall gate (measure before the corpus dedup) -----
+    // ground truth = exact-Jaccard pairs on a deterministic md5-mod
+    // sample (inverted-index join, never cartesian); candidates = the
+    // production signature/band path on the same sample; plus the MMDS
+    // S-curve expectation over the true pairs. Same (numPerm, bands,
+    // threshold) as dd_minhash_neardup, so this row IS that operator's
+    // measured recall contract.
+    "dd_lsh_recall" -> QueryDef(
+      (s, dir) => Dedup.lshRecall(docShinglesRaw(s, dir),
+        numPerm = 16, bands = 4, threshold = 0.2, sampleMod = 2),
+      Some {
+        val sig = MinHash.signatureSql("SELECT * FROM samp", 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        s"""WITH samp AS (
+           |  SELECT * FROM ($docShinglesSql)
+           |  WHERE ('0x'||substr(md5(id), 1, 15))::bigint % 2 = 0),
+           |sig AS ($sig),
+           |buckets AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id),
+           |sizes AS (SELECT id, count(DISTINCT key) AS sz FROM samp GROUP BY id),
+           |inter AS (
+           |  SELECT ta.id AS id_a, tb.id AS id_b, count(*) AS i
+           |  FROM samp ta JOIN samp tb ON tb.key = ta.key AND ta.id < tb.id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS j
+           |  FROM inter JOIN sizes sa ON sa.id = id_a
+           |             JOIN sizes sb ON sb.id = id_b
+           |  WHERE i / (sa.sz + sb.sz - i) >= 0.2),
+           |pairs AS (
+           |  SELECT t.j, t.id_a IS NOT NULL AS is_true,
+           |         c.id_a IS NOT NULL AS is_cand
+           |  FROM truth t FULL OUTER JOIN cand c
+           |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+           |agg AS (
+           |  SELECT count(CASE WHEN is_true THEN 1 END) AS n_true_pairs,
+           |         count(CASE WHEN is_cand THEN 1 END) AS n_candidates,
+           |         count(CASE WHEN is_true AND is_cand THEN 1 END) AS n_caught,
+           |         avg(CASE WHEN is_true
+           |             THEN 1.0 - pow(1.0 - pow(j, 4.0), 4.0) END) AS e
+           |  FROM pairs),
+           |docs AS (SELECT count(DISTINCT id) AS n_docs FROM samp)
+           |SELECT n_docs, n_true_pairs, n_candidates, n_caught,
+           |  floor((CASE WHEN n_true_pairs = 0 THEN 1.0
+           |         ELSE n_caught::double / n_true_pairs END) * 1e6 + 0.5) / 1e6
+           |    AS recall,
+           |  floor(coalesce(e, 1.0) * 1e6 + 0.5) / 1e6 AS expected_recall,
+           |  floor((CASE WHEN n_candidates = 0 THEN 0.0
+           |         ELSE (n_candidates - n_caught)::double / n_candidates END)
+           |        * 1e6 + 0.5) / 1e6 AS false_candidate_rate
+           |FROM docs, agg""".stripMargin
+      }),
+
     // ---- incremental near-dup: new batch (doc_id % 4 = 0) vs corpus -------
     // corpus×corpus candidates never form; id_b is always from the new
     // ---- incremental near-dup, stored-signature (production) form --------

@@ -69,6 +69,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(("d2", "d3")) - 1.0 / 3) < 1e-12)
   }
 
+  test("lshRecall: identical sampled docs are caught; counts consistent") {
+    // sampleMod=1 keeps every doc, so the gate runs on the full fixture:
+    // two identical docs (J=1, caught by any banding) + one unrelated.
+    val sh = Seq(
+      ("d1", "a b c"), ("d1", "b c d"), ("d1", "c d e"),
+      ("d2", "a b c"), ("d2", "b c d"), ("d2", "c d e"),
+      ("d3", "x y z"), ("d3", "y z w"), ("d3", "z w v"))
+      .toDF("id", "key")
+    val r = Dedup.lshRecall(sh, numPerm = 16, bands = 4,
+      threshold = 0.5, sampleMod = 1).collect().head
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_true_pairs") == 1) // only (d1, d2)
+    assert(r.getAs[Long]("n_caught") == 1)     // identical sigs collide everywhere
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("expected_recall") == 1.0) // J=1 → S-curve 1
+    val nc = r.getAs[Long]("n_candidates")
+    assert(nc >= 1 && r.getAs[Double]("false_candidate_rate") ==
+      math.floor((nc - 1).toDouble / nc * 1e6 + 0.5) / 1e6)
+  }
+
+  test("lshRecall: vacuous sample reports recall 1 with zero pairs") {
+    val sh = Seq(("d1", "a b c"), ("d2", "x y z")).toDF("id", "key")
+    val r = Dedup.lshRecall(sh, 16, 4, threshold = 0.9, sampleMod = 1)
+      .collect().head
+    assert(r.getAs[Long]("n_true_pairs") == 0)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("expected_recall") == 1.0)
+  }
+
   test("simHashNearDupPairs: identical docs at hamming 0") {
     val tp = toks(
       "d1" -> "alpha beta gamma delta epsilon zeta eta theta",
