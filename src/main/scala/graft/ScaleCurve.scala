@@ -96,7 +96,15 @@ object ScaleCurve {
     }
 
     // (operator, corpus => materialized result count)
-    def ops(docs: DataFrame, sh: DataFrame): Seq[(String, () => Long)] = Seq(
+    def ops(docs: DataFrame, sh: DataFrame, copies: Int): Seq[(String, () => Long)] = Seq(
+      // fixed-size-sample contract made measurable: sampleMod scales
+      // WITH the corpus (2·copies), so the sample — and with it every
+      // join in the gate — stays ~constant while the corpus grows ×100.
+      // The only growing cost is the one sampling scan. Result column =
+      // sampled doc count (should hold ~flat across factors).
+      "lsh_recall" -> (() =>
+        Dedup.lshRecall(sh, numPerm = 16, bands = 4, threshold = 0.2,
+          sampleMod = 2 * copies).collect().head.getAs[Long]("n_docs")),
       "winnow_pairs_capped" -> (() =>
         TextAnalysis.winnowPairs(docs, minShared = 5, idCol = "id",
           textCol = "text", maxHashDocs = cap).count()),
@@ -158,7 +166,7 @@ object ScaleCurve {
             "id", "text", allowedLangs = Seq("en", "de", "fr"), contamN = 4)
           .filter(!col("keep")).count()))
 
-    val opNames = Seq("winnow_pairs_capped", "incremental_sig",
+    val opNames = Seq("lsh_recall", "winnow_pairs_capped", "incremental_sig",
       "incremental_neardup", "keep_best", "pagerank_hubbed",
       "tfidf_token_blocker", "crossdoc_spans", "crossdoc_cut",
       "curation_verdicts")
@@ -178,7 +186,7 @@ object ScaleCurve {
           max(col("n")).as("maxb")).head()
       System.err.println(s"[curve] x$copies: docs=$nDocs shingles=$nShingles " +
         s"hotBuckets=${hot.getLong(0)} maxBucket=${hot.getLong(1)}")
-      val cells = ops(docs, sh).map { case (n, f) => n -> measure(s"x$copies $n")(f()) }
+      val cells = ops(docs, sh, copies).map { case (n, f) => n -> measure(s"x$copies $n")(f()) }
       docs.unpersist(); sh.unpersist()
       // factor boundary: sweep any CacheManager entries whose backing
       // RDDs measure() already dropped (docs/sh rebuild next factor)
