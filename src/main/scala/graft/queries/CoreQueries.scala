@@ -82,6 +82,42 @@ object CoreQueries {
              |  'http://g/src/' || source AS source_rt
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- S3: gold from a cluster dump, end-to-end ------------------------
+    // The eche PrefixedClusterHelper text format proven on corpus data:
+    // a deterministic cluster dump is BUILT from documents (cluster =
+    // doc_id % 49; members carry an a:/b: dataset prefix by parity) and
+    // written one-line-per-cluster to a per-run temp dir inside the
+    // measured query (the src_ntriples_roundtrip pattern), then parsed
+    // back through the production loader (line split + explode + prefix
+    // extraction + Gold.fromClusters' cluster self-join). The DuckDB
+    // oracle computes the expected inter-dataset pairs INDEPENDENTLY
+    // from documents — no part of the file round-trip is replayed, so
+    // equality checks the parser, the prefix rule and the pair
+    // expansion end-to-end.
+    "s3_cluster_gold" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val lines = docs
+          .select((col("id") % 49).as("cl"),
+            concat(when(col("id") % 2 === 0, lit("a:")).otherwise(lit("b:")),
+              col("id")).as("ent"))
+          .groupBy("cl")
+          .agg(concat_ws("\t", sort_array(collect_list(col("ent")))).as("value"))
+          .select("value")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_clusters_").toString + "/ent_clusters"
+        lines.write.mode("overwrite").text(out)
+        graft.core.BlockingDataset.goldFromClusterFile(s, out, "a", "b")
+          .orderBy("a", "b")
+      },
+      Some("""SELECT 'a:' || cast(e.doc_id AS varchar) AS a,
+             |       'b:' || cast(o.doc_id AS varchar) AS b
+             |FROM documents e JOIN documents o
+             |  ON e.doc_id % 49 = o.doc_id % 49
+             |WHERE e.doc_id % 2 = 0 AND o.doc_id % 2 = 1
+             |ORDER BY a, b""".stripMargin)),
+
     // ---- S1/S2: load + literal cleaning ---------------------------------
     "s2_clean_datatype" -> QueryDef(
       (s, dir) => table(s, dir, "customer")

@@ -120,6 +120,25 @@ object SimilarityQueries {
               |SELECT left_id, rank::int AS rank, right_id, floor((adc) * 1e6 + 0.5) / 1e6 AS adc
               |FROM ranked WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin
 
+  /** DuckDB replay of the SIF-pooled 8-dim embedding — shared by
+    * `m4_sif_embedding` (direct) and `s7_embedding_cache` (the same
+    * vectors routed through the save/load cache round-trip). */
+  private val sifEmbeddingOracleSql: String = {
+    val toks = duckTokens("doc_id", "text", "documents", 3)
+    val dimExprs = (0 until 8).map(d =>
+      s"floor((sum(w * ${HashTokenEncoder.dimValueSql("x", d)}) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
+      .mkString(", ")
+    s"""WITH toks AS ($toks),
+       |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
+       |total AS (SELECT count(*)::double AS t FROM toks),
+       |weighted AS (
+       |  SELECT toks.id, ${HashTokenEncoder.tokenHashSql("toks.key")} AS x,
+       |         0.001 / (0.001 + counts.freq / total.t) AS w
+       |  FROM toks JOIN counts USING (key), total)
+       |SELECT id AS doc_id, $dimExprs
+       |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- M1/J9: MinHash-LSH blocker ---------------------------------------
@@ -1145,21 +1164,39 @@ object SimilarityQueries {
         weighted.withColumn("_x", HashTokenEncoder.tokenHash(col("key")))
           .groupBy("doc_id").agg(dims.head, dims.tail: _*).orderBy("doc_id")
       },
-      Some {
-        val toks = duckTokens("doc_id", "text", "documents", 3)
-        val dimExprs = (0 until 8).map(d =>
-          s"floor((sum(w * ${HashTokenEncoder.dimValueSql("x", d)}) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
-          .mkString(", ")
-        s"""WITH toks AS ($toks),
-           |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
-           |total AS (SELECT count(*)::double AS t FROM toks),
-           |weighted AS (
-           |  SELECT toks.id, ${HashTokenEncoder.tokenHashSql("toks.key")} AS x,
-           |         0.001 / (0.001 + counts.freq / total.t) AS w
-           |  FROM toks JOIN counts USING (key), total)
-           |SELECT id AS doc_id, $dimExprs
-           |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
-      }),
+      Some(sifEmbeddingOracleSql)),
+
+    // ---- S7: embedding cache save/load, end-to-end ------------------------
+    // The "encode once, block many times" flow proven under the oracle:
+    // encode through CachedEncoder into a per-run temp dir (the first
+    // call MISSES — encodes, saves, reads back), then encode AGAIN (the
+    // second call must HIT: config + dataset-fingerprint meta match, a
+    // pure parquet read of the stored (id, vec) table — asserted via the
+    // miss counter, so a silent re-encode fails the query loudly). The
+    // hit's vectors, unpacked to columns, must equal the direct SIF
+    // computation — the oracle is m4_sif_embedding's, shared verbatim
+    // (the ann_ivf_pq_saved pattern: storage must be a bit-identical
+    // detour, never a transformation).
+    "s7_embedding_cache" -> QueryDef(
+      (s, dir) => {
+        val frame = EntityFrame(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          "documents", "doc_id")
+        val cacheDir = java.nio.file.Files
+          .createTempDirectory("graft_embcache_").toString
+        val enc = graft.encoders.CachedEncoder(
+          HashTokenEncoder(8, sif = true), cacheDir)
+        enc.encode(frame)
+        val cached = enc.encode(frame)
+        require(enc.misses.get() == 1L,
+          s"embedding cache did not hit on the second encode " +
+            s"(misses=${enc.misses.get()}) — stale-meta probe broken")
+        val dims = (0 until 8).map(d =>
+          Num.stableRound(col("vec").getItem(d), 6).as(s"d$d"))
+        cached.select(col("id").cast("long").as("doc_id") +: dims: _*)
+          .orderBy("doc_id")
+      },
+      Some(sifEmbeddingOracleSql)),
 
     // ---- M5: SIF with first-principal-component removal -------------------
     // (pretrained.py:517-531). Spark side: the real operator — RowMatrix

@@ -33,7 +33,8 @@ class RegistryEmptyInputSpec extends SparkSpec {
   private val expectFailure: Map[String, String] = Map(
     "m11_kmeans_blocker" -> "MLlib KMeans.fit requires a non-empty corpus",
     "mh_mllib_minhash_blocker" -> "MLlib MinHashLSH.fit requires a non-empty corpus",
-    "tx_quality_classifier" -> "MLlib LogisticRegression.fit requires a non-empty labeled set")
+    "tx_quality_classifier" -> "MLlib LogisticRegression.fit requires a non-empty labeled set",
+    "s3_cluster_gold" -> "cluster-gold loads fail loudly when no member carries the requested dataset prefixes (BlockingDataset.goldFromClusterFile's empty-gold guard — the r11 verdict's required behavior)")
 
   test("every registry query handles an empty corpus per its contract") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
