@@ -83,12 +83,15 @@ object Bench {
     // the [info] logger, which the driver's JSON-line scraper can't parse.
     println(json)
     // Subset runs (a query-list arg) are local iteration, not a pin or a
-    // driver artifact — route them to a sibling file so they can never
-    // clobber the pinned bench.json.
-    val outDefault = if (only.isDefined) "bench_partial.json" else "bench.json"
+    // driver artifact — route them to bench_partial.json UNCONDITIONALLY
+    // (the SPARK_GRAFT_BENCH_OUT override applies to full runs only, so
+    // an exported override can never route a partial total over the
+    // pinned bench.json either).
+    val out =
+      if (only.isDefined) "bench_partial.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
-      (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     // The driver keeps only the LAST 2000 chars of stdout and parses JSON
     // lines out of that window; the full 83-query line above is longer, so
     // its head is cut and BENCH_r*.json records parsed:null. Emit a final

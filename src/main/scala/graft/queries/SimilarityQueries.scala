@@ -37,14 +37,22 @@ object SimilarityQueries {
 
   /** Shared brute-force candidate graph for the m13 hubness-reduction
     * family: top-10 cosine candidates, even vec_ids querying odd. */
-  private def m13Candidates(s: SparkSession, dir: String): DataFrame = {
+  /** The m13 family's shared candidate construction: even/odd vec_id
+    * sides and the top-10 cosine candidate graph. DisSimLocal needs the
+    * side frames too (its σ terms read the VECTORS), so all three are
+    * exposed — every m13 query derives from this one definition. */
+  private def m13Sides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = embs(s, dir)
     val l = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val r = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.topKCosine(l, r, 10)
+    (l, r, Similarity.topKCosine(l, r, 10))
   }
+
+  private def m13Candidates(s: SparkSession, dir: String): DataFrame =
+    m13Sides(s, dir)._3
 
   /** The DuckDB side of [[m13Candidates]]: CTE chain ending in
     * `cand(left_id, right_id, cos)` — prepend as `WITH $knnCandCtesSql,
@@ -417,13 +425,15 @@ object SimilarityQueries {
              |sgl AS (
              |  SELECT left_id, (1 - cos) AS sq FROM (
              |    SELECT left_id, cos, row_number() OVER (
-             |      PARTITION BY left_id ORDER BY (1 - cos) ASC, right_id ASC) AS r
-             |    FROM cand) WHERE r = 5),
+             |      PARTITION BY left_id ORDER BY (1 - cos) ASC, right_id ASC) AS r,
+             |      count(*) OVER (PARTITION BY left_id) AS n
+             |    FROM cand) WHERE r = least(5, n)),
              |sgr AS (
              |  SELECT right_id, (1 - cos) AS st FROM (
              |    SELECT right_id, cos, row_number() OVER (
-             |      PARTITION BY right_id ORDER BY (1 - cos) ASC, left_id ASC) AS r
-             |    FROM cand) WHERE r = 5),
+             |      PARTITION BY right_id ORDER BY (1 - cos) ASC, left_id ASC) AS r,
+             |      count(*) OVER (PARTITION BY right_id) AS n
+             |    FROM cand) WHERE r = least(5, n)),
              |sc AS (
              |  SELECT c.left_id, c.right_id,
              |         CASE WHEN sgl.sq * sgr.st <= 0
@@ -467,12 +477,7 @@ object SimilarityQueries {
     // the right side). Completes the kiez method set: csls/nicdm/ls/mp/dsl.
     "m13_dsl_knn" -> QueryDef(
       (s, dir) => {
-        val e = embs(s, dir)
-        val l = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val r = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val cand = Similarity.topKCosine(l, r, 10)
+        val (l, r, cand) = m13Sides(s, dir)
         Similarity.dslRerank(cand, l, r, k = 3, scaleK = 5, rankScale = 6)
           .select(col("left_id"), col("rank"), col("right_id"),
             Num.stableRound(col("dsl"), 6).as("dsl"))

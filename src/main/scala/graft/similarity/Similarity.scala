@@ -300,7 +300,12 @@ object Similarity {
     *   s'(q,x) = exp(−d(q,x)² / (σ(q) · σ(x))),   d = 1 − cos,
     *
     * σ = the `scaleK`-th smallest candidate distance (NOT the mean —
-    * that's [[nicdmRerank]]). Zero σ (duplicate neighborhoods) falls
+    * that's [[nicdmRerank]]); an endpoint with FEWER than `scaleK`
+    * candidates uses its farthest available one (Zelnik-Manor's usual
+    * sparse-neighborhood fallback) — without it, every pair touching a
+    * sparse endpoint (an unpopular right id in the reverse view, or
+    * `hubnessCandidates` < `scaleK`) would silently vanish from the
+    * output. Zero σ (duplicate neighborhoods) falls
     * back to s' = 1 for d = 0 / s' = 0 otherwise via a guarded division.
     * Output re-ranks per left id by descending `ls`. */
   def localScalingRerank(candidates: DataFrame, k: Int, scaleK: Int,
@@ -310,12 +315,16 @@ object Similarity {
     val wL = Window.partitionBy("left_id").orderBy(col("_d").asc, col("right_id").asc)
     val wR = Window.partitionBy("right_id").orderBy(col("_d").asc, col("left_id").asc)
     val sigL = cand.withColumn("_r", row_number().over(wL))
-      .filter(col("_r") === scaleK).select(col("left_id"), col("_d").as("_sq"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("left_id")))
+      .filter(col("_r") === least(lit(scaleK), col("_n")))
+      .select(col("left_id"), col("_d").as("_sq"))
     val sigR = cand.withColumn("_r", row_number().over(wR))
-      .filter(col("_r") === scaleK).select(col("right_id"), col("_d").as("_st"))
-    // inner joins: a side with < scaleK candidates has no σ row and its
-    // pairs drop out — kiez's fit on the candidate graph has the same
-    // n_candidates floor
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("right_id")))
+      .filter(col("_r") === least(lit(scaleK), col("_n")))
+      .select(col("right_id"), col("_d").as("_st"))
+    // inner joins now always find a σ row: every endpoint has ≥ 1
+    // candidate by construction, and the least(scaleK, n) rank picks the
+    // farthest available when the neighborhood is sparse
     val scored = cand.join(sigL, Seq("left_id")).join(sigR, Seq("right_id"))
       .select(col("left_id"), col("right_id"), col("cos"),
         when(col("_sq") * col("_st") <= 0,

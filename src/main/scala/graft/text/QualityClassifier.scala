@@ -103,6 +103,15 @@ object QualityClassifier {
       corpus.filter(Text.md5Long(col(idCol).cast("string")) % sampleMod === 0)
         .select(col(idCol), degrade(col(textCol)).as(textCol)),
       idCol, textCol).withColumn("label", lit(0.0))
+    // single-class guard: with zero sampled negatives LogisticRegression
+    // converges to an intercept-only model that scores EVERYTHING ~1.0 —
+    // a silently useless quality pump. The count is one action over the
+    // hash-sampled slice (eval-suite-sized by construction); fail loudly.
+    val nNeg = neg.count()
+    require(nNeg > 0,
+      s"quality classifier got 0 bootstrap negatives (md5(id) % $sampleMod " +
+        "== 0 matched no corpus row) — lower sampleMod or supply labeled " +
+        "negatives; a single-class fit would score every document ~1.0")
     val model = fit(pos.unionByName(neg))
     features(corpus, idCol, textCol)
       .withColumn("quality_score", model.score)

@@ -100,12 +100,17 @@ object RdfUnescape {
           case '"'  => sb.append('"');  i += 2
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
+          // catch IllegalArgumentException, not just its NumberFormat
+          // subclass: parseInt accepts a sign ("\u-0ab" → -171) and
+          // appendCodePoint throws IAE on negative / > 0x10FFFF values
+          // ("\U00110000") — either would otherwise kill the scan in
+          // non-strict mode, the exact case pass-through must survive.
           case 'u' if i + 6 <= s.length =>
             try { sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 6), 16)); i += 6 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            catch { case _: IllegalArgumentException => sb.append(c); i += 1 }
           case 'U' if i + 10 <= s.length =>
             try { sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16)); i += 10 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            catch { case _: IllegalArgumentException => sb.append(c); i += 1 }
           case _ => sb.append(c); i += 1
         }
       }

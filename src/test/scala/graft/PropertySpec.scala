@@ -486,6 +486,11 @@ class PropertySpec extends SparkSpec {
     assert(org.apache.spark.sql.graft.RdfUnescape.decode("\\u0041\\U0001F600x") === "A\ud83d\ude00x")
     // malformed escapes pass through rather than throwing
     assert(org.apache.spark.sql.graft.RdfUnescape.decode("a\\zb\\uZZZZc\\") === "a\\zb\\uZZZZc\\")
+    // hex that PARSES but is an invalid code point must pass through
+    // too, not throw: parseInt accepts a sign ("\u-0ab" → -171) and
+    // appendCodePoint rejects negatives / > 0x10FFFF ("\U00110000")
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\u-0abY") === "x\\u-0abY")
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\U00110000Y") === "x\\U00110000Y")
   }
 
   // ---- curation funnel invariants ----------------------------------------

@@ -35,10 +35,22 @@ class QualityClassifierSpec extends SparkSpec {
   }
 
   test("scoring is a projection: no MLlib transform, no shuffle in the plan") {
-    val scored = QualityClassifier.fitScore(corpus, ref, "doc_id", "text")
+    // sampleMod=2: the 12-doc fixture has no id with md5 % 7 == 0, and
+    // the zero-negative guard now fails that loudly (as it should)
+    val scored = QualityClassifier.fitScore(corpus, ref, "doc_id", "text", sampleMod = 2)
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"corpus scoring must not shuffle:\n$plan")
     assert(!plan.toLowerCase.contains("udf"), "literal-weight sigmoid, not a model UDF")
+  }
+
+  test("zero-negative sample fails loudly instead of fitting a single class") {
+    // ids 1..12 contain no md5 % 7 == 0 hit, so the default sampleMod
+    // yields zero bootstrap negatives — the guard must raise, because a
+    // single-class logistic fit would score every document ~1.0
+    val ex = intercept[IllegalArgumentException] {
+      QualityClassifier.fitScore(corpus, ref, "doc_id", "text", sampleMod = 7)
+    }
+    assert(ex.getMessage.contains("0 bootstrap negatives"))
   }
 
   test("degrade strips stopwords and truncates deterministically") {

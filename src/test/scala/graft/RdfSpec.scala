@@ -47,6 +47,46 @@ class RdfSpec extends SparkSpec {
     assert(rows.contains(("_:b0", "http://ex.org/name", "Anon", true)))
   }
 
+  test("loadNTriples rejects an unclosed-IRI object instead of emitting an empty tail") {
+    val d = tmpDir()
+    val p = write(d, "unclosed.nt",
+      "<http://a> <http://p> <http://broken .\n<http://a> <http://p> <http://ok> .\n")
+    val rows = Rdf.loadNTriples(spark, p).collect()
+    assert(rows.length === 1 && rows.head.getString(2) === "http://ok")
+    val ex = intercept[Exception] {
+      Rdf.loadNTriples(spark, p, strict = true).collect()
+    }
+    assert(ex.getMessage.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
+  test("toNTriples keeps suffix-shaped plain content as content") {
+    import spark.implicits._
+    // "user@gmail" must NOT become a lang tag (primary subtag is 2-3
+    // letters); "wow ^^ smiley" must NOT become a datatype (needs a
+    // scheme-qualified IRI); real @fr / ^^IRI suffixes still round-trip
+    val df = Seq(
+      ("http://e1", "http://p", "reach me at user@gmail", true),
+      ("http://e1", "http://p", "wow ^^ smiley", true),
+      ("http://e1", "http://q", "Bonjour@fr", true),
+      ("http://e1", "http://r", "30^^http://www.w3.org/2001/XMLSchema#integer", true))
+      .toDF("head", "rel", "tail", "is_literal")
+    val d = tmpDir()
+    val out = d.resolve("out").toString
+    Rdf.toNTriples(df).write.text(out)
+    val back = Rdf.loadNTriples(spark, out)
+      .select("rel", "tail", "is_literal").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(
+      ("http://p", "reach me at user@gmail"),
+      ("http://p", "wow ^^ smiley"),
+      ("http://q", "Bonjour@fr"),
+      ("http://r", "30^^http://www.w3.org/2001/XMLSchema#integer")))
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines.contains("""<http://e1> <http://p> "reach me at user@gmail" ."""))
+    assert(lines.contains("""<http://e1> <http://q> "Bonjour"@fr ."""))
+  }
+
   test("loadNTriples strict mode raises on garbage lines") {
     val d = tmpDir()
     val p = write(d, "bad.nt", "not a triple at all\n")

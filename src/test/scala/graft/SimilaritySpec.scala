@@ -334,12 +334,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(nicdm(("l2", "r2"))._2 - 0.4 / math.sqrt(0.35 * 0.3)) < 1e-9)
     assert(nicdm(("l1", "r1"))._1 == 1 && nicdm(("l1", "r3"))._1 == 3)
 
-    // σ_2: l1=.2 l2=.4 r1=.3 r2=.4; r3 has <2 candidates → its pair drops
+    // σ_2: l1=.2 l2=.4 r1=.3 r2=.4; r3 has <2 candidates → its σ falls
+    // back to its farthest AVAILABLE distance (.5) instead of dropping
+    // the pair (the sparse-endpoint fallback — silent entity deletion
+    // was the pre-fix behavior)
     val ls = rows(graft.similarity.Similarity.localScalingRerank(cand, 3, 2), "ls")
-    assert(!ls.contains(("l1", "r3")))
+    assert(math.abs(ls(("l1", "r3"))._2 - math.exp(-0.25 / (0.2 * 0.5))) < 1e-9)
     assert(math.abs(ls(("l1", "r1"))._2 - math.exp(-0.01 / (0.2 * 0.3))) < 1e-9)
     assert(math.abs(ls(("l2", "r2"))._2 - math.exp(-0.16 / (0.4 * 0.4))) < 1e-9)
-    assert(ls(("l1", "r1"))._1 == 1 && ls(("l2", "r1"))._1 == 1)
+    assert(ls(("l1", "r1"))._1 == 1 && ls(("l2", "r1"))._1 == 1 &&
+      ls(("l1", "r3"))._1 == 3)
 
     // rank-based farther fractions: MP(l1,r1)=2/3·1/2, MP(l1,r2)=1/3·1/2,
     // MP(l1,r3)=0; both l2 pairs 0 (tie broken by raw cos desc)
