@@ -435,9 +435,15 @@ object Rdf {
     def split(path: String, tableName: String): (EntityFrame, DataFrame) = {
       val triples = loadAny(path)
       val attrRaw = triples.filter(col("is_literal")).select("head", "rel", "tail")
+      // same NARROW suffix rules as [[toNTriples]]: only BCP-47-shaped
+      // lang tags and scheme-qualified datatype IRIs strip, so literal
+      // content like "user@gmail" survives clean=true intact (the broad
+      // `@[A-Za-z][A-Za-z0-9-]*$` strip corrupted it to "user")
       val attr = if (clean)
         attrRaw.withColumn("tail",
-          Text.stripDatatype(regexp_replace(col("tail"), "@[A-Za-z][A-Za-z0-9-]*$", "")))
+          regexp_replace(
+            regexp_replace(col("tail"), """\^\^[A-Za-z][A-Za-z0-9+.\-]*:\S+$""", ""),
+            "@[A-Za-z]{2,3}(-[A-Za-z0-9]{1,8})*$", ""))
       else attrRaw
       val rel = triples.filter(!col("is_literal")).select("head", "rel", "tail")
       (EntityFrame(attr, tableName, "head", isTriple = true), rel)

@@ -198,6 +198,7 @@ class RdfSpec extends SparkSpec {
     write(d, "target.nt",
       """<http://other.org/q1> <http://other.org/name> "Alicia"@es .
         |<http://other.org/q1> <http://other.org/n> "7"^^<http://www.w3.org/2001/XMLSchema#int> .
+        |<http://other.org/q1> <http://other.org/mail> "user@gmail" .
         |<http://other.org/q1> <http://other.org/near> <http://other.org/q2> .
         |""".stripMargin)
     write(d, "reference.xml", alignmentFixture)
@@ -209,7 +210,9 @@ class RdfSpec extends SparkSpec {
       leftTails.contains("Bonjour"))
     assert(!leftTails.exists(_.contains("^^")) && !leftTails.exists(_.endsWith("@fr")))
     val rightTails = ds.right.df.select("tail").collect().map(_.getString(0)).toSet
-    assert(rightTails === Set("Alicia", "7"))
+    // @es strips (BCP-47-shaped) but suffix-shaped CONTENT survives the
+    // clean — "user@gmail" must not be corrupted to "user"
+    assert(rightTails === Set("Alicia", "7", "user@gmail"))
     // rel frames carry only resource triples
     val leftRels = ds.leftRel.get.select("rel").distinct().collect().map(_.getString(0)).toSet
     assert(leftRels.contains("http://ex.org/knows") &&
