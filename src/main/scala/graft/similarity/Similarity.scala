@@ -235,7 +235,9 @@ object Similarity {
     * Scale shape: two window-rank passes + two per-id aggregates + two
     * joins, all keyed on candidate ids — cost is O(candidates), the
     * stream is persisted because four subplans consume it (bounded:
-    * candidate-stream-sized). Output keeps raw `cos` alongside `csls`
+    * candidate-stream-sized) and released as soon as the top-k is
+    * materialized (see [[finishRerank]] — every rerank here is eager).
+    * Output keeps raw `cos` alongside `csls`
     * and re-ranks per left id by csls (tie-break right id). */
   def cslsRerank(candidates: DataFrame, k: Int, scaleK: Int): DataFrame = {
     val cand = candidates.select("left_id", "right_id", "cos").persist()
@@ -251,7 +253,23 @@ object Similarity {
       .select(col("left_id"), col("right_id"), col("cos"),
         (lit(2.0) * col("cos") - col("_rq") - col("_rt")).as("csls"))
     val w = Window.partitionBy("left_id").orderBy(col("csls").desc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishRerank(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k), cand)
+  }
+
+  /** Shared tail of every rerank: eagerly materialize the (output-sized:
+    * ≤ k rows per left id) reranked top-k via localCheckpoint, then
+    * release the candidate cache NOW — returning a lazy plan over a
+    * persisted frame leaked one cached candidate stream per rerank call
+    * in a long-lived session (e.g. via
+    * [[graft.blockers.EmbeddingKnnBlocker]]). Same pattern as
+    * [[graft.dedup.Dedup.minHashNearDupPairs]]: checkpoint blocks die
+    * with the returned frame; cached frames lived until ContextCleaner
+    * noticed. */
+  private def finishRerank(reranked: DataFrame, cand: DataFrame): DataFrame = {
+    val out = reranked.localCheckpoint()
+    cand.unpersist()
+    out
   }
 
   /** NICDM hubness reduction (non-iterative contextual dissimilarity
@@ -290,7 +308,8 @@ object Similarity {
       else col("nicdm")
     val w = Window.partitionBy("left_id")
       .orderBy(rankKey.asc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishRerank(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k), cand)
   }
 
   /** Local-scaling hubness reduction (Zelnik-Manor & Perona NIPS 2004 —
@@ -335,7 +354,8 @@ object Similarity {
       if (rankScale >= 0) Num.stableRound(col("ls"), rankScale) else col("ls")
     val w = Window.partitionBy("left_id")
       .orderBy(rankKey.desc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishRerank(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k), cand)
   }
 
   /** Empiric mutual proximity (Schnitzer et al. JMLR 2012 — kiez's "mp"
@@ -367,7 +387,8 @@ object Similarity {
         (col("_fq") * col("_ft")).as("mp"))
     val w = Window.partitionBy("left_id")
       .orderBy(col("mp").desc, col("cos").desc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishRerank(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k), cand)
   }
 
   /** DisSimLocal hubness reduction (Hara et al. AAAI 2016 — kiez's
@@ -428,7 +449,8 @@ object Similarity {
       if (rankScale >= 0) Num.stableRound(col("dsl"), rankScale) else col("dsl")
     val w = Window.partitionBy("left_id")
       .orderBy(rankKey.asc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishRerank(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k), cand)
   }
 
   /** Named hubness-reduction method over a (left_id, right_id, cos)

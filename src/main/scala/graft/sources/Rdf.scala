@@ -414,8 +414,18 @@ object Rdf {
     * format). Triples split into attribute frames (literal tails — the
     * blockers' text surface) and relation frames (IRI/bnode tails),
     * exactly the split sylloge hands the reference
-    * (ea_dataset.py:54-66). `clean` applies the S2 datatype strip, which
-    * also drops the `@lang` tag (reference ea_dataset.py:88-91). */
+    * (ea_dataset.py:54-66). `clean` applies the S2 datatype strip
+    * (reference ea_dataset.py:88-91 — a naive `split("^^")[0]` at the
+    * FIRST `^^` anywhere; ours is suffix-anchored and scheme-qualified,
+    * so a literal like `"a^^b c"` deliberately survives intact here).
+    * The `@lang` strip has NO reference counterpart — it is a
+    * repo-specific consequence of the in-band tail encoding (our triple
+    * rows carry `"lex"@lang` as one string; stripping recovers the bare
+    * lexical form the reference gets for free from rdflib's typed
+    * Literal), narrowed to BCP-47-shaped tags so plain content like
+    * `user@gmail` is untouched. File discovery resolves through the
+    * Hadoop FileSystem of `dir`, so bundles on HDFS/S3A work, not just
+    * the local filesystem. */
   def loadOaei(
       spark: SparkSession, dir: String,
       leftName: String = "source", rightName: String = "target",
@@ -424,7 +434,7 @@ object Rdf {
     def findFile(stem: String): String = {
       val exts = Seq("nt", "rdf", "xml", "owl")
       exts.map(e => s"$dir/$stem.$e")
-        .find(p => new java.io.File(p).exists())
+        .find(p => pathExists(spark, p))
         .getOrElse(throw new IllegalArgumentException(
           s"no $stem.{${exts.mkString(",")}} under $dir"))
     }
@@ -452,8 +462,26 @@ object Rdf {
     val (left, leftRel) = split(findFile(leftName), leftName)
     val (right, rightRel) = split(findFile(rightName), rightName)
     val gold = Seq("reference.xml", "reference.rdf", "refalign.rdf")
-      .map(n => s"$dir/$n").find(p => new java.io.File(p).exists())
+      .map(n => s"$dir/$n").find(p => pathExists(spark, p))
       .map(p => loadAlignment(spark, p, leftName, rightName))
     BlockingDataset(left, right, Some(leftRel), Some(rightRel), gold)
+  }
+
+  /** Existence probe through the path's OWN Hadoop filesystem (local,
+    * HDFS, S3A, …) — `java.io.File.exists` silently made every
+    * format-sniffing loader local-filesystem-only even though the
+    * readers themselves accept any Hadoop path. */
+  def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Names of sub-directories of `dir` (empty if `dir` is absent), via
+    * the same Hadoop filesystem resolution as [[pathExists]]. */
+  def subDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 }

@@ -82,6 +82,17 @@ case class RdfUnescape(child: Expression) extends UnaryExpression {
 }
 
 object RdfUnescape {
+  private def allHex(s: String, from: Int, until: Int): Boolean = {
+    var j = from
+    while (j < until) {
+      val h = s.charAt(j)
+      if (!((h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+            (h >= 'A' && h <= 'F'))) return false
+      j += 1
+    }
+    true
+  }
+
   /** JVM-static so generated code and interpreted eval share one body. */
   def decode(s: String): String = {
     if (s.indexOf('\\') < 0) return s
@@ -100,15 +111,18 @@ object RdfUnescape {
           case '"'  => sb.append('"');  i += 2
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
-          // catch IllegalArgumentException, not just its NumberFormat
-          // subclass: parseInt accepts a sign ("\u-0ab" → -171) and
-          // appendCodePoint throws IAE on negative / > 0x10FFFF values
-          // ("\U00110000") — either would otherwise kill the scan in
-          // non-strict mode, the exact case pass-through must survive.
-          case 'u' if i + 6 <= s.length =>
+          // Validate the whole window is hex digits BEFORE parseInt:
+          // parseInt accepts a sign, so "\u-0ab" parses to -171 (then
+          // appendCodePoint throws IAE — caught) but "\u+0ab" parses to
+          // +171 and SILENTLY decodes to U+00AB instead of passing
+          // through verbatim. The IAE catch still guards the one case
+          // hex-validation can't: "\U00110000" is all hex digits yet
+          // above 0x10FFFF — appendCodePoint rejects it, and the exact
+          // pass-through must survive in non-strict mode.
+          case 'u' if i + 6 <= s.length && allHex(s, i + 2, i + 6) =>
             try { sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 6), 16)); i += 6 }
             catch { case _: IllegalArgumentException => sb.append(c); i += 1 }
-          case 'U' if i + 10 <= s.length =>
+          case 'U' if i + 10 <= s.length && allHex(s, i + 2, i + 10) =>
             try { sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16)); i += 10 }
             catch { case _: IllegalArgumentException => sb.append(c); i += 1 }
           case _ => sb.append(c); i += 1

@@ -491,6 +491,10 @@ class PropertySpec extends SparkSpec {
     // appendCodePoint rejects negatives / > 0x10FFFF ("\U00110000")
     assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\u-0abY") === "x\\u-0abY")
     assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\U00110000Y") === "x\\U00110000Y")
+    // '+'-signed hex also parses ("\u+0ab" → +171) AND appendCodePoint
+    // accepts it — only up-front hex validation keeps it verbatim
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\u+0abY") === "x\\u+0abY")
+    assert(org.apache.spark.sql.graft.RdfUnescape.decode("x\\U+001F600Y") === "x\\U+001F600Y")
   }
 
   // ---- curation funnel invariants ----------------------------------------
