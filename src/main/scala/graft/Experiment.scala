@@ -84,7 +84,12 @@ object Experiment {
       buckets: Int = 16,
       minClusterSize: Int = 5,
       minOverlap: Int = 1,
-      maxBlockComparisons: Long = 0L)
+      maxBlockComparisons: Long = 0L,
+      // M4 production form: a (token, vector) parquet for
+      // TableTokenEncoder; --sif switches either token encoder to SIF
+      // weighting (the reference's SIFEmbeddingTokenizedFrameEncoder)
+      wordVectors: Option[String] = None,
+      sifWeighting: Boolean = false)
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -92,7 +97,15 @@ object Experiment {
     * `--embeddings <dir>` is given — probe the cache, load if present,
     * else encode + save (`--force-encode` overwrites). */
   def encoderFor(c: Config): FrameEncoder = {
-    val base = HashTokenEncoder(c.dims)
+    val base = c.wordVectors match {
+      // real (token, vector) parquet → lookup-join encoder (M4's
+      // production semantics); resolved against the active session —
+      // encoderFor is only reached with one up (run(), blockerFor)
+      case Some(p) => graft.encoders.TableTokenEncoder.fromParquet(
+        org.apache.spark.sql.SparkSession.active, p, c.dims,
+        sif = c.sifWeighting)
+      case None => HashTokenEncoder(c.dims, sif = c.sifWeighting)
+    }
     c.embeddingsDir.map(d => CachedEncoder(base, d, c.forceEncode)).getOrElse(base)
   }
 
@@ -230,7 +243,9 @@ object Experiment {
       buckets = m.getOrElse("buckets", "16").toInt,
       minClusterSize = m.getOrElse("min-cluster-size", "5").toInt,
       minOverlap = m.getOrElse("min-overlap", "1").toInt,
-      maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong)
+      maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong,
+      wordVectors = m.get("word-vectors"),
+      sifWeighting = flags.contains("sif"))
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's
@@ -247,11 +262,13 @@ object Experiment {
     *  - otherwise a `left.<fmt>`/`right.<fmt>` bundle.
     * `--format openea|sylloge|oaei|moviegraph` forces a branch. */
   def loadDataset(spark: SparkSession, c: Config): BlockingDataset = {
-    def exists(p: String) = new java.io.File(p).exists()
+    // Hadoop-FS resolution (not java.io.File): the format sniff must
+    // work wherever the readers do — a dataset dir on HDFS/S3A sniffs
+    // and loads identically to a local one.
+    def exists(p: String) = graft.sources.Rdf.pathExists(spark, p)
     def soleMoviePair: Option[String] = {
-      def pairsIn(d: String) = Option(new java.io.File(d).listFiles())
-        .getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && exists(s"$f/attr_triples_1")).map(_.getName)
+      def pairsIn(d: String) = graft.sources.Rdf.subDirs(spark, d)
+        .filter(n => exists(s"$d/$n/attr_triples_1"))
       val direct = pairsIn(c.data)
       val nested = pairsIn(s"${c.data}/data")
       (direct ++ nested).distinct match { case Seq(one) => Some(one); case _ => None }

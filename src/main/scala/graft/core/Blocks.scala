@@ -233,7 +233,10 @@ object Blocks {
         .unionAll(read(spark, nnPath.toString))
     else {
       val raw = spark.read.parquet(path)
-      val isNN = raw.columns.length > 3 ||
+      // != 3 (not just > 3): an NN table written from an EMPTY blocking
+      // has k = 0 neighbor columns — only "id" survives on disk, and
+      // probing columns(1) on it would throw before the sniff decides
+      val isNN = raw.columns.length != 3 ||
         !raw.schema(raw.columns(1)).dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
       if (isNN) fromNNLayout(raw)
@@ -257,10 +260,15 @@ object Blocks {
   private def fromNNLayout(raw: DataFrame): Blocks = {
     val id = raw.columns.head
     val neighbors = raw.columns.tail.map(c => col(c).cast("string"))
+    // zero neighbor columns (empty blocking round-trip): typed empty
+    // array — a bare array() would infer array<null>
+    val right =
+      if (neighbors.isEmpty) array().cast("array<string>")
+      else filter(array(neighbors: _*), _.isNotNull)
     Blocks(raw.select(
       col(id).cast("string").as(KeyCol),
       array(col(id).cast("string")).as(LeftCol),
-      filter(array(neighbors: _*), _.isNotNull).as(RightCol)))
+      right.as(RightCol)))
   }
 
   /** NN-blocks layout (blocks.py:466-557) normalized to one row per left

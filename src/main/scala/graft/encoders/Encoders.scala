@@ -36,26 +36,8 @@ final case class HashTokenEncoder(
     removePc: Boolean = false) extends FrameEncoder {
 
   override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
-    val toks = frame.concatValues()
-      .select(col(frame.idCol).cast("string").as("id"),
-        explode(Text.tokenize(col(EntityFrame.ConcCol))).as("key"))
-    val weighted =
-      if (sif) {
-        // persist: the token stream feeds both the frequency aggregate and
-        // the weight join; total token count comes in-plan from the (tiny)
-        // counts frame — no driver-side count() action, no third scan
-        val cached = toks.persist()
-        val counts = cached.groupBy("key").agg(count(lit(1)).as("freq"))
-        val withTotal = counts.crossJoin(
-          broadcast(counts.agg(sum("freq").cast("double").as("total"))))
-        // withTotal is one row per DISTINCT TOKEN — no broadcast hint: a
-        // 100 TB vocab outgrows an executor; AQE broadcasts while small
-        cached.join(withTotal, Seq("key"))
-          .withColumn("w",
-            when(col("freq") >= minFreq,
-              lit(sifA) / (lit(sifA) + col("freq") / col("total")))
-            .otherwise(lit(1.0)))
-      } else toks.withColumn("w", lit(1.0))
+    val toks = TokenWeighting.tokenStream(frame)
+    val (weighted, cached) = TokenWeighting.weighted(toks, sif, sifA, minFreq)
     val dimCols = (0 until dims).map(d =>
       (sum(col("w") * HashTokenEncoder.dimValue(col("_x"), d))
         / sum(col("w"))).as(s"d$d"))
@@ -63,8 +45,142 @@ final case class HashTokenEncoder(
       .withColumn("_x", HashTokenEncoder.tokenHash(col("key")))
       .groupBy("id").agg(dimCols.head, dimCols.tail: _*)
       .select(col("id"), array((0 until dims).map(d => col(s"d$d")): _*).as("vec"))
-    if (removePc) PcRemoval.removeFirstPc(pooled, dims) else pooled
+    val out = if (removePc) PcRemoval.removeFirstPc(pooled, dims) else pooled
+    TokenWeighting.finish(out, cached)
   }
+}
+
+/** Shared M4 plumbing: the tokenized (id, key) stream and the SIF
+  * weighting join, factored so [[HashTokenEncoder]] (pseudo-vectors) and
+  * [[TableTokenEncoder]] (real vector-table lookup) cannot drift. */
+private[encoders] object TokenWeighting {
+
+  /** (id, key): one row per token occurrence of the frame's
+    * concatenated values. */
+  def tokenStream(frame: EntityFrame): DataFrame =
+    frame.concatValues()
+      .select(col(frame.idCol).cast("string").as("id"),
+        explode(Text.tokenize(col(EntityFrame.ConcCol))).as("key"))
+
+  /** Attach the per-token weight column `w`. With `sif`, the reference's
+    * prepare() weighting (pretrained.py:486-515): a/(a + freq/total)
+    * with the min_freq floor, frequencies over the FULL token stream —
+    * computed before any vocabulary lookup, so unknown tokens still
+    * count toward totals exactly like the reference (its value_counts
+    * run over the tokenizer output, not the vocab). Returns the
+    * persisted token stream (if any) for [[finish]] to release. */
+  def weighted(toks: DataFrame, sif: Boolean, sifA: Double, minFreq: Int)
+      : (DataFrame, Option[DataFrame]) =
+    if (!sif) (toks.withColumn("w", lit(1.0)), None)
+    else {
+      // persist: the token stream feeds both the frequency aggregate and
+      // the weight join; total token count comes in-plan from the (tiny)
+      // counts frame — no driver-side count() action, no third scan
+      val cached = toks.persist()
+      val counts = cached.groupBy("key").agg(count(lit(1)).as("freq"))
+      val withTotal = counts.crossJoin(
+        broadcast(counts.agg(sum("freq").cast("double").as("total"))))
+      // withTotal is one row per DISTINCT TOKEN — no broadcast hint: a
+      // 100 TB vocab outgrows an executor; AQE broadcasts while small
+      val w = cached.join(withTotal, Seq("key"))
+        .withColumn("w",
+          when(col("freq") >= minFreq,
+            lit(sifA) / (lit(sifA) + col("freq") / col("total")))
+          .otherwise(lit(1.0)))
+      (w, Some(cached))
+    }
+
+  /** When SIF persisted the token stream, eagerly materialize the
+    * (one-row-per-entity) embedding via localCheckpoint and release the
+    * cache NOW — the [[graft.similarity.Similarity]] finishRerank
+    * pattern; a lazy plan over a persisted frame leaked one cached token
+    * stream per encode in a long-lived session. */
+  def finish(out: DataFrame, cached: Option[DataFrame]): DataFrame =
+    cached match {
+      case Some(c) => val m = out.localCheckpoint(); c.unpersist(); m
+      case None => out
+    }
+}
+
+/** M4's production form: pooled token embeddings from a REAL
+  * user-supplied `(token, vector)` table — the reference's
+  * fasttext/gloVe KeyedVectors lookup (pretrained.py:259-384), which at
+  * scale is exactly a parquet join. Unknown tokens are SKIPPED (the
+  * reference's KeyError → continue, pretrained.py:344-349): the lookup
+  * is an inner join, so only vocabulary tokens contribute to the
+  * average. SIF weighting (pretrained.py:486-515) runs over the REAL
+  * corpus frequencies of the full token stream — frequencies and totals
+  * are computed BEFORE the vocabulary join, exactly like the
+  * reference's prepare(), where value_counts runs on tokenizer output.
+  *
+  * Documented divergence: an entity whose every token is unknown gets a
+  * RANDOM xavier-initialized row in the reference
+  * (pretrained.py:368-384 — noise, different every run); here it is
+  * absent from the output (deterministic, and a kNN block built from a
+  * random vector is arbitrary anyway). Downstream blockers treat
+  * missing ids as unblocked, the honest semantics.
+  *
+  * Scale shape: tokenize → (optional) SIF weight join → hash join to
+  * the vector table → one map-side-combinable groupBy(id) with `dims`
+  * partial sums (element_at into the joined array — no vector explode,
+  * no dims× row inflation). The vector table shuffles on its token key
+  * like any dimension join; set `broadcastVectors` when the vocabulary
+  * fits an executor (a 400k×300 gloVe table is ~1 GB — borderline; AQE
+  * decides when the hint is off). */
+final case class TableTokenEncoder(
+    vectors: DataFrame,
+    dims: Int,
+    sif: Boolean = false,
+    sifA: Double = 1e-3,
+    minFreq: Int = 0,
+    removePc: Boolean = false,
+    broadcastVectors: Boolean = false) extends FrameEncoder {
+
+  override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame = {
+    val toks = TokenWeighting.tokenStream(frame)
+    val (weighted, cached) = TokenWeighting.weighted(toks, sif, sifA, minFreq)
+    // first two columns positionally = (token, vector), any names
+    val Array(tokCol, vecCol) = vectors.columns.take(2)
+    val vt0 = vectors.select(col(tokCol).cast("string").as("key"),
+      col(vecCol).as("_tv"))
+    val vt = if (broadcastVectors) broadcast(vt0) else vt0
+    val dimCols = (0 until dims).map(d =>
+      (sum(col("w") * element_at(col("_tv"), d + 1)) / sum(col("w"))).as(s"d$d"))
+    val pooled = weighted.join(vt, Seq("key"))
+      .groupBy("id").agg(dimCols.head, dimCols.tail: _*)
+      .select(col("id"), array((0 until dims).map(d => col(s"d$d")): _*).as("vec"))
+    val out = if (removePc) PcRemoval.removeFirstPc(pooled, dims) else pooled
+    TokenWeighting.finish(out, cached)
+  }
+
+  /** [[CachedEncoder]] keys the cache on this string: the default
+    * case-class toString would render the vectors DataFrame as its
+    * schema only, so two different vector TABLES with one schema would
+    * collide — fingerprint the table's resolved input files instead
+    * (the CachedEncoder dataset-fingerprint trick, driver-side only). */
+  override def toString: String = {
+    val files =
+      try vectors.inputFiles.sorted.mkString("\n")
+      catch { case _: Exception => "" }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md
+      .digest((files + " " + vectors.schema.treeString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"TableTokenEncoder($digest,$dims,$sif,$sifA,$minFreq,$removePc)"
+  }
+}
+
+object TableTokenEncoder {
+  /** CLI entry (`--word-vectors <parquet>`): the vector table read from
+    * a parquet of (token, vector) rows — the shape a fasttext/gloVe
+    * dump lands in after one conversion pass. */
+  def fromParquet(
+      spark: SparkSession, path: String, dims: Int,
+      sif: Boolean = false, sifA: Double = 1e-3, minFreq: Int = 0,
+      removePc: Boolean = false,
+      broadcastVectors: Boolean = false): TableTokenEncoder =
+    TableTokenEncoder(spark.read.parquet(path), dims, sif, sifA, minFreq,
+      removePc, broadcastVectors)
 }
 
 /** The deterministic token-vector formula, shared with every oracle that

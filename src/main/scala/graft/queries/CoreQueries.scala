@@ -204,6 +204,64 @@ object CoreQueries {
              |       cast(left_size AS int) AS left_size, cast(right_size AS int) AS right_size
              |FROM lb JOIN rb USING (block_key) ORDER BY block_key""".stripMargin)),
 
+    // ---- S4/S5: blocks → parquet → blocks, all three layouts --------------
+    // The reference's block persistence dispatch end-to-end
+    // (blocks.py:319-381 write/read + :484-557 NN layout + :608-636
+    // composite): the J1 blocking is written in the NORMAL layout with
+    // dataset-named list columns and sniffed back in; an NN-shaped
+    // derivative (key = left id, first-3 neighbor list — the
+    // NNBlockManager shape, null-padded scalar columns "0".."k-1" on
+    // disk) plus the normal part are then written as a COMPOSITE
+    // (blocks/ + nn_blocks/) and read back through the dispatch, which
+    // must union them. The oracle replays the SEMANTICS only (blocking +
+    // top-3 reshape + union) — any loss or reshuffle in the
+    // write/read/sniff detour breaks the hash, the s7/ann_ivf_pq_saved
+    // storage contract: a bit-identical detour, never a transformation.
+    "s4_blocks_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val l = table(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_nationkey").cast("string").as("key"))
+        val r = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_nationkey").cast("string").as("key"))
+        val base = Blocker.blockJoin(l, r)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_blocks_rt_").toString
+        base.write(s"$out/normal", "customer", "supplier")
+        val normal = Blocks.read(s, s"$out/normal")
+        val nn = Blocks(normal.df
+          .select(explode(col(Blocks.LeftCol)).as("_lid"), col(Blocks.RightCol))
+          .select(concat(lit("c"), col("_lid")).as(Blocks.KeyCol),
+            array(concat(lit("c"), col("_lid"))).as(Blocks.LeftCol),
+            slice(col(Blocks.RightCol), 1, 3).as(Blocks.RightCol)))
+        normal.writeComposite(s"$out/composite", nn, "customer", "supplier")
+        Blocks.read(s, s"$out/composite").df
+          .select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol, "left_ids")
+      },
+      Some("""WITH lb AS (
+             |  SELECT cast(c_nationkey AS varchar) AS block_key,
+             |         list_sort(list(DISTINCT cast(c_custkey AS varchar))) AS llist
+             |  FROM customer GROUP BY 1),
+             |rb AS (
+             |  SELECT cast(s_nationkey AS varchar) AS block_key,
+             |         list_sort(list(DISTINCT cast(s_suppkey AS varchar))) AS rlist
+             |  FROM supplier GROUP BY 1),
+             |normal AS (
+             |  SELECT block_key, array_to_string(llist, ',') AS left_ids,
+             |         array_to_string(rlist, ',') AS right_ids
+             |  FROM lb JOIN rb USING (block_key)),
+             |nn AS (
+             |  SELECT 'c'||cast(c.c_custkey AS varchar) AS block_key,
+             |         'c'||cast(c.c_custkey AS varchar) AS left_ids,
+             |         array_to_string(rb.rlist[1:3], ',') AS right_ids
+             |  FROM customer c
+             |  JOIN rb ON cast(c.c_nationkey AS varchar) = rb.block_key)
+             |SELECT block_key, left_ids, right_ids FROM normal
+             |UNION ALL SELECT block_key, left_ids, right_ids FROM nn
+             |ORDER BY block_key, left_ids""".stripMargin)),
+
     // ---- flagship: token blocking, documents split even/odd --------------
     "tb_token_blocker" -> QueryDef(
       (s, dir) => {

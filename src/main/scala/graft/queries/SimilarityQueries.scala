@@ -1171,6 +1171,53 @@ object SimilarityQueries {
       },
       Some(sifEmbeddingOracleSql)),
 
+    // ---- M4 production form: real (token, vector) TABLE lookup ------------
+    // TableTokenEncoder end-to-end: the vector table is materialized as a
+    // plain (token, vec) DataFrame FIRST — the encoder only ever joins
+    // it; nothing in its plan knows where the vectors came from (the
+    // fasttext/gloVe-parquet shape, reference pretrained.py:259-384).
+    // The vocabulary is the hash-even HALF of the corpus tokens, so the
+    // reference's unknown-token skip (KeyError → continue) demonstrably
+    // engages at every SF — odd-hash tokens are out-of-vocabulary yet
+    // still count toward the SIF totals, exactly like the reference's
+    // value_counts over raw tokenizer output. The oracle replays the
+    // vocabulary build, the lookup join, and the weighted average in SQL.
+    "m4_table_embedding" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val vocab = docs
+          .select(explode(Text.tokenize(col("text"))).as("token")).distinct()
+          .withColumn("_x", HashTokenEncoder.tokenHash(col("token")))
+          .filter(col("_x") % 2 === 0)
+          .select(col("token"), array((0 until 4).map(d =>
+            HashTokenEncoder.dimValue(col("_x"), d)): _*).as("vec"))
+        val enc = graft.encoders.TableTokenEncoder(vocab, dims = 4, sif = true)
+        enc.encode(EntityFrame(docs, "documents", "doc_id"), None)
+          .select(col("id").cast("long").as("doc_id") +:
+            (0 until 4).map(d =>
+              Num.stableRound(get(col("vec"), lit(d)), 6).as(s"d$d")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = duckTokens("doc_id", "text", "documents", 3)
+        val dimExprs = (0 until 4).map(d =>
+          s"floor((sum(w * ${HashTokenEncoder.dimValueSql("x", d)}) / sum(w)) * 1e6 + 0.5) / 1e6 AS d$d")
+          .mkString(", ")
+        s"""WITH toks AS ($toks),
+           |counts AS (SELECT key, count(*) AS freq FROM toks GROUP BY key),
+           |total AS (SELECT count(*)::double AS t FROM toks),
+           |vocab AS (
+           |  SELECT key, x FROM (
+           |    SELECT key, ${HashTokenEncoder.tokenHashSql("key")} AS x FROM counts)
+           |  WHERE x % 2 = 0),
+           |weighted AS (
+           |  SELECT toks.id, vocab.x,
+           |         0.001 / (0.001 + counts.freq / total.t) AS w
+           |  FROM toks JOIN counts USING (key) JOIN vocab USING (key), total)
+           |SELECT id AS doc_id, $dimExprs
+           |FROM weighted GROUP BY id ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- S7: embedding cache save/load, end-to-end ------------------------
     // The "encode once, block many times" flow proven under the oracle:
     // encode through CachedEncoder into a per-run temp dir (the first

@@ -261,6 +261,70 @@ class EncoderSpec extends SparkSpec {
     }
   }
 
+  test("TableTokenEncoder: lookup join, unknown-token skip, SIF over the full stream") {
+    // vocab knows alpha/beta only; zzz is out-of-vocabulary. Reference
+    // semantics under test (pretrained.py:344-349, 486-515):
+    //  - unknown tokens are skipped from the average (inner join), BUT
+    //  - they still count toward SIF frequencies and the token total
+    //    (value_counts runs on raw tokenizer output, before any lookup)
+    val vocab = Seq(("alpha", Seq(1.0, 0.0)), ("beta", Seq(0.0, 1.0)))
+      .toDF("token", "vec")
+    val f = EntityFrame(
+      Seq(("d1", "alpha beta"), ("d2", "alpha zzz"), ("d3", "zzz qqq"))
+        .toDF("id", "text"), "t", "id")
+    val got = graft.encoders.TableTokenEncoder(vocab, dims = 2, sif = true)
+      .encode(f, None).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    // d3: every token unknown → absent (documented divergence from the
+    // reference's random xavier row)
+    assert(got.keySet == Set("d1", "d2"), got.keySet)
+    // d2: one known token → its vector exactly, any weighting
+    assert(got("d2") == List(1.0, 0.0))
+    // d1: weights over the FULL stream: freq(alpha)=2, freq(beta)=1,
+    // total=6 tokens (alpha×2, beta, zzz×2, qqq)
+    val a = 1e-3
+    val wA = a / (a + 2.0 / 6.0); val wB = a / (a + 1.0 / 6.0)
+    val exp = List(wA / (wA + wB), wB / (wA + wB))
+    got("d1").zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"d1 got ${got("d1")} want $exp") }
+  }
+
+  test("TableTokenEncoder: fromParquet + cache fingerprint distinguishes vector tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wv_").toString
+    Seq(("alpha", Seq(1.0, 0.0)), ("beta", Seq(0.0, 1.0)))
+      .toDF("token", "vec").write.parquet(s"$dir/v1.parquet")
+    Seq(("alpha", Seq(0.5, 0.5)), ("beta", Seq(0.5, -0.5)))
+      .toDF("token", "vec").write.parquet(s"$dir/v2.parquet")
+    val f = EntityFrame(Seq(("d1", "alpha beta")).toDF("id", "text"), "t", "id")
+    val e1 = graft.encoders.TableTokenEncoder
+      .fromParquet(spark, s"$dir/v1.parquet", dims = 2)
+    val got = e1.encode(f, None).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got("d1") == List(0.5, 0.5))
+    // same schema, different table → different CachedEncoder key (the
+    // default case-class toString would render both as the schema only)
+    val e2 = graft.encoders.TableTokenEncoder
+      .fromParquet(spark, s"$dir/v2.parquet", dims = 2)
+    assert(e1.toString != e2.toString)
+    assert(e1.toString ==
+      graft.encoders.TableTokenEncoder
+        .fromParquet(spark, s"$dir/v1.parquet", dims = 2).toString)
+  }
+
+  test("Experiment --word-vectors wires TableTokenEncoder into embedding blockers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wv_cli_").toString
+    Seq(("alpha", Seq(1.0, 0.0))).toDF("token", "vec")
+      .write.parquet(s"$dir/vec.parquet")
+    val c = Experiment.parseArgs(Array(
+      "--data", "x", "--blocker", "embedding-knn", "--out", "y",
+      "--word-vectors", s"$dir/vec.parquet", "--sif", "--dims", "2"))
+    assert(c.wordVectors.contains(s"$dir/vec.parquet") && c.sifWeighting)
+    val enc = Experiment.encoderFor(c)
+    assert(enc.isInstanceOf[graft.encoders.TableTokenEncoder],
+      s"got $enc")
+    assert(Experiment.blockerFor(c).isInstanceOf[EmbeddingKnnBlocker])
+  }
+
   test("TokenClusteringMinHashLSHBlocker: identical pseudo-token sets collide") {
     // buckets=1 → every entity has the same single pseudo-token → identical
     // signatures → all entities share every band bucket
