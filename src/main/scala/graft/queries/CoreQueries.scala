@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{Blocks, EntityFrame}
 import graft.blockers._
@@ -81,6 +82,90 @@ object CoreQueries {
              |  text || '"\' || chr(10) || chr(9) || 'é' AS text_rt,
              |  'http://g/src/' || source AS source_rt
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- S1 end-to-end: raw OAEI bundle → blocking → eval -----------------
+    // The reference's OAEI experiment shape (ea_dataset.py:28-110 +
+    // later_eval.py): a raw pair directory — source/target RDF dumps plus
+    // an Alignment-format reference.xml — is BUILT from customer/supplier
+    // inside the query (serialized through toNTriples, the
+    // src_ntriples_roundtrip pattern; the alignment gold aligns each
+    // supplier k with customer k), then driven through the production
+    // path: loadOaei (format sniff + literal/relation split + alignment
+    // parse) → TokenBlocker over the concatenated literals → J7/A8
+    // evaluation. The zero-padded entity number in the names is the
+    // discriminative cross-side token (recall 1), the shared nation
+    // literal adds coarse collisions (precision < 1). The oracle recomputes
+    // blocking + metrics straight from the tables — no part of the
+    // RDF/XML round-trip is replayed, so the hash proves the parsers and
+    // the split end-to-end. The reference.xml fixture is driver-built
+    // from the collected supplier keys: bounded by the DIM-table side
+    // (suppliers), and fixture generation — not the operator under test.
+    "src_oaei_pipeline" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.Rdf
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_oaei_pipe_").toString
+        def triples(df: DataFrame, pfx: String, id: String, name: String,
+                    nation: String) =
+          df.select(concat(lit(s"http://$pfx/e"), col(id)).as("head"),
+              lit("http://g/p/name").as("rel"), col(name).as("tail"),
+              lit(true).as("is_literal"))
+            .unionByName(df.select(
+              concat(lit(s"http://$pfx/e"), col(id)).as("head"),
+              lit("http://g/p/nation").as("rel"),
+              concat(lit("nation"), col(nation)).as("tail"),
+              lit(true).as("is_literal")))
+        val cust = table(s, dir, "customer")
+        val supp = table(s, dir, "supplier")
+        Rdf.toNTriples(triples(cust, "src", "c_custkey", "c_name", "c_nationkey"))
+          .write.mode("overwrite").text(s"$out/source.nt")
+        Rdf.toNTriples(triples(supp, "tgt", "s_suppkey", "s_name", "s_nationkey"))
+          .write.mode("overwrite").text(s"$out/target.nt")
+        val ks = supp.select(col("s_suppkey").cast("long"))
+          .orderBy("s_suppkey").collect().map(_.getLong(0))
+        val cells = ks.map(k =>
+          s"""  <map><Cell><entity1 rdf:resource="http://src/e$k"/>""" +
+          s"""<entity2 rdf:resource="http://tgt/e$k"/>""" +
+          "<relation>=</relation><measure>1.0</measure></Cell></map>")
+          .mkString("\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/reference.xml"),
+          "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+          "<rdf:RDF xmlns=\"http://knowledgeweb.semanticweb.org/heterogeneity/alignment#\"\n" +
+          "         xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n" +
+          s"<Alignment>\n$cells\n</Alignment>\n</rdf:RDF>\n")
+        val ds = Rdf.loadOaei(s, out)
+        val blocks = TokenBlocker().assign(ds.left, ds.right)
+        Evaluation.evaluateDF(s, blocks, ds.gold.get,
+          cust.count(), supp.count())
+      },
+      Some {
+        val lt = duckTokens("'http://src/e'||cast(c_custkey AS varchar)",
+          "c_name||' nation'||cast(c_nationkey AS varchar)", "customer")
+        val rt = duckTokens("'http://tgt/e'||cast(s_suppkey AS varchar)",
+          "s_name||' nation'||cast(s_nationkey AS varchar)", "supplier")
+        s"""WITH lt AS ($lt), rt AS ($rt),
+           |cand AS (SELECT DISTINCT lt.id AS l, rt.id AS r
+           |         FROM lt JOIN rt USING (key)),
+           |gold AS (SELECT 'http://src/e'||cast(s_suppkey AS varchar) AS l,
+           |                'http://tgt/e'||cast(s_suppkey AS varchar) AS r
+           |         FROM supplier),
+           |m AS (SELECT
+           |  (SELECT count(*) FROM cand) AS pairs,
+           |  (SELECT count(*) FROM cand JOIN gold USING (l, r)) AS tp,
+           |  (SELECT count(*) FROM gold) AS gc,
+           |  (SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier) AS total),
+           |x AS (SELECT tp, pairs,
+           |  tp / gc AS rec, tp / pairs AS prec,
+           |  1 - pairs / total AS rr FROM m)
+           |SELECT tp, pairs,
+           |  floor((rec) * 1e6 + 0.5) / 1e6 AS recall,
+           |  floor((prec) * 1e6 + 0.5) / 1e6 AS precision,
+           |  floor((CASE WHEN rec + prec = 0 THEN 0 ELSE 2*rec*prec/(rec+prec) END) * 1e6 + 0.5) / 1e6 AS f_measure,
+           |  floor((rr) * 1e6 + 0.5) / 1e6 AS reduction_ratio,
+           |  floor((CASE WHEN rr + rec = 0 THEN 0 ELSE 2*rr*rec/(rr+rec) END) * 1e6 + 0.5) / 1e6 AS h3r
+           |FROM x""".stripMargin
+      }),
 
     // ---- S3: gold from a cluster dump, end-to-end ------------------------
     // The eche PrefixedClusterHelper text format proven on corpus data:
