@@ -135,6 +135,20 @@ object ScaleCurve {
           fwd.select(col("dst").as("src"), col("src").as("dst")))
         graft.relational.PageRank.pageRank(arcs, 3).count()
       }),
+      // label propagation on the same 4-hub graph: the per-round
+      // neighbor-label window-argmax is the one iterative shape
+      // pageRank doesn't exercise (VERDICT r12 item 6) — the hub nodes
+      // concentrate every round's argmax input, so a growth-tracking
+      // max-task here would expose a label shuffle that scales with
+      // data instead of with the node table
+      "communities_hubbed" -> (() => {
+        val fwd = docs.select(col("id").as("src"),
+          concat(lit("hub"), pmod(Text.md5Long(col("id")), lit(4))).as("dst"))
+        val arcs = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.relational.PageRank.labelPropagation(arcs, 3)
+          .agg(countDistinct(col("community"))).head().getLong(0)
+      }),
       "tfidf_token_blocker" -> (() => {
         def side(p: Int) = EntityFrame(
           docs.filter(pmod(Text.md5Long(col("id")), lit(2)) === p)
@@ -168,8 +182,8 @@ object ScaleCurve {
 
     val opNames = Seq("lsh_recall", "winnow_pairs_capped", "incremental_sig",
       "incremental_neardup", "keep_best", "pagerank_hubbed",
-      "tfidf_token_blocker", "crossdoc_spans", "crossdoc_cut",
-      "curation_verdicts")
+      "communities_hubbed", "tfidf_token_blocker", "crossdoc_spans",
+      "crossdoc_cut", "curation_verdicts")
     val results = factors.map { copies =>
       val docs = ScaleRehearsal.skewedDocs(spark, dir, copies)
         .persist()
