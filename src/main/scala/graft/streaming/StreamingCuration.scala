@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-import org.apache.spark.util.sketch.BloomFilter
 
 import graft.dedup.Dedup
 import graft.functions.Text
@@ -23,13 +22,12 @@ import graft.text.TextAnalysis
   *      identical expressions, so signals agree bit-for-bit;
   *   2. contamination is row-local: the benchmark gram set (eval-suite-
   *      sized, the same broadcast contract as [[Dedup.decontaminate]])
-  *      is snapshot at plan time into (a) a Bloom filter probed per
-  *      window by the codegen'd
-  *      [[org.apache.spark.sql.graft.BloomMightContain]] kernel and
-  *      (b) an exact array literal that confirms ONLY the rare
-  *      maybe-hits — no false positives survive, so `n_hits` equals the
-  *      batch semi-join count exactly while the per-row cost stays
-  *      O(windows) for the clean 99%+ of a corpus;
+  *      is snapshot at plan time into the codegen'd
+  *      [[org.apache.spark.sql.graft.WindowHitCount]] kernel — the
+  *      exact set as a plan reference object, the window-slide-probe
+  *      loop one compiled static call per row — so `n_hits` equals the
+  *      batch semi-join count exactly at O(windows) per row with no
+  *      interpreted higher-order functions in the path;
   *   3. the exact-duplicate canonical is the one stateful op:
   *      `flatMapGroupsWithState` keyed on the row-local dup_key (md5 of
   *      the sorted distinct token set — [[Dedup.exactDuplicates]]'s
@@ -84,27 +82,22 @@ object StreamingCuration {
     import spark.implicits._
 
     // plan-time snapshot of the benchmark gram set (eval-suite-sized by
-    // the decontaminate contract): bloom for the row-local prefilter,
-    // exact literal for the confirm
+    // the decontaminate contract), probed by the codegen'd
+    // [[org.apache.spark.sql.graft.WindowHitCount]] kernel: the exact
+    // set rides the plan as a reference object and the whole
+    // window-slide-probe loop is ONE compiled static call per row.
+    // (Replaced the bloom-prefilter + array-literal-confirm form, whose
+    // higher-order transform/filter evaluated interpreted — one Catalyst
+    // tree walk per window — and cost ~6.5 s of st_curation_verdicts'
+    // 9 s at sf0.1; an exact HashSet probe is O(1) itself, so the bloom
+    // bought nothing once the loop compiled. Same n_hits by
+    // construction: |distinct n-token windows ∩ benchmark grams|.)
     val grams = Dedup.benchmarkGrams(benchmark, idCol, textCol, contamN)
       .collect().map(_.getString(0))
     val nHits: Column =
-      if (grams.isEmpty) lit(0L) // empty eval suite: nothing to hit (and
-      // a zero-item bloom/empty literal has no well-defined type)
-      else {
-        val bloom = BloomFilter.create(math.max(grams.length.toLong, 1L), 0.001)
-        grams.foreach(bloom.putString)
-        val bloomBytes = org.apache.spark.sql.graft.BloomOps.serialize(bloom)
-        Text.letBind(Dedup.windowsArray(col("_text"), contamN)) { w =>
-          Text.letBind(filter(w, g =>
-            org.apache.spark.sql.graft.BloomOps.mightContain(bloomBytes, g))) {
-            maybe =>
-              when(size(maybe) === 0, lit(0L))
-                .otherwise(size(array_intersect(maybe, typedlit(grams.toSeq)))
-                  .cast("long"))
-          }
-        }
-      }
+      if (grams.isEmpty) lit(0L) // empty eval suite: nothing to hit
+      else org.apache.spark.sql.graft.TextOps.windowHitCount(
+        trim(lower(coalesce(col("_text"), lit("")))), contamN, grams.toSeq)
 
     val base = stream.select(col(idCol).cast("string").as("id"),
       col(textCol).as("_text"),

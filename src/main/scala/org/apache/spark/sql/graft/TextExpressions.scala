@@ -134,6 +134,89 @@ object RdfUnescape {
 }
 
 /** Column-level entry point. */
+/** `window_hit_count(text, n, grams)` — the number of DISTINCT n-token
+  * windows of `text` that occur in the `grams` set, in one compiled
+  * pass. Semantically identical to
+  * `size(array_intersect(windowsArray(text, n), typedlit(grams)))`
+  * ([[graft.dedup.Dedup.windowsArray]] — whitespace split, windows of
+  * `n` joined with a single space, distinct), but ~10× faster: the
+  * higher-order `transform`/`filter` form evaluates INTERPRETED, one
+  * Catalyst expression tree walk per window, while this kernel is a
+  * tight JVM loop reached by a single codegen'd static call. The gram
+  * set rides the plan as a codegen reference object (the
+  * [[BloomMightContain]] mechanics) — one HashSet per JVM per plan, the
+  * same size class as the array literal it replaces, and an exact set
+  * probe is O(1) itself, so no Bloom prefilter is needed.
+  *
+  * The caller lowercases/trims upstream (Spark's own `lower`/`trim`
+  * semantics, kept OUT of the kernel so locale rules cannot diverge).
+  */
+case class WindowHitCount(child: Expression, n: Int, grams: Seq[String])
+    extends UnaryExpression {
+
+  require(n >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hit_count needs a string, got $other")
+  }
+
+  /** Built once per JVM per plan; tasks share it via the codegen
+    * reference. */
+  @transient private lazy val gramSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](grams.length * 2)
+    grams.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHitCount.count(input.asInstanceOf[UTF8String].toString, n, gramSet)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val set = ctx.addReferenceObj("gramSet", gramSet,
+        classOf[java.util.HashSet[String]].getName)
+      s"${ev.value} = org.apache.spark.sql.graft.WindowHitCount.count(" +
+        s"$s.toString(), $n, $set);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHitCount =
+    copy(child = newChild)
+}
+
+object WindowHitCount {
+  /** JVM-static shared by generated and interpreted eval. Exact
+    * replay of `windowsArray ∩ grams`: split on `\s+` (leading empty
+    * token kept, like Spark's limit=-1 split on trimmed input), windows
+    * of `n` joined by one space, DISTINCT matches counted. */
+  def count(s: String, n: Int, grams: java.util.HashSet[String]): Long = {
+    val toks = s.split("\\s+", -1)
+    if (toks.length < n || grams.isEmpty) return 0L
+    val sb = new java.lang.StringBuilder(64)
+    var hits: java.util.HashSet[String] = null
+    var p = 0
+    while (p <= toks.length - n) {
+      sb.setLength(0)
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(p + i))
+        i += 1
+      }
+      val w = sb.toString
+      if (grams.contains(w)) {
+        if (hits == null) hits = new java.util.HashSet[String](8)
+        hits.add(w)
+      }
+      p += 1
+    }
+    if (hits == null) 0L else hits.size.toLong
+  }
+}
+
 object TextOps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -143,4 +226,7 @@ object TextOps {
 
   def rdfUnescape(c: Column): Column =
     ExpressionUtils.column(RdfUnescape(ExpressionUtils.expression(c)))
+
+  def windowHitCount(c: Column, n: Int, grams: Seq[String]): Column =
+    ExpressionUtils.column(WindowHitCount(ExpressionUtils.expression(c), n, grams))
 }

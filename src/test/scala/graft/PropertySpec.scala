@@ -512,6 +512,43 @@ class PropertySpec extends SparkSpec {
     Gen.frequency(5 -> en, 3 -> de, 2 -> short)
   }
 
+  test("WindowHitCount kernel == size(windowsArray ∩ grams) on adversarial text") {
+    import org.apache.spark.sql.functions.{array_intersect, coalesce, lit, lower, size, trim, typedLit}
+    // the kernel must replay the declarative form EXACTLY — leading
+    // whitespace (empty first token after space-only trim), repeated
+    // windows (distinct count), multi-space runs, short texts
+    val texts = Seq(
+      "a b c d e f", "a b c d a b c d", "\ta b c d", "a  b   c d",
+      "", "one two three", "x x x x x x x", "a b c d e f g h",
+      "der die das und mit von", "a b c d e f")
+    val grams = Seq("a b c d", "b c d e", "x x x x", "der die das und")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val oldForm = df.select(col("id"), size(array_intersect(
+      graft.dedup.Dedup.windowsArray(col("t"), 4),
+      typedLit(grams))).cast("long").as("h"))
+    val kernel = df.select(col("id"),
+      org.apache.spark.sql.graft.TextOps.windowHitCount(
+        trim(lower(coalesce(col("t"), lit("")))), 4, grams).as("h"))
+    val o = oldForm.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val k = kernel.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    texts.indices.foreach { i =>
+      assert(k(i) == o(i), s"text '${texts(i)}': kernel ${k(i)} vs old ${o(i)}")
+    }
+    // and a randomized sweep over token soup
+    val tokGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "dd", " ", "ee"))
+      .map(_.mkString(" "))
+    forAll(tokGen) { (t: String) =>
+      val d2 = Seq((0, t)).toDF("id", "t")
+      val ov = d2.select(size(array_intersect(
+        graft.dedup.Dedup.windowsArray(col("t"), 3),
+        typedLit(Seq("a b c", "b c dd", "ee a b")))).cast("long")).head.getLong(0)
+      val kv = d2.select(org.apache.spark.sql.graft.TextOps.windowHitCount(
+        trim(lower(coalesce(col("t"), lit("")))), 3,
+        Seq("a b c", "b c dd", "ee a b"))).head.getLong(0)
+      assert(kv == ov, s"'$t': $kv vs $ov")
+    }
+  }
+
   test("curation: drop stages partition the corpus; keep == no stage") {
     forAll(Gen.nonEmptyListOf(curDocGen)) { (texts: List[String]) =>
       // duplicate the first doc so the dedup stage can fire
