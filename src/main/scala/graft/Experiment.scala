@@ -89,7 +89,10 @@ object Experiment {
       // TableTokenEncoder; --sif switches either token encoder to SIF
       // weighting (the reference's SIFEmbeddingTokenizedFrameEncoder)
       wordVectors: Option[String] = None,
-      sifWeighting: Boolean = false)
+      sifWeighting: Boolean = false,
+      // F1 tokenizer seam: regex (pinned default) | nltk (Treebank
+      // word_tokenize parity for users porting klinker configs)
+      tokenizer: String = "regex")
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -109,6 +112,17 @@ object Experiment {
     c.embeddingsDir.map(d => CachedEncoder(base, d, c.forceEncode)).getOrElse(base)
   }
 
+  /** The F1 tokenizer seam as a CLI knob (`--tokenizer regex|nltk`). */
+  def tokenizerFor(c: Config)
+      : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+    c.tokenizer match {
+      case "regex" => None
+      case "nltk" =>
+        Some(graft.functions.Text.nltkTokenize(_, c.minTokenLength))
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other'; known: regex, nltk")
+    }
+
   /** Blocker registry — one name per reference CLI command
     * (experiment.py:659-1560). */
   def blockerFor(c: Config): Blocker = blockerFor(c, encoderFor(c))
@@ -116,7 +130,8 @@ object Experiment {
   def blockerFor(c: Config, enc: FrameEncoder): Blocker = c.blocker match {
     case "standard"    => StandardBlocker(c.key)
     case "qgrams"      => QgramsBlocker(c.key, c.q)
-    case "token"       => TokenBlocker(c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
+    case "token"       => TokenBlocker(c.minTokenLength,
+      maxBlockComparisons = c.maxBlockComparisons, tokenizer = tokenizerFor(c))
     case "unique-name" => UniqueNameBlocker()
     case "lsh" => MinHashLSHBlocker.fromThreshold(
       c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength)
@@ -245,7 +260,8 @@ object Experiment {
       minOverlap = m.getOrElse("min-overlap", "1").toInt,
       maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong,
       wordVectors = m.get("word-vectors"),
-      sifWeighting = flags.contains("sif"))
+      sifWeighting = flags.contains("sif"),
+      tokenizer = m.getOrElse("tokenizer", "regex"))
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's

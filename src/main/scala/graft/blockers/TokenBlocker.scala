@@ -19,15 +19,25 @@ import graft.functions.Text
 final case class TokenBlocker(
     minTokenLength: Int = 3,
     stopwords: Seq[String] = Text.Stopwords,
-    maxBlockComparisons: Long = 0L) extends Blocker {
+    maxBlockComparisons: Long = 0L,
+    // the F1 tokenizer seam (reference FilteredTokenizer's tokenize_fn,
+    // token_blocking.py:22-27): the full concat-value → token-array
+    // mapping, filtering included. None = the pinned regex tokenizer;
+    // Text.nltkTokenize(_) gives NLTK word_tokenize parity.
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   /** (id, token) pairs for one side. */
-  private[graft] def tokens(f: EntityFrame): DataFrame =
+  private[graft] def tokens(f: EntityFrame): DataFrame = {
+    val conc = col(EntityFrame.ConcCol)
+    val toks = tokenizer.map(_(conc))
+      .getOrElse(Text.tokenize(conc, minTokenLength, stopwords))
     f.concatValues()
       .select(
         col(f.idCol).cast("string").as("id"),
-        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
+        explode(toks).as("key"))
       .distinct()
+  }
 
   override def assign(
       left: EntityFrame, right: EntityFrame,

@@ -31,6 +31,27 @@ object Text {
       t => length(t) >= minLength && !array_contains(stop, t))
   }
 
+  /** NLTK-parity tokenizer (SURVEY F1's caveat, for users porting
+    * klinker configs byte-for-byte): Treebank token boundaries via the
+    * codegen'd [[org.apache.spark.sql.graft.TreebankTokenize]] kernel —
+    * hyphenated dates (`11-12-1973`) and decimals survive as ONE token
+    * where [[tokenize]]'s regex splits them — followed by the
+    * reference FilteredTokenizer gate (token_blocking.py:31-39: length
+    * ≥ `minLength`, not a stopword). Case-PRESERVING by default, which
+    * is what the reference's own golden blocks pin
+    * (tests/test_blockers.py:115-129 keys `John`/`USA`/`02-02-1983`);
+    * `lowercase = true` gives the lowered variant of the reference's
+    * current `str(x.lower())` code path. */
+  def nltkTokenize(c: Column, minLength: Int = 3,
+                   stopwords: Seq[String] = Stopwords,
+                   lowercase: Boolean = false): Column = {
+    val stop = typedLit(stopwords)
+    val base = if (lowercase) lower(c) else c
+    filter(
+      org.apache.spark.sql.graft.TextOps.treebankTokenize(base),
+      t => length(t) >= minLength && !array_contains(stop, t))
+  }
+
   /** Let-binding for Column expressions: evaluate `c` ONCE per row and
     * hand it to `f` as a lambda variable. Higher-order functions are
     * interpreted (not codegen'd) and re-evaluate every captured

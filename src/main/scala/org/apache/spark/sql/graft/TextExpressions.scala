@@ -217,6 +217,104 @@ object WindowHitCount {
   }
 }
 
+/** `treebank_tokenize(text)` — NLTK's `TreebankWordTokenizer` as a
+  * codegen'd expression (SURVEY F1's parity caveat: klinker tokenizes
+  * with `nltk.word_tokenize`, reference token_blocking.py:10,22-39, so
+  * a user porting configs byte-for-byte needs its token boundaries,
+  * not our pinned regex split). The Treebank rules are the published
+  * public algorithm (Penn Treebank sed script, as shipped in NLTK):
+  * ASCII quote conversion to \`\`/'', punctuation/bracket spacing,
+  * comma/colon splits guarded against digits (dates like `11-12-1973`
+  * and decimals survive whole), FINAL-period split, contraction
+  * clitics (`don't` → `do` + `n't`), then whitespace split.
+  *
+  * Documented divergence: `word_tokenize` runs Punkt sentence
+  * segmentation first and tokenizes per sentence; here the value is
+  * ONE sentence — the final-period rule fires once at the end of the
+  * value, so interior sentence-ending periods stay attached
+  * (`"York. Please"` keeps `York.`). For entity ATTRIBUTE VALUES — the
+  * blocking surface, short single-phrase strings — the two coincide.
+  *
+  * Same mechanics as [[WindowHitCount]]: one static JVM method shared
+  * by interpreted eval and codegen, precompiled `java.util.regex`
+  * patterns, no interpreted higher-order functions. */
+case class TreebankTokenize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"treebank_tokenize needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TreebankTokenize.tokenize(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"org.apache.spark.sql.graft.TreebankTokenize.tokenizeUtf8($s.toString()));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TreebankTokenize =
+    copy(child = newChild)
+}
+
+object TreebankTokenize {
+  import java.util.regex.Pattern
+
+  // The published Treebank rule set, in NLTK's application order.
+  // Each pair is (compiled pattern, replacement) with Java's $n group
+  // syntax in place of Python's \n.
+  private val startingQuotes = Seq(
+    Pattern.compile("^\"") -> "``",
+    Pattern.compile("(``)") -> " $1 ",
+    Pattern.compile("([ \\(\\[{<])(\"|'{2})") -> "$1 `` ")
+  private val punctuation = Seq(
+    Pattern.compile("([:,])([^\\d])") -> " $1 $2",
+    Pattern.compile("([:,])$") -> " $1 ",
+    Pattern.compile("\\.\\.\\.") -> " ... ",
+    Pattern.compile("[;@#$%&]") -> " $0 ",
+    Pattern.compile("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$") -> "$1 $2$3 ",
+    Pattern.compile("[?!]") -> " $0 ",
+    Pattern.compile("([^'])' ") -> "$1 ' ")
+  private val parensBrackets =
+    Pattern.compile("[\\]\\[\\(\\)\\{\\}<>]") -> " $0 "
+  private val doubleDashes = Pattern.compile("--") -> " -- "
+  private val endingQuotes = Seq(
+    Pattern.compile("''") -> " '' ",
+    Pattern.compile("\"") -> " '' ",
+    Pattern.compile("([^' ])('[sS]|'[mM]|'[dD]|') ") -> "$1 $2 ",
+    Pattern.compile("([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ") -> "$1 $2 ")
+  private val contractions = Seq(
+    "\\b(can)(not)\\b", "\\b(d)('ye)\\b", "\\b(gim)(me)\\b",
+    "\\b(gon)(na)\\b", "\\b(got)(ta)\\b", "\\b(lem)(me)\\b",
+    "\\b(more)('n)\\b", "\\b(wan)(na)(?=\\s)", " ('t)(is)\\b", " ('t)(was)\\b")
+    .map(p => Pattern.compile("(?i)" + p))
+
+  /** JVM-static, shared by generated and interpreted eval. */
+  def tokenize(text: String): Array[String] = {
+    var t = text
+    def subAll(rules: Seq[(Pattern, String)]): Unit =
+      rules.foreach { case (p, r) => t = p.matcher(t).replaceAll(r) }
+    subAll(startingQuotes)
+    subAll(punctuation)
+    t = parensBrackets._1.matcher(t).replaceAll(parensBrackets._2)
+    t = doubleDashes._1.matcher(t).replaceAll(doubleDashes._2)
+    t = " " + t + " "
+    subAll(endingQuotes)
+    contractions.foreach(p => t = p.matcher(t).replaceAll(" $1 $2 "))
+    t.trim.split("\\s+").filter(_.nonEmpty)
+  }
+
+  def tokenizeUtf8(text: String): Array[UTF8String] =
+    tokenize(text).map(UTF8String.fromString)
+}
+
 object TextOps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -229,4 +327,7 @@ object TextOps {
 
   def windowHitCount(c: Column, n: Int, grams: Seq[String]): Column =
     ExpressionUtils.column(WindowHitCount(ExpressionUtils.expression(c), n, grams))
+
+  def treebankTokenize(c: Column): Column =
+    ExpressionUtils.column(TreebankTokenize(ExpressionUtils.expression(c)))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.TreebankTokenize
+import graft.blockers.TokenBlocker
+import graft.functions.Text
+
+/** F1 tokenizer-parity suite (SURVEY F1 caveat closed): the Treebank
+  * kernel's rule-level behavior, and the reference's OWN golden token
+  * blocks (tests/test_blockers.py:115-129) reproduced byte-for-byte
+  * through the tokenizer seam. */
+class NltkTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): List[String] =
+    TreebankTokenize.tokenize(s).toList
+
+  test("Treebank kernel: published rule set on classic shapes") {
+    // hyphenated dates and decimals survive whole — THE divergence from
+    // the pinned regex tokenizer that golden-block parity needs
+    assert(toks("11-12-1973") == List("11-12-1973"))
+    assert(toks("costs $3.88 now") == List("costs", "$", "3.88", "now"))
+    // final-period split (and only the FINAL one — single-sentence form)
+    assert(toks("in New York.") == List("in", "New", "York", "."))
+    // comma splits unless between digits
+    assert(toks("one, two") == List("one", ",", "two"))
+    assert(toks("1,000") == List("1,000"))
+    // contraction clitics
+    assert(toks("don't stop") == List("do", "n't", "stop"))
+    assert(toks("They'll say it can't work") ==
+      List("They", "'ll", "say", "it", "ca", "n't", "work"))
+    assert(toks("cannot") == List("can", "not"))
+    // brackets and question marks space out
+    assert(toks("(hello) world?") == List("(", "hello", ")", "world", "?"))
+    // ASCII double quotes become Treebank ``/''
+    assert(toks("\"Hi\" there") == List("``", "Hi", "''", "there"))
+    // possessive
+    assert(toks("John's book") == List("John", "'s", "book"))
+    // empty / whitespace
+    assert(toks("") == Nil)
+    assert(toks("   ") == Nil)
+  }
+
+  test("nltkTokenize = Treebank boundaries + FilteredTokenizer gate") {
+    val got = Seq(("x", "John's \"old\" friends won't pay $3.88, right?"))
+      .toDF("id", "t")
+      .select(Text.nltkTokenize(col("t")).as("k"))
+      .head.getSeq[String](0).toList
+    // len >= 3 drops 's/``/''/$/,/?/wo ("won't" → "wo" + "n't"; the
+    // 2-char stem falls to the length gate, the reference does the
+    // same); stopwords are lowercase so the case-preserving tokens
+    // pass the gate untouched
+    assert(got == List("John", "old", "friends", "n't", "pay", "3.88", "right"))
+  }
+
+  test("reference golden token blocks reproduce byte-for-byte (test_blockers.py:115-129)") {
+    // TokenBlocker over the conftest tables with the NLTK-parity seam
+    // must emit EXACTLY the reference's expected_token_blocker fixture:
+    // case-preserving keys, dates as single tokens.
+    val got = TokenBlocker(tokenizer = Some(Text.nltkTokenize(_)))
+      .assign(tableA, tableB)
+    assertBlocksEqual(got, Map(
+      "02-02-1983" -> (Set("a2"), Set("b2")),
+      "04-12-1990" -> (Set("a3"), Set("b3", "b4")),
+      "11-12-1973" -> (Set("a1"), Set("b1")),
+      "Bulgaria"   -> (Set("a3"), Set("b3")),
+      "John"       -> (Set("a1"), Set("b1")),
+      "Maggie"     -> (Set("a2"), Set("b2")),
+      "McExample"  -> (Set("a1"), Set("b1")),
+      "Nushi"      -> (Set("a4"), Set("b5")),
+      "Rebecca"    -> (Set("a3"), Set("b3")),
+      "Smith"      -> (Set("a2", "a3"), Set("b2", "b3")),
+      "USA"        -> (Set("a1", "a2"), Set("b2"))))
+  }
+
+  test("the seam defaults to the pinned regex tokenizer (unchanged behavior)") {
+    val a = blockMap(TokenBlocker().assign(tableA, tableB))
+    val b = blockMap(TokenBlocker(tokenizer = None).assign(tableA, tableB))
+    assert(a == b)
+    // regex tokenizer splits the dates the NLTK fixture keeps whole
+    assert(a.contains("1973") && !a.contains("11-12-1973"))
+  }
+
+  test("Experiment --tokenizer nltk reaches the token blocker") {
+    val c = Experiment.parseArgs(Array(
+      "--data", "x", "--blocker", "token", "--out", "y",
+      "--tokenizer", "nltk"))
+    val blk = Experiment.blockerFor(c).asInstanceOf[TokenBlocker]
+    assert(blk.tokenizer.isDefined)
+    intercept[IllegalArgumentException] {
+      Experiment.tokenizerFor(c.copy(tokenizer = "punkt"))
+    }
+  }
+}
