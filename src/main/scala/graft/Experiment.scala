@@ -92,7 +92,13 @@ object Experiment {
       sifWeighting: Boolean = false,
       // F1 tokenizer seam: regex (pinned default) | nltk (Treebank
       // word_tokenize parity for users porting klinker configs)
-      tokenizer: String = "regex")
+      tokenizer: String = "regex",
+      // DBSCAN* density clustering (density-cluster blocker): eps radius
+      // + min core neighbors; --lsh-planes switches the candidate graph
+      // to sign-LSH buckets (scale path)
+      eps: Double = 0.5,
+      minPts: Int = 3,
+      lshPlanes: Int = 0)
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -176,6 +182,12 @@ object Experiment {
       KMeansClusterBlocker(enc, c.numClusters)
     case "attribute-cluster" =>
       AttributeClusteringBlocker(HashBucketClusterAssigner(c.buckets), c.minClusterSize)
+    // density variant: HDBSCAN-semantics clustering (DBSCAN* slice) on
+    // the embedded distinct values
+    case "density-cluster" =>
+      AttributeClusteringBlocker(
+        DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes),
+        c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
       minTokenLength = c.minTokenLength)
@@ -202,7 +214,7 @@ object Experiment {
     "tfidf-token", "partitioning-token", "relational-token", "relational-lsh",
     "relational-dual-lsh", "composite-unique-name", "embedding-knn",
     "composite-embedding", "relational-deepblocker", "lightea",
-    "kmeans-cluster", "attribute-cluster", "token-cluster",
+    "kmeans-cluster", "attribute-cluster", "density-cluster", "token-cluster",
     "token-cluster-minhash")
 
   def parseArgs(args: Array[String]): Config = {
@@ -261,7 +273,10 @@ object Experiment {
       maxBlockComparisons = m.getOrElse("max-block-comparisons", "0").toLong,
       wordVectors = m.get("word-vectors"),
       sifWeighting = flags.contains("sif"),
-      tokenizer = m.getOrElse("tokenizer", "regex"))
+      tokenizer = m.getOrElse("tokenizer", "regex"),
+      eps = m.getOrElse("eps", "0.5").toDouble,
+      minPts = m.getOrElse("min-pts", "3").toInt,
+      lshPlanes = m.getOrElse("lsh-planes", "0").toInt)
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's

@@ -61,6 +61,37 @@ final case class KMeansClusterAssigner(
   }
 }
 
+/** Embed distinct values with `encoder`, cluster by DENSITY — DBSCAN*
+  * via [[graft.similarity.Density.dbscanStar]], the HDBSCAN paper's
+  * fixed-eps flat extraction. Unlike the KMeans/hash stand-ins this
+  * gives the reference's actual density SEMANTICS: a low-density value
+  * is genuinely unassigned (HDBSCAN's −1), not "in a small cluster".
+  * Noise values surface as their own SINGLETON cluster (cluster id =
+  * the value), so they fall to [[TokenClustering.labels]]'
+  * `minClusterSize` rule and every [[NoiseHandling]] mode composes
+  * unchanged — Remove drops them, Token keeps the value itself, Keep
+  * lumps them under the shared −1 pseudo-label, exactly HDBSCAN's
+  * modes (attribute_clustering.py:89-99). Remaining divergence: one
+  * fixed eps instead of HDBSCAN's hierarchy-extracted per-cluster eps.
+  * `lshPlanes > 0` switches the candidate graph to sign-LSH buckets
+  * (the scale path for value sets beyond dimension-table size). */
+final case class DensityClusterAssigner(
+    encoder: FrameEncoder,
+    eps: Double,
+    minPts: Int = 3,
+    lshPlanes: Int = 0) extends ClusterAssigner {
+  override def assign(vals: DataFrame): DataFrame = {
+    val asFrame = EntityFrame(
+      vals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
+    val lab = graft.similarity.Density.dbscanStar(
+      encoder.encode(asFrame, None), eps, minPts, lshPlanes)
+    // left join from vals: values the encoder dropped (no tokens) and
+    // DBSCAN* noise (NULL cluster) both keep themselves as a singleton
+    vals.join(lab.withColumnRenamed("id", "v"), Seq("v"), "left")
+      .select(col("v"), coalesce(col("cluster"), col("v")).as("cluster"))
+  }
+}
+
 /** md5-bucket assignment — deterministic and SQL-reproducible, so the
   * whole clustering-blocker pipeline (sizes, noise modes, pseudo-token
   * replacement, downstream blocking) can be hash-checked against the

@@ -1050,6 +1050,59 @@ object SimilarityQueries {
              |   AND len(list(DISTINCT vec_id) FILTER (vec_id % 2 = 1)) > 0
              |ORDER BY block_key""".stripMargin)),
 
+    // ---- M11 density variant: DBSCAN* cluster labels -----------------------
+    // The HDBSCAN-semantics path (Density.dbscanStar — core distances,
+    // mutual reachability, components of core points; noise genuinely
+    // unassigned) run directly on the embeddings table; output is the
+    // FULL per-point assignment (cluster min-id label, or noise), so
+    // every point's verdict is in the hash — a cluster-keyed blocking
+    // would collapse to the few parity-straddling clusters. The oracle
+    // replays the WHOLE algorithm in SQL:
+    // pairwise distances (rounded 1e-6 on both engines so the eps
+    // boundary agrees), the minPts-th-neighbor window, the mutual-
+    // reachability edge filter, and connected components as a recursive
+    // transitive closure with min-id labels. eps=1.17/minPts=3 yields 19
+    // core points in 8 clusters (4 multi-member) with 181 noise — all
+    // three outcomes present; at 1.2 the chain effect merges everything
+    // into one component (the classic single-link behavior).
+    "m11_dbscan_blocks" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 200)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("vec"))
+        graft.similarity.Density.dbscanStar(e, eps = 1.17, minPts = 3)
+          .select(col("id").cast("long").as("vec_id"),
+            coalesce(col("cluster"), lit("noise")).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |e AS (SELECT cast(vec_id AS varchar) AS id, vec_id % 2 AS par, embedding
+             |      FROM embeddings WHERE vec_id < 200),
+             |expl AS (SELECT id, unnest(embedding)::double AS v,
+             |                generate_subscripts(embedding, 1) AS i FROM e),
+             |d AS (SELECT a.id AS ia, b.id AS ib,
+             |        floor(sqrt(sum((ea.v - eb.v) * (ea.v - eb.v))) * 1e6 + 0.5) / 1e6 AS d
+             |      FROM e a JOIN e b ON a.id <> b.id
+             |      JOIN expl ea ON ea.id = a.id
+             |      JOIN expl eb ON eb.id = b.id AND eb.i = ea.i
+             |      GROUP BY 1, 2),
+             |core AS (SELECT ia AS id, d AS c FROM (
+             |    SELECT ia, d, row_number() OVER (PARTITION BY ia ORDER BY d ASC, ib ASC) AS r
+             |    FROM d) WHERE r = 3 AND d <= 1.17),
+             |edges AS (
+             |  SELECT d.ia AS ea, d.ib AS eb
+             |  FROM d JOIN core ca ON ca.id = d.ia JOIN core cb ON cb.id = d.ib
+             |  WHERE greatest(ca.c, cb.c, d.d) <= 1.17),
+             |reach(a, b) AS (
+             |  SELECT id, id FROM core
+             |  UNION
+             |  SELECT r.a, e2.eb FROM reach r JOIN edges e2 ON r.b = e2.ea),
+             |labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+             |SELECT cast(e.id AS bigint) AS vec_id,
+             |       coalesce(labels.cluster, 'noise') AS cluster
+             |FROM e LEFT JOIN labels USING (id)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- M12: token-clustering blockers -----------------------------------
     // cluster TOKENS (not attribute values), pseudo-token replacement, then
     // block (attribute_clustering.py:256-393). HashBucketClusterAssigner is

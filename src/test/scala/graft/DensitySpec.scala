@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.blockers.{DensityClusterAssigner, NoiseHandling, TokenClustering}
+import graft.core.EntityFrame
+import graft.encoders.FrameEncoder
+import graft.similarity.Density
+
+/** DBSCAN* semantics on hand-built geometry: clusters, noise, the
+  * border-point divergence from classic DBSCAN, the LSH candidate
+  * path, and NoiseHandling composition through the assigner seam. */
+class DensitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight, well-separated clusters away from the origin (so sign-LSH
+  // buckets keep them intact), one isolated outlier, one border point
+  private val points = Seq(
+    "a1" -> Seq(5.0, 5.0), "a2" -> Seq(5.1, 5.0), "a3" -> Seq(5.2, 5.0),
+    "b1" -> Seq(-5.0, -5.0), "b2" -> Seq(-5.1, -5.0), "b3" -> Seq(-5.0, -5.1),
+    // border: 0.45 from a3, 0.55 from a2 — within eps of a CORE point but
+    // not itself core (2nd-nearest 0.55 > eps)
+    "c1" -> Seq(5.65, 5.0),
+    // outlier: nearest other point ~6 away
+    "n1" -> Seq(0.0, 1.0))
+
+  private def emb: DataFrame = points.toDF("id", "vec")
+
+  private def labelsOf(df: DataFrame): Map[String, Option[String]] =
+    df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+
+  test("dbscanStar: clusters by density; border and outlier are noise") {
+    val got = labelsOf(Density.dbscanStar(emb, eps = 0.5, minPts = 2))
+    // component min-id labels
+    assert(got("a1") == Some("a1") && got("a2") == Some("a1") && got("a3") == Some("a1"))
+    assert(got("b1") == Some("b1") && got("b2") == Some("b1") && got("b3") == Some("b1"))
+    // DBSCAN*'s documented divergence from classic DBSCAN: the border
+    // point (within eps of core a3, itself not core) is NOISE, not a
+    // cluster member
+    assert(got("c1").isEmpty, s"border must be noise, got ${got("c1")}")
+    assert(got("n1").isEmpty)
+  }
+
+  test("dbscanStar: minPts above neighborhood size turns everything to noise") {
+    val got = labelsOf(Density.dbscanStar(emb, eps = 0.5, minPts = 5))
+    assert(got.values.forall(_.isEmpty))
+  }
+
+  test("dbscanStar LSH candidate path matches exact on well-separated clusters") {
+    val exact = labelsOf(Density.dbscanStar(emb, eps = 0.5, minPts = 2))
+    val lsh = labelsOf(Density.dbscanStar(emb, eps = 0.5, minPts = 2,
+      lshPlanes = 2, planeDims = 2))
+    assert(lsh == exact, s"lsh $lsh vs exact $exact")
+  }
+
+  /** Deterministic test encoder: values map to fixed vectors. */
+  private case class FixedEncoder(m: Map[String, Seq[Double]]) extends FrameEncoder {
+    override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame =
+      frame.df.select(col(frame.idCol).cast("string").as("id"))
+        .join(m.toSeq.toDF("id", "vec"), Seq("id"))
+  }
+
+  test("DensityClusterAssigner: noise is a singleton, so NoiseHandling composes") {
+    val enc = FixedEncoder(points.toMap)
+    val vals = points.map(_._1).toDF("v")
+    val assigner = DensityClusterAssigner(enc, eps = 0.5, minPts = 2)
+    val assigned = assigner.assign(vals).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assigned("a2") == "a1" && assigned("b3") == "b1")
+    // noise keeps itself as a singleton cluster id
+    assert(assigned("c1") == "c1" && assigned("n1") == "n1")
+
+    def keys(noise: NoiseHandling): Map[String, String] =
+      TokenClustering.labels(vals, assigner, minClusterSize = 2, noise)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val remove = keys(NoiseHandling.Remove)
+    assert(remove.keySet == Set("a1", "a2", "a3", "b1", "b2", "b3"))
+    assert(remove("a3") == TokenClustering.LabelPrefix + "a1")
+    val token = keys(NoiseHandling.Token)
+    assert(token("c1") == "c1" && token("n1") == "n1")
+    val keep = keys(NoiseHandling.Keep)
+    assert(keep("c1") == TokenClustering.LabelPrefix + "-1" &&
+      keep("n1") == TokenClustering.LabelPrefix + "-1")
+  }
+}
