@@ -68,14 +68,14 @@ object Text {
 
   /** Character q-grams (reference qgrams.py:38-52). `small ring` @ q=3 →
     * ["sma","mal","all", ...]. Values shorter than q yield no grams.
-    * NB: `sequence(1, 0)` in Spark is the DESCENDING sequence [1,0], so
-    * short values must be guarded explicitly. */
-  def qgrams(c: Column, q: Int = 3): Column = letBind(c) { v =>
-    when(length(v) < q, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), length(v) - lit(q - 1)),
-        i => v.substr(i, lit(q))))
-  }
+    * Codegen'd [[org.apache.spark.sql.graft.CharGrams]] kernel: the
+    * declarative `transform(sequence, i => substr(v, i, q))` form it
+    * replaces evaluated INTERPRETED with an O(n) substr re-scan per
+    * position — O(n²) on winnowing's ~10⁶-char normalized documents;
+    * the kernel slices precomputed char offsets, O(n·q), identical
+    * output (character semantics, order, duplicates). */
+  def qgrams(c: Column, q: Int = 3): Column =
+    org.apache.spark.sql.graft.TextOps.charGrams(c, q)
 
   /** Word n-gram shingles over the token array (same descending-sequence
     * guard as [[qgrams]]). */

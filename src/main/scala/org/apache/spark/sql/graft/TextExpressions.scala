@@ -315,6 +315,71 @@ object TreebankTokenize {
     tokenize(text).map(UTF8String.fromString)
 }
 
+/** `char_grams(text, q)` — all character q-grams of `text`, in order,
+  * one per start position: exactly
+  * `transform(sequence(1, length(v) - q + 1), i => substr(v, i, q))`
+  * (with the short-string guard), but as one compiled pass. The
+  * higher-order form evaluates INTERPRETED and `substr` on UTF8String
+  * re-scans from the string start per call — O(n²) per document on the
+  * winnowing path's ~10⁶-char normalized texts. Here the char→byte
+  * offsets are computed once and each gram is a byte-range slice:
+  * O(n·q). Character (code point) semantics match Spark's `substr`
+  * exactly, including astral-plane characters. */
+case class CharGrams(child: Expression, q: Int) extends UnaryExpression {
+
+  require(q >= 1, "q must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_grams needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      CharGrams.grams(input.asInstanceOf[UTF8String], q))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"org.apache.spark.sql.graft.CharGrams.grams($s, $q));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+object CharGrams {
+  /** JVM-static, shared by generated and interpreted eval. */
+  def grams(s: UTF8String, q: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    // char-start byte offsets, one forward walk
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      i += UTF8String.numBytesForFirstByte(bytes(i)); n += 1
+    }
+    if (n < q) return Array.empty
+    val offs = new Array[Int](n + 1)
+    var ci = 0; i = 0
+    while (i < bytes.length) {
+      offs(ci) = i; ci += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(n) = bytes.length
+    val out = new Array[UTF8String](n - q + 1)
+    var p = 0
+    while (p <= n - q) {
+      out(p) = UTF8String.fromBytes(bytes, offs(p), offs(p + q) - offs(p))
+      p += 1
+    }
+    out
+  }
+}
+
 object TextOps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -330,4 +395,7 @@ object TextOps {
 
   def treebankTokenize(c: Column): Column =
     ExpressionUtils.column(TreebankTokenize(ExpressionUtils.expression(c)))
+
+  def charGrams(c: Column, q: Int): Column =
+    ExpressionUtils.column(CharGrams(ExpressionUtils.expression(c), q))
 }

@@ -549,6 +549,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharGrams kernel == transform/substr declarative form (incl. astral chars)") {
+    import org.apache.spark.sql.functions.{array, length, lit, sequence, transform, when}
+    // the form Text.qgrams used before the kernel — character semantics
+    def declarative(v: org.apache.spark.sql.Column, q: Int) =
+      when(length(v) < q, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(v) - lit(q - 1)),
+          i => v.substr(i, lit(q))))
+    val texts = Seq("", "ab", "abc", "abcd", "small ring", "ééé", "aé€b",
+      "x😀y😁z", "  spaced  ", "ababab")
+    for (q <- Seq(1, 2, 3, 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      val a = df.select(col("i"), declarative(col("t"), q).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      val b = df.select(col("i"),
+          graft.functions.Text.qgrams(col("t"), q).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      texts.indices.foreach { i =>
+        assert(b(i) == a(i), s"q=$q text='${texts(i)}': ${b(i)} vs ${a(i)}")
+      }
+    }
+  }
+
   test("curation: drop stages partition the corpus; keep == no stage") {
     forAll(Gen.nonEmptyListOf(curDocGen)) { (texts: List[String]) =>
       // duplicate the first doc so the dedup stage can fire
