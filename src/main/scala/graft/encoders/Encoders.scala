@@ -157,14 +157,23 @@ final case class TableTokenEncoder(
     * case-class toString would render the vectors DataFrame as its
     * schema only, so two different vector TABLES with one schema would
     * collide — fingerprint the table's resolved input files instead
-    * (the CachedEncoder dataset-fingerprint trick, driver-side only). */
+    * (the CachedEncoder dataset-fingerprint trick, driver-side only)
+    * plus the logical plan's semantic hash, which distinguishes
+    * in-memory / derived vector frames that have no input files. */
   override def toString: String = {
     val files =
       try vectors.inputFiles.sorted.mkString("\n")
       catch { case _: Exception => "" }
+    // plus the logical plan's semantic hash: an in-memory / derived
+    // vector frame has NO input files, and two of them with one schema
+    // would otherwise collide in the cache key
+    val planHash =
+      try vectors.queryExecution.logical.semanticHash().toString
+      catch { case _: Exception => "" }
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md
-      .digest((files + " " + vectors.schema.treeString).getBytes("UTF-8"))
+      .digest((files + "|" + planHash + "|" + vectors.schema.treeString)
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"TableTokenEncoder($digest,$dims,$sif,$sifA,$minFreq,$removePc)"
   }

@@ -1234,7 +1234,7 @@ object DedupQueries {
       Some(s"$curationVerdictsSql\nSELECT * FROM v ORDER BY id")),
 
     // same verdicts through the STREAMING-safe plan (row-local tagging,
-    // plan-literal bloom + exact-confirm contamination, fMGWS dedup
+    // codegen'd exact-set window-probe contamination, fMGWS dedup
     // canonical); batch invocation == Curation.verdicts by construction,
     // so it shares the oracle. MemoryStream parity lives in StreamingSpec.
     "st_curation_verdicts" -> QueryDef(
