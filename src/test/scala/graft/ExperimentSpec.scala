@@ -348,4 +348,31 @@ class ExperimentSpec extends SparkSpec {
     assert(lines(1).contains(""""blocker":"unique-name""""))
     assert(lines(0) != lines(1))
   }
+
+  test("--word-vectors drives the TableTokenEncoder path end-to-end") {
+    import spark.implicits._
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_wv").toString
+    // a tiny real vector table covering the fixture's name tokens; the
+    // rest are out-of-vocabulary, so the unknown-token skip engages
+    val wv = java.nio.file.Files.createTempDirectory("exp_wv_vec").toString + "/v.parquet"
+    Seq("john", "mcexample", "maggie", "rebecca", "smith", "nushi")
+      .zipWithIndex
+      .map { case (t, i) => (t, Seq(math.cos(i).toDouble, math.sin(i).toDouble)) }
+      .toDF("token", "vec").write.parquet(wv)
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "embedding-knn", "--out", out,
+      "--word-vectors", wv, "--sif", "--dims", "2", "--k", "2")))
+    assert(json.contains("\"recall\":"), json)
+  }
+
+  test("density-cluster blocker runs end-to-end through the CLI") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_dc").toString
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps", "2.0", "--min-pts", "2", "--min-cluster-size", "2",
+      "--dims", "2")))
+    assert(json.contains("\"recall\":"), json)
+  }
 }
