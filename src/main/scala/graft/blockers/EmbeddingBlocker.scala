@@ -70,6 +70,7 @@ final case class EmbeddingKnnBlocker(
       case None => (le0, re0)
     }
     val kSearch = if (hubness.isDefined) math.max(k, hubnessCandidates) else k
+    val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val cand = strategy match {
       case AnnStrategy.Brute =>
         Similarity.topKCosine(le, re, kSearch, broadcastRight)
@@ -77,6 +78,7 @@ final case class EmbeddingKnnBlocker(
         // persist: KMeans re-evaluates its input every iteration, and the
         // feature frame is the whole encode pipeline
         val feat = re.withColumn("features", array_to_vector(col("vec"))).persist()
+        cachedFrames += feat
         val bucketed = new KMeans().setK(numBuckets).setSeed(seed)
           .setFeaturesCol("features").setPredictionCol("_bkt")
           .fit(feat).transform(feat)
@@ -102,13 +104,18 @@ final case class EmbeddingKnnBlocker(
         val cand = base.select(col("left_id"), col("right_id"),
           ((col("cos") + 1.0) / 2.0).as("s")) // shift to ≥ 0 for scaling
           .persist()
+        cachedFrames += cand
         val scores = Sinkhorn.rescale(cand, sinkhornIterations)
         val w = Window.partitionBy("left_id").orderBy(col("s").desc, col("right_id").asc)
         scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       } else base
+    // NN table is output-sized (one row per left entity): materialize it
+    // and release whatever this call cached (CacheScope contract)
+    val nn = ranked.groupBy("left_id")
+      .agg(array_sort(collect_set(col("right_id"))).as("right_ids"))
     Blocks.fromNN(
-      ranked.groupBy("left_id")
-        .agg(array_sort(collect_set(col("right_id"))).as("right_ids")),
+      if (cachedFrames.isEmpty) nn
+      else graft.core.CacheScope.seal(nn, cachedFrames.toSeq: _*),
       "left_id", "right_ids")
   }
 }
@@ -123,6 +130,7 @@ object Sinkhorn {
     * round is persisted here so the plan stays flat in the iteration
     * count instead of growing geometrically. */
   def rescale(scores: DataFrame, iterations: Int): DataFrame = {
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var s = scores
     for (i <- 1 to iterations) {
       val rowSums = s.groupBy("left_id").agg(sum(col("s")).as("_rs"))
@@ -131,9 +139,11 @@ object Sinkhorn {
       val colSums = r.groupBy("right_id").agg(sum(col("s")).as("_cs"))
       val next = r.join(colSums, Seq("right_id"))
         .select(col("left_id"), col("right_id"), (col("s") / col("_cs")).as("s"))
-      s = if (i < iterations) next.persist() else next
+      s = if (i < iterations) { val p = next.persist(); rounds += p; p } else next
     }
-    s
+    // candidate-sized output: materialize, then drop the round caches
+    // (CacheScope contract — they used to outlive the call)
+    if (rounds.isEmpty) s else graft.core.CacheScope.seal(s, rounds.toSeq: _*)
   }
 }
 
@@ -157,7 +167,10 @@ final case class KMeansClusterBlocker(
     val feat = all.withColumn("features", array_to_vector(col("vec"))).persist()
     val model = new KMeans().setK(numClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("label")
-    val labeled = model.fit(feat).transform(feat)
+    // label table is one slim row per entity: materialize it and release
+    // the feature cache (CacheScope contract)
+    val labeled = graft.core.CacheScope.seal(
+      model.fit(feat).transform(feat).select("id", "_side", "label"), feat)
     val l = labeled.filter(col("_side") === "l")
       .select(col("label").cast("string").as("key"), col("id"))
     val r = labeled.filter(col("_side") === "r")

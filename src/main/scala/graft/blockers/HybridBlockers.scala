@@ -81,6 +81,8 @@ final case class CompositeLightEABlocker(
     val lightEa = LightEAEncoder(innerEncoder, depth = depth, dims = dims)
     val rel = EmbeddingKnnBlocker(lightEa, k, strategy = strategy)
       .assignExcluding(left, right, leftRel, rightRel, Some((coveredL, coveredR)))
-    attr.combine(rel)
+    // blocks are output-sized: materialize and release the unique-pass
+    // cache (CacheScope contract)
+    Blocks(graft.core.CacheScope.seal(attr.combine(rel).df, unique.df))
   }
 }

@@ -92,12 +92,16 @@ final case class MlLibMinHashBlocker(
     val cand = lb.join(hot, Seq("bkey"), "left_anti")
       .join(rb.join(hot, Seq("bkey"), "left_anti"), Seq("bkey"))
       .select("lid", "rid").distinct()
-    cand
-      .join(lf.select(col("id").as("lid"), col("tokens").as("ltoks")), Seq("lid"))
-      .join(rf.select(col("id").as("rid"), col("tokens").as("rtoks")), Seq("rid"))
-      .filter(size(array_intersect(col("ltoks"), col("rtoks"))).cast("double")
-        / size(array_union(col("ltoks"), col("rtoks"))) >= jaccardThreshold)
-      .select("lid", "rid")
+    // verified pair list is output-sized: materialize it and release the
+    // bucket caches (CacheScope contract)
+    graft.core.CacheScope.seal(
+      cand
+        .join(lf.select(col("id").as("lid"), col("tokens").as("ltoks")), Seq("lid"))
+        .join(rf.select(col("id").as("rid"), col("tokens").as("rtoks")), Seq("rid"))
+        .filter(size(array_intersect(col("ltoks"), col("rtoks"))).cast("double")
+          / size(array_union(col("ltoks"), col("rtoks"))) >= jaccardThreshold)
+        .select("lid", "rid"),
+      lb, rb)
   }
 
   override def assign(

@@ -90,7 +90,10 @@ final case class CompositeUniqueNameBlocker(
       attributeBlocker.assign(filterCovered(left, coveredL), filterCovered(right, coveredR)))
     val relBlocks = relationBlockerResult(left, right, leftRel, rightRel,
       Some((coveredL, coveredR)))
-    relBlocks.map(attrBlocks.combine).getOrElse(attrBlocks)
+    val result = relBlocks.map(attrBlocks.combine).getOrElse(attrBlocks)
+    // blocks are output-sized: materialize and release the unique-pass
+    // cache (CacheScope contract)
+    Blocks(graft.core.CacheScope.seal(result.df, unique.df))
   }
 
   private def relationBlockerResult(

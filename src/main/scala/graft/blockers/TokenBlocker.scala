@@ -80,7 +80,8 @@ final case class PartitioningTokenBlocker(
 
   /** (id, rid, overlap) candidate pairs from (key, id) / (key, rid)
     * token streams, with the size-switched join. */
-  private[graft] def overlapPairs(lt0: DataFrame, rt0: DataFrame): DataFrame = {
+  private[graft] def overlapPairs(lt0: DataFrame, rt0: DataFrame,
+      sealOutput: Boolean = true): DataFrame = {
     val par = lt0.sparkSession.sparkContext.defaultParallelism
     // one cheap count action decides the strategy; persisted so the
     // decision scan is not paid again by the join
@@ -102,8 +103,15 @@ final case class PartitioningTokenBlocker(
           } else (lt, rt)
         l.join(r, Seq("key"))
       }
-    joined.groupBy(col("id"), col("rid")).agg(count(lit(1)).as("overlap"))
+    // overlap-filtered pair table is output-sized: materialize it and
+    // release the decision-scan cache (CacheScope contract).
+    // sealOutput=false is the SPEC hook: a lazy plan so the join
+    // strategy stays inspectable (rt then stays cached for the session;
+    // every src/main caller seals).
+    val out = joined.groupBy(col("id"), col("rid"))
+      .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+    if (sealOutput) graft.core.CacheScope.seal(out, rt) else out
   }
 
   override def assign(

@@ -54,10 +54,12 @@ final case class KMeansClusterAssigner(
     // persist: KMeans re-evaluates its input every iteration
     val feat = encoder.encode(asFrame, None)
       .withColumn("features", array_to_vector(col("vec"))).persist()
-    new KMeans().setK(numClusters).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("label")
-      .fit(feat).transform(feat)
-      .select(col("id").as("v"), col("label").cast("string").as("cluster"))
+    graft.core.CacheScope.seal(
+      new KMeans().setK(numClusters).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("label")
+        .fit(feat).transform(feat)
+        .select(col("id").as("v"), col("label").cast("string").as("cluster")),
+      feat)
   }
 }
 

@@ -410,7 +410,9 @@ final case class LightEAEncoder(
       col(t).cast("string").as("dst"), concat(col(r), lit(">")).as("r"))
     val bwd = rel.get.select(col(t).cast("string").as("src"),
       col(h).cast("string").as("dst"), concat(col(r), lit("<")).as("r"))
-    val edges = fwd.unionByName(bwd).distinct().persist()
+    val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { val p = df.persist(); cachedFrames += p; p }
+    val edges = cache(fwd.unionByName(bwd).distinct())
 
     // ent_ent view: off-diagonal = #distinct direction-tagged relations
     // per (src,dst); diagonal = #incident direction-tagged triples
@@ -419,10 +421,10 @@ final case class LightEAEncoder(
       .unionByName(edges.select(col("dst").as("n")))
       .groupBy("n").agg(count(lit(1)).cast("double").as("w"))
       .select(col("n").as("src"), col("n").as("dst"), col("w"))
-    val entEnt = offDiag.unionByName(diag)
-      .groupBy("src", "dst").agg(sum("w").as("w")).persist()
-    val relEnt = edges.select(col("r"), col("src")).distinct().persist()
-    val entRel = edges.select(col("dst").as("id"), col("r")).distinct().persist()
+    val entEnt = cache(offDiag.unionByName(diag)
+      .groupBy("src", "dst").agg(sum("w").as("w")))
+    val relEnt = cache(edges.select(col("r"), col("src")).distinct())
+    val entRel = cache(edges.select(col("dst").as("id"), col("r")).distinct())
 
     // row-local L2 norm (the reference's _my_norm / F.normalize);
     // letBind the norm so the divide-lambda doesn't re-aggregate it per
@@ -441,7 +443,7 @@ final case class LightEAEncoder(
     def vecOf(df: DataFrame): Column =
       array((0 until dims).map(i => col(s"_d$i")): _*)
 
-    val f0 = base.encode(frame, None).select(col("id"), col("vec")).persist()
+    val f0 = cache(base.encode(frame, None).select(col("id"), col("vec")))
     var entF = f0
     var relF: Option[DataFrame] = None // rel features start at zero (:199)
     val channels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -450,7 +452,7 @@ final case class LightEAEncoder(
       val relSums = dimAgg(
         relEnt.join(entF.select(col("id").as("src"), col("vec")), Seq("src"))
           .groupBy("r"), i => col("vec")(i))
-      val newRel = relSums.select(col("r"), l2(vecOf(relSums)).as("vec")).persist()
+      val newRel = cache(relSums.select(col("r"), l2(vecOf(relSums)).as("vec")))
       val neigh = dimAgg(
         entEnt.join(entF.select(col("id").as("dst"), col("vec")), Seq("dst"))
           .groupBy(col("src").as("id")), i => col("w") * col("vec")(i))
@@ -465,7 +467,7 @@ final case class LightEAEncoder(
               (col(s"_d$i") + coalesce(col(s"_r$i"), lit(0.0))).as(s"_d$i")): _*)
         case None => neigh
       }
-      entF = mixed.select(col("id"), l2(vecOf(mixed)).as("vec")).persist()
+      entF = cache(mixed.select(col("id"), l2(vecOf(mixed)).as("vec")))
       relF = Some(newRel)
       channels += entF
     }
@@ -477,6 +479,9 @@ final case class LightEAEncoder(
       .map { case (c, i) => c.select(col("id"), col("vec").as(s"_c$i")) }
       .foldLeft(f0.select(col("id")))((acc, c) => acc.join(c, Seq("id"), "left"))
     val catVec = concat(channels.indices.map(i => coalesce(col(s"_c$i"), zero)): _*)
-    joined.select(col("id"), l2(catVec).as("vec"))
+    // one embedding row per entity — output-sized; release every round's
+    // cached frame now (CacheScope contract)
+    graft.core.CacheScope.seal(
+      joined.select(col("id"), l2(catVec).as("vec")), cachedFrames.toSeq: _*)
   }
 }

@@ -527,6 +527,7 @@ object EncoderQueries {
         val rExtra = rmem.select("id").distinct()
           .join(encIds(1), Seq("id"), "left_anti").agg(count(lit(1)).as("r_extra"))
         val nBlocks = blocks.agg(count(lit(1)).as("n_blocks"))
+        graft.core.CacheScope.seal(
         gold.agg(count(lit(1)).as("n_gold"))
           .crossJoin(encIds(0).agg(count(lit(1)).as("n_left")))
           .crossJoin(tp).crossJoin(lStats).crossJoin(rStats)
@@ -539,7 +540,8 @@ object EncoderQueries {
             // co-cluster recall of the shingle near-dup gold — floor
             // pinned from measured 1.0/0.917/0.908 at sf0.001/0.01/0.1
             (col("n_gold") === 0 ||
-              col("n_tp").cast("double") / col("n_gold") >= 0.80).as("recall_ok"))
+              col("n_tp").cast("double") / col("n_gold") >= 0.80).as("recall_ok")),
+          blocks) // one-row invariant output; release the blocks cache
       },
       Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
               |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
@@ -576,6 +578,7 @@ object EncoderQueries {
             Seq("l"))
           .filter(array_contains(col("rs"), col("r")))
           .agg(count(lit(1)).as("n_tp"))
+        graft.core.CacheScope.seal(
         gold.agg(count(lit(1)).as("n_gold"))
           .crossJoin(encIds(0).agg(count(lit(1)).as("n_left")))
           .crossJoin(shape).crossJoin(lMissing).crossJoin(rExtra).crossJoin(tp)
@@ -589,7 +592,8 @@ object EncoderQueries {
             // top-3 even at 8 dims; floor pinned from measured
             // 1.0/1.0/1.0 at sf0.001/0.01/0.1
             (col("n_gold") === 0 ||
-              col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok"))
+              col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok")),
+          blocks) // one-row invariant output; release the blocks cache
       },
       Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
               |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),

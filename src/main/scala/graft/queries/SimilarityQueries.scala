@@ -214,14 +214,16 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_tp"))
         val nFalse = pairs.join(gold, Seq("l", "r"), "left_anti")
           .agg(count(lit(1)).as("n_false"))
-        gold.agg(count(lit(1)).as("n_gold"))
-          .crossJoin(lt.select("l").distinct().agg(count(lit(1)).as("n_left")))
-          .crossJoin(nTp).crossJoin(nFalse)
-          .select(col("n_gold"), col("n_left"),
-            (col("n_false") === 0).as("precision_ok"),
-            // LSH recall vs exact gold — floor pinned from measured
-            // 1.0/1.0/1.0 at sf0.001/0.01/0.1 (P(miss) ≤ (1−0.9)⁴ per pair)
-            (col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok"))
+        graft.core.CacheScope.seal(
+          gold.agg(count(lit(1)).as("n_gold"))
+            .crossJoin(lt.select("l").distinct().agg(count(lit(1)).as("n_left")))
+            .crossJoin(nTp).crossJoin(nFalse)
+            .select(col("n_gold"), col("n_left"),
+              (col("n_false") === 0).as("precision_ok"),
+              // LSH recall vs exact gold — floor pinned from measured
+              // 1.0/1.0/1.0 at sf0.001/0.01/0.1 (P(miss) ≤ (1−0.9)⁴ per pair)
+              (col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok")),
+          pairs, lt, rt, gold) // one-row output; release the caches
       },
       Some {
         def toksSql(parity: Int) =

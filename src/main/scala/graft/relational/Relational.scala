@@ -218,8 +218,12 @@ object Relational {
 
     // final concat_values over the (head, text) pairs: sorted distinct
     // texts, space-joined (triple-form concatValues semantics)
-    allText
-      .groupBy(col("_head").as(attr.idCol))
-      .agg(concat_ws(" ", array_sort(collect_set(col("_txt")))).as(EntityFrame.ConcCol))
+    // one concatenated row per entity — output-sized; release the
+    // own-text cache (CacheScope contract)
+    graft.core.CacheScope.seal(
+      allText
+        .groupBy(col("_head").as(attr.idCol))
+        .agg(concat_ws(" ", array_sort(collect_set(col("_txt")))).as(EntityFrame.ConcCol)),
+      concAttr)
   }
 }

@@ -680,7 +680,11 @@ object Similarity {
         (if (residual) col("_qc") + adcExpr else adcExpr).as("adc"))
     val rankKey = if (rankScale >= 0) Num.stableRound(col("adc"), rankScale) else col("adc")
     val win = Window.partitionBy("left_id").orderBy(rankKey.desc, col("right_id").asc)
-    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+    // top-k is output-sized: materialize it and release the member cache
+    // (CacheScope contract — the persist must not outlive the call)
+    graft.core.CacheScope.seal(
+      scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k),
+      members)
   }
 
 

@@ -110,7 +110,8 @@ class BlockerSpec extends SparkSpec {
     def tokens(f: graft.core.EntityFrame, idAs: String) =
       TokenBlocker().tokens(f).withColumnRenamed("id", idAs)
     def planOf(b: PartitioningTokenBlocker) =
-      b.overlapPairs(tokens(tableA, "id"), tokens(tableB, "rid"))
+      b.overlapPairs(tokens(tableA, "id"), tokens(tableB, "rid"),
+          sealOutput = false) // lazy: the sealed form checkpoints the plan away
         .queryExecution.executedPlan.toString
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
