@@ -95,7 +95,9 @@ object Experiment {
       tokenizer: String = "regex",
       // DBSCAN* density clustering (density-cluster blocker): eps radius
       // + min core neighbors; --lsh-planes switches the candidate graph
-      // to sign-LSH buckets (scale path)
+      // to sign-LSH buckets (scale path). --min-pts counts OTHER points,
+      // scikit/HDBSCAN min_samples counts the point itself: porting a
+      // min_samples=m config means --min-pts (m-1)
       eps: Double = 0.5,
       minPts: Int = 3,
       lshPlanes: Int = 0)
@@ -133,33 +135,57 @@ object Experiment {
     * (experiment.py:659-1560). */
   def blockerFor(c: Config): Blocker = blockerFor(c, encoderFor(c))
 
-  def blockerFor(c: Config, enc: FrameEncoder): Blocker = c.blocker match {
+  /** Blockers with no token-stream surface — value-level keys
+    * (standard/qgrams/unique-name), whole-value clustering, or
+    * encoder-internal tokenization ([[graft.encoders.TokenWeighting]]'s
+    * pinned stream, which every embedding oracle replays). `--tokenizer
+    * nltk` cannot apply; silently ignoring it would hand a user porting
+    * a klinker config regex/value boundaries without warning, so
+    * [[blockerFor]] rejects the combination loudly instead. */
+  private val NoTokenizerSeam: Set[String] = Set(
+    "standard", "qgrams", "unique-name", "embedding-knn",
+    "kmeans-cluster", "attribute-cluster", "density-cluster")
+
+  def blockerFor(c: Config, enc: FrameEncoder): Blocker = {
+    if (c.tokenizer != "regex" && NoTokenizerSeam(c.blocker))
+      throw new IllegalArgumentException(
+        s"--tokenizer ${c.tokenizer} has no effect on blocker '${c.blocker}' " +
+          "(no token-stream surface); drop the flag or pick a token-based blocker")
+    val tok = tokenizerFor(c)
+    c.blocker match {
     case "standard"    => StandardBlocker(c.key)
     case "qgrams"      => QgramsBlocker(c.key, c.q)
     case "token"       => TokenBlocker(c.minTokenLength,
-      maxBlockComparisons = c.maxBlockComparisons, tokenizer = tokenizerFor(c))
+      maxBlockComparisons = c.maxBlockComparisons, tokenizer = tok)
     case "unique-name" => UniqueNameBlocker()
     case "lsh" => MinHashLSHBlocker.fromThreshold(
-      c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength)
+      c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength,
+      tokenizer = tok)
     case "mllib-minhash" => MlLibMinHashBlocker(c.threshold, c.bands,
-      minTokenLength = c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
-    case "tfidf-token" => TfIdfFilteredTokenBlocker(c.threshold, c.minTokenLength)
+      minTokenLength = c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons,
+      tokenizer = tok)
+    case "tfidf-token" => TfIdfFilteredTokenBlocker(c.threshold, c.minTokenLength,
+      tokenizer = tok)
     case "partitioning-token" => PartitioningTokenBlocker(
-      c.minOverlap, c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons)
+      c.minOverlap, c.minTokenLength, maxBlockComparisons = c.maxBlockComparisons,
+      tokenizer = tok)
     case "relational-token" =>
-      SimpleRelationalTokenBlocker(c.topNA, c.topNR, c.minTokenLength)
+      SimpleRelationalTokenBlocker(c.topNA, c.topNR, c.minTokenLength, tok)
     case "relational-lsh" => SimpleRelationalBlocker(
       MinHashLSHBlocker.fromThreshold(
-        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength),
+        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength,
+        tokenizer = tok),
       c.topNA, c.topNR)
     // reference relational_lsh_blocker: separate attr + (neighbor-concat)
     // rel LSH passes combined (relation_aware.py:391-592)
     case "relational-dual-lsh" =>
       val inner = MinHashLSHBlocker.fromThreshold(
-        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength)
+        c.threshold, c.numPerm, (1.0 - c.fnWeight, c.fnWeight), c.minTokenLength,
+        tokenizer = tok)
       RelationalBlocker(inner, inner, c.topNA, c.topNR)
     case "composite-unique-name" => CompositeUniqueNameBlocker(
-      TokenBlocker(c.minTokenLength), Some(TokenBlocker(c.minTokenLength)),
+      TokenBlocker(c.minTokenLength, tokenizer = tok),
+      Some(TokenBlocker(c.minTokenLength, tokenizer = tok)),
       c.topNA, c.topNR)
     case "embedding-knn" =>
       EmbeddingKnnBlocker(enc, c.k,
@@ -171,31 +197,38 @@ object Experiment {
       topNA = c.topNA, topNR = c.topNR,
       minTokenLength = c.minTokenLength,
       hubness = c.hubness.map(Similarity.HubnessReduction.byName(_)),
-      hubnessCandidates = c.hubnessCandidates)
+      hubnessCandidates = c.hubnessCandidates,
+      tokenizer = tok)
     case "relational-deepblocker" => CompositeRelationalDeepBlocker(
       enc, c.k, c.topNA, c.topNR,
-      minTokenLength = c.minTokenLength)
+      minTokenLength = c.minTokenLength, tokenizer = tok)
     case "lightea" => CompositeLightEABlocker(
       enc, c.depth, c.k, c.dims,
-      minTokenLength = c.minTokenLength)
+      minTokenLength = c.minTokenLength, tokenizer = tok)
     case "kmeans-cluster" =>
       KMeansClusterBlocker(enc, c.numClusters)
     case "attribute-cluster" =>
       AttributeClusteringBlocker(HashBucketClusterAssigner(c.buckets), c.minClusterSize)
     // density variant: HDBSCAN-semantics clustering (DBSCAN* slice) on
-    // the embedded distinct values
+    // the embedded distinct values. NB convention mapping for users
+    // porting HDBSCAN/klinker configs: --min-pts counts OTHER points
+    // (Density.dbscanStar core distance = minPts-th nearest neighbor),
+    // while scikit/HDBSCAN min_samples counts the point itself — set
+    // --min-pts = min_samples - 1 for the same core-point rule.
     case "density-cluster" =>
       AttributeClusteringBlocker(
         DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes),
         c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
-      minTokenLength = c.minTokenLength)
+      minTokenLength = c.minTokenLength, tokenizer = tok)
     case "token-cluster-minhash" => TokenClusteringMinHashLSHBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
-      numPerm = c.numPerm, bands = c.bands, minTokenLength = c.minTokenLength)
+      numPerm = c.numPerm, bands = c.bands, minTokenLength = c.minTokenLength,
+      tokenizer = tok)
     case other => throw new IllegalArgumentException(
       s"unknown blocker '$other'; known: ${BlockerNames.mkString(", ")}")
+    }
   }
 
   /** `--strategy brute|ivf|lsh` → the ANN scale path for embedding

@@ -27,9 +27,11 @@ object CompositeEmbeddingBlocker {
       topNR: Option[Int] = None,
       minTokenLength: Int = 3,
       hubness: Option[graft.similarity.Similarity.HubnessReduction] = None,
-      hubnessCandidates: Int = 10): CompositeUniqueNameBlocker =
+      hubnessCandidates: Int = 10,
+      tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : CompositeUniqueNameBlocker =
     CompositeUniqueNameBlocker(
-      attributeBlocker = TokenBlocker(minTokenLength),
+      attributeBlocker = TokenBlocker(minTokenLength, tokenizer = tokenizer),
       relationBlocker = Some(EmbeddingKnnBlocker(encoder, k,
         strategy = strategy, hubness = hubness,
         hubnessCandidates = hubnessCandidates)),
@@ -47,9 +49,11 @@ object CompositeRelationalDeepBlocker {
       topNA: Option[Int] = None,
       topNR: Option[Int] = None,
       useUniqueName: Boolean = false,
-      minTokenLength: Int = 3): CompositeUniqueNameBlocker =
+      minTokenLength: Int = 3,
+      tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : CompositeUniqueNameBlocker =
     CompositeUniqueNameBlocker(
-      attributeBlocker = TokenBlocker(minTokenLength),
+      attributeBlocker = TokenBlocker(minTokenLength, tokenizer = tokenizer),
       relationBlocker = Some(EmbeddingKnnBlocker(encoder, k)),
       topNA = topNA, topNR = topNR, useUniqueName = useUniqueName)
 }
@@ -65,7 +69,9 @@ final case class CompositeLightEABlocker(
     k: Int = 5,
     dims: Int = 8,
     strategy: AnnStrategy = AnnStrategy.Brute,
-    minTokenLength: Int = 3) extends Blocker {
+    minTokenLength: Int = 3,
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
@@ -76,7 +82,7 @@ final case class CompositeLightEABlocker(
     val coveredL = unique.df.select(explode(col(Blocks.LeftCol)).as("_cid")).distinct()
     val coveredR = unique.df.select(explode(col(Blocks.RightCol)).as("_cid")).distinct()
     val attr = unique.combine(
-      TokenBlocker(minTokenLength).assign(
+      TokenBlocker(minTokenLength, tokenizer = tokenizer).assign(
         Blocker.antiFilter(left, coveredL), Blocker.antiFilter(right, coveredR)))
     val lightEa = LightEAEncoder(innerEncoder, depth = depth, dims = dims)
     val rel = EmbeddingKnnBlocker(lightEa, k, strategy = strategy)

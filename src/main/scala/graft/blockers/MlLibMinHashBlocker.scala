@@ -48,13 +48,18 @@ final case class MlLibMinHashBlocker(
     numFeatures: Int = 1 << 18,
     minTokenLength: Int = 3,
     seed: Long = 42L,
-    maxBlockComparisons: Long = 0L) extends Blocker {
+    maxBlockComparisons: Long = 0L,
+    // F1 tokenizer seam (the TokenBlocker contract); None = pinned regex
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   /** (id, tokens) with the binary term-frequency vector MLlib hashes. */
   private def featurize(f: EntityFrame): DataFrame = {
+    val conc = col(graft.core.EntityFrame.ConcCol)
+    val tokCol = tokenizer.map(_(conc))
+      .getOrElse(Text.tokenize(conc, minTokenLength))
     val toks = f.concatValues()
-      .select(col(f.idCol).cast("string").as("id"),
-        Text.tokenize(col(graft.core.EntityFrame.ConcCol), minTokenLength).as("tokens"))
+      .select(col(f.idCol).cast("string").as("id"), tokCol.as("tokens"))
       .filter(size(col("tokens")) > 0)
     new HashingTF()
       .setInputCol("tokens").setOutputCol("features")

@@ -31,8 +31,11 @@ final case class SimpleRelationalBlocker(
 
 object SimpleRelationalTokenBlocker {
   def apply(topNA: Option[Int] = None, topNR: Option[Int] = None,
-            minTokenLength: Int = 3): SimpleRelationalBlocker =
-    SimpleRelationalBlocker(TokenBlocker(minTokenLength), topNA, topNR)
+            minTokenLength: Int = 3,
+            tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : SimpleRelationalBlocker =
+    SimpleRelationalBlocker(
+      TokenBlocker(minTokenLength, tokenizer = tokenizer), topNA, topNR)
 }
 
 /** Relational*: one blocker on own attributes, a second on neighbor-only

@@ -1,6 +1,6 @@
 package graft.blockers
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{Blocks, EntityFrame}
 import graft.functions.{MinHash, Text}
@@ -18,14 +18,19 @@ final case class MinHashLSHBlocker(
     numPerm: Int = 32,
     bands: Int = 8,
     minTokenLength: Int = 3,
-    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+    stopwords: Seq[String] = Text.Stopwords,
+    // F1 tokenizer seam (the TokenBlocker contract): full concat-text →
+    // token-array mapping, filters included; None = pinned regex
+    tokenizer: Option[Column => Column] = None) extends Blocker {
 
-  private[graft] def tokens(f: EntityFrame): DataFrame =
+  private[graft] def tokens(f: EntityFrame): DataFrame = {
+    val conc = col(EntityFrame.ConcCol)
+    val toks = tokenizer.map(_(conc))
+      .getOrElse(Text.tokenize(conc, minTokenLength, stopwords))
     f.concatValues()
-      .select(
-        col(f.idCol).cast("string").as("id"),
-        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
+      .select(col(f.idCol).cast("string").as("id"), explode(toks).as("key"))
       .distinct()
+  }
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
@@ -46,9 +51,10 @@ object MinHashLSHBlocker {
       numPerm: Int = 128,
       weights: (Double, Double) = (0.5, 0.5),
       minTokenLength: Int = 3,
-      stopwords: Seq[String] = Text.Stopwords): MinHashLSHBlocker = {
+      stopwords: Seq[String] = Text.Stopwords,
+      tokenizer: Option[Column => Column] = None): MinHashLSHBlocker = {
     val (b, r) = MinHash.optimalParam(threshold, numPerm, weights._1, weights._2)
-    MinHashLSHBlocker(numPerm = b * r, bands = b, minTokenLength, stopwords)
+    MinHashLSHBlocker(numPerm = b * r, bands = b, minTokenLength, stopwords, tokenizer)
   }
 }
 
@@ -66,7 +72,8 @@ object MinHashLSHBlocker {
 final case class TfIdfFilteredTokenBlocker(
     threshold: Double = 0.1,
     minTokenLength: Int = 3,
-    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+    stopwords: Seq[String] = Text.Stopwords,
+    tokenizer: Option[Column => Column] = None) extends Blocker {
 
   /** (id, key) pairs surviving the per-doc tf-idf threshold.
     *
@@ -76,10 +83,11 @@ final case class TfIdfFilteredTokenBlocker(
     * doubles as the cache materializer; the cache is GC-unpersisted by
     * Spark's ContextCleaner once the returned plan is unreachable. */
   private[graft] def filteredTokens(f: EntityFrame): DataFrame = {
+    val conc = col(EntityFrame.ConcCol)
+    val toks = tokenizer.map(_(conc))
+      .getOrElse(Text.tokenize(conc, minTokenLength, stopwords))
     val tf = f.concatValues()
-      .select(
-        col(f.idCol).cast("string").as("id"),
-        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("key"))
+      .select(col(f.idCol).cast("string").as("id"), explode(toks).as("key"))
       .groupBy("id", "key").agg(count(lit(1)).as("tf"))
       .persist()
     val n = tf.select("id").distinct().count()

@@ -76,7 +76,9 @@ final case class PartitioningTokenBlocker(
     minTokenLength: Int = 3,
     stopwords: Seq[String] = Text.Stopwords,
     broadcastThresholdRows: Long = 4000000L,
-    maxBlockComparisons: Long = 0L) extends Blocker {
+    maxBlockComparisons: Long = 0L,
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   /** (id, rid, overlap) candidate pairs from (key, id) / (key, rid)
     * token streams, with the size-switched join. */
@@ -117,7 +119,7 @@ final case class PartitioningTokenBlocker(
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
-    val tb = TokenBlocker(minTokenLength, stopwords)
+    val tb = TokenBlocker(minTokenLength, stopwords, tokenizer = tokenizer)
     val lt = tb.tokens(left)
     val rt = tb.tokens(right).withColumnRenamed("id", "rid")
     val pairs = overlapPairs(lt, rt)

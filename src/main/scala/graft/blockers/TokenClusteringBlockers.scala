@@ -76,7 +76,11 @@ final case class KMeansClusterAssigner(
   * modes (attribute_clustering.py:89-99). Remaining divergence: one
   * fixed eps instead of HDBSCAN's hierarchy-extracted per-cluster eps.
   * `lshPlanes > 0` switches the candidate graph to sign-LSH buckets
-  * (the scale path for value sets beyond dimension-table size). */
+  * (the scale path for value sets beyond dimension-table size).
+  * Convention note: `minPts` counts OTHER points (core distance =
+  * minPts-th nearest neighbor), while scikit/HDBSCAN `min_samples`
+  * counts the point itself — porting a min_samples=m config means
+  * minPts = m − 1 (see [[graft.similarity.Density.dbscanStar]]). */
 final case class DensityClusterAssigner(
     encoder: FrameEncoder,
     eps: Double,
@@ -172,12 +176,16 @@ object TokenClustering {
     * the reference builds via `_create_exploded_token_frame`
     * (attribute_clustering.py:305-318). */
   private[blockers] def tokenPairs(
-      f: EntityFrame, minTokenLength: Int, stopwords: Seq[String]): DataFrame =
+      f: EntityFrame, minTokenLength: Int, stopwords: Seq[String],
+      tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val conc = col(EntityFrame.ConcCol)
+    val toks = tokenizer.map(_(conc))
+      .getOrElse(Text.tokenize(conc, minTokenLength, stopwords))
     f.concatValues()
-      .select(
-        col(f.idCol).cast("string").as("id"),
-        explode(Text.tokenize(col(EntityFrame.ConcCol), minTokenLength, stopwords)).as("v"))
+      .select(col(f.idCol).cast("string").as("id"), explode(toks).as("v"))
       .distinct()
+  }
 
   /** Per-side (id, key) after pseudo-token replacement. The label join
     * runs on the token key — AQE broadcasts the label frame while the
@@ -186,9 +194,11 @@ object TokenClustering {
   private[blockers] def keyedSides(
       left: EntityFrame, right: EntityFrame,
       assigner: ClusterAssigner, minClusterSize: Int, noise: NoiseHandling,
-      minTokenLength: Int, stopwords: Seq[String]): (DataFrame, DataFrame) = {
-    val lt = tokenPairs(left, minTokenLength, stopwords)
-    val rt = tokenPairs(right, minTokenLength, stopwords)
+      minTokenLength: Int, stopwords: Seq[String],
+      tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : (DataFrame, DataFrame) = {
+    val lt = tokenPairs(left, minTokenLength, stopwords, tokenizer)
+    val rt = tokenPairs(right, minTokenLength, stopwords, tokenizer)
     // the reference embeds per-side uniques then concatenates
     // (attribute_clustering.py:80-87); union-distinct is the same set
     val vals = lt.select("v").unionByName(rt.select("v")).distinct()
@@ -212,13 +222,16 @@ final case class TokenClusteringTokenBlocker(
     minClusterSize: Int = 5,
     noise: NoiseHandling = NoiseHandling.Remove,
     minTokenLength: Int = 3,
-    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+    stopwords: Seq[String] = Text.Stopwords,
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
     val (l, r) = TokenClustering.keyedSides(
-      left, right, assigner, minClusterSize, noise, minTokenLength, stopwords)
+      left, right, assigner, minClusterSize, noise, minTokenLength, stopwords,
+      tokenizer)
     Blocker.blockJoin(l, r)
   }
 }
@@ -235,13 +248,16 @@ final case class TokenClusteringMinHashLSHBlocker(
     numPerm: Int = 32,
     bands: Int = 8,
     minTokenLength: Int = 3,
-    stopwords: Seq[String] = Text.Stopwords) extends Blocker {
+    stopwords: Seq[String] = Text.Stopwords,
+    tokenizer: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+  extends Blocker {
 
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
     val (l, r) = TokenClustering.keyedSides(
-      left, right, assigner, minClusterSize, noise, minTokenLength, stopwords)
+      left, right, assigner, minClusterSize, noise, minTokenLength, stopwords,
+      tokenizer)
     Blocker.blockJoin(
       MinHash.buckets(l, numPerm, bands),
       MinHash.buckets(r, numPerm, bands))

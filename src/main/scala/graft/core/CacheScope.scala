@@ -17,12 +17,41 @@ import org.apache.spark.sql.DataFrame
   *
   * Operators whose persist IS deliberate cross-call state (a caller-
   * owned cache) must say so at the persist site instead of using this.
+  *
+  * Cluster-deployment constraints of the `localCheckpoint` mechanism —
+  * the two contracts a caller buys into:
+  *
+  *   - **eager**: sealing triggers the operator's job AT CALL TIME, so
+  *     previously-lazy operators (blocker assign, encode) stop
+  *     composing lazily with downstream pruning/pushdown. By design —
+  *     the output is output-sized and about to be consumed — but a
+  *     caller that would have discarded most of the result should not
+  *     seal.
+  *   - **unreplicated, lineage-truncated**: localCheckpoint blocks live
+  *     only on the executors that computed them and the plan can no
+  *     longer recompute lost partitions. Under executor loss or
+  *     dynamic-allocation decommissioning, downstream stages FAIL
+  *     rather than recompute. On local[n] (this harness) and static
+  *     clusters that is a non-event; a deployment with
+  *     `spark.dynamicAllocation.enabled` or preemptible executors
+  *     should either disable executor decommissioning for these jobs,
+  *     set `spark.checkpoint.compress` + a reliable
+  *     `sparkContext.setCheckpointDir` and switch [[reliable]] on, or
+  *     accept recompute-from-scratch on failure (the job, not the
+  *     session, is the blast radius).
   */
 object CacheScope {
 
+  /** When true, [[seal]] uses reliable `checkpoint()` against the
+    * session's checkpoint dir (must be set) instead of
+    * `localCheckpoint()` — survives executor loss at the cost of a
+    * write to the checkpoint filesystem. Off by default: local mode and
+    * static clusters don't need it. */
+  @volatile var reliable: Boolean = false
+
   /** Materialize `out` eagerly, then unpersist `cached`. */
   def seal(out: DataFrame, cached: DataFrame*): DataFrame = {
-    val m = out.localCheckpoint()
+    val m = if (reliable) out.checkpoint() else out.localCheckpoint()
     cached.foreach(_.unpersist())
     m
   }

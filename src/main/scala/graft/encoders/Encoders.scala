@@ -113,12 +113,24 @@ private[encoders] object TokenWeighting {
   * are computed BEFORE the vocabulary join, exactly like the
   * reference's prepare(), where value_counts runs on tokenizer output.
   *
-  * Documented divergence: an entity whose every token is unknown gets a
-  * RANDOM xavier-initialized row in the reference
-  * (pretrained.py:368-384 — noise, different every run); here it is
-  * absent from the output (deterministic, and a kNN block built from a
-  * random vector is arbitrary anyway). Downstream blockers treat
-  * missing ids as unblocked, the honest semantics.
+  * Documented divergences:
+  *   - an entity whose every token is unknown gets a RANDOM
+  *     xavier-initialized row in the reference (pretrained.py:368-384 —
+  *     noise, different every run); here it is absent from the output
+  *     (deterministic, and a kNN block built from a random vector is
+  *     arbitrary anyway). Downstream blockers treat missing ids as
+  *     unblocked, the honest semantics.
+  *   - pooling normalizes by the WEIGHT SUM (sum(w·v)/sum(w), a true
+  *     weighted mean — the repo-wide [[HashTokenEncoder]] convention,
+  *     so the two encoders' outputs are comparable), where the
+  *     reference's weighted_embed (pretrained.py:342-353) multiplies
+  *     each vector by its SIF weight and then np.mean's — dividing by
+  *     the COUNT of known tokens. Directions are identical; magnitudes
+  *     differ by sum(w)/count, so cosine-based downstream (the kNN
+  *     blockers) is unaffected while euclidean-based downstream
+  *     (density clustering eps, PC removal) sees differently-scaled
+  *     vectors than the reference. With `sif = false` both conventions
+  *     coincide (w ≡ 1).
   *
   * Scale shape: tokenize → (optional) SIF weight join → hash join to
   * the vector table → one map-side-combinable groupBy(id) with `dims`

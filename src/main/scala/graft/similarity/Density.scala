@@ -21,7 +21,11 @@ import graft.functions.{Num, Vectors}
   * boundary decides identically on Spark and the DuckDB oracle):
   *   - core distance c(p) = distance to p's `minPts`-th nearest OTHER
   *     point in the candidate graph; c(p) > eps, or fewer than minPts
-  *     candidates at all, makes p NOISE (HDBSCAN's −1);
+  *     candidates at all, makes p NOISE (HDBSCAN's −1). Convention
+  *     mapping: scikit/HDBSCAN `min_samples` counts the point ITSELF in
+  *     the neighborhood, this `minPts` does not — porting a
+  *     min_samples=m config means minPts = m − 1 (same rule repeated at
+  *     the `--min-pts` CLI knob and [[graft.blockers.DensityClusterAssigner]]);
   *   - mutual reachability d_mr(p,q) = max(c(p), c(q), d(p,q));
   *   - clusters = connected components of CORE points under
   *     d_mr ≤ eps, labeled by component min id

@@ -366,6 +366,63 @@ class ExperimentSpec extends SparkSpec {
     assert(json.contains("\"recall\":"), json)
   }
 
+  test("--tokenizer nltk threads into every token-stream blocker and rejects the rest") {
+    val base = Experiment.parseArgs(Array(
+      "--data", "/tmp/d", "--blocker", "token", "--out", "/tmp/o",
+      "--key", "Name", "--tokenizer", "nltk"))
+    // construction-level: the seam is populated on each threaded blocker
+    assert(Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.TokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "lsh"))
+      .asInstanceOf[graft.blockers.MinHashLSHBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "tfidf-token"))
+      .asInstanceOf[graft.blockers.TfIdfFilteredTokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "partitioning-token"))
+      .asInstanceOf[graft.blockers.PartitioningTokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "mllib-minhash"))
+      .asInstanceOf[graft.blockers.MlLibMinHashBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "token-cluster"))
+      .asInstanceOf[graft.blockers.TokenClusteringTokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "token-cluster-minhash"))
+      .asInstanceOf[graft.blockers.TokenClusteringMinHashLSHBlocker].tokenizer.isDefined)
+    // composite forms route the seam to their inner TokenBlocker
+    assert(Experiment.blockerFor(base.copy(blocker = "composite-unique-name"))
+      .asInstanceOf[graft.blockers.CompositeUniqueNameBlocker]
+      .attributeBlocker.asInstanceOf[graft.blockers.TokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "relational-token"))
+      .asInstanceOf[graft.blockers.SimpleRelationalBlocker]
+      .inner.asInstanceOf[graft.blockers.TokenBlocker].tokenizer.isDefined)
+    assert(Experiment.blockerFor(base.copy(blocker = "lightea"))
+      .asInstanceOf[graft.blockers.CompositeLightEABlocker].tokenizer.isDefined)
+    // blockers with no token surface reject the flag LOUDLY instead of
+    // silently running regex/value boundaries (the round-13 advice)
+    for (b <- Seq("standard", "qgrams", "unique-name", "embedding-knn",
+        "kmeans-cluster", "attribute-cluster", "density-cluster")) {
+      val e = intercept[IllegalArgumentException] {
+        Experiment.blockerFor(base.copy(blocker = b))
+      }
+      assert(e.getMessage.contains("no effect"), s"$b: ${e.getMessage}")
+    }
+    // default regex stays accepted everywhere (the r13 board is regex)
+    Experiment.BlockerNames.foreach { name =>
+      assert(Experiment.blockerFor(base.copy(blocker = name, tokenizer = "regex")) != null)
+    }
+  }
+
+  test("nltk tokenizer boundaries reach a threaded blocker's token stream") {
+    import spark.implicits._
+    // nltk keeps the date token whole; the regex tokenizer splits it
+    val f = graft.core.EntityFrame(
+      Seq(("e1", "born 11-12-1973")).toDF("id", "text"), "t", "id")
+    val nltk = graft.blockers.MinHashLSHBlocker(
+      tokenizer = Some(graft.functions.Text.nltkTokenize(_, 3)))
+    val keys = nltk.tokens(f).select("key").as[String].collect().toSet
+    assert(keys.contains("11-12-1973"), s"got $keys")
+    val regex = graft.blockers.MinHashLSHBlocker()
+    val rkeys = regex.tokens(f).select("key").as[String].collect().toSet
+    assert(!rkeys.contains("11-12-1973") && rkeys.contains("1973"), s"got $rkeys")
+  }
+
   test("density-cluster blocker runs end-to-end through the CLI") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_dc").toString
