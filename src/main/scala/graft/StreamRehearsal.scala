@@ -45,29 +45,43 @@ object StreamRehearsal {
       outRows: Long, durMs: Long)
 
   /** Drive `batches` through a started query, reading state rows and
-    * trigger duration off each progress event. An EMPTY wave triggers no
-    * micro-batch, so lastProgress would still describe the previous one —
+    * trigger duration off the progress events. An EMPTY wave triggers no
+    * micro-batch, so progress would still describe the previous one —
     * report it as an explicit zero row instead of re-reporting stale
-    * numbers under a new index. */
+    * numbers under a new index.
+    *
+    * One wave can span SEVERAL micro-batches: a watermarked query runs
+    * an extra no-data batch after the data batch (watermark update +
+    * event-time timeout processing), and `lastProgress` then describes
+    * the empty one — output rows read 0 while the memory sink holds the
+    * emitted pairs (the round-14 TTL rows' repro). Aggregate every
+    * progress event the wave produced instead: output rows and trigger
+    * time SUM across them; state rows come from the LAST event carrying
+    * state operators (post-timeout, the accurate end-of-wave store
+    * size). */
   private def drive[A](mem: MemoryStream[A], sq: StreamingQuery,
-      batches: Seq[Seq[A]]): Seq[BatchRow] =
+      batches: Seq[Seq[A]]): Seq[BatchRow] = {
+    var lastBatchId = -1L
     batches.zipWithIndex.map { case (b, i) =>
       if (b.isEmpty) BatchRow(i + 1, 0L, -1L, 0L, 0L)
       else {
         mem.addData(b)
         sq.processAllAvailable()
-        val p = sq.lastProgress
-        val state = Option(p).map(pp => Option(pp.stateOperators)
-          .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
-          .getOrElse(-1L)
-        val dur = Option(p).flatMap(pp =>
-          Option(pp.durationMs.get("triggerExecution")).map(_.longValue))
-          .getOrElse(-1L)
-        val out = Option(p).flatMap(pp =>
-          Option(pp.sink).map(_.numOutputRows)).getOrElse(-1L)
+        val ps = sq.recentProgress.filter(_.batchId > lastBatchId)
+        if (ps.nonEmpty) lastBatchId = ps.map(_.batchId).max
+        val out = ps.map(p =>
+          math.max(0L, Option(p.sink).map(_.numOutputRows).getOrElse(0L))).sum
+        val state = ps.reverse.collectFirst {
+          case p if Option(p.stateOperators).exists(_.nonEmpty) =>
+            p.stateOperators.map(_.numRowsTotal).sum
+        }.getOrElse(-1L)
+        val dur = ps.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue)
+            .getOrElse(0L)).sum
         BatchRow(i + 1, b.size.toLong, state, out, dur)
       }
     }
+  }
 
   private def report(name: String, rows: Seq[BatchRow]): String = {
     println(s"\n### $name (output rows: ${rows.map(_.outRows).sum})\n")
@@ -197,6 +211,40 @@ object StreamRehearsal {
     tkQ.stop()
     val j2 = report("incremental_token_pairs", tkRows)
 
+    // ---- TTL variants: the same recrawl waves under a bounded horizon --
+    // Waves stamped one hour apart; ttl = 150 min ⇒ only ~2.5 waves of
+    // state may live at once, so state must stop growing with the wave
+    // count (the round-13 `state_plateau: false` rows, bounded): per-wave
+    // one-off keys die 3 waves later via the event-time timeout, the
+    // recurring boilerplate keys stay refreshed (and capped). Expect
+    // `tail_growth_ratio` ≈ 0 and `max_state` ≈ 3 waves' key count,
+    // versus the unbounded rows' linear growth.
+    val waveBase = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def waveTs(w: Int) = new java.sql.Timestamp(waveBase + w.toLong * 3600000L)
+    val memNT = MemoryStream[StreamingOps.TimedDocRecord]
+    val ndtQ = StreamingOps.streamMinHashNearDupWithTtl(
+        memNT.toDS(), 16, 4, 0.375, maxIdsPerBucket = cap,
+        ttl = "150 minutes", watermark = "0 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val docBatchesT = docBatches.zipWithIndex.map { case (b, w) =>
+      b.map(d => StreamingOps.TimedDocRecord(d.id, d.tokens, waveTs(w)))
+    }
+    val ndtRows = drive(memNT, ndtQ, docBatchesT)
+    ndtQ.stop()
+    val j1t = report("stream_neardup_ttl", ndtRows)
+
+    val memTT = MemoryStream[StreamingOps.TimedTokenRecord]
+    val tktQ = StreamingOps.incrementalTokenBlocksWithTtl(
+        memTT.toDS(), maxIdsPerSide = cap,
+        ttl = "150 minutes", watermark = "0 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val tokBatchesT = tokBatches.zipWithIndex.map { case (b, w) =>
+      b.map(r => StreamingOps.TimedTokenRecord(r.key, r.side, r.id, waveTs(w)))
+    }
+    val tktRows = drive(memTT, tktQ, tokBatchesT)
+    tktQ.stop()
+    val j2t = report("incremental_token_pairs_ttl", tktRows)
+
     // ---- streamFunnel ----------------------------------------------------
     // events table replayed copies× with per-copy salted users; batches
     // split by time order so state growth = newly seen users per batch
@@ -255,7 +303,7 @@ object StreamRehearsal {
     cQ.stop()
     val j4 = report("stream_curation", cRows)
 
-    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j3,$j4}""")
+    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j1t,$j2t,$j3,$j4}""")
     // sibling bench artifact: one line of adjudicable per-operator
     // summary rows (same maxima-first discipline as bench.json — see
     // [[summaryJson]]), re-runnable via
@@ -263,6 +311,8 @@ object StreamRehearsal {
     val summary = s"""{"metric":"stream","dir":"$dir","copies":$copies,""" +
       s""""cap":$cap,${summaryJson("stream_neardup", ndRows)},""" +
       s"""${summaryJson("incremental_token_pairs", tkRows)},""" +
+      s"""${summaryJson("stream_neardup_ttl", ndtRows)},""" +
+      s"""${summaryJson("incremental_token_pairs_ttl", tktRows)},""" +
       s"""${summaryJson("stream_funnel", fRows)},""" +
       s"""${summaryJson("stream_curation", cRows)}}"""
     println(summary)

@@ -253,6 +253,101 @@ object StreamingOps {
       }
   }
 
+  /** [[TokenRecord]] with an event time, for the TTL variant. */
+  final case class TimedTokenRecord(
+      key: String, side: String, id: String, ts: java.sql.Timestamp)
+
+  /** Per-token TTL state: per-side parallel (id, last-seen ms) lists. */
+  final case class TimedTokenState(
+      left: Seq[String], leftSeen: Seq[Long],
+      right: Seq[String], rightSeen: Seq[Long])
+
+  /** TTL variant of [[incrementalTokenBlocks]] — the unbounded form
+    * keeps every (token, side, id) forever (bench_stream's
+    * `state_plateau: false` row). Here each stored id carries its
+    * last-seen event time; entries older than `ttl` behind the current
+    * watermark are evicted on every invocation, and a token with no
+    * arrivals for `ttl` past its newest entry drops its state entirely
+    * (EventTimeTimeout — the [[streamExactDedupWithTtl]] pattern). The
+    * `maxIdsPerSide` cap applies to the LIVE (post-eviction) sets, so
+    * a hot token that cools down resumes emitting.
+    *
+    * Documented divergences vs the unbounded form:
+    *   - a candidate pair whose two sides arrive more than `ttl` apart
+    *     is no longer guaranteed to emit (retention is at least `ttl`
+    *     behind the watermark, not exact);
+    *   - a re-sighted id refreshes its entry's age and emits nothing
+    *     (same as the unbounded skip), but after eviction it RE-ADMITS
+    *     and re-emits pairs against the other side's surviving ids —
+    *     duplicate candidates across horizons; downstream consumers
+    *     already dedupe pairs (J1's distinct contract).
+    *
+    * Streaming-only semantics — multi-batch specs; the unbounded
+    * variant carries the batch oracle. */
+  def incrementalTokenBlocksWithTtl(
+      records: Dataset[TimedTokenRecord],
+      maxIdsPerSide: Int = 10000,
+      ttl: String = "1 hour",
+      watermark: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      .extractAsDuration().toMillis
+    records.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TimedTokenState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, batch: Iterator[TimedTokenRecord],
+         state: GroupState[TimedTokenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(
+              TimedTokenState(Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+            val floor = state.getCurrentWatermarkMs() - ttlMs
+            def evict(ids: Seq[String], seen: Seq[Long])
+                : (scala.collection.mutable.LinkedHashMap[String, Long]) = {
+              val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+              var i = 0
+              while (i < ids.length) {
+                if (seen(i) >= floor) m += ids(i) -> seen(i)
+                i += 1
+              }
+              m
+            }
+            val left = evict(st.left, st.leftSeen)
+            val right = evict(st.right, st.rightSeen)
+            val recs = batch.toSeq.sortBy(r => (r.ts.getTime, r.side, r.id))
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[CandidatePair]
+            recs.foreach { r =>
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              val (mine, other, mineIsLeft) =
+                if (r.side == "left") (left, right, true) else (right, left, false)
+              mine.get(r.id) match {
+                case Some(old) => // re-sighting: refresh age only
+                  if (t > old) mine.update(r.id, t)
+                case None if mine.size < maxIdsPerSide =>
+                  other.keysIterator.foreach { o =>
+                    out += (if (mineIsLeft) CandidatePair(key, r.id, o)
+                            else CandidatePair(key, o, r.id))
+                  }
+                  mine += r.id -> t
+                case None => // side full: stop admitting (hot-token cap)
+              }
+            }
+            state.update(TimedTokenState(
+              left.keys.toSeq, left.values.toSeq,
+              right.keys.toSeq, right.values.toSeq))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---------- streaming exact dedup (stateful) ----------
 
   /** One keyed record for streaming dedup: `key` is the content hash
@@ -485,6 +580,137 @@ object StreamingOps {
           }
           state.update(BucketState(ids.toSeq, sigs.toSeq))
           out.result().iterator
+      }
+  }
+
+  /** [[DocRecord]] with an event time, for the TTL variant. */
+  final case class TimedDocRecord(id: String, tokens: Seq[String], ts: java.sql.Timestamp)
+
+  /** (band bucket, id, signature, event time) after row-local banding. */
+  final case class TimedBandedDoc(
+      bucket: String, id: String, sig: Seq[Long], ts: java.sql.Timestamp)
+
+  /** Per-bucket TTL state: parallel (id, signature, last-seen ms) lists. */
+  final case class TimedBucketState(
+      ids: Seq[String], sigs: Seq[Seq[Long]], seen: Seq[Long])
+
+  /** TTL variant of [[streamMinHashNearDup]] — the unbounded form keeps
+    * every admitted (id, signature) forever (bench_stream's
+    * `state_plateau: false` row: state grows with distinct content, as
+    * first-occurrence near-dup semantics demand on an open-ended
+    * corpus). Here each stored signature carries its last-seen event
+    * time and two eviction levers bound the store:
+    *
+    *   - **per-entry age**: on every invocation, stored entries whose
+    *     last sighting is older than `ttl` behind the current watermark
+    *     are dropped (also freeing `maxIdsPerBucket` capacity);
+    *   - **whole-bucket timeout**: a bucket with no arrivals for `ttl`
+    *     past its newest entry removes its state entirely
+    *     (EventTimeTimeout, the [[streamExactDedupWithTtl]] pattern).
+    *
+    * State is bounded by the signatures seen within one TTL horizon.
+    * Documented divergences vs the unbounded form (the standard
+    * bounded-horizon near-dup contract):
+    *
+    *   - a pair whose members arrive MORE than `ttl` apart is no longer
+    *     guaranteed to emit: eviction is watermark-driven, so retention
+    *     is AT LEAST `ttl` behind the watermark but not exact — the
+    *     bound is on state size, the miss is the semantic cost;
+    *   - a re-sighted id (same id again) refreshes its entry's age and
+    *     emits nothing, exactly like the unbounded form's re-sighting
+    *     skip — but after eviction the id RE-ADMITS as new, so a pair
+    *     may re-emit once per horizon; downstream dedupe by (idA, idB)
+    *     (already the multi-band contract) absorbs this.
+    *
+    * Streaming-only semantics (timeouts never fire in a single batch) —
+    * covered by multi-batch specs; the unbounded variant carries the
+    * batch oracle. */
+  def streamMinHashNearDupWithTtl(
+      docs: Dataset[TimedDocRecord], numPerm: Int = 16, bands: Int = 4,
+      minEst: Double = 0.375, maxIdsPerBucket: Int = 10000,
+      ttl: String = "1 hour", watermark: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      .extractAsDuration().toMillis
+    val banded: Dataset[TimedBandedDoc] = docs.mapPartitions { it =>
+      val signer = new MinHashSigner(numPerm, bands)
+      it.flatMap { d =>
+        if (d.tokens.isEmpty) Iterator.empty
+        else {
+          val sig = signer.sign(d.tokens)
+          (0 until bands).iterator.map { j =>
+            TimedBandedDoc(signer.bucketKey(j, sig), d.id, sig.toSeq, d.ts)
+          }
+        }
+      }
+    }
+    banded.withWatermark("ts", watermark)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[TimedBucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: String, batch: Iterator[TimedBandedDoc],
+         state: GroupState[TimedBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon → drop the whole bucket
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(
+              TimedBucketState(Seq.empty, Seq.empty, Seq.empty))
+            // per-entry age eviction against the CURRENT watermark: the
+            // horizon floor below which no arrival can still pair (rows
+            // older than the watermark were dropped upstream)
+            val wm = state.getCurrentWatermarkMs()
+            val floor = wm - ttlMs
+            val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+            val sigs = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]]
+            val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var k0 = 0
+            while (k0 < st.ids.length) {
+              if (st.seen(k0) >= floor) {
+                ids += st.ids(k0); sigs += st.sigs(k0).toIndexedSeq; seen += st.seen(k0)
+              }
+              k0 += 1
+            }
+            val live = scala.collection.mutable.HashMap.empty[String, Int] ++=
+              ids.iterator.zipWithIndex
+            val out = Seq.newBuilder[NearDupPair]
+            var maxTs = Long.MinValue
+            batch.toSeq.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
+              val t = d.ts.getTime
+              if (t > maxTs) maxTs = t
+              live.get(d.id) match {
+                case Some(i) => // re-sighting: refresh age, emit nothing
+                  if (t > seen(i)) seen(i) = t
+                case None if ids.size < maxIdsPerBucket =>
+                  val dsig = d.sig.toIndexedSeq
+                  var k = 0
+                  while (k < ids.length) {
+                    val osig = sigs(k)
+                    var m = 0
+                    var i = 0
+                    while (i < numPerm) { if (osig(i) == dsig(i)) m += 1; i += 1 }
+                    val est = m.toDouble / numPerm
+                    if (est >= minEst) {
+                      val oid = ids(k)
+                      val (a, b) = if (oid < d.id) (oid, d.id) else (d.id, oid)
+                      out += NearDupPair(a, b, est)
+                    }
+                    k += 1
+                  }
+                  live += d.id -> ids.size
+                  ids += d.id; sigs += dsig; seen += t
+                case None => // bucket full: stop admitting (hot-bucket cap)
+              }
+            }
+            state.update(TimedBucketState(ids.toSeq, sigs.map(_.toSeq).toSeq, seen.toSeq))
+            // sliding whole-bucket TTL from this batch's newest arrival
+            // (present: non-timeout invocations always carry data)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
       }
   }
 

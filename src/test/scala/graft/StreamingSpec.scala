@@ -373,6 +373,101 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamMinHashNearDupWithTtl: in-horizon pairs, per-entry eviction, bucket timeout re-admit") {
+    import graft.streaming.StreamingOps.{NearDupPair, TimedDocRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val T = Seq("alpha", "beta", "gamma", "delta") // one shared signature/bucket set
+    val mem = MemoryStream[TimedDocRecord]
+    // watermark 0s → wm = max event ts seen in PRIOR batches (tight horizon)
+    val sq = StreamingOps.streamMinHashNearDupWithTtl(
+        mem.toDS(), 16, 4, minEst = 0.99, maxIdsPerBucket = 100,
+        ttl = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("nd_ttl")
+      .outputMode("append").start()
+    def pairs(): Set[(String, String)] =
+      spark.table("nd_ttl").as[NearDupPair].collect().map(p => (p.idA, p.idB)).toSet
+    try {
+      // A alone, then B within the horizon → (A,B)
+      mem.addData(TimedDocRecord("A", T, ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDocRecord("B", T, ts("2024-01-01 10:50:00")))
+      sq.processAllAvailable()
+      assert(pairs() == Set(("A", "B")))
+      // C keeps the bucket alive and advances the watermark to 11:45
+      mem.addData(TimedDocRecord("C", T, ts("2024-01-01 11:45:00")))
+      sq.processAllAvailable()
+      assert(pairs() == Set(("A", "B"), ("A", "C"), ("B", "C")))
+      // D at 12:30: floor = 11:45 − 1 h = 10:45 → A (10:00) is evicted
+      // from a STILL-LIVE bucket; B and C survive
+      mem.addData(TimedDocRecord("D", T, ts("2024-01-01 12:30:00")))
+      sq.processAllAvailable()
+      assert(pairs() == Set(("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")),
+        s"A must not pair with D after eviction: ${pairs()}")
+      // far-future unrelated doc pushes wm past the bucket's timeout
+      // (13:30); the NEXT batch (bucket has no data, timeout < wm) fires
+      // hasTimedOut → whole-bucket state removed
+      mem.addData(TimedDocRecord("X", Seq("zeta", "eta"), ts("2024-01-01 16:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDocRecord("Y", Seq("theta", "iota"), ts("2024-01-01 16:05:00")))
+      sq.processAllAvailable()
+      // E re-admits silently (nothing stored), F then pairs with E only
+      mem.addData(TimedDocRecord("E", T, ts("2024-01-01 16:10:00")))
+      sq.processAllAvailable()
+      val before = pairs()
+      assert(!before.exists(p => p._1 == "E" || p._2 == "E"), before.toString)
+      mem.addData(TimedDocRecord("F", T, ts("2024-01-01 16:20:00")))
+      sq.processAllAvailable()
+      assert(pairs() -- before == Set(("E", "F")), (pairs() -- before).toString)
+    } finally sq.stop()
+  }
+
+  test("incrementalTokenBlocksWithTtl: in-horizon pairs, per-entry eviction, timeout re-admit") {
+    import graft.streaming.StreamingOps.{CandidatePair, TimedTokenRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TimedTokenRecord]
+    val sq = StreamingOps.incrementalTokenBlocksWithTtl(
+        mem.toDS(), maxIdsPerSide = 100, ttl = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tk_ttl")
+      .outputMode("append").start()
+    def got(): Seq[CandidatePair] =
+      spark.table("tk_ttl").as[CandidatePair].collect().toSeq
+    try {
+      mem.addData(TimedTokenRecord("k", "left", "l1", ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedTokenRecord("k", "right", "r1", ts("2024-01-01 10:30:00")))
+      sq.processAllAvailable()
+      assert(got().toSet == Set(CandidatePair("k", "l1", "r1")))
+      // r2 within the horizon pairs with l1 and advances wm to 11:20
+      mem.addData(TimedTokenRecord("k", "right", "r2", ts("2024-01-01 11:20:00")))
+      sq.processAllAvailable()
+      assert(got().toSet == Set(
+        CandidatePair("k", "l1", "r1"), CandidatePair("k", "l1", "r2")))
+      // l2 at 11:30: floor = 11:20 − 1 h = 10:20 → l1 (10:00) evicted,
+      // r1 (10:30) and r2 (11:20) survive → l2 pairs with both
+      mem.addData(TimedTokenRecord("k", "left", "l2", ts("2024-01-01 11:30:00")))
+      sq.processAllAvailable()
+      assert(got().toSet == Set(
+        CandidatePair("k", "l1", "r1"), CandidatePair("k", "l1", "r2"),
+        CandidatePair("k", "l2", "r1"), CandidatePair("k", "l2", "r2")))
+      // far-future record on another token advances wm past k's timeout
+      // (12:30); the following batch (k has no data) fires hasTimedOut →
+      // k's state drops entirely
+      mem.addData(TimedTokenRecord("adv", "left", "z", ts("2024-01-01 16:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedTokenRecord("adv2", "left", "z2", ts("2024-01-01 16:05:00")))
+      sq.processAllAvailable()
+      // the SAME ids re-admit and the pair re-emits (the documented
+      // duplicate-across-horizons divergence; downstream J1 dedupes)
+      mem.addData(TimedTokenRecord("k", "left", "l1", ts("2024-01-01 16:10:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedTokenRecord("k", "right", "r1", ts("2024-01-01 16:20:00")))
+      sq.processAllAvailable()
+      assert(got().count(_ == CandidatePair("k", "l1", "r1")) == 2, got().toString)
+    } finally sq.stop()
+  }
+
   test("streamExactDedupWithTtl agrees with dropDuplicatesWithinWatermark on in-horizon duplicates") {
     // Spark's built-in is the reference semantics for TTL-scoped
     // first-occurrence dedup: run the SAME input through both operators
