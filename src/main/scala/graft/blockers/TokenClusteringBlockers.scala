@@ -85,14 +85,28 @@ final case class DensityClusterAssigner(
     encoder: FrameEncoder,
     eps: Double,
     minPts: Int = 3,
-    lshPlanes: Int = 0) extends ClusterAssigner {
+    lshPlanes: Int = 0,
+    // non-empty ladder switches to the HDBSCAN flat cut
+    // ([[graft.similarity.Density.hdbscanFlatCut]]): per-branch eps
+    // chosen by cluster stability over the descending ladder — the
+    // hierarchy extraction the single-eps DBSCAN* slice documents as
+    // its divergence. `eps` is then ignored; `hierarchyMinClusterSize`
+    // is HDBSCAN's min_cluster_size (condensed-tree shed rule), applied
+    // INSIDE the hierarchy — the blocker's own minClusterSize still
+    // gates downstream on the assigned labels.
+    epsLadder: Seq[Double] = Nil,
+    hierarchyMinClusterSize: Int = 2) extends ClusterAssigner {
   override def assign(vals: DataFrame): DataFrame = {
     val asFrame = EntityFrame(
       vals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
-    val lab = graft.similarity.Density.dbscanStar(
-      encoder.encode(asFrame, None), eps, minPts, lshPlanes)
+    val emb = encoder.encode(asFrame, None)
+    val lab =
+      if (epsLadder.nonEmpty)
+        graft.similarity.Density.hdbscanFlatCut(
+          emb, epsLadder, minPts, hierarchyMinClusterSize, lshPlanes)
+      else graft.similarity.Density.dbscanStar(emb, eps, minPts, lshPlanes)
     // left join from vals: values the encoder dropped (no tokens) and
-    // DBSCAN* noise (NULL cluster) both keep themselves as a singleton
+    // density noise (NULL cluster) both keep themselves as a singleton
     vals.join(lab.withColumnRenamed("id", "v"), Seq("v"), "left")
       .select(col("v"), coalesce(col("cluster"), col("v")).as("cluster"))
   }

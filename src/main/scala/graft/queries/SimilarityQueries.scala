@@ -1105,6 +1105,41 @@ object SimilarityQueries {
              |FROM e LEFT JOIN labels USING (id)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- M11 hierarchy variant: HDBSCAN flat cut over an eps ladder --------
+    // The excess-of-mass extraction (Density.hdbscanFlatCut) on the same
+    // 200-point fixture: ladder 1.22 → 1.19 → 1.18 → 1.17 walks ONE root
+    // (148 core points at 1.22 — so the single-root exclusion engages)
+    // down to the m11_dbscan_blocks clustering, and stability picks
+    // per-branch cut levels. Output is the full per-point assignment.
+    // The oracle replays the ENTIRE algorithm in SQL: per-level
+    // recursive-CTE components, condensed-tree node identity via the
+    // birth/ancestor walk, raw-double stability with comparisons rounded
+    // 1e-6 in lockstep, and the eom DP unrolled bottom-up per birth
+    // level (the ladder fixes the tree depth at SQL-generation time).
+    "m11_hdbscan_blocks" -> QueryDef(
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 200)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("vec"))
+        graft.similarity.Density.hdbscanFlatCut(
+          e, epsLadder = Seq(1.22, 1.19, 1.18, 1.17), minPts = 3,
+          minClusterSize = 2)
+          .select(col("id").cast("long").as("vec_id"),
+            coalesce(col("cluster"), lit("noise")).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val body = graft.similarity.Density.hdbscanFlatCutSql(
+          "SELECT cast(vec_id AS varchar) AS id, embedding FROM embeddings WHERE vec_id < 200",
+          epsLadder = Seq(1.22, 1.19, 1.18, 1.17), minPts = 3,
+          minClusterSize = 2)
+        s"""$body
+           |SELECT cast(e.id AS bigint) AS vec_id,
+           |       coalesce(assigned.cluster, 'noise') AS cluster
+           |FROM e LEFT JOIN assigned USING (id)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ---- M12: token-clustering blockers -----------------------------------
     // cluster TOKENS (not attribute values), pseudo-token replacement, then
     // block (attribute_clustering.py:256-393). HashBucketClusterAssigner is

@@ -98,4 +98,351 @@ object Density {
     e.unpersist(); sym.unpersist()
     out
   }
+
+  /** HDBSCAN's flat "excess of mass" cut over a FIXED eps ladder — the
+    * hierarchy-extraction step the reference's hard-wired HDBSCAN runs
+    * (attribute_clustering.py:48-56, cluster_selection_method="eom")
+    * re-expressed as dataflow plus a cluster-count-sized driver DP.
+    * Closes the per-cluster-eps divergence [[dbscanStar]] documents:
+    * different branches of the hierarchy may be cut at DIFFERENT eps
+    * levels, chosen by cluster stability.
+    *
+    * Discretization (the documented approximation vs the continuous
+    * dendrogram): the hierarchy is sampled at the caller's strictly
+    * descending `epsLadder` (λ_l = 1/eps_l ascending). Everything else
+    * is the published algorithm (Campello, Moulavi & Sander 2013, §4):
+    *
+    *   1. ONE distance pass: pairwise distances (exact all-pairs
+    *      baseline / sign-LSH bucketed via `lshPlanes`, the
+    *      [[dbscanStar]] contract), core distances in one window,
+    *      per-edge mutual reachability `max(c_a, c_b, d)` — computed
+    *      once and FILTERED per level (the ivfRecallCurve
+    *      one-pass-sweep trick; no per-level re-join).
+    *   2. Per level l: DBSCAN* components of core points under
+    *      reach ≤ eps_l ([[graft.dedup.Dedup.components]]), min-id
+    *      labels, clusters below `minClusterSize` dropped (their points
+    *      are condensed-tree "shed" at that level, exactly HDBSCAN's
+    *      min_cluster_size rule). Levels nest by construction (smaller
+    *      eps only removes edges/core points), so the (level, label)
+    *      table IS the discrete cluster tree.
+    *   3. Condensed tree + stability: a parent cluster with one
+    *      surviving child CONTINUES the same condensed node (shed
+    *      points leave at the observed level's λ); ≥2 children is a
+    *      true split (children born at λ_{l}); stability(n) =
+    *      Σ_p (λ_leave(p) − λ_birth(n)) in its telescoped per-level
+    *      form Σ_l size_l(n)·(λ_{l+1} − λ_l) with λ_{L+1} := λ_L
+    *      (points surviving to the ladder floor contribute up to λ_L).
+    *   4. Selection (eom, bottom-up by birth level): select n iff
+    *      stability(n) ≥ Σ subtree(children), else keep the children's
+    *      selection; the single-root node is excluded
+    *      (allow_single_cluster=False, the reference's default) when
+    *      the coarsest level has exactly one cluster.
+    *   5. Labels: each point departs the tree at its deepest clustered
+    *      level; its label is the final-selected node covering that
+    *      departure (birth-level:birth-label), or noise (NULL).
+    *
+    * Scale contract: steps 1-2 and 5 are pure dataflow (the per-level
+    * components loop reuses one checkpointed edge table). Step 3-4's
+    * driver collect is bounded by O(#clusters × ladder levels) rows —
+    * dimension-table-sized for any real clustering (the
+    * Evaluation.scala n²-blockers-map contract); it never touches
+    * per-point rows. */
+  def hdbscanFlatCut(
+      emb: DataFrame, epsLadder: Seq[Double], minPts: Int = 3,
+      minClusterSize: Int = 2, lshPlanes: Int = 0,
+      planeDims: Int = 16): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
+      epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
+      "epsLadder must be strictly descending positive radii")
+    val levels = epsLadder.length
+    val lambda = epsLadder.map(1.0 / _) // ascending
+    def lambdaAfter(l: Int): Double = // λ_{l+1} with λ_{L+1} := λ_L (1-based)
+      if (l >= levels) lambda(levels - 1) else lambda(l)
+    val epsMax = epsLadder.head
+
+    val Array(idC, vecC) = emb.columns.take(2)
+    val e = emb.select(col(idC).cast("string").as("id"), col(vecC).as("vec"))
+      .persist()
+    val pairs =
+      if (lshPlanes <= 0) {
+        val a = e.select(col("id").as("ia"), col("vec").as("va"))
+        val b = e.select(col("id").as("ib"), col("vec").as("vb"))
+        a.crossJoin(b).filter(col("ia") < col("ib"))
+      } else {
+        val withB = e.select(col("id"), col("vec"),
+          Similarity.hyperplaneBucket(
+            slice(col("vec"), 1, planeDims), lshPlanes, planeDims).as("_b"))
+        withB.select(col("_b"), col("id").as("ia"), col("vec").as("va"))
+          .join(withB.select(col("_b"), col("id").as("ib"), col("vec").as("vb")),
+            Seq("_b"))
+          .filter(col("ia") < col("ib"))
+          .drop("_b")
+      }
+    val dists = pairs.select(col("ia"), col("ib"),
+      Num.stableRound(sqrt(Vectors.sqDist(col("va"), col("vb"))), 6).as("d"))
+    val sym = dists.unionByName(
+      dists.select(col("ib").as("ia"), col("ia").as("ib"), col("d"))).persist()
+    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
+    // core distances once; only c ≤ eps_max can ever matter
+    val core = sym.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === minPts && col("d") <= epsMax)
+      .select(col("ia").as("id"), col("d").as("_c"))
+      .persist()
+    // mutual-reachability edges at the COARSEST level; per-level edges
+    // are a filter on `reach` (reach ≤ eps_l implies both ends core at l)
+    val edges = sym
+      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
+      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
+      .filter(col("reach") <= epsMax)
+      .localCheckpoint() // referenced once per ladder level
+    // per-level membership (level, id, label); minClusterSize applied
+    val mParts = epsLadder.zipWithIndex.map { case (eps, i) =>
+      val comp = graft.dedup.Dedup.components(
+        edges.filter(col("reach") <= eps).select("id_a", "id_b"))
+      core.filter(col("_c") <= eps).select("id")
+        .join(comp.withColumnRenamed("component", "label"), Seq("id"), "left")
+        .select(lit(i + 1).as("level"), col("id"),
+          coalesce(col("label"), col("id")).as("label"))
+    }
+    val mAll = mParts.reduce(_ unionByName _)
+    val m = mAll.withColumn("_sz",
+        count(lit(1)).over(Window.partitionBy("level", "label")))
+      .filter(col("_sz") >= minClusterSize).drop("_sz")
+      .localCheckpoint() // feeds two cluster-sized aggregates + the label join
+    // ---- bounded driver collects: O(#clusters × levels) rows ----
+    val sizes: Map[(Int, String), Long] = m.groupBy("level", "label")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val parentOf: Map[(Int, String), String] = {
+      val c = m.select(col("level").as("cl"), col("id"), col("label").as("clab"))
+      val p = m.select((col("level") + 1).as("cl"), col("id"), col("label").as("plab"))
+      c.join(p, Seq("cl", "id")).select("cl", "clab", "plab").distinct()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getString(2)).toMap
+    }
+    // ---- condensed tree (driver, cluster-count-sized) ----
+    final case class TreeNode(birthLevel: Int, birthLabel: String, parent: Int)
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[TreeNode]
+    val nodeOf = scala.collection.mutable.Map.empty[(Int, String), Int]
+    val labelsAt: Map[Int, Seq[String]] =
+      sizes.keys.groupBy(_._1).map { case (l, ks) => l -> ks.map(_._2).toSeq }
+        .withDefaultValue(Seq.empty)
+    labelsAt(1).sorted.foreach { lab =>
+      nodeOf((1, lab)) = nodes.length
+      nodes += TreeNode(1, lab, -1)
+    }
+    for (l <- 2 to levels) {
+      val byParent = labelsAt(l).groupBy(lab => parentOf((l, lab)))
+      byParent.toSeq.sortBy(_._1).foreach { case (plab, children) =>
+        val np = nodeOf((l - 1, plab))
+        if (children.size == 1) nodeOf((l, children.head)) = np // continuation
+        else children.sorted.foreach { c => // true split: new nodes
+          nodeOf((l, c)) = nodes.length
+          nodes += TreeNode(l, c, np)
+        }
+      }
+    }
+    // stability: Σ_l size_l(node) · (λ_{l+1} − λ_l), telescoped leave-λ form
+    val stab = Array.fill(nodes.length)(0.0)
+    nodeOf.foreach { case ((l, lab), n) =>
+      stab(n) += sizes((l, lab)) * (lambdaAfter(l) - lambda(l - 1))
+    }
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // eom selection, bottom-up by birth level
+    val childrenOf = nodes.indices.groupBy(i => nodes(i).parent)
+      .withDefaultValue(Seq.empty)
+    val singleRoot = labelsAt(1).size == 1
+    val selected = Array.fill(nodes.length)(false)
+    val subtree = Array.fill(nodes.length)(0.0)
+    nodes.indices.sortBy(i => -nodes(i).birthLevel).foreach { i =>
+      val cs = childrenOf(i).map(subtree).sum
+      val isRoot = nodes(i).parent == -1
+      if (round6(stab(i)) >= round6(cs) && !(isRoot && singleRoot)) {
+        selected(i) = true
+        subtree(i) = stab(i)
+      } else subtree(i) = cs
+    }
+    // a selected ancestor unselects its whole subtree (eom rule)
+    def finalSelected(i: Int): Boolean = {
+      var a = nodes(i).parent
+      while (a != -1) {
+        if (selected(a)) return false
+        a = nodes(a).parent
+      }
+      selected(i)
+    }
+    // covering final-selected node for each (level, label) departure
+    val coverLabel: Seq[(Int, String, String)] = nodeOf.toSeq.flatMap {
+      case ((l, lab), n0) =>
+        var n = n0
+        while (n != -1 && !(finalSelected(n))) n = nodes(n).parent
+        if (n == -1) None
+        else Some((l, lab, s"${nodes(n).birthLevel}:${nodes(n).birthLabel}"))
+    }
+    val spark = emb.sparkSession
+    import scala.jdk.CollectionConverters._
+    val coverDf = spark.createDataFrame(
+      coverLabel.map { case (l, lab, c) =>
+        org.apache.spark.sql.Row(l, lab, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dlevel",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("dlabel",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.StringType))))
+    // departure = deepest clustered level per point; broadcast the
+    // cluster-count-sized cover map into the point-sized join
+    val dep = m.groupBy("id")
+      .agg(max(struct(col("level"), col("label"))).as("_d"))
+      .select(col("id"), col("_d.level").as("dlevel"), col("_d.label").as("dlabel"))
+    val out = e.select("id")
+      .join(dep.join(broadcast(coverDf), Seq("dlevel", "dlabel"))
+        .select("id", "cluster"), Seq("id"), "left")
+    graft.core.CacheScope.seal(out, e, sym, core)
+  }
+
+  /** DuckDB SQL mirror of [[hdbscanFlatCut]] over a `(id varchar,
+    * embedding)` relation — the FULL algorithm: per-level components as
+    * recursive transitive closures, condensed-tree node identity
+    * (nearest birth on the ancestor chain), raw-double stability with
+    * comparisons rounded 1e-6 in lockstep with the Scala DP, and the
+    * excess-of-mass selection UNROLLED bottom-up per birth level (legal
+    * because the ladder — hence the tree depth bound — is fixed at SQL
+    * generation time). Kept next to the operator so the two cannot
+    * drift (the HashTokenEncoder convention). */
+  def hdbscanFlatCutSql(
+      pointsRel: String, epsLadder: Seq[Double], minPts: Int,
+      minClusterSize: Int): String = {
+    val levels = epsLadder.length
+    val lambda = epsLadder.map(1.0 / _)
+    def dlam(l: Int): Double = // λ_{l+1} − λ_l with λ_{L+1} := λ_L (1-based)
+      (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
+    val eps1 = epsLadder.head
+    def r6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
+
+    val perLevel = epsLadder.zipWithIndex.map { case (eps, i) =>
+      val l = i + 1
+      s"""reach$l(a, b) AS (
+         |  SELECT id, id FROM core WHERE c <= $eps
+         |  UNION
+         |  SELECT r.a, e2.ib FROM reach$l r
+         |  JOIN edges e2 ON r.b = e2.ia AND e2.reach <= $eps),
+         |lab$l AS MATERIALIZED (SELECT a AS id, min(b) AS label FROM reach$l GROUP BY a)""".stripMargin
+    }.mkString(",\n")
+    val mUnion = (1 to levels).map { l =>
+      s"""SELECT level, id, label FROM (
+         |  SELECT $l AS level, id, label,
+         |         count(*) OVER (PARTITION BY label) AS sz FROM lab$l)
+         |WHERE sz >= $minClusterSize""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val lamValues = (1 to levels).map(l => s"($l, ${dlam(l)})").mkString(", ")
+    // eom DP unrolled: sub<L> … sub<1>, each reading the union of the
+    // deeper stages' subtree values through nodeparent
+    val subStages = (levels to 1 by -1).map { l =>
+      if (l == levels)
+        s"""sub$l AS (SELECT blevel, blabel, stab AS subtree, true AS sel
+           |  FROM stab WHERE blevel = $l)""".stripMargin
+      else {
+        val deeper = (l + 1 to levels).map(d => s"SELECT * FROM sub$d")
+          .mkString(" UNION ALL ")
+        s"""sub$l AS (
+           |  SELECT s.blevel, s.blabel,
+           |    CASE WHEN ${r6("s.stab")} >= ${r6("coalesce(cs.csum, 0.0)")}
+           |         THEN s.stab ELSE cs.csum END AS subtree,
+           |    ${r6("s.stab")} >= ${r6("coalesce(cs.csum, 0.0)")} AS sel
+           |  FROM stab s
+           |  LEFT JOIN (
+           |    SELECT np.pblevel, np.pblabel, sum(u.subtree) AS csum
+           |    FROM nodeparent np JOIN ($deeper) u
+           |      ON u.blevel = np.blevel AND u.blabel = np.blabel
+           |    GROUP BY 1, 2) cs
+           |    ON cs.pblevel = s.blevel AND cs.pblabel = s.blabel
+           |  WHERE s.blevel = $l)""".stripMargin
+      }
+    }.mkString(",\n")
+    val subAll = (1 to levels).map(l => s"SELECT * FROM sub$l")
+      .mkString(" UNION ALL ")
+
+    s"""WITH RECURSIVE
+       |e AS MATERIALIZED ($pointsRel),
+       |expl AS MATERIALIZED (SELECT id, unnest(embedding)::double AS v,
+       |                generate_subscripts(embedding, 1) AS i FROM e),
+       |d AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |        floor(sqrt(sum((ea.v - eb.v) * (ea.v - eb.v))) * 1e6 + 0.5) / 1e6 AS d
+       |      FROM e a JOIN e b ON a.id <> b.id
+       |      JOIN expl ea ON ea.id = a.id
+       |      JOIN expl eb ON eb.id = b.id AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |core AS MATERIALIZED (SELECT ia AS id, d AS c FROM (
+       |    SELECT ia, d, row_number() OVER (PARTITION BY ia ORDER BY d ASC, ib ASC) AS r
+       |    FROM d) WHERE r = $minPts AND d <= $eps1),
+       |edges AS MATERIALIZED (SELECT d.ia, d.ib, greatest(ca.c, cb.c, d.d) AS reach
+       |          FROM d JOIN core ca ON ca.id = d.ia JOIN core cb ON cb.id = d.ib
+       |          WHERE greatest(ca.c, cb.c, d.d) <= $eps1),
+       |$perLevel,
+       |m AS MATERIALIZED (
+       |  $mUnion),
+       |sizes AS MATERIALIZED (SELECT level, label, count(*) AS n FROM m GROUP BY 1, 2),
+       |par AS MATERIALIZED (SELECT c.level AS cl, c.label AS clab, min(p.label) AS plab
+       |        FROM m c JOIN m p ON p.id = c.id AND p.level = c.level - 1
+       |        GROUP BY 1, 2),
+       |childcnt AS (SELECT cl, plab, count(*) AS nc FROM par GROUP BY 1, 2),
+       |births AS (SELECT level, label FROM sizes WHERE level = 1
+       |  UNION ALL
+       |  SELECT p.cl, p.clab FROM par p
+       |  JOIN childcnt c ON c.cl = p.cl AND c.plab = p.plab WHERE c.nc >= 2),
+       |anc(level, label, alevel, alabel) AS (
+       |  SELECT level, label, level, label FROM sizes
+       |  UNION ALL
+       |  SELECT a.level, a.label, p.cl - 1, p.plab FROM anc a
+       |  JOIN par p ON p.cl = a.alevel AND p.clab = a.alabel),
+       |nodeof AS MATERIALIZED (SELECT level, label, alevel AS blevel, alabel AS blabel FROM (
+       |    SELECT a.level, a.label, a.alevel, a.alabel,
+       |           row_number() OVER (PARTITION BY a.level, a.label
+       |                              ORDER BY a.alevel DESC) AS rn
+       |    FROM anc a JOIN births b ON b.level = a.alevel AND b.label = a.alabel)
+       |  WHERE rn = 1),
+       |nodeparent AS MATERIALIZED (SELECT b.level AS blevel, b.label AS blabel,
+       |    nf.blevel AS pblevel, nf.blabel AS pblabel
+       |  FROM births b JOIN par p ON p.cl = b.level AND p.clab = b.label
+       |  JOIN nodeof nf ON nf.level = b.level - 1 AND nf.label = p.plab
+       |  WHERE b.level > 1),
+       |lam(level, dlam) AS (VALUES $lamValues),
+       |stab AS MATERIALIZED (SELECT nf.blevel, nf.blabel, sum(s.n * lam.dlam) AS stab
+       |         FROM sizes s
+       |         JOIN nodeof nf ON nf.level = s.level AND nf.label = s.label
+       |         JOIN lam ON lam.level = s.level GROUP BY 1, 2),
+       |nroots AS (SELECT count(*) AS nr FROM births WHERE level = 1),
+       |$subStages,
+       |allsel AS MATERIALIZED (SELECT blevel, blabel, subtree,
+       |    sel AND NOT (blevel = 1 AND (SELECT nr FROM nroots) = 1) AS sel
+       |  FROM ($subAll)),
+       |nanc(blevel, blabel, ablevel, ablabel) AS (
+       |  SELECT blevel, blabel, pblevel, pblabel FROM nodeparent
+       |  UNION ALL
+       |  SELECT n.blevel, n.blabel, np.pblevel, np.pblabel FROM nanc n
+       |  JOIN nodeparent np ON np.blevel = n.ablevel AND np.blabel = n.ablabel),
+       |finalsel AS (SELECT s.blevel, s.blabel FROM allsel s
+       |  WHERE s.sel AND NOT EXISTS (
+       |    SELECT 1 FROM nanc a
+       |    JOIN allsel s2 ON s2.blevel = a.ablevel AND s2.blabel = a.ablabel
+       |    WHERE a.blevel = s.blevel AND a.blabel = s.blabel AND s2.sel)),
+       |dep AS (SELECT id, level AS dlevel, label AS dlabel FROM (
+       |    SELECT m.level, m.id, m.label,
+       |           row_number() OVER (PARTITION BY id ORDER BY level DESC) AS rn
+       |    FROM m) WHERE rn = 1),
+       |selfanc AS (SELECT blevel, blabel, blevel AS ablevel, blabel AS ablabel FROM births
+       |  UNION ALL SELECT blevel, blabel, ablevel, ablabel FROM nanc),
+       |cover AS (SELECT nf.level, nf.label,
+       |    min(sa.ablevel || ':' || sa.ablabel) AS cluster
+       |  FROM nodeof nf
+       |  JOIN selfanc sa ON sa.blevel = nf.blevel AND sa.blabel = nf.blabel
+       |  JOIN finalsel fs ON fs.blevel = sa.ablevel AND fs.blabel = sa.ablabel
+       |  GROUP BY 1, 2),
+       |assigned AS (SELECT dep.id, cover.cluster FROM dep
+       |  JOIN cover ON cover.level = dep.dlevel AND cover.label = dep.dlabel)""".stripMargin
+  }
 }

@@ -53,6 +53,68 @@ class DensitySpec extends SparkSpec {
     assert(lsh == exact, s"lsh $lsh vs exact $exact")
   }
 
+  // ---- HDBSCAN flat cut (eps-ladder hierarchy + eom selection) ----
+
+  // hierarchy fixture: two TIGHT clusters (0.1 spacing) that merge at
+  // mid eps, one LOOSE cluster (0.8 spacing) that dies at fine eps, one
+  // outlier only reachable at the coarsest level
+  private val hier = Seq(
+    "t1" -> Seq(5.0, 5.0), "t2" -> Seq(5.1, 5.0),
+    "t3" -> Seq(5.2, 5.0), "t4" -> Seq(5.3, 5.0),
+    "u1" -> Seq(6.4, 5.0), "u2" -> Seq(6.5, 5.0),
+    "u3" -> Seq(6.6, 5.0), "u4" -> Seq(6.7, 5.0),
+    "l1" -> Seq(-5.0, -5.0), "l2" -> Seq(-5.0, -4.2),
+    "l3" -> Seq(-5.0, -3.4), "l4" -> Seq(-5.0, -2.6),
+    "n1" -> Seq(0.0, 15.0))
+
+  test("hdbscanFlatCut cuts different branches at different eps (eom)") {
+    // ladder walk: eps 20 → one root (everything); 2.0 → {t∪u} and {l};
+    // 1.0 → {t}, {u} split (born), {l2,l3} continues l; 0.3/0.25 → t and
+    // u persist, l dead. No SINGLE eps yields {t},{u},{l} — the
+    // hierarchy cut does: stability picks t and u at their fine-eps
+    // form and l at its coarse-eps form.
+    val got = labelsOf(Density.hdbscanFlatCut(
+      hier.toDF("id", "vec"), epsLadder = Seq(20.0, 2.0, 1.0, 0.3, 0.25),
+      minPts = 2, minClusterSize = 2))
+    assert(Seq("t1", "t2", "t3", "t4").forall(got(_) == Some("3:t1")), got.toString)
+    assert(Seq("u1", "u2", "u3", "u4").forall(got(_) == Some("3:u1")), got.toString)
+    // l1/l4 shed at level 3 still belong to the selected l node (they
+    // departed FROM it, the condensed-tree membership rule)
+    assert(Seq("l1", "l2", "l3", "l4").forall(got(_) == Some("2:l1")), got.toString)
+    // the outlier only ever belongs to the excluded single root → noise
+    assert(got("n1").isEmpty, got.toString)
+    // and no single-eps DBSCAN* slice can produce all three clusters:
+    val at1 = labelsOf(Density.dbscanStar(hier.toDF("id", "vec"), 1.0, 2))
+    assert(at1("l1").isEmpty && at1("l4").isEmpty, "at eps 1.0 the loose tail is noise")
+    val at2 = labelsOf(Density.dbscanStar(hier.toDF("id", "vec"), 2.0, 2))
+    assert(at2("t1") == at2("u1"), "at eps 2.0 the tight clusters merge")
+  }
+
+  test("hdbscanFlatCut: single-root-only hierarchy is all noise (allow_single_cluster=False)") {
+    val tight = hier.filter(_._1.startsWith("t"))
+    val got = labelsOf(Density.hdbscanFlatCut(
+      tight.toDF("id", "vec"), epsLadder = Seq(2.0, 1.0), minPts = 2))
+    assert(got.values.forall(_.isEmpty), got.toString)
+  }
+
+  test("hdbscanFlatCut: separate coarsest-level roots are each selectable") {
+    val two = hier.filter(p => p._1.startsWith("t") || p._1.startsWith("l"))
+    val got = labelsOf(Density.hdbscanFlatCut(
+      two.toDF("id", "vec"), epsLadder = Seq(2.0, 0.3), minPts = 2))
+    assert(Seq("t1", "t2", "t3", "t4").forall(got(_) == Some("1:t1")), got.toString)
+    assert(Seq("l1", "l2", "l3", "l4").forall(got(_) == Some("1:l1")), got.toString)
+  }
+
+  test("hdbscanFlatCut LSH candidate path matches exact on separated clusters") {
+    val two = hier.filter(p => p._1.startsWith("t") || p._1.startsWith("l"))
+    val exact = labelsOf(Density.hdbscanFlatCut(
+      two.toDF("id", "vec"), epsLadder = Seq(2.0, 0.3), minPts = 2))
+    val lsh = labelsOf(Density.hdbscanFlatCut(
+      two.toDF("id", "vec"), epsLadder = Seq(2.0, 0.3), minPts = 2,
+      lshPlanes = 2, planeDims = 2))
+    assert(lsh == exact, s"lsh $lsh vs exact $exact")
+  }
+
   /** Deterministic test encoder: values map to fixed vectors. */
   private case class FixedEncoder(m: Map[String, Seq[Double]]) extends FrameEncoder {
     override def encode(frame: EntityFrame, rel: Option[DataFrame]): DataFrame =
