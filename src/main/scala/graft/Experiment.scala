@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, element_at, expr, length, not, size, split, trim}
 
 import graft.blockers._
 import graft.core.{BlockingDataset, Blocks}
@@ -53,6 +54,9 @@ object Experiment {
       metricsPath: Option[String] = None,
       appendMetrics: Option[String] = None,
       evalOnly: Option[String] = None,
+      // --convert-vectors <txt>: one-shot conversion of a fasttext/gloVe
+      // text dump into the (token, vector) parquet --word-vectors expects
+      convertVectors: Option[String] = None,
       embeddingsDir: Option[String] = None,
       forceEncode: Boolean = false,
       compare: Option[String] = None,
@@ -100,7 +104,10 @@ object Experiment {
       // min_samples=m config means --min-pts (m-1)
       eps: Double = 0.5,
       minPts: Int = 3,
-      lshPlanes: Int = 0)
+      lshPlanes: Int = 0,
+      // --eps-ladder 2.0,1.0,0.3 switches density-cluster to the HDBSCAN
+      // flat cut (per-branch eps by stability over the descending ladder)
+      epsLadder: Seq[Double] = Nil)
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -217,7 +224,8 @@ object Experiment {
     // --min-pts = min_samples - 1 for the same core-point rule.
     case "density-cluster" =>
       AttributeClusteringBlocker(
-        DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes),
+        DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes,
+          epsLadder = c.epsLadder),
         c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
@@ -266,15 +274,22 @@ object Experiment {
       throw new IllegalArgumentException(s"missing required --$k"))
     // --eval-only re-scores previously written blocks: no blocker runs and
     // nothing is written, so those two options stop being required.
+    // --convert-vectors is a standalone conversion: no dataset, no blocker.
     val evalOnly = m.get("eval-only")
+    val convertVectors = m.get("convert-vectors")
+    val noPipeline = evalOnly.isDefined || convertVectors.isDefined
     Config(
-      data = req("data"),
-      blocker = if (evalOnly.isDefined) m.getOrElse("blocker", "eval-only") else req("blocker"),
-      out = if (evalOnly.isDefined) m.getOrElse("out", "") else req("out"),
+      data = if (convertVectors.isDefined) m.getOrElse("data", "") else req("data"),
+      blocker =
+        if (convertVectors.isDefined) m.getOrElse("blocker", "convert-vectors")
+        else if (evalOnly.isDefined) m.getOrElse("blocker", "eval-only")
+        else req("blocker"),
+      out = if (noPipeline && convertVectors.isEmpty) m.getOrElse("out", "") else req("out"),
       format = m.getOrElse("format", "auto"),
       metricsPath = m.get("metrics"),
       appendMetrics = m.get("append-metrics"),
       evalOnly = evalOnly,
+      convertVectors = convertVectors,
       embeddingsDir = m.get("embeddings"),
       forceEncode = flags.contains("force-encode"),
       compare = m.get("compare"),
@@ -309,7 +324,9 @@ object Experiment {
       tokenizer = m.getOrElse("tokenizer", "regex"),
       eps = m.getOrElse("eps", "0.5").toDouble,
       minPts = m.getOrElse("min-pts", "3").toInt,
-      lshPlanes = m.getOrElse("lsh-planes", "0").toInt)
+      lshPlanes = m.getOrElse("lsh-planes", "0").toInt,
+      epsLadder = m.get("eps-ladder")
+        .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil))
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's
@@ -447,6 +464,7 @@ object Experiment {
   private def renderJsonScalar(x: Any): String = x match {
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case d: Double => fmtD(d)
+    case xs: Seq[_] => xs.map(renderJsonScalar).mkString("[", ",", "]")
     case other => other.toString // Int/Long/Boolean
   }
 
@@ -471,11 +489,45 @@ object Experiment {
         s""""eval":${fmtD(tEval)}},"config":${configJson(c)}}""")
   }
 
+  /** `--convert-vectors <txt> --out <parquet>`: distributed one-shot
+    * conversion of a published word-vector text dump (fasttext `.vec`
+    * with its "count dims" header, or headerless gloVe `.txt`: one
+    * `token v1 … vD` line each) into the `(token, vector)` parquet
+    * [[TableTokenEncoder.fromParquet]] / `--word-vectors` expects — the
+    * hand-conversion step a klinker user porting pretrained.py configs
+    * otherwise writes themselves. Parsing is a plain distributed line
+    * map (the loadNTriples pattern): split on whitespace, head = token,
+    * tail = doubles; the header is recognized ROW-LOCALLY as a 2-field
+    * all-numeric line (a real 1-dim token row would collide — published
+    * dumps are ≥ 25-dim). Inconsistent dimensionalities fail loudly
+    * (one bounded distinct-dims probe), never a silently ragged table. */
+  def runConvertVectors(spark: SparkSession, c: Config, txt: String): String = {
+    val parsed = spark.read.text(txt)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("_p"))
+      .select(element_at(col("_p"), 1).as("token"),
+        expr("transform(slice(_p, 2, size(_p) - 1), x -> cast(x AS double))")
+          .as("vector"))
+      .filter(not(size(col("vector")) === 1 && col("token").rlike("^-?[0-9]+$")))
+    val (json0, secs) = timed {
+      val dims = parsed.select(size(col("vector")).as("d")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: one row per distinct width
+      require(dims.length == 1,
+        s"inconsistent vector widths in $txt: ${dims.mkString(",")} — malformed dump")
+      parsed.write.mode("overwrite").parquet(c.out)
+      val n = spark.read.parquet(c.out).count()
+      s"""{"blocker":"convert-vectors","in":"$txt","out":"${c.out}",""" +
+        s""""tokens":$n,"dims":${dims.head}"""
+    }
+    emit(c, s"""$json0,"total_time_in_s":${fmtD(secs)},"config":${configJson(c)}}""")
+  }
+
   /** Run one experiment; returns the metrics JSON string (also written to
     * `c.metricsPath` when set). Phases mirror experiment.py:545-575. */
-  def run(spark: SparkSession, c: Config): String = c.evalOnly match {
-    case Some(blocksDir) => runEvalOnly(spark, c, blocksDir)
-    case None => runFull(spark, c)
+  def run(spark: SparkSession, c: Config): String = (c.convertVectors, c.evalOnly) match {
+    case (Some(txt), _) => runConvertVectors(spark, c, txt)
+    case (_, Some(blocksDir)) => runEvalOnly(spark, c, blocksDir)
+    case _ => runFull(spark, c)
   }
 
   private def runFull(spark: SparkSession, c: Config): String = {
@@ -542,6 +594,9 @@ object Experiment {
        |  [--format auto|parquet|csv|json|openea|sylloge|oaei|moviegraph]
        |  [--graph-pair <name>] [--metrics <file>]
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
+       |  [--convert-vectors <vec-or-glove-txt>] (writes (token, vector) parquet to --out)
+       |  [--word-vectors <parquet>] [--sif] [--tokenizer regex|nltk]
+       |  [--eps X | --eps-ladder X1,X2,...] [--min-pts N] [--lsh-planes N]
        |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]
        |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]

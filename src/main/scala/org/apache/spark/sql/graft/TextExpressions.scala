@@ -228,12 +228,16 @@ object WindowHitCount {
   * and decimals survive whole), FINAL-period split, contraction
   * clitics (`don't` → `do` + `n't`), then whitespace split.
   *
-  * Documented divergence: `word_tokenize` runs Punkt sentence
-  * segmentation first and tokenizes per sentence; here the value is
-  * ONE sentence — the final-period rule fires once at the end of the
-  * value, so interior sentence-ending periods stay attached
-  * (`"York. Please"` keeps `York.`). For entity ATTRIBUTE VALUES — the
-  * blocking surface, short single-phrase strings — the two coincide.
+  * Like `word_tokenize`, the input is sentence-segmented first and
+  * tokenized per sentence — here by the Punkt-LITE rule subset
+  * ([[TreebankTokenize.sentences]]: final punctuation + capitalized
+  * lookahead, initials/internal-period abbreviation guards), so
+  * interior sentence-final periods split off (`"York. Please"` →
+  * `York`, `.`, `Please`). Documented residual divergence: Punkt's
+  * corpus-learned abbreviation list ("Mr.", "etc.") — such a period
+  * before a capitalized word splits here but not under Punkt. Entity
+  * attribute values — the blocking surface, single-phrase strings —
+  * coincide under both.
   *
   * Same mechanics as [[WindowHitCount]]: one static JVM method shared
   * by interpreted eval and codegen, precompiled `java.util.regex`
@@ -296,8 +300,60 @@ object TreebankTokenize {
     "\\b(more)('n)\\b", "\\b(wan)(na)(?=\\s)", " ('t)(is)\\b", " ('t)(was)\\b")
     .map(p => Pattern.compile("(?i)" + p))
 
-  /** JVM-static, shared by generated and interpreted eval. */
+  // Punkt-lite sentence boundary: sentence-final [.!?]+ (plus closing
+  // quotes/brackets), whitespace, then a capitalized opener (optionally
+  // behind opening quotes/brackets).
+  private val sentenceBoundary =
+    Pattern.compile("([.!?]+[\"')\\]]*)\\s+(?=[\"'(\\[]*\\p{Lu})")
+
+  /** Punkt-lite sentence segmentation — the published RULE subset of
+    * what `nltk.word_tokenize` does before tokenizing (Punkt sentence
+    * split, Kiss & Strunk 2006), with NO learned model: split after
+    * sentence-final punctuation followed by whitespace and a
+    * capitalized sentence opener, guarded for '.' boundaries by the two
+    * classic abbreviation rules — a single-letter initial ("A. Smith")
+    * and an internal-period abbreviation ("U.S. Government") never end
+    * a sentence. Residual divergence vs Punkt (stated at
+    * [[TreebankTokenize]]): Punkt's corpus-LEARNED abbreviation list
+    * ("Mr.", "etc.") — those still split here when followed by a
+    * capitalized word. */
+  def sentences(text: String): Array[String] = {
+    val m = sentenceBoundary.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (m.find()) {
+      val isPeriod = text.charAt(m.start()) == '.'
+      // the token carrying the period: text back to the last whitespace
+      val wordStart = {
+        var i = m.start() - 1
+        while (i >= 0 && !Character.isWhitespace(text.charAt(i))) i -= 1
+        i + 1
+      }
+      val word = text.substring(wordStart, m.start())
+      val abbrev = isPeriod &&
+        ((word.length == 1 && Character.isLetter(word.charAt(0))) ||
+          word.contains('.'))
+      if (!abbrev) {
+        out += text.substring(start, m.end(1))
+        start = m.end()
+      }
+    }
+    if (start == 0) Array(text)
+    else { out += text.substring(start); out.toArray }
+  }
+
+  /** JVM-static, shared by generated and interpreted eval:
+    * `word_tokenize` parity — Punkt-lite sentence split, Treebank rules
+    * per sentence. Single-phrase values (the blocking surface) take the
+    * one-sentence fast path, bit-identical to the pre-split form. */
   def tokenize(text: String): Array[String] = {
+    val ss = sentences(text)
+    if (ss.length <= 1) tokenizeSentence(text)
+    else ss.flatMap(tokenizeSentence)
+  }
+
+  /** One sentence through the published Treebank rule set. */
+  def tokenizeSentence(text: String): Array[String] = {
     var t = text
     def subAll(rules: Seq[(Pattern, String)]): Unit =
       rules.foreach { case (p, r) => t = p.matcher(t).replaceAll(r) }

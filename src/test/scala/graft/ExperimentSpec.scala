@@ -423,6 +423,51 @@ class ExperimentSpec extends SparkSpec {
     assert(!rkeys.contains("11-12-1973") && rkeys.contains("1973"), s"got $rkeys")
   }
 
+  test("--convert-vectors turns a .vec/.txt dump into the --word-vectors parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vecconv").toString
+    // fasttext .vec shape: "count dims" header, then "token v1 ... vD"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/mini.vec"),
+      """6 2
+        |john 1.0 0.0
+        |mcexample 0.8 0.6
+        |maggie 0.0 1.0
+        |rebecca -0.6 0.8
+        |smith -1.0 0.0
+        |nushi 0.6 -0.8
+        |""".stripMargin)
+    val out = s"$dir/vectors.parquet"
+    val json = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--convert-vectors", s"$dir/mini.vec", "--out", out)))
+    assert(json.contains(""""tokens":6""") && json.contains(""""dims":2"""), json)
+    val table = spark.read.parquet(out)
+    assert(table.columns.toSeq == Seq("token", "vector"))
+    val smith = table.filter(col("token") === "smith")
+      .select("vector").as[Seq[Double]].head()
+    assert(smith == Seq(-1.0, 0.0))
+    // headerless gloVe shape converts identically
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/mini.glove.txt"),
+      "john 1.0 0.0\nsmith -1.0 0.0\n")
+    val json2 = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--convert-vectors", s"$dir/mini.glove.txt", "--out", s"$dir/g.parquet")))
+    assert(json2.contains(""""tokens":2""") && json2.contains(""""dims":2"""), json2)
+    // a ragged dump fails loudly, never a silently ragged table
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.txt"),
+      "john 1.0 0.0\nsmith -1.0\n")
+    val e = intercept[IllegalArgumentException] {
+      Experiment.run(spark, Experiment.parseArgs(Array(
+        "--convert-vectors", s"$dir/bad.txt", "--out", s"$dir/b.parquet")))
+    }
+    assert(e.getMessage.contains("inconsistent"), e.getMessage)
+    // and the converted table drives TableTokenEncoder → blocks end-to-end
+    val data = openEaFixture()
+    val expOut = java.nio.file.Files.createTempDirectory("exp_conv").toString
+    val run = Experiment.run(spark, Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "embedding-knn", "--out", expOut,
+      "--word-vectors", out, "--dims", "2", "--k", "2")))
+    assert(run.contains("\"recall\":"), run)
+  }
+
   test("density-cluster blocker runs end-to-end through the CLI") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_dc").toString
@@ -430,6 +475,23 @@ class ExperimentSpec extends SparkSpec {
       "--data", data, "--blocker", "density-cluster", "--out", out,
       "--eps", "2.0", "--min-pts", "2", "--min-cluster-size", "2",
       "--dims", "2")))
+    assert(json.contains("\"recall\":"), json)
+  }
+
+  test("--eps-ladder switches density-cluster to the HDBSCAN flat cut") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_hc").toString
+    val base = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps-ladder", "4.0,2.0,1.0", "--min-pts", "2",
+      "--min-cluster-size", "2", "--dims", "2"))
+    // knob reaches the assigner
+    val assigner = Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.AttributeClusteringBlocker]
+      .assigner.asInstanceOf[graft.blockers.DensityClusterAssigner]
+    assert(assigner.epsLadder == Seq(4.0, 2.0, 1.0))
+    // and the pipeline runs end-to-end in hierarchy mode
+    val json = Experiment.run(spark, base)
     assert(json.contains("\"recall\":"), json)
   }
 }

@@ -20,7 +20,7 @@ class NltkTokenizerSpec extends SparkSpec {
     // the pinned regex tokenizer that golden-block parity needs
     assert(toks("11-12-1973") == List("11-12-1973"))
     assert(toks("costs $3.88 now") == List("costs", "$", "3.88", "now"))
-    // final-period split (and only the FINAL one — single-sentence form)
+    // final-period split
     assert(toks("in New York.") == List("in", "New", "York", "."))
     // comma splits unless between digits
     assert(toks("one, two") == List("one", ",", "two"))
@@ -39,6 +39,33 @@ class NltkTokenizerSpec extends SparkSpec {
     // empty / whitespace
     assert(toks("") == Nil)
     assert(toks("   ") == Nil)
+  }
+
+  test("Punkt-lite sentence split: interior sentences tokenize per sentence") {
+    // interior sentence-final period now splits off (word_tokenize
+    // parity for multi-sentence values — the round-13 divergence)
+    assert(toks("born in York. Please call.") ==
+      List("born", "in", "York", ".", "Please", "call", "."))
+    assert(toks("Stop! Now go.") == List("Stop", "!", "Now", "go", "."))
+    // question marks end sentences too; quotes ride the boundary
+    assert(toks("\"Really?\" She left.") ==
+      List("``", "Really", "?", "''", "She", "left", "."))
+    // abbreviation guards (the published rule subset): single-letter
+    // initials and internal-period abbreviations never end a sentence
+    assert(toks("A. Smith lives here.") ==
+      List("A.", "Smith", "lives", "here", "."))
+    assert(toks("the U.S. Government says") ==
+      List("the", "U.S.", "Government", "says"))
+    // no split without the capitalized lookahead — the interior period
+    // stays attached, exactly the single-sentence Treebank behavior
+    assert(toks("vers. two of it") == List("vers.", "two", "of", "it"))
+    // residual divergence vs Punkt, stated: learned abbreviations still
+    // split before a capital ("Mr. Smith" — Punkt would keep the period)
+    assert(toks("Mr. Smith") == List("Mr", ".", "Smith"))
+    // sentence segmentation alone ("three" fails the capital lookahead,
+    // so "Two! three?" stays one sentence)
+    assert(TreebankTokenize.sentences("One. Two! three? Four.").toList ==
+      List("One.", "Two! three?", "Four."))
   }
 
   test("nltkTokenize = Treebank boundaries + FilteredTokenizer gate") {
