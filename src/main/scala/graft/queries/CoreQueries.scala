@@ -97,9 +97,10 @@ object CoreQueries {
     // literal adds coarse collisions (precision < 1). The oracle recomputes
     // blocking + metrics straight from the tables — no part of the
     // RDF/XML round-trip is replayed, so the hash proves the parsers and
-    // the split end-to-end. The reference.xml fixture is driver-built
-    // from the collected supplier keys: bounded by the DIM-table side
-    // (suppliers), and fixture generation — not the operator under test.
+    // the split end-to-end. The reference.xml fixture is driver-written
+    // by STREAMING the supplier keys (toLocalIterator, one row of driver
+    // memory) behind a loud dim-table size guard — fixture generation,
+    // not the operator under test.
     "src_oaei_pipeline" -> QueryDef(
       (s, dir) => {
         import graft.sources.Rdf
@@ -121,23 +122,38 @@ object CoreQueries {
           .write.mode("overwrite").text(s"$out/source.nt")
         Rdf.toNTriples(triples(supp, "tgt", "s_suppkey", "s_name", "s_nationkey"))
           .write.mode("overwrite").text(s"$out/target.nt")
-        val ks = supp.select(col("s_suppkey").cast("long"))
-          .orderBy("s_suppkey").collect().map(_.getLong(0))
-        val cells = ks.map(k =>
-          s"""  <map><Cell><entity1 rdf:resource="http://src/e$k"/>""" +
-          s"""<entity2 rdf:resource="http://tgt/e$k"/>""" +
-          "<relation>=</relation><measure>1.0</measure></Cell></map>")
-          .mkString("\n")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$out/reference.xml"),
-          "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
-          "<rdf:RDF xmlns=\"http://knowledgeweb.semanticweb.org/heterogeneity/alignment#\"\n" +
-          "         xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n" +
-          s"<Alignment>\n$cells\n</Alignment>\n</rdf:RDF>\n")
+        // fixture alignment XML: size-guarded and STREAMED (one row of
+        // driver memory via toLocalIterator) — fixture generation must
+        // stay dim-table-bounded even if testdata SFs grow, and a loud
+        // failure beats a silent multi-GB driver array
+        val nSupp = supp.count()
+        require(nSupp <= 1000000L,
+          s"src_oaei_pipeline fixture wants $nSupp alignment cells; the " +
+            "driver-side reference.xml build is bounded to dim-table scale")
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(s"$out/reference.xml"))
+        try {
+          w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+            "<rdf:RDF xmlns=\"http://knowledgeweb.semanticweb.org/heterogeneity/alignment#\"\n" +
+            "         xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n" +
+            "<Alignment>\n")
+          val it = supp.select(col("s_suppkey").cast("long"))
+            .orderBy("s_suppkey").toLocalIterator()
+          var first = true
+          while (it.hasNext) {
+            val k = it.next().getLong(0)
+            if (!first) w.write("\n")
+            first = false
+            w.write(s"""  <map><Cell><entity1 rdf:resource="http://src/e$k"/>""" +
+              s"""<entity2 rdf:resource="http://tgt/e$k"/>""" +
+              "<relation>=</relation><measure>1.0</measure></Cell></map>")
+          }
+          w.write("\n</Alignment>\n</rdf:RDF>\n")
+        } finally w.close()
         val ds = Rdf.loadOaei(s, out)
         val blocks = TokenBlocker().assign(ds.left, ds.right)
         Evaluation.evaluateDF(s, blocks, ds.gold.get,
-          cust.count(), supp.count())
+          cust.count(), nSupp)
       },
       Some {
         val lt = duckTokens("'http://src/e'||cast(c_custkey AS varchar)",
