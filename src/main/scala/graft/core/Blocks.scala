@@ -24,14 +24,33 @@ final case class Blocks(df: DataFrame) {
   import Blocks._
 
   /** Candidate pairs as a distributed stream `(left_id, right_id)` —
-    * NOT distinct (blocks may overlap; eval dedups). NB: quadratic in
-    * block size and parallelized only across blocks — operations that
-    * can avoid full pair enumeration should (see
-    * [[graft.eval.Evaluation.truePositivePairs]], which joins the two
-    * single-explode streams through the block key instead). */
-  def pairs: DataFrame =
-    df.select(explode(col(LeftCol)).as("left_id"), col(RightCol))
-      .select(col("left_id"), explode(col(RightCol)).as("right_id"))
+    * NOT distinct (blocks may overlap; eval dedups). The enumeration is
+    * quadratic in block size BY DEFINITION (it lists the comparisons),
+    * so what matters at scale is that the blowup must not land in ONE
+    * task: a chained double explode runs entirely in the task holding
+    * the block's row, which AQE cannot split (measured in the ×100
+    * joined_eval rehearsal — a 1.9 GB single-task shuffle write from a
+    * 3-value standard blocker's mega-blocks). Instead both member
+    * arrays are sliced into [[Blocks.PairChunk]]-sized pieces first — a
+    * block row becomes ceil(|L|/c)·ceil(|R|/c) LIGHT rows (two short
+    * arrays each), those spread round-robin across the cluster, and
+    * only then does the double explode run: ≤ c² pairs per chunk row,
+    * max-task output bounded by the chunk size instead of the block
+    * size. Small blocks cost one extra exchange of block-count-sized
+    * rows. Operations that can avoid full pair enumeration entirely
+    * should (see [[graft.eval.Evaluation.truePositivePairs]], which
+    * joins two single-explode streams through the block key). */
+  def pairs: DataFrame = {
+    val c = PairChunk
+    def chunks(arr: String) =
+      s"transform(sequence(0, (size($arr)-1) div $c), i -> slice($arr, i*$c+1, $c))"
+    df.filter(size(col(LeftCol)) > 0 && size(col(RightCol)) > 0)
+      .select(explode(expr(chunks(LeftCol))).as("_lc"), col(RightCol))
+      .select(col("_lc"), explode(expr(chunks(RightCol))).as("_rc"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("_lc")).as("left_id"), col("_rc"))
+      .select(col("left_id"), explode(col("_rc")).as("right_id"))
+  }
 
   /** Distinct candidate pairs (eval.py:87 `drop_duplicates`). */
   def distinctPairs: DataFrame = pairs.distinct()
@@ -214,6 +233,12 @@ object Blocks {
   val KeyCol = "block_key"
   val LeftCol = "left"
   val RightCol = "right"
+
+  /** Member-array slice size for [[Blocks.pairs]]' spread enumeration:
+    * caps a chunk row's explosion at PairChunk² pairs (~1M at 1024) —
+    * large enough that real blocks stay one chunk, small enough that a
+    * mega-block's enumeration shards across the cluster. */
+  val PairChunk = 1024
 
   /** Parquet source with the reference's layout dispatch (blocks.py:345-381
     * read_parquet + :614-636 CompositeWithNN.read_parquet):

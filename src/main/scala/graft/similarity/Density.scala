@@ -198,14 +198,26 @@ object Density {
         greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
       .filter(col("reach") <= epsMax)
       .localCheckpoint() // referenced once per ladder level
-    // per-level membership (level, id, label); minClusterSize applied
-    val mParts = epsLadder.zipWithIndex.map { case (eps, i) =>
-      val comp = graft.dedup.Dedup.components(
-        edges.filter(col("reach") <= eps).select("id_a", "id_b"))
-      core.filter(col("_c") <= eps).select("id")
-        .join(comp.withColumnRenamed("component", "label"), Seq("id"), "left")
-        .select(lit(i + 1).as("level"), col("id"),
-          coalesce(col("label"), col("id")).as("label"))
+    // per-level membership (level, id, label); minClusterSize applied.
+    // The levels are INDEPENDENT component computations over one
+    // checkpointed edge table (eager, so the shared input exists before
+    // the fan-out) — run them as concurrent Spark jobs: each level's
+    // frontier-propagation rounds are tiny jobs whose scheduling
+    // overhead, not data, dominates, and L levels in flight overlap it.
+    val mParts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(epsLadder.zipWithIndex.map { case (eps, i) =>
+        Future {
+          val comp = graft.dedup.Dedup.components(
+            edges.filter(col("reach") <= eps).select("id_a", "id_b"))
+          core.filter(col("_c") <= eps).select("id")
+            .join(comp.withColumnRenamed("component", "label"), Seq("id"), "left")
+            .select(lit(i + 1).as("level"), col("id"),
+              coalesce(col("label"), col("id")).as("label"))
+        }
+      }), Duration.Inf)
     }
     val mAll = mParts.reduce(_ unionByName _)
     val m = mAll.withColumn("_sz",
