@@ -225,6 +225,31 @@ object ScaleCurve {
           .unionByName(pairs.select(col("su").as("src"), col("c").as("dst")))
         graft.relational.PageRank.pageRank(arcs, 3).count()
       }),
+      // density/HDBSCAN family on its bucketed scale path: ×N salted
+      // copies of the embeddings table, each copy displaced by a small
+      // deterministic per-dimension offset (distinct values forming
+      // per-base-point families — the assigner's distinct-value
+      // contract). The scale knob is the sign-LSH plane count, which
+      // must track log2 of the value-set size to hold unrelated-pair
+      // bucket collisions constant — scaled inside the op exactly as a
+      // deployment would. In-family pairs grow with family size² (the
+      // near-dup family IS the output), cross-family work stays
+      // bucket-bounded.
+      "density_ladder" -> (() => {
+        val planes = 8 + (2.0 * math.log(copies.toDouble) / math.log(2.0)).round.toInt
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+          .select(
+            concat(col("vec_id"), lit("_"), col("copy")).as("id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(Text.md5Long(concat_ws(":", col("copy"), i)), lit(1000))
+                - 500) / 25000.0).as("vec"))
+        graft.similarity.Density.hdbscanFlatCut(
+          emb, epsLadder = Seq(0.12, 0.1, 0.08), minPts = 2,
+          minClusterSize = 2, lshPlanes = planes, planeDims = 16)
+          .filter(col("cluster").isNotNull).count()
+      }),
+
       // a11_joined_eval's shape: two blockings (token + lang standard)
       // over the ×N corpus, TP sets vs the ×N-salted pair gold — the
       // blocker runs and the gold joins all grow with the corpus, the
@@ -258,7 +283,7 @@ object ScaleCurve {
       "communities_hubbed", "tfidf_token_blocker", "crossdoc_spans",
       "crossdoc_cut", "curation_verdicts",
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
-      "pagerank_copurchase", "joined_eval")
+      "pagerank_copurchase", "joined_eval", "density_ladder")
     // optional 4th arg restricts to named ops (fast iteration / partial
     // regeneration — the JSON merge below keeps the other rows)
     val opNames = args.drop(3).headOption

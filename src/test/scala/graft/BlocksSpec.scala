@@ -33,6 +33,26 @@ class BlocksSpec extends SparkSpec {
     assert(blocksOf(example).distinctPairs.count() == 7)
   }
 
+  test("pairs: chunked enumeration equals the naive cross at PairChunk boundaries") {
+    // member arrays at, just under, and just over the slice size — the
+    // spread enumeration must emit exactly the same multiset the naive
+    // per-block cross would
+    val c = Blocks.PairChunk
+    for (n <- Seq(c - 1, c, c + 1)) {
+      val left = (0 until n).map(i => s"l$i")
+      val right = Seq("r0", "r1", "r2")
+      val b = blocksOf(Map("k" -> (left, right)))
+      val got = b.pairs.groupBy("left_id", "right_id").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.size == n * right.size, s"n=$n distinct pairs")
+      assert(got.values.forall(_ == 1L), s"n=$n multiplicities")
+      assert(got.contains((s"l${n - 1}", "r2")), s"n=$n tail element present")
+    }
+    // duplicate ids WITHIN one member array keep their multiplicity
+    val dup = blocksOf(Map("k" -> (Seq("a", "a"), Seq("b"))))
+    assert(dup.pairs.count() == 2 && dup.distinctPairs.count() == 1)
+  }
+
   test("combine: overlapping keys union, disjoint append (test_blocks.py:52-66)") {
     val other = Map(
       "6" -> example("6"),
