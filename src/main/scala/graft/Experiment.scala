@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, element_at, expr, length, not, size, split, trim}
+import org.apache.spark.sql.functions.{col, collect_set, count, element_at, expr, length, lit, not, size, split, sum, trim, when}
 
 import graft.blockers._
 import graft.core.{BlockingDataset, Blocks}
@@ -506,18 +506,33 @@ object Experiment {
       .filter(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("_p"))
       .select(element_at(col("_p"), 1).as("token"),
-        expr("transform(slice(_p, 2, size(_p) - 1), x -> cast(x AS double))")
+        // try_cast, not cast: deterministic NULL for malformed fields
+        // under BOTH ANSI modes, converted into ONE friendly loud
+        // failure by the non-numeric check below (ANSI cast would throw
+        // a cryptic per-row error; non-ANSI cast would silently NULL)
+        expr("transform(slice(_p, 2, size(_p) - 1), x -> try_cast(x AS double))")
           .as("vector"))
       .filter(not(size(col("vector")) === 1 && col("token").rlike("^-?[0-9]+$")))
     val (json0, secs) = timed {
-      val dims = parsed.select(size(col("vector")).as("d")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: one row per distinct width
-      require(dims.length == 1,
-        s"inconsistent vector widths in $txt: ${dims.mkString(",")} — malformed dump")
+      // single parse pass: write first, validate against the WRITTEN
+      // parquet (one cheap columnar scan: count + distinct widths +
+      // non-numeric fields). A malformed dump fails LOUDLY after the
+      // write — the exception is the contract; the rejected parquet is
+      // left for inspection, never silently served.
       parsed.write.mode("overwrite").parquet(c.out)
-      val n = spark.read.parquet(c.out).count()
+      val v = spark.read.parquet(c.out)
+        .agg(count(lit(1)).as("n"),
+          collect_set(size(col("vector"))).as("widths"),
+          sum(when(expr("exists(vector, x -> x IS NULL)"), 1L).otherwise(0L))
+            .as("bad"))
+        .head()
+      val widths = v.getSeq[Int](1).sorted
+      require(widths.length == 1,
+        s"inconsistent vector widths in $txt: ${widths.mkString(",")} — malformed dump")
+      require(v.getLong(2) == 0L,
+        s"${v.getLong(2)} lines in $txt carry non-numeric vector fields — malformed dump")
       s"""{"blocker":"convert-vectors","in":"$txt","out":"${c.out}",""" +
-        s""""tokens":$n,"dims":${dims.head}"""
+        s""""tokens":${v.getLong(0)},"dims":${widths.head}"""
     }
     emit(c, s"""$json0,"total_time_in_s":${fmtD(secs)},"config":${configJson(c)}}""")
   }

@@ -351,43 +351,50 @@ object ScaleCurve {
         case _ => ()
       }
     }
+    def cellJson(op: String, x: Cell): String =
+      s""""$op":{"wall_s":${d1(x.wallS)},"max_task_input_mb":${x.maxIn / 1000000},""" +
+        s""""max_task_shuffle_mb":${x.maxShufRead / 1000000},""" +
+        s""""max_task_shuffle_records":${x.maxShufRecords},""" +
+        s""""spill_mb":${x.spill / 1000000},"result":${x.result}}"""
+    def factorJson(c: Int, nd: Long, ns: Long, hb: Long, mx: Long,
+        cells: Map[String, Cell]): String =
+      s""""x$c":{"docs":$nd,"shingle_rows":$ns,"hot_buckets":$hb,""" +
+        s""""max_bucket":$mx,${opNames.map(op => cellJson(op, cells(op))).mkString(",")}}"""
     val json = results.map { case (c, nd, ns, hb, mx, cells) =>
-      val inner = opNames.map { op =>
-        val x = cells(op)
-        s""""$op":{"wall_s":${d1(x.wallS)},"max_task_input_mb":${x.maxIn / 1000000},""" +
-          s""""max_task_shuffle_mb":${x.maxShufRead / 1000000},""" +
-          s""""max_task_shuffle_records":${x.maxShufRecords},""" +
-          s""""spill_mb":${x.spill / 1000000},"result":${x.result}}"""
-      }.mkString(",")
-      s""""x$c":{"docs":$nd,"shingle_rows":$ns,"hot_buckets":$hb,"max_bucket":$mx,$inner}"""
+      factorJson(c, nd, ns, hb, mx, cells)
     }.mkString(s"""{"dir":"$dir","cap":$cap,""", ",", "}")
     println(json)
     // committed-artifact write (SPARK_GRAFT_CURVE_OUT, default
     // scale_curve.json): per-op MERGE into the existing file, so a
     // filtered run refreshes only its own rows and the rest of the
-    // board's evidence stays intact.
+    // board's evidence stays intact. Flat textual merge; every op-cell
+    // lookup is BOUNDED to its factor object's extent (an op present
+    // only under a later factor must not be clobbered), a factor absent
+    // from the old file is appended whole, and the old file is never
+    // discarded wholesale.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT", "scale_curve.json"))
     val merged =
       if (java.nio.file.Files.exists(outPath)) {
-        // flat textual merge: replace each refreshed "op":{...} fragment
-        // inside the matching "xN":{...} object; append ops that are new
-        val old = java.nio.file.Files.readString(outPath).trim
-        var cur = old
-        results.foreach { case (c, _, _, _, _, cells) =>
+        var cur = java.nio.file.Files.readString(outPath).trim
+        results.foreach { case (c, nd, ns, hb, mx, cells) =>
           val xKey = "\"x" + c + "\":{"
           val xStart = cur.indexOf(xKey)
-          if (xStart >= 0) {
+          if (xStart < 0) {
+            // new factor: append the whole object before the final '}'
+            cur = cur.stripSuffix("}") + "," +
+              factorJson(c, nd, ns, hb, mx, cells) + "}"
+          } else {
             opNames.foreach { op =>
-              val cell = cells(op)
-              val frag = s""""$op":{"wall_s":${d1(cell.wallS)},""" +
-                s""""max_task_input_mb":${cell.maxIn / 1000000},""" +
-                s""""max_task_shuffle_mb":${cell.maxShufRead / 1000000},""" +
-                s""""max_task_shuffle_records":${cell.maxShufRecords},""" +
-                s""""spill_mb":${cell.spill / 1000000},"result":${cell.result}}"""
+              val frag = cellJson(op, cells(op))
               val opKey = "\"" + op + "\":{"
+              // extent of THIS factor object, recomputed per mutation:
+              // next top-level "xN": key or end-of-file (op fragments
+              // are flat, so the next '"x' marker is a safe bound)
+              val nextX = cur.indexOf("\"x", xStart + xKey.length)
+              val bound = if (nextX < 0) cur.length else nextX
               val opStart = cur.indexOf(opKey, xStart)
-              if (opStart >= 0) {
+              if (opStart >= 0 && opStart < bound) {
                 val opEnd = cur.indexOf("}", opStart) + 1
                 cur = cur.substring(0, opStart) + frag + cur.substring(opEnd)
               } else {
@@ -397,7 +404,7 @@ object ScaleCurve {
             }
           }
         }
-        if (cur == old && results.nonEmpty) json else cur
+        cur
       } else json
     java.nio.file.Files.writeString(outPath, merged + "\n")
     spark.stop()

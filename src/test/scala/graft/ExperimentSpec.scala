@@ -459,6 +459,15 @@ class ExperimentSpec extends SparkSpec {
         "--convert-vectors", s"$dir/bad.txt", "--out", s"$dir/b.parquet")))
     }
     assert(e.getMessage.contains("inconsistent"), e.getMessage)
+    // non-numeric vector fields fail loudly too (never NULL elements
+    // silently poisoning downstream weighted sums)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad2.txt"),
+      "john 1.0 0.0\nsmith 0,5 0.3\n")
+    val e2 = intercept[IllegalArgumentException] {
+      Experiment.run(spark, Experiment.parseArgs(Array(
+        "--convert-vectors", s"$dir/bad2.txt", "--out", s"$dir/b2.parquet")))
+    }
+    assert(e2.getMessage.contains("non-numeric"), e2.getMessage)
     // and the converted table drives TableTokenEncoder → blocks end-to-end
     val data = openEaFixture()
     val expOut = java.nio.file.Files.createTempDirectory("exp_conv").toString

@@ -37,17 +37,39 @@ def main():
     oracles = json.load(open(ORACLES))
     times, timeouts, errors = {}, [], []
     for name, sql in sorted(oracles.items()):
-        timer = threading.Timer(TIMEOUT, con.interrupt)
+        # the timer checks `done` before interrupting: a timer that fires
+        # in the window between fetchall() returning and cancel() must
+        # not interrupt the connection (it would kill the NEXT query and
+        # misreport it as a timeout)
+        done = threading.Event()
+
+        def interrupt_if_running():
+            if not done.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(TIMEOUT, interrupt_if_running)
         timer.start()
         t0 = time.monotonic()
         try:
             con.execute(sql).fetchall()
             times[name] = round(time.monotonic() - t0, 3)
         except duckdb.InterruptException:
-            timeouts.append(name)
+            # an interrupt well before the timeout is a stray from the
+            # race above, not a timeout — retry the query once
+            if time.monotonic() - t0 < TIMEOUT * 0.9:
+                done.set(); timer.cancel()
+                t0 = time.monotonic()
+                try:
+                    con.execute(sql).fetchall()
+                    times[name] = round(time.monotonic() - t0, 3)
+                except Exception as e:
+                    errors.append(f"{name}: {type(e).__name__}")
+            else:
+                timeouts.append(name)
         except Exception as e:
             errors.append(f"{name}: {type(e).__name__}")
         finally:
+            done.set()
             timer.cancel()
         dt = time.monotonic() - t0
         print(f"{name:40s} {dt:8.2f}s"
