@@ -68,6 +68,36 @@ class NltkTokenizerSpec extends SparkSpec {
       List("One.", "Two! three?", "Four."))
   }
 
+  test("sentences(): randomized reconstruction invariants (no chars lost, slices contiguous)") {
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.oneOf("alpha", "Beta", "x", "U.S.", "Mr.", "A.", "12.5", "end")
+    val punct = Gen.oneOf(".", "!", "?", "", "...", ".\"")
+    val sep = Gen.oneOf(" ", "  ", " \t ")
+    val textGen = for {
+      n <- Gen.choose(1, 8)
+      parts <- Gen.listOfN(n, for {
+        w <- word; p <- punct; s <- sep
+      } yield w + p + s)
+    } yield parts.mkString.trim
+    val params = Gen.Parameters.default.withSize(12)
+    val texts = (0 until 60).flatMap(i => textGen(params, rng.Seed(7L + i)))
+    texts.foreach { t =>
+      val ss = TreebankTokenize.sentences(t)
+      // no characters lost or duplicated (only boundary whitespace removed)
+      assert(ss.mkString("").filterNot(_.isWhitespace) == t.filterNot(_.isWhitespace),
+        s"chars drifted for <$t> -> ${ss.toList}")
+      // every sentence is a contiguous slice of the input, in order
+      var from = 0
+      ss.foreach { s0 =>
+        val at = t.indexOf(s0, from)
+        assert(at >= from, s"<$s0> not a forward slice of <$t>")
+        from = at + s0.length
+      }
+      // no boundary-less text splits
+      if (!t.exists(".!?".contains(_))) assert(ss.length == 1, t)
+    }
+  }
+
   test("nltkTokenize = Treebank boundaries + FilteredTokenizer gate") {
     val got = Seq(("x", "John's \"old\" friends won't pay $3.88, right?"))
       .toDF("id", "t")
