@@ -222,10 +222,15 @@ object Experiment {
     // (Density.dbscanStar core distance = minPts-th nearest neighbor),
     // while scikit/HDBSCAN min_samples counts the point itself — set
     // --min-pts = min_samples - 1 for the same core-point rule.
+    // --min-cluster-size doubles as HDBSCAN's min_cluster_size when
+    // --eps-ladder is set: the condensed-tree shed rule INSIDE the
+    // hierarchy, mirroring the reference's single knob
+    // (attribute_clustering.py:35-50), and the downstream label gate.
     case "density-cluster" =>
       AttributeClusteringBlocker(
         DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes,
-          epsLadder = c.epsLadder),
+          epsLadder = c.epsLadder,
+          hierarchyMinClusterSize = c.minClusterSize),
         c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
@@ -531,7 +536,8 @@ object Experiment {
         s"inconsistent vector widths in $txt: ${widths.mkString(",")} — malformed dump")
       require(v.getLong(2) == 0L,
         s"${v.getLong(2)} lines in $txt carry non-numeric vector fields — malformed dump")
-      s"""{"blocker":"convert-vectors","in":"$txt","out":"${c.out}",""" +
+      s"""{"blocker":"convert-vectors","in":${renderJsonScalar(txt)},""" +
+        s""""out":${renderJsonScalar(c.out)},""" +
         s""""tokens":${v.getLong(0)},"dims":${widths.head}"""
     }
     emit(c, s"""$json0,"total_time_in_s":${fmtD(secs)},"config":${configJson(c)}}""")

@@ -406,6 +406,17 @@ object ScaleCurve {
         }
         cur
       } else json
+    // the textual merge assumes flat one-level cells written by this
+    // code; a hand-edited/pretty-printed/nested file could silently
+    // corrupt the committed evidence — so refuse to write anything
+    // that is not well-formed JSON, leaving the old file intact.
+    try org.json4s.jackson.JsonMethods.parse(merged)
+    catch { case e: Exception =>
+      throw new IllegalStateException(
+        s"scale-curve merge produced invalid JSON for $outPath — " +
+          s"existing file left untouched (hand-edited or nested input?): " +
+          e.getMessage, e)
+    }
     java.nio.file.Files.writeString(outPath, merged + "\n")
     spark.stop()
   }

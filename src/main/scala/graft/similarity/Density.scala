@@ -313,7 +313,11 @@ object Density {
     val out = e.select("id")
       .join(dep.join(broadcast(coverDf), Seq("dlevel", "dlabel"))
         .select("id", "cluster"), Seq("id"), "left")
-    graft.core.CacheScope.seal(out, e, sym, core)
+    // edges/m are localCheckpoints: their blocks persist under the RDD
+    // cache too, and a long session running many ladder clusterings
+    // would accumulate executor storage until ContextCleaner GC —
+    // release them with the plain persists once the output is sealed.
+    graft.core.CacheScope.seal(out, e, sym, core, edges, m)
   }
 
   /** DuckDB SQL mirror of [[hdbscanFlatCut]] over a `(id varchar,

@@ -499,7 +499,30 @@ class ExperimentSpec extends SparkSpec {
       .asInstanceOf[graft.blockers.AttributeClusteringBlocker]
       .assigner.asInstanceOf[graft.blockers.DensityClusterAssigner]
     assert(assigner.epsLadder == Seq(4.0, 2.0, 1.0))
+    // --min-cluster-size doubles as the condensed-tree shed rule
+    // (HDBSCAN min_cluster_size) — it must reach the hierarchy, not
+    // only the downstream label gate
+    assert(assigner.hierarchyMinClusterSize == 2)
     // and the pipeline runs end-to-end in hierarchy mode
+    val json = Experiment.run(spark, base)
+    assert(json.contains("\"recall\":"), json)
+  }
+
+  test("--min-cluster-size > 2 threads into the flat cut's hierarchy") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_hc5").toString
+    val base = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps-ladder", "4.0,2.0,1.0", "--min-pts", "2",
+      "--min-cluster-size", "5", "--dims", "2"))
+    val assigner = Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.AttributeClusteringBlocker]
+      .assigner.asInstanceOf[graft.blockers.DensityClusterAssigner]
+    // a ported HDBSCAN config (min_cluster_size=5, the reference
+    // default) must build the SAME hierarchy: small clusters shed per
+    // level, altering stability and eom selection — the downstream
+    // size gate alone cannot compensate
+    assert(assigner.hierarchyMinClusterSize == 5)
     val json = Experiment.run(spark, base)
     assert(json.contains("\"recall\":"), json)
   }

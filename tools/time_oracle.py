@@ -55,13 +55,26 @@ def main():
             times[name] = round(time.monotonic() - t0, 3)
         except duckdb.InterruptException:
             # an interrupt well before the timeout is a stray from the
-            # race above, not a timeout — retry the query once
+            # race above, not a timeout — retry the query once, with a
+            # FRESH timer armed (a retry that legitimately needs
+            # interrupting must not run unbounded and stall the suite)
             if time.monotonic() - t0 < TIMEOUT * 0.9:
                 done.set(); timer.cancel()
+                done = threading.Event()
+                retry_done = done
+
+                def interrupt_retry():
+                    if not retry_done.is_set():
+                        con.interrupt()
+
+                timer = threading.Timer(TIMEOUT, interrupt_retry)
+                timer.start()
                 t0 = time.monotonic()
                 try:
                     con.execute(sql).fetchall()
                     times[name] = round(time.monotonic() - t0, 3)
+                except duckdb.InterruptException:
+                    timeouts.append(name)
                 except Exception as e:
                     errors.append(f"{name}: {type(e).__name__}")
             else:
