@@ -334,6 +334,129 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ---- §2.10: TTL near-dup — multi-wave horizon-rule replay -------------
+    // The one divergent behavior of streamMinHashNearDupWithTtl vs its
+    // oracled unbounded twin is MULTI-batch: watermark-driven per-entry
+    // eviction, refresh-extends-life, and evicted-id re-admission
+    // (duplicate pairs across horizons). Three deterministic waves pin
+    // all three (ttl 1 h, watermark 0 s → wm = max prior event time):
+    //   wave 1 (T):        every doc admits → the full single-batch
+    //                      pair set;
+    //   wave 2 (T+2 h):    EVEN docs re-sight → refresh only, zero
+    //                      emissions (floor = T−1 h, everything live);
+    //   wave 3 (T+3.5 h):  floor = T+1 h → odd entries (seen=T) evict,
+    //                      evens (seen=T+2 h) survive BECAUSE wave 2
+    //                      refreshed them; every doc arrives again, so
+    //                      odds RE-ADMIT and re-emit against surviving
+    //                      evens and each other; even-even pairs stay
+    //                      silent (both live).
+    // Result = per-(pair, est) emission count: shared-bucket multiplicity
+    // ×1 for even-even pairs, ×2 for any pair touching an odd doc. The
+    // oracle replays the horizon rule wave by wave in SQL — per-wave
+    // eviction floors as max-prior-time aggregates, refresh via
+    // greatest(), re-admission as the live-set anti-join — never the
+    // closed form. Fixture: ≤1000 docs collected to the driver (bounded
+    // constant; MemoryStream data is driver-side by nature).
+    "st_ttl_neardup_replay" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val base = 1700000000000L // event-time ms; tz-free
+        val hour = 3600000L
+        val rows = table(s, dir, "documents").filter(col("doc_id") < 1000)
+          .select(col("doc_id").cast("string").as("id"),
+            (col("doc_id") % 2 === 0).as("even"),
+            Text.wordShingles(
+              Text.tokenize(col("text"), minLength = 1, stopwords = Nil), 3)
+              .as("tokens"))
+          .collect() // bounded: ≤1000 docs, ~50 shingles each
+        def wave(ms: Long, f: org.apache.spark.sql.Row => Boolean) =
+          rows.toSeq.filter(f).map(r =>
+            graft.streaming.StreamingOps.TimedDocRecord(
+              r.getString(0), r.getSeq[String](2),
+              new java.sql.Timestamp(ms)))
+        val sink = graft.streaming.StreamingOps.replayWaves(
+          Seq(wave(base, _ => true),
+            wave(base + 2 * hour, _.getBoolean(1)),
+            wave(base + 7 * hour / 2, _ => true)),
+          "st_ttl_nd_replay") { ds =>
+          graft.streaming.StreamingOps.streamMinHashNearDupWithTtl(
+            ds, numPerm = 16, bands = 4, minEst = 0.375,
+            maxIdsPerBucket = 10000, ttl = "1 hour", watermark = "0 seconds")
+        }
+        sink.groupBy(col("idA").as("id_a"), col("idB").as("id_b"), col("est"))
+          .agg(count(lit(1)).as("emits"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sh =
+          """SELECT DISTINCT id, l[i]||' '||l[i+1]||' '||l[i+2] AS key FROM (
+            |  SELECT id, l, unnest(range(1, len(l) - 1)) AS i FROM (
+            |    SELECT cast(doc_id AS varchar) AS id,
+            |           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            |                       t -> length(t) >= 1) AS l
+            |    FROM documents WHERE doc_id < 1000))""".stripMargin
+        val sig = MinHash.signatureSql(sh, 16)
+        val buckets = MinHash.bandBucketsSql("SELECT * FROM sig", 4, 4)
+        val estTerms = (0 until 16)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val (t1, t2, t3) = (1700000000000L, 1700007200000L, 1700012600000L)
+        // per-wave state replay: floor_w = max prior event time − ttl
+        // (watermark delay 0), survivors by seen ≥ floor, refresh via
+        // greatest, admissions as anti-joins; a wave's emissions are the
+        // shared-bucket pairs with ≥1 newly-admitted member (live-live
+        // pairs are silent re-sightings)
+        s"""WITH sig AS MATERIALIZED ($sig),
+           |buckets AS MATERIALIZED ($buckets),
+           |sight AS MATERIALIZED (
+           |  SELECT b.key, b.id, w.w, w.tms
+           |  FROM buckets b, (VALUES (1, $t1), (2, $t2), (3, $t3)) AS w(w, tms)
+           |  WHERE w.w <> 2 OR CAST(b.id AS INTEGER) % 2 = 0),
+           |s1 AS (SELECT key, id, tms AS seen FROM sight WHERE w = 1),
+           |f2 AS (SELECT max(tms) - 3600000 AS f FROM sight WHERE w < 2),
+           |live2 AS (SELECT s1.key, s1.id, s1.seen FROM s1, f2 WHERE s1.seen >= f2.f),
+           |a2 AS (SELECT key, id, tms FROM sight WHERE w = 2),
+           |new2 AS (SELECT a2.key, a2.id, a2.tms FROM a2 WHERE NOT EXISTS (
+           |  SELECT 1 FROM live2 l WHERE l.key = a2.key AND l.id = a2.id)),
+           |s2 AS MATERIALIZED (
+           |  SELECT l.key, l.id, greatest(l.seen, coalesce(a.tms, l.seen)) AS seen
+           |  FROM live2 l LEFT JOIN a2 a ON a.key = l.key AND a.id = l.id
+           |  UNION ALL SELECT key, id, tms FROM new2),
+           |f3 AS (SELECT max(tms) - 3600000 AS f FROM sight WHERE w < 3),
+           |live3 AS (SELECT s2.key, s2.id FROM s2, f3 WHERE s2.seen >= f3.f),
+           |a3 AS (SELECT key, id FROM sight WHERE w = 3),
+           |new3 AS (SELECT a3.key, a3.id FROM a3 WHERE NOT EXISTS (
+           |  SELECT 1 FROM live3 l WHERE l.key = a3.key AND l.id = a3.id)),
+           |m1 AS (SELECT key, id, 1 AS is_new FROM s1),
+           |m2 AS (SELECT key, id, 0 AS is_new FROM live2
+           |       UNION ALL SELECT key, id, 1 FROM new2),
+           |m3 AS (SELECT key, id, 0 AS is_new FROM live3
+           |       UNION ALL SELECT key, id, 1 FROM new3),
+           |em AS MATERIALIZED (
+           |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+           |  FROM m1 a JOIN m1 b ON a.key = b.key AND a.id < b.id
+           |  WHERE a.is_new + b.is_new >= 1
+           |  UNION ALL
+           |  SELECT least(a.id, b.id), greatest(a.id, b.id)
+           |  FROM m2 a JOIN m2 b ON a.key = b.key AND a.id < b.id
+           |  WHERE a.is_new + b.is_new >= 1
+           |  UNION ALL
+           |  SELECT least(a.id, b.id), greatest(a.id, b.id)
+           |  FROM m3 a JOIN m3 b ON a.key = b.key AND a.id < b.id
+           |  WHERE a.is_new + b.is_new >= 1),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM em),
+           |estp AS (
+           |  SELECT c.id_a, c.id_b, ($estTerms)::double / 16 AS est
+           |  FROM cand c JOIN sig sa ON sa.id = c.id_a
+           |              JOIN sig sb ON sb.id = c.id_b)
+           |SELECT e.id_a, e.id_b, p.est, count(*) AS emits
+           |FROM em e JOIN estp p ON p.id_a = e.id_a AND p.id_b = e.id_b
+           |WHERE p.est >= 0.375
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
     // ---- MinHash-LSH near-dup (3-token shingles, jaccard ≥ 0.2) ----------
     // Shingles, not tokens: a tiny shared vocabulary makes token-set
     // MinHash collide on nearly every pair (the corpus's avg token-set

@@ -1236,6 +1236,125 @@ object SimilarityQueries {
            |ORDER BY block_key, left_id, right_id""".stripMargin
       }),
 
+    // ---- §2.10: TTL token blocker — multi-wave horizon-rule replay --------
+    // Multi-batch twin of st_incremental_token_pairs for the TTL
+    // variant: three waves pin per-entry eviction, refresh-extends-life,
+    // and re-admission duplicates (ttl 1 h, watermark 0 s → wm = max
+    // prior event time). grp = doc_id % 4; left = evens {0,2}, right =
+    // odds {1,3}:
+    //   wave 1 (T):       all records → the full token-join pair set
+    //                     (lefts sort before rights within a batch, so
+    //                     each right admits against every left);
+    //   wave 2 (T+2 h):   grp {0,1} re-sight → pure refresh, floor
+    //                     T−1 h keeps everything live, zero emissions;
+    //   wave 3 (T+3.5 h): floor T+1 h → grp {2,3} entries evict; grp
+    //                     {1,2} arrive again: grp-2 lefts RE-ADMIT and
+    //                     emit against the surviving grp-1 rights
+    //                     (refreshed at wave 2), grp-1 rights re-sight
+    //                     silently.
+    // Result = per-pair emission count: 2 for (left≡2, right≡1 mod 4)
+    // pairs, 1 otherwise. The oracle replays the horizon rule wave by
+    // wave — floors as max-prior-time aggregates, refresh via
+    // greatest(), admissions as anti-joins, and the side-ordered
+    // emission rule (new lefts × live rights; new rights × all lefts).
+    "st_ttl_token_replay" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val base = 1700000000000L // event-time ms; tz-free
+        val hour = 3600000L
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"),
+            when(col("doc_id") % 2 === 0, "left").otherwise("right").as("side"))
+        val recs = graft.streaming.StreamingOps
+          .tokenize(docs, "doc_id", "text", "side")
+          .distinct().collect() // bounded: ≤200 docs × ~30 distinct tokens
+        def wave(ms: Long, grps: Set[Int]) =
+          recs.toSeq.filter(r => grps.contains(r.id.toInt % 4)).map(r =>
+            graft.streaming.StreamingOps.TimedTokenRecord(
+              r.key, r.side, r.id, new java.sql.Timestamp(ms)))
+        val sink = graft.streaming.StreamingOps.replayWaves(
+          Seq(wave(base, Set(0, 1, 2, 3)),
+            wave(base + 2 * hour, Set(0, 1)),
+            wave(base + 7 * hour / 2, Set(1, 2))),
+          "st_ttl_tok_replay") { ds =>
+          graft.streaming.StreamingOps.incrementalTokenBlocksWithTtl(
+            ds, maxIdsPerSide = 10000, ttl = "1 hour", watermark = "0 seconds")
+        }
+        sink.groupBy(col("key").as("block_key"), col("leftId").as("left_id"),
+            col("rightId").as("right_id"))
+          .agg(count(lit(1)).as("emits"))
+          .orderBy("block_key", "left_id", "right_id")
+      },
+      Some {
+        val toks = duckTokens("cast(doc_id AS varchar)", "text",
+          "(SELECT * FROM documents WHERE doc_id < 200)")
+        val (t1, t2, t3) = (1700000000000L, 1700007200000L, 1700012600000L)
+        // sides keyed (key, side, id); 'left' < 'right' in the operator's
+        // within-batch (ts, side, id) sort, so a wave's lefts process
+        // before its rights: new lefts pair against the PRE-wave live
+        // rights, new rights against every left (live or just admitted)
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT DISTINCT id, key,
+           |         CASE WHEN CAST(id AS INTEGER) % 2 = 0
+           |              THEN 'left' ELSE 'right' END AS side,
+           |         CAST(id AS INTEGER) % 4 AS g
+           |  FROM ($toks)),
+           |sight AS MATERIALIZED (
+           |  SELECT t.key, t.side, t.id, t.g, w.w, w.tms
+           |  FROM toks t, (VALUES (1, $t1), (2, $t2), (3, $t3)) AS w(w, tms)
+           |  WHERE w.w = 1 OR (w.w = 2 AND t.g IN (0, 1))
+           |     OR (w.w = 3 AND t.g IN (1, 2))),
+           |s1 AS (SELECT key, side, id, tms AS seen FROM sight WHERE w = 1),
+           |f2 AS (SELECT max(tms) - 3600000 AS f FROM sight WHERE w < 2),
+           |live2 AS (SELECT s1.key, s1.side, s1.id, s1.seen
+           |          FROM s1, f2 WHERE s1.seen >= f2.f),
+           |a2 AS (SELECT key, side, id, tms FROM sight WHERE w = 2),
+           |new2 AS (SELECT a2.key, a2.side, a2.id, a2.tms FROM a2
+           |  WHERE NOT EXISTS (SELECT 1 FROM live2 l
+           |    WHERE l.key = a2.key AND l.side = a2.side AND l.id = a2.id)),
+           |s2 AS MATERIALIZED (
+           |  SELECT l.key, l.side, l.id,
+           |         greatest(l.seen, coalesce(a.tms, l.seen)) AS seen
+           |  FROM live2 l LEFT JOIN a2 a
+           |    ON a.key = l.key AND a.side = l.side AND a.id = l.id
+           |  UNION ALL SELECT key, side, id, tms FROM new2),
+           |f3 AS (SELECT max(tms) - 3600000 AS f FROM sight WHERE w < 3),
+           |live3 AS (SELECT s2.key, s2.side, s2.id
+           |          FROM s2, f3 WHERE s2.seen >= f3.f),
+           |a3 AS (SELECT key, side, id FROM sight WHERE w = 3),
+           |new3 AS (SELECT a3.key, a3.side, a3.id FROM a3
+           |  WHERE NOT EXISTS (SELECT 1 FROM live3 l
+           |    WHERE l.key = a3.key AND l.side = a3.side AND l.id = a3.id)),
+           |e1 AS ( -- wave 1: everything new; rights admit against all lefts
+           |  SELECT l.key, l.id AS left_id, r.id AS right_id
+           |  FROM s1 l JOIN s1 r ON r.key = l.key
+           |  WHERE l.side = 'left' AND r.side = 'right'),
+           |e2 AS (
+           |  SELECT nl.key, nl.id AS left_id, lr.id AS right_id
+           |  FROM new2 nl JOIN live2 lr
+           |    ON lr.key = nl.key AND nl.side = 'left' AND lr.side = 'right'
+           |  UNION ALL
+           |  SELECT nr.key, x.id, nr.id
+           |  FROM new2 nr JOIN (SELECT key, side, id FROM live2
+           |                     UNION ALL SELECT key, side, id FROM new2) x
+           |    ON x.key = nr.key AND nr.side = 'right' AND x.side = 'left'),
+           |e3 AS (
+           |  SELECT nl.key, nl.id AS left_id, lr.id AS right_id
+           |  FROM new3 nl JOIN live3 lr
+           |    ON lr.key = nl.key AND nl.side = 'left' AND lr.side = 'right'
+           |  UNION ALL
+           |  SELECT nr.key, x.id, nr.id
+           |  FROM new3 nr JOIN (SELECT key, side, id FROM live3
+           |                     UNION ALL SELECT key, side, id FROM new3) x
+           |    ON x.key = nr.key AND nr.side = 'right' AND x.side = 'left'),
+           |em AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |       UNION ALL SELECT * FROM e3)
+           |SELECT key AS block_key, left_id, right_id, count(*) AS emits
+           |FROM em GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin
+      }),
+
     // ---- M4/M5: SIF-weighted word-embedding pooling -----------------------
     // token vectors are md5-derived 8-dim pseudo-embeddings; SIF weight
     // a/(a + freq/total) with a = 1e-3 (reference pretrained.py:486-515).

@@ -1182,4 +1182,32 @@ object StreamingOps {
         col(idCol).cast("string").as("id"))
       .as[TokenRecord]
   }
+
+  /** Drive `op` through N deterministic micro-batches (one per wave of
+    * a MemoryStream) and return the memory sink's accumulated rows as a
+    * BATCH DataFrame — the replay harness the TTL-eviction oracles use
+    * (`st_ttl_*_replay`): event times are fixed constants, the waves
+    * are bounded driver-side fixtures, and `processAllAvailable` after
+    * each wave makes the watermark sequence (max prior event time −
+    * delay) a pure function of the wave times, so the multi-batch
+    * output is deterministic and SQL-replayable. The result is
+    * localCheckpointed so the sink's temp view and the query can be
+    * torn down before returning. */
+  def replayWaves[I](waves: Seq[Seq[I]], sinkName: String)(
+      op: Dataset[I] => Dataset[_])(
+      implicit spark: SparkSession,
+      enc: org.apache.spark.sql.Encoder[I]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[I]
+    val sq = op(mem.toDS()).writeStream.format("memory")
+      .queryName(sinkName).outputMode("append").start()
+    try {
+      waves.foreach { w => mem.addData(w: _*); sq.processAllAvailable() }
+      spark.table(sinkName).localCheckpoint()
+    } finally {
+      sq.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
 }
