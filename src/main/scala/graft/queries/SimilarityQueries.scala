@@ -1204,6 +1204,109 @@ object SimilarityQueries {
            |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
       }),
 
+    // ---- M12 composed: density assigner → noise keys → blocking -----------
+    // The full attribute-clustering pipeline through the DENSITY
+    // assigner (the CLI's --blocker density-cluster --eps-ladder path),
+    // previously only CLI/spec-pinned: a 200-token vocabulary is
+    // synthesized INSIDE the query (the s3_cluster_gold fixture
+    // pattern) because the corpus vocabulary at oracle SF is degenerate
+    // (29 tokens, 2nd-NN distances packed in 1.10–1.30 — NOTES_r14 §9).
+    // Families with separated geometry, all coordinates exact binary
+    // fractions (multiples of 1/8) so Spark and DuckDB synthesize
+    // bit-identical doubles:
+    //   i 0–55    4 tight families  (14 @ 0.25 apart: clusters at every
+    //             ladder level — pure continuations);
+    //   i 56–103  4 loose families  (12 @ 0.875: cluster at eps 2/1,
+    //             endpoints shed at 1 (2nd-NN 1.75), gone at 0.5);
+    //   i 104–131 2 split families  (two 7-blobs @ 0.25, gap 1.5: one
+    //             cluster at 2.0, TRUE SPLIT at 1.0 — eom chooses);
+    //   i 132–134 one trio @ 0.25: a genuine density cluster that the
+    //             hierarchyMinClusterSize=4 shed rule drops per level →
+    //             never clustered, values keep themselves (the
+    //             ADVICE-threaded min_cluster_size knob, observable);
+    //   i 135–199 65 noise points ≥64 apart — never core.
+    // Values are single tokens, so TableTokenEncoder pools exactly one
+    // table vector per value (no float-order risk); noise=Token keeps
+    // unclustered values as their own keys (cross-side singletons never
+    // block). The oracle replays the WHOLE pipeline: vocabulary
+    // synthesis, hdbscanFlatCutSql (per-level closures + condensed tree
+    // + eom DP), the size-gated noise-mode key mapping, and the
+    // blocking joins.
+    "m12_density_pipeline" -> QueryDef(
+      (s, dir) => {
+        val i = col("i")
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val x =
+          when(i < 56, d(expr("i DIV 14")) * 100.0 + d(i % 14) * 0.25)
+          .when(i < 104,
+            (d(expr("(i - 56) DIV 12")) + 4.0) * 100.0 + d((i - 56) % 12) * 0.875)
+          .when(i < 132,
+            (d(expr("(i - 104) DIV 14")) + 8.0) * 100.0 +
+              when((i - 104) % 14 < 7, d((i - 104) % 14) * 0.25)
+                .otherwise(lit(3.0) + d((i - 104) % 14 - 7) * 0.25))
+          .when(i < 135, lit(1000.0) + d(i - 132) * 0.25)
+          .otherwise(lit(2000.0) + d(i - 135) * 64.0)
+        val y = when(i < 135, lit(0.0)).otherwise(d(i - 135) * 64.0)
+        val gen = s.range(0, 200).select(col("id").cast("int").as("i"))
+          .select(col("i"), format_string("t%03d", col("i")).as("token"),
+            x.as("x"), y.as("y"))
+        val vecs = gen.select(col("token"),
+          array(col("x"), col("y"), lit(0.0), lit(0.0)).as("vector"))
+        val blocker = AttributeClusteringBlocker(
+          DensityClusterAssigner(
+            graft.encoders.TableTokenEncoder(vecs, dims = 4),
+            eps = 0.5, minPts = 2, lshPlanes = 0,
+            epsLadder = Seq(2.0, 1.0, 0.5), hierarchyMinClusterSize = 4),
+          minClusterSize = 3, noise = NoiseHandling.Token)
+        val lf = EntityFrame(gen.filter(col("i") % 2 === 0)
+          .select(concat(lit("l"), col("token")).as("eid"),
+            col("token").as("val")), "dens_left", "eid")
+        val rf = EntityFrame(gen.filter(col("i") % 2 === 1)
+          .select(concat(lit("r"), col("token")).as("eid"),
+            col("token").as("val")), "dens_right", "eid")
+        blocker.assign(lf, rf)
+          .df.select(col(Blocks.KeyCol),
+            array_join(col(Blocks.LeftCol), ",").as("left_ids"),
+            array_join(col(Blocks.RightCol), ",").as("right_ids"))
+          .orderBy(Blocks.KeyCol)
+      },
+      Some {
+        val points =
+          """SELECT printf('t%03d', i) AS id,
+            |  [CASE
+            |     WHEN i < 56 THEN (i // 14) * 100.0 + (i % 14) * 0.25
+            |     WHEN i < 104 THEN ((i - 56) // 12 + 4) * 100.0 + ((i - 56) % 12) * 0.875
+            |     WHEN i < 132 THEN ((i - 104) // 14 + 8) * 100.0 +
+            |       CASE WHEN (i - 104) % 14 < 7 THEN ((i - 104) % 14) * 0.25
+            |            ELSE 3.0 + ((i - 104) % 14 - 7) * 0.25 END
+            |     WHEN i < 135 THEN 1000.0 + (i - 132) * 0.25
+            |     ELSE 2000.0 + (i - 135) * 64.0 END,
+            |   CASE WHEN i < 135 THEN 0.0 ELSE (i - 135) * 64.0 END,
+            |   0.0, 0.0] AS embedding
+            |FROM range(200) t(i)""".stripMargin
+        val body = graft.similarity.Density.hdbscanFlatCutSql(
+          points, epsLadder = Seq(2.0, 1.0, 0.5), minPts = 2,
+          minClusterSize = 4)
+        s"""$body,
+           |clu AS (SELECT e.id AS v, coalesce(a.cluster, e.id) AS cluster
+           |        FROM e LEFT JOIN assigned a ON a.id = e.id),
+           |lab AS (SELECT v, CASE WHEN _csize >= 3
+           |                       THEN 'clustering_label_'||cluster ELSE v END AS key
+           |        FROM (SELECT v, cluster,
+           |                count(*) OVER (PARTITION BY cluster) AS _csize FROM clu)),
+           |sides AS (SELECT v, CAST(substr(v, 2) AS INTEGER) % 2 AS par FROM clu),
+           |lk AS (SELECT DISTINCT 'l'||s.v AS id, lab.key
+           |       FROM sides s JOIN lab ON lab.v = s.v WHERE s.par = 0),
+           |rk AS (SELECT DISTINCT 'r'||s.v AS id, lab.key
+           |       FROM sides s JOIN lab ON lab.v = s.v WHERE s.par = 1),
+           |lb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS left_ids
+           |       FROM lk GROUP BY key),
+           |rb AS (SELECT key, array_to_string(list_sort(list(DISTINCT id)), ',') AS right_ids
+           |       FROM rk GROUP BY key)
+           |SELECT key AS block_key, left_ids, right_ids
+           |FROM lb JOIN rb USING (key) ORDER BY block_key""".stripMargin
+      }),
+
     // ---- §2.10: incremental token blocker, batch-parity oracle ------------
     // flatMapGroupsWithState on a BATCH dataset = one mega-batch: the
     // stateful operator must emit exactly the full token-join pair set —
