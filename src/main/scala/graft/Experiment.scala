@@ -106,8 +106,11 @@ object Experiment {
       minPts: Int = 3,
       lshPlanes: Int = 0,
       // --eps-ladder 2.0,1.0,0.3 switches density-cluster to the HDBSCAN
-      // flat cut (per-branch eps by stability over the descending ladder)
-      epsLadder: Seq[Double] = Nil)
+      // flat cut (per-branch eps by stability over the descending ladder);
+      // --eps-ladder auto[:N] derives an N-level ladder (default 5) from
+      // the data's mutual-reachability structure (Density.autoEpsLadder)
+      epsLadder: Seq[Double] = Nil,
+      epsLadderAuto: Int = 0)
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -230,7 +233,8 @@ object Experiment {
       AttributeClusteringBlocker(
         DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes,
           epsLadder = c.epsLadder,
-          hierarchyMinClusterSize = c.minClusterSize),
+          hierarchyMinClusterSize = c.minClusterSize,
+          autoLadderLevels = c.epsLadderAuto),
         c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
@@ -331,7 +335,14 @@ object Experiment {
       minPts = m.getOrElse("min-pts", "3").toInt,
       lshPlanes = m.getOrElse("lsh-planes", "0").toInt,
       epsLadder = m.get("eps-ladder")
-        .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil))
+        .filterNot(_.startsWith("auto"))
+        .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil),
+      epsLadderAuto = m.get("eps-ladder").filter(_.startsWith("auto")).map {
+        case "auto" => 5
+        case s if s.startsWith("auto:") => s.drop(5).toInt
+        case s => throw new IllegalArgumentException(
+          s"--eps-ladder '$s': expected a descending list, 'auto', or 'auto:N'")
+      }.getOrElse(0))
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's
@@ -617,7 +628,7 @@ object Experiment {
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--convert-vectors <vec-or-glove-txt>] (writes (token, vector) parquet to --out)
        |  [--word-vectors <parquet>] [--sif] [--tokenizer regex|nltk]
-       |  [--eps X | --eps-ladder X1,X2,...] [--min-pts N] [--lsh-planes N]
+       |  [--eps X | --eps-ladder X1,X2,...|auto[:N]] [--min-pts N] [--lsh-planes N]
        |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]
        |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]

@@ -95,13 +95,21 @@ final case class DensityClusterAssigner(
     // INSIDE the hierarchy — the blocker's own minClusterSize still
     // gates downstream on the assigned labels.
     epsLadder: Seq[Double] = Nil,
-    hierarchyMinClusterSize: Int = 2) extends ClusterAssigner {
+    hierarchyMinClusterSize: Int = 2,
+    // > 0 derives the ladder from the data itself
+    // ([[graft.similarity.Density.autoEpsLadder]] with this many
+    // levels) — the `--eps-ladder auto` form; takes precedence over an
+    // explicit `epsLadder`
+    autoLadderLevels: Int = 0) extends ClusterAssigner {
   override def assign(vals: DataFrame): DataFrame = {
     val asFrame = EntityFrame(
       vals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
     val emb = encoder.encode(asFrame, None)
     val lab =
-      if (epsLadder.nonEmpty)
+      if (autoLadderLevels > 0)
+        graft.similarity.Density.hdbscanFlatCutAuto(
+          emb, autoLadderLevels, minPts, hierarchyMinClusterSize, lshPlanes)
+      else if (epsLadder.nonEmpty)
         graft.similarity.Density.hdbscanFlatCut(
           emb, epsLadder, minPts, hierarchyMinClusterSize, lshPlanes)
       else graft.similarity.Density.dbscanStar(emb, eps, minPts, lshPlanes)

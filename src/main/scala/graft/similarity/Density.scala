@@ -109,7 +109,10 @@ object Density {
     *
     * Discretization (the documented approximation vs the continuous
     * dendrogram): the hierarchy is sampled at the caller's strictly
-    * descending `epsLadder` (λ_l = 1/eps_l ascending). Everything else
+    * descending `epsLadder` (λ_l = 1/eps_l ascending) — hand-picked, or
+    * data-derived via [[autoEpsLadder]]/[[hdbscanFlatCutAuto]] (levels
+    * at actual first-connection radii, so the residual narrows to
+    * merge heights falling between levels). Everything else
     * is the published algorithm (Campello, Moulavi & Sander 2013, §4):
     *
     *   1. ONE distance pass: pairwise distances (exact all-pairs
@@ -147,20 +150,12 @@ object Density {
     * dimension-table-sized for any real clustering (the
     * Evaluation.scala n²-blockers-map contract); it never touches
     * per-point rows. */
-  def hdbscanFlatCut(
-      emb: DataFrame, epsLadder: Seq[Double], minPts: Int = 3,
-      minClusterSize: Int = 2, lshPlanes: Int = 0,
-      planeDims: Int = 16): DataFrame = {
-    require(minPts >= 1, "minPts must be >= 1")
-    require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
-      epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
-      "epsLadder must be strictly descending positive radii")
-    val levels = epsLadder.length
-    val lambda = epsLadder.map(1.0 / _) // ascending
-    def lambdaAfter(l: Int): Double = // λ_{l+1} with λ_{L+1} := λ_L (1-based)
-      if (l >= levels) lambda(levels - 1) else lambda(l)
-    val epsMax = epsLadder.head
-
+  /** Shared (id, vec) + symmetric rounded-distance construction of the
+    * flat cut and the auto-ladder derivation: exact all-pairs baseline
+    * at `lshPlanes <= 0`, sign-LSH bucketed candidates otherwise.
+    * Returns BOTH frames persisted — the caller releases them. */
+  private def symDistances(
+      emb: DataFrame, lshPlanes: Int, planeDims: Int): (DataFrame, DataFrame) = {
     val Array(idC, vecC) = emb.columns.take(2)
     val e = emb.select(col(idC).cast("string").as("id"), col(vecC).as("vec"))
       .persist()
@@ -183,6 +178,89 @@ object Density {
       Num.stableRound(sqrt(Vectors.sqDist(col("va"), col("vb"))), 6).as("d"))
     val sym = dists.unionByName(
       dists.select(col("ib").as("ia"), col("ia").as("ib"), col("d"))).persist()
+    (e, sym)
+  }
+
+  /** Data-derived eps ladder for [[hdbscanFlatCut]] — closes the
+    * hand-tuning the fixed-ladder form requires (the NOTES_r14 manual
+    * sweep): the ladder is read off the mutual-reachability structure
+    * itself. Basis: each point's MINIMUM mutual reachability
+    * r_i = min_j max(c_i, c_j, d_ij) — the height at which point i
+    * first becomes reachable at all, i.e. where its condensed-tree
+    * membership can begin. The ladder is `levels` evenly-spaced values
+    * over the DISTINCT sorted r_i (always including min and max),
+    * descending — actual merge heights, never interpolated values, so
+    * levels land exactly ON the radii where the hierarchy changes
+    * rather than between them. The coarsest level (max r_i) is where
+    * the last point connects to anything; the finest (min r_i) where
+    * the tightest pair lives. Cluster-cluster merge heights above any
+    * single point's first-connection radius can fall between ladder
+    * levels — the stated ladder-discretization residual, now
+    * data-driven instead of caller-tuned.
+    *
+    * Bounded driver collect: ≤ one double per input point (the
+    * distinct r_i values — the flat cut's dimension-table DP
+    * contract). Returns Nil when nothing is ever core (fewer than
+    * `minPts` neighbors everywhere). */
+  def autoEpsLadder(
+      emb: DataFrame, levels: Int = 5, minPts: Int = 3,
+      lshPlanes: Int = 0, planeDims: Int = 16): Seq[Double] = {
+    require(levels >= 2, "auto ladder needs at least 2 levels")
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
+    val core = sym.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === minPts)
+      .select(col("ia").as("id"), col("d").as("_c"))
+    val rmin = sym
+      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
+      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
+      .groupBy("ia")
+      .agg(min(greatest(col("_ca"), col("_cb"), col("d"))).as("r"))
+    val vals = rmin.select("r").distinct().orderBy("r")
+      .collect().map(_.getDouble(0))
+    e.unpersist(); sym.unpersist()
+    if (vals.isEmpty) Seq.empty
+    else if (vals.length <= levels) vals.toSeq.reverse
+    else {
+      val d = vals.length - 1
+      (0 until levels)
+        .map(k => vals(math.round(k.toDouble * d / (levels - 1)).toInt))
+        .distinct.reverse
+    }
+  }
+
+  /** [[hdbscanFlatCut]] with the [[autoEpsLadder]]-derived ladder — the
+    * `--eps-ladder auto` form. Pays one extra distance pass for the
+    * derivation (value-set-sized input by the assigner contract); an
+    * all-noise derivation (no core points anywhere) short-circuits to
+    * all-NULL labels, matching a never-clustering hierarchy. */
+  def hdbscanFlatCutAuto(
+      emb: DataFrame, levels: Int = 5, minPts: Int = 3,
+      minClusterSize: Int = 2, lshPlanes: Int = 0,
+      planeDims: Int = 16): DataFrame = {
+    val ladder = autoEpsLadder(emb, levels, minPts, lshPlanes, planeDims)
+    if (ladder.isEmpty) {
+      val Array(idC, _) = emb.columns.take(2)
+      emb.select(col(idC).cast("string").as("id"),
+        lit(null).cast("string").as("cluster"))
+    } else hdbscanFlatCut(emb, ladder, minPts, minClusterSize, lshPlanes, planeDims)
+  }
+
+  def hdbscanFlatCut(
+      emb: DataFrame, epsLadder: Seq[Double], minPts: Int = 3,
+      minClusterSize: Int = 2, lshPlanes: Int = 0,
+      planeDims: Int = 16): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
+      epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
+      "epsLadder must be strictly descending positive radii")
+    val levels = epsLadder.length
+    val lambda = epsLadder.map(1.0 / _) // ascending
+    def lambdaAfter(l: Int): Double = // λ_{l+1} with λ_{L+1} := λ_L (1-based)
+      if (l >= levels) lambda(levels - 1) else lambda(l)
+    val epsMax = epsLadder.head
+
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
     val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
     // core distances once; only c ≤ eps_max can ever matter
     val core = sym.withColumn("_r", row_number().over(w))

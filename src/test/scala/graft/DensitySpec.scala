@@ -105,6 +105,42 @@ class DensitySpec extends SparkSpec {
     assert(Seq("l1", "l2", "l3", "l4").forall(got(_) == Some("1:l1")), got.toString)
   }
 
+  test("autoEpsLadder reads the ladder off the data; auto recovers the hand-tuned cut") {
+    // distinct per-point first-connection radii on `hier` (minPts=2):
+    // tight interiors 0.1, tight ends 0.2, loose interiors 0.8, loose
+    // ends 1.6, the outlier ~11.2 — five distinct values, so the
+    // 5-level auto ladder is exactly those, descending
+    val ladder = Density.autoEpsLadder(hier.toDF("id", "vec"), levels = 5, minPts = 2)
+    assert(ladder.length == 5 && ladder == ladder.sorted.reverse, ladder.toString)
+    assert(ladder.tail == Seq(1.6, 0.8, 0.2, 0.1), ladder.toString)
+    assert(ladder.head > 11.0 && ladder.head < 11.5, ladder.toString)
+    // the auto cut recovers the hand-tuned PARTITION (birth labels may
+    // differ — the l cluster is born one level earlier on the auto
+    // ladder — but the grouping and the noise set must match)
+    def partition(df: DataFrame): (Set[Set[String]], Set[String]) = {
+      val m = labelsOf(df)
+      (m.collect { case (id, Some(c)) => (c, id) }.toSeq
+         .groupBy(_._1).values.map(_.map(_._2).toSet).toSet,
+       m.collect { case (id, None) => id }.toSet)
+    }
+    val hand = partition(Density.hdbscanFlatCut(
+      hier.toDF("id", "vec"), epsLadder = Seq(20.0, 2.0, 1.0, 0.3, 0.25),
+      minPts = 2, minClusterSize = 2))
+    val auto = partition(Density.hdbscanFlatCutAuto(
+      hier.toDF("id", "vec"), levels = 5, minPts = 2, minClusterSize = 2))
+    assert(auto == hand, s"auto $auto vs hand $hand")
+    // more levels than distinct radii → the ladder is just the radii
+    assert(Density.autoEpsLadder(hier.toDF("id", "vec"), levels = 9, minPts = 2)
+      == ladder, "levels beyond the distinct radii must not invent values")
+  }
+
+  test("hdbscanFlatCutAuto: never-core input short-circuits to all noise") {
+    // minPts above every neighborhood: no core points, empty ladder
+    val got = labelsOf(Density.hdbscanFlatCutAuto(
+      emb, levels = 3, minPts = 7, minClusterSize = 2))
+    assert(got.size == points.size && got.values.forall(_.isEmpty), got.toString)
+  }
+
   test("hdbscanFlatCut LSH candidate path matches exact on separated clusters") {
     val two = hier.filter(p => p._1.startsWith("t") || p._1.startsWith("l"))
     val exact = labelsOf(Density.hdbscanFlatCut(

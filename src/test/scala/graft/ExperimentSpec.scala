@@ -508,6 +508,30 @@ class ExperimentSpec extends SparkSpec {
     assert(json.contains("\"recall\":"), json)
   }
 
+  test("--eps-ladder auto derives the ladder from the data") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_hca").toString
+    val base = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps-ladder", "auto:3", "--min-pts", "2",
+      "--min-cluster-size", "2", "--dims", "2"))
+    val assigner = Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.AttributeClusteringBlocker]
+      .assigner.asInstanceOf[graft.blockers.DensityClusterAssigner]
+    assert(assigner.autoLadderLevels == 3 && assigner.epsLadder.isEmpty)
+    val json = Experiment.run(spark, base)
+    assert(json.contains("\"recall\":"), json)
+    // bare "auto" defaults to 5 levels; malformed forms fail loudly
+    assert(Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps-ladder", "auto")).epsLadderAuto == 5)
+    intercept[IllegalArgumentException] {
+      Experiment.parseArgs(Array(
+        "--data", data, "--blocker", "density-cluster", "--out", out,
+        "--eps-ladder", "automatic"))
+    }
+  }
+
   test("--min-cluster-size > 2 threads into the flat cut's hierarchy") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_hc5").toString
