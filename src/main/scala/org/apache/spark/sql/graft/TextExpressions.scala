@@ -231,13 +231,16 @@ object WindowHitCount {
   * Like `word_tokenize`, the input is sentence-segmented first and
   * tokenized per sentence — here by the Punkt-LITE rule subset
   * ([[TreebankTokenize.sentences]]: final punctuation + capitalized
-  * lookahead, initials/internal-period abbreviation guards), so
-  * interior sentence-final periods split off (`"York. Please"` →
-  * `York`, `.`, `Please`). Documented residual divergence: Punkt's
-  * corpus-learned abbreviation list ("Mr.", "etc.") — such a period
-  * before a capitalized word splits here but not under Punkt. Entity
-  * attribute values — the blocking surface, single-phrase strings —
-  * coincide under both.
+  * lookahead, initials/internal-period abbreviation guards, and a
+  * static published-subset abbreviation list — "Mr.", "Dr.", "etc."
+  * never end a sentence), so interior sentence-final periods split off
+  * (`"York. Please"` → `York`, `.`, `Please`). Documented residual
+  * divergence: Punkt's corpus-LEARNED abbreviations beyond the static
+  * list split before a capitalized word here, and a listed
+  * abbreviation genuinely ending a sentence never splits (Punkt
+  * decides that case from corpus statistics). Entity attribute
+  * values — the blocking surface, single-phrase strings — coincide
+  * under both.
   *
   * Same mechanics as [[WindowHitCount]]: one static JVM method shared
   * by interpreted eval and codegen, precompiled `java.util.regex`
@@ -306,17 +309,36 @@ object TreebankTokenize {
   private val sentenceBoundary =
     Pattern.compile("([.!?]+[\"')\\]]*)\\s+(?=[\"'(\\[]*\\p{Lu})")
 
+  /** Static abbreviation list — the published common-English subset
+    * that rule-based splitters ship (titles, ranks, latin/company/
+    * street forms): a listed word before '.' never ends a sentence,
+    * standing in for Punkt's corpus-learned abbreviation set. Common
+    * standalone words ("no", "fig") are deliberately absent — listing
+    * them would swallow genuine boundaries ("I said no. Then ...")
+    * more often than they guard real abbreviations. */
+  private val abbreviations: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("mr", "mrs", "ms", "dr", "prof", "rev", "hon", "st", "jr", "sr",
+      "gen", "sen", "rep", "gov", "capt", "col", "lt", "maj", "sgt",
+      "vs", "etc", "inc", "ltd", "corp", "ave", "blvd", "rd", "mt",
+      "vol", "dept", "univ", "assn", "bros", "approx").foreach(s.add)
+    s
+  }
+
   /** Punkt-lite sentence segmentation — the published RULE subset of
     * what `nltk.word_tokenize` does before tokenizing (Punkt sentence
     * split, Kiss & Strunk 2006), with NO learned model: split after
     * sentence-final punctuation followed by whitespace and a
-    * capitalized sentence opener, guarded for '.' boundaries by the two
-    * classic abbreviation rules — a single-letter initial ("A. Smith")
-    * and an internal-period abbreviation ("U.S. Government") never end
+    * capitalized sentence opener, guarded for '.' boundaries by the
+    * classic abbreviation rules — a single-letter initial ("A. Smith"),
+    * an internal-period abbreviation ("U.S. Government"), and the
+    * static [[abbreviations]] list ("Mr. Smith", "Dr. Brown") never end
     * a sentence. Residual divergence vs Punkt (stated at
-    * [[TreebankTokenize]]): Punkt's corpus-LEARNED abbreviation list
-    * ("Mr.", "etc.") — those still split here when followed by a
-    * capitalized word. */
+    * [[TreebankTokenize]]): corpus-LEARNED abbreviations beyond the
+    * static list still split before a capitalized word, and a listed
+    * abbreviation that genuinely ends a sentence never splits here
+    * (Punkt's orthographic sentence-starter heuristics decide that
+    * case from corpus statistics). */
   def sentences(text: String): Array[String] = {
     val m = sentenceBoundary.matcher(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -330,9 +352,13 @@ object TreebankTokenize {
         i + 1
       }
       val word = text.substring(wordStart, m.start())
+      // listed-abbreviation check on the letter core (leading quotes/
+      // brackets stripped: "(Mr" → "mr")
+      val core = word.dropWhile(c => !Character.isLetter(c))
       val abbrev = isPeriod &&
         ((word.length == 1 && Character.isLetter(word.charAt(0))) ||
-          word.contains('.'))
+          word.contains('.') ||
+          abbreviations.contains(core.toLowerCase(java.util.Locale.ROOT)))
       if (!abbrev) {
         out += text.substring(start, m.end(1))
         start = m.end()

@@ -59,13 +59,40 @@ class NltkTokenizerSpec extends SparkSpec {
     // no split without the capitalized lookahead — the interior period
     // stays attached, exactly the single-sentence Treebank behavior
     assert(toks("vers. two of it") == List("vers.", "two", "of", "it"))
-    // residual divergence vs Punkt, stated: learned abbreviations still
-    // split before a capital ("Mr. Smith" — Punkt would keep the period)
-    assert(toks("Mr. Smith") == List("Mr", ".", "Smith"))
     // sentence segmentation alone ("three" fails the capital lookahead,
     // so "Two! three?" stays one sentence)
     assert(TreebankTokenize.sentences("One. Two! three? Four.").toList ==
       List("One.", "Two! three?", "Four."))
+  }
+
+  test("static abbreviation list: titles/ranks before capitals match word_tokenize") {
+    // the round-14 residual, closed: listed abbreviations never end a
+    // sentence, so "Mr." survives whole exactly like NLTK (whose Punkt
+    // model learned these from corpus statistics)
+    assert(toks("Mr. Smith") == List("Mr.", "Smith"))
+    assert(toks("Mr. Smith went to Washington. He arrived.") ==
+      List("Mr.", "Smith", "went", "to", "Washington", ".",
+        "He", "arrived", "."))
+    assert(toks("Dr. Brown met Prof. Green.") ==
+      List("Dr.", "Brown", "met", "Prof.", "Green", "."))
+    assert(toks("He visited St. Paul. Then he left.") ==
+      List("He", "visited", "St.", "Paul", ".", "Then", "he", "left", "."))
+    // the letter core strips leading quotes/brackets before the lookup
+    assert(TreebankTokenize.sentences("(Mr. Smith) agreed. So did I.").toList ==
+      List("(Mr. Smith) agreed.", "So did I."))
+    // case-insensitive ("MR. SMITH" headlines)
+    assert(TreebankTokenize.sentences("MR. SMITH AGREED.").toList ==
+      List("MR. SMITH AGREED."))
+    // unlisted words still split — the guard is the list, not all-words
+    assert(toks("born in York. Please call.") ==
+      List("born", "in", "York", ".", "Please", "call", "."))
+    // residual divergences, stated on the operator: an abbreviation NOT
+    // in the static list still splits before a capital...
+    assert(toks("see Reg. Smith") == List("see", "Reg", ".", "Smith"))
+    // ...and a listed abbreviation genuinely ending a sentence does not
+    // split (Punkt decides this case from corpus statistics)
+    assert(TreebankTokenize.sentences("He works for the corp. Nobody knew.").toList ==
+      List("He works for the corp. Nobody knew."))
   }
 
   test("sentences(): randomized reconstruction invariants (no chars lost, slices contiguous)") {
