@@ -303,7 +303,30 @@ object StreamRehearsal {
     cQ.stop()
     val j4 = report("stream_curation", cRows)
 
-    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j1t,$j2t,$j3,$j4}""")
+    // ---- streaming curation, TTL'd (the --state-ttl front-door form) -----
+    // FRESH content each wave (texts salted per wave → new dup_keys):
+    // the open-ended-feed shape where the unbounded form's canonical
+    // store grows linearly with the wave count, forever. With
+    // state-ttl 150 min and waves an hour apart, a wave's canonicals
+    // expire ~3 waves after their last sighting, so state must PLATEAU
+    // at ~3 waves' distinct content while output stays per-wave flat —
+    // the composed-pipeline analog of the *_ttl operator rows above.
+    val memCT = MemoryStream[(String, String, java.sql.Timestamp)]
+    val ctQ = graft.streaming.StreamingCuration.verdicts(
+        memCT.toDF().toDF("doc_id", "text", "ts"), curBench,
+        allowedLangs = Seq("en", "de", "fr"), contamN = 4,
+        stateTtl = Some("150 minutes"), tsCol = "ts")
+      .writeStream.format("noop").outputMode("append").start()
+    val curBatchesT = (0 until nBatches).map { w =>
+      curRecords.collect { case (b, (id, text)) if b == w =>
+        (id, s"$text wavesalt$w", waveTs(w))
+      }
+    }
+    val ctRows = drive(memCT, ctQ, curBatchesT)
+    ctQ.stop()
+    val j4t = report("stream_curation_ttl", ctRows)
+
+    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j1t,$j2t,$j3,$j4,$j4t}""")
     // sibling bench artifact: one line of adjudicable per-operator
     // summary rows (same maxima-first discipline as bench.json — see
     // [[summaryJson]]), re-runnable via
@@ -314,7 +337,8 @@ object StreamRehearsal {
       s"""${summaryJson("stream_neardup_ttl", ndtRows)},""" +
       s"""${summaryJson("incremental_token_pairs_ttl", tktRows)},""" +
       s"""${summaryJson("stream_funnel", fRows)},""" +
-      s"""${summaryJson("stream_curation", cRows)}}"""
+      s"""${summaryJson("stream_curation", cRows)},""" +
+      s"""${summaryJson("stream_curation_ttl", ctRows)}}"""
     println(summary)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(

@@ -50,16 +50,20 @@ import graft.text.TextAnalysis
   *
   * State size: one (dup_key → id) entry per DISTINCT surviving content
   * — bounded by corpus novelty, the same growth class as the exact
-  * streaming dedup ([[StreamingOps]]); apply its TTL discipline if the
-  * stream is unbounded and re-tagging old content is acceptable.
+  * streaming dedup ([[StreamingOps]]). On an unbounded stream pass
+  * `stateTtl` (the Curate front door's `--state-ttl`): canonicals
+  * expire once the watermark passes the TTL beyond their last
+  * sighting, bounding state by one horizon's distinct content, with
+  * the re-admit divergence stated on [[verdicts]].
   */
 object StreamingCuration {
 
   /** A tagged document entering the dedup state op (text already
-    * dropped — this is the ~100-byte shuffle record). */
+    * dropped — this is the ~100-byte shuffle record). `ts` carries the
+    * event time in TTL mode and is NULL in the unbounded form. */
   final case class TaggedDoc(id: String, lang: String, nTokens: Long,
       qualityReason: Option[String], nHits: Long, dupKey: String,
-      langOk: Boolean, gateOk: Boolean)
+      langOk: Boolean, gateOk: Boolean, ts: java.sql.Timestamp)
 
   /** One per-document verdict row — the schema of
     * [[graft.text.Curation.verdicts]]. */
@@ -70,14 +74,36 @@ object StreamingCuration {
   /** Per-document curation verdicts over a STREAM of documents against
     * a static `benchmark`. Same stages, knobs and output schema as
     * [[graft.text.Curation.verdicts]]; see the object doc for the
-    * streaming-safe plan shape. */
+    * streaming-safe plan shape.
+    *
+    * `stateTtl` bounds the dup-canonical store on an unbounded stream
+    * (the object doc's "apply the TTL discipline" knob, now a
+    * parameter — `--state-ttl` from the [[graft.text.Curate]] front
+    * door): `tsCol` becomes the event time, the stream is watermarked
+    * (`watermark` delay, default tight), and a dup_key with no
+    * sighting for `stateTtl` past its newest arrival drops its
+    * canonical (EventTimeTimeout, the
+    * [[StreamingOps.streamExactDedupWithTtl]] pattern — every arrival
+    * of the content extends the horizon, surviving or not). State is
+    * then bounded by the distinct content seen within one TTL horizon.
+    * Documented divergence vs the unbounded form (the standard
+    * bounded-horizon dedup contract): content re-seen after its
+    * horizon RE-ADMITS — a fresh canonical, so one extra keep=true per
+    * content per horizon; exactness holds within the horizon. `ts`
+    * must exceed the watermark delay for the horizon to engage.
+    * Streaming-mode only (event-time timeouts need the watermark,
+    * which batch execution does not carry); batch invocations use the
+    * default unbounded form, whose single mega-batch never expires
+    * state anyway. */
   def verdicts(stream: DataFrame, benchmark: DataFrame,
                idCol: String = "doc_id", textCol: String = "text",
                allowedLangs: Seq[String] = Seq("en"),
                contamN: Int = 8,
                minWords: Int = 20, maxWords: Int = 100000,
                minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-               minStopwords: Int = 1, maxDupFrac: Double = 0.6)(
+               minStopwords: Int = 1, maxDupFrac: Double = 0.6,
+               stateTtl: Option[String] = None, tsCol: String = "ts",
+               watermark: String = "0 seconds")(
       implicit spark: SparkSession): Dataset[CurationVerdict] = {
     import spark.implicits._
 
@@ -99,12 +125,16 @@ object StreamingCuration {
       else org.apache.spark.sql.graft.TextOps.windowHitCount(
         trim(lower(coalesce(col("_text"), lit("")))), contamN, grams.toSeq)
 
+    val eventTs =
+      if (stateTtl.isDefined) col(tsCol).cast("timestamp")
+      else lit(null).cast("timestamp")
     val base = stream.select(col(idCol).cast("string").as("id"),
       col(textCol).as("_text"),
-      TextAnalysis.langId(col(textCol)).as("lang"))
+      TextAnalysis.langId(col(textCol)).as("lang"),
+      eventTs.as("_eventTs"))
     val enriched = TextAnalysis.qualityFilter(base, "id", "_text",
         minWords, maxWords, minMeanLen, maxMeanLen, minStopwords,
-        maxDupFrac, passthrough = Seq("lang", "_text"))
+        maxDupFrac, passthrough = Seq("lang", "_text", "_eventTs"))
       .withColumnRenamed("reason", "quality_reason")
       .withColumn("n_hits", nHits)
       .withColumn("dup_key", md5(concat_ws(" ",
@@ -115,33 +145,57 @@ object StreamingCuration {
     // record; only gate survivors touch the canonical state. First-seen
     // canonical across batches, min surviving id within a batch — so a
     // single-batch (= batch-mode) run reproduces the batch group-min.
-    val routed = enriched
+    val routed0 = enriched
       .select(col("id"), col("lang"), col("n_tokens").as("nTokens"),
         col("quality_reason").as("qualityReason"),
         col("n_hits").as("nHits"), col("dup_key").as("dupKey"),
-        langOk.as("langOk"), (col("keep") && langOk).as("gateOk"))
+        langOk.as("langOk"), (col("keep") && langOk).as("gateOk"),
+        col("_eventTs").as("ts"))
       .as[TaggedDoc]
+    val routed = stateTtl match {
+      case Some(_) => routed0.withWatermark("ts", watermark)
+      case None => routed0
+    }
+    val ttlMs: Long = stateTtl.map { s =>
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .extractAsDuration().toMillis
+    }.getOrElse(0L)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     routed.groupByKey(_.dupKey)
       .flatMapGroupsWithState[String, CurationVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_, it, state) =>
-          val docs = it.toIndexedSeq.sortBy(_.id)
-          val canon: Option[String] =
-            if (state.exists) Some(state.get)
-            else docs.find(_.gateOk).map { d => state.update(d.id); d.id }
-          docs.iterator.map { d =>
-            if (!d.gateOk)
-              CurationVerdict(d.id, d.lang, d.nTokens, d.qualityReason,
-                None, d.nHits,
-                Some(if (!d.langOk) "lang" else "quality"), keep = false)
-            else {
-              val dupOf = canon.filter(_ != d.id)
-              val drop =
-                if (dupOf.isDefined) Some("duplicate")
-                else if (d.nHits > 0) Some("contaminated")
-                else None
-              CurationVerdict(d.id, d.lang, d.nTokens, None, dupOf, d.nHits,
-                drop, drop.isEmpty)
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed → re-seen content re-admits
+            Iterator.empty
+          } else {
+            val docs = it.toIndexedSeq.sortBy(_.id)
+            val canon: Option[String] =
+              if (state.exists) Some(state.get)
+              else docs.find(_.gateOk).map { d => state.update(d.id); d.id }
+            // sliding TTL from this batch's newest sighting of the
+            // content — only when a canonical exists (gate-only groups
+            // hold no state, so there is nothing to bound)
+            if (ttlMs > 0 && state.exists && docs.nonEmpty)
+              state.setTimeoutTimestamp(
+                docs.iterator.map(_.ts.getTime).max + ttlMs)
+            docs.iterator.map { d =>
+              if (!d.gateOk)
+                CurationVerdict(d.id, d.lang, d.nTokens, d.qualityReason,
+                  None, d.nHits,
+                  Some(if (!d.langOk) "lang" else "quality"), keep = false)
+              else {
+                val dupOf = canon.filter(_ != d.id)
+                val drop =
+                  if (dupOf.isDefined) Some("duplicate")
+                  else if (d.nHits > 0) Some("contaminated")
+                  else None
+                CurationVerdict(d.id, d.lang, d.nTokens, None, dupOf, d.nHits,
+                  drop, drop.isEmpty)
+              }
             }
           }
       }

@@ -891,6 +891,68 @@ object StreamingOps {
       }
   }
 
+  /** [[rateLimit]] with a bounded state store — the unbounded form
+    * keeps one (winStart, count) row per key FOREVER (tiny rows, but
+    * key-cardinality growth on an open-ended stream). Here a key with
+    * no arrivals for `ttl` past its newest event drops its state
+    * (EventTimeTimeout over the watermarked `ts`, the
+    * [[streamExactDedupWithTtl]] pattern), bounding state by the keys
+    * active within one TTL horizon.
+    *
+    * Unlike the near-dup/token TTL variants this one can be EXACT:
+    * with `ttl >= windowSeconds + watermark delay`, an expired key's
+    * next on-time event necessarily lands in a LATER tumbling window
+    * than the expired state's — where the unbounded form would reset
+    * the count anyway — so admission decisions are identical and the
+    * TTL costs nothing semantically. A shorter ttl re-admits inside a
+    * still-open window (over-admission up to maxPerWindow). `ttl` must
+    * exceed the watermark delay (the timeout timestamp must lead the
+    * watermark). Streaming-mode only: event-time timeouts need the
+    * watermark, which batch execution does not carry — batch callers
+    * use [[rateLimit]] (whose single mega-batch never expires state
+    * anyway). */
+  def rateLimitWithTtl(
+      records: Dataset[RateRecord],
+      maxPerWindow: Int = 2,
+      windowSeconds: Long = 3600L,
+      ttl: String = "2 hours",
+      watermark: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[RateAdmit] = {
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      .extractAsDuration().toMillis
+    records.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RateState, RateAdmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, batch: Iterator[RateRecord], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon → fresh window on return
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RateState(Long.MinValue, 0))
+            val micros = (r: RateRecord) =>
+              r.ts.toInstant.getEpochSecond * 1000000L + r.ts.toInstant.getNano / 1000L
+            var maxMs = Long.MinValue
+            val out = batch.toSeq.sortBy(r => (micros(r), r.id)).flatMap { r =>
+              val ms = r.ts.getTime
+              if (ms > maxMs) maxMs = ms
+              val win = Math.floorDiv(micros(r), windowSeconds * 1000000L) * windowSeconds
+              if (win > st.winStart) st = RateState(win, 0)
+              if (win < st.winStart || st.count >= maxPerWindow) None
+              else {
+                st = RateState(st.winStart, st.count + 1)
+                Some(RateAdmit(key, r.id, r.ts, win, st.count))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(maxMs + ttlMs) // sliding TTL
+            out.iterator
+          }
+      }
+  }
+
   /** Rate-limited interval join — the composed front-door of an event
     * pipeline: cap the LEFT side at `maxPerWindow` events per key per
     * tumbling window (so one hot key cannot flood join state), then
@@ -906,7 +968,17 @@ object StreamingOps {
     * (rate-limit into files/Kafka, `readStream` that into the join),
     * which decouples checkpoints so the throttle restarts without
     * rebuilding join state. StreamingSpec drives both compositions
-    * against this batch form. */
+    * against this batch form.
+    *
+    * Bounding the throttle's per-key state on an open-ended stream
+    * ([[rateLimitWithTtl]], the `--state-ttl` discipline) REQUIRES the
+    * two-query handoff: an event-time-timeout operator upstream of a
+    * stream-stream join in ONE query trips Spark's global-watermark
+    * correctness check (the timeout op can emit rows the join's
+    * watermark would discard as late) — a genuine hazard, not a check
+    * to disable. The handoff re-derives the join watermark from the
+    * durable admitted stream, so the composition stays exact;
+    * spec-pinned end-to-end in StreamingSpec. */
   def rateLimitedIntervalJoin(
       left: DataFrame, right: DataFrame,
       key: String = "user_id",

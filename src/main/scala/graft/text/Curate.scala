@@ -26,12 +26,15 @@ object Curate {
       out: String = "", idCol: String = "doc_id", textCol: String = "text",
       langs: Seq[String] = Seq("en"), contamN: Int = 8,
       minWords: Int = 20, groupCol: Option[String] = Some("source"),
-      manifest: Boolean = false)
+      manifest: Boolean = false,
+      stream: Boolean = false, stateTtl: Option[String] = None,
+      tsCol: String = "ts")
 
   val Usage: String =
     """usage: graft.text.Curate --corpus PATH --out DIR [--benchmark PATH]
       |  [--id COL] [--text COL] [--langs en,de] [--contam-n N]
-      |  [--min-words N] [--group COL|none] [--manifest]""".stripMargin
+      |  [--min-words N] [--group COL|none] [--manifest]
+      |  [--stream [--state-ttl DUR] [--ts COL]]""".stripMargin
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -48,16 +51,30 @@ object Curate {
       case "--group" :: "none" :: t => go(t, c.copy(groupCol = None))
       case "--group" :: v :: t => go(t, c.copy(groupCol = Some(v)))
       case "--manifest" :: t => go(t, c.copy(manifest = true))
+      case "--stream" :: t => go(t, c.copy(stream = true))
+      case "--state-ttl" :: v :: t => go(t, c.copy(stateTtl = Some(v)))
+      case "--ts" :: v :: t => go(t, c.copy(tsCol = v))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val c = go(args.toList, Config())
     require(c.corpus.nonEmpty, "--corpus is required")
     require(c.out.nonEmpty, "--out is required")
+    require(c.stateTtl.isEmpty || c.stream,
+      "--state-ttl only applies to --stream (batch curation holds no state)")
     c
   }
 
-  /** Run the funnel; returns (verdicts, funnel) after writing outputs. */
+  /** Run the funnel; returns (verdicts, funnel) after writing outputs.
+    *
+    * `--stream` runs the INGEST form ([[
+    * graft.streaming.StreamingCuration.verdicts]]) over a parquet
+    * readStream of the corpus directory (Trigger.AvailableNow — drains
+    * what exists, then stops; rerunning resumes from the checkpoint
+    * and processes only NEW files, which is the deployment loop).
+    * `--state-ttl` bounds the dup-canonical store on an unbounded feed
+    * — `--ts` names the event-time column it expires against; absent
+    * columns fail loudly here, not as a mid-stream analysis error. */
   def run(spark: SparkSession, c: Config): (DataFrame, DataFrame) = {
     val corpus = spark.read.parquet(c.corpus)
     val bench = c.benchmark
@@ -65,9 +82,27 @@ object Curate {
       // empty benchmark frame = no grams = contamination never fires,
       // without a second code path
       .getOrElse(corpus.limit(0))
-    val v = Curation.verdicts(corpus, bench, c.idCol, c.textCol,
-      allowedLangs = c.langs, contamN = c.contamN, minWords = c.minWords)
-    v.write.mode("overwrite").parquet(s"${c.out}/verdicts")
+    if (c.stream) {
+      require(c.stateTtl.isEmpty || corpus.columns.contains(c.tsCol),
+        s"--state-ttl needs event-time column '${c.tsCol}' in the corpus " +
+          s"(name it with --ts); found: ${corpus.columns.mkString(", ")}")
+      val src = spark.readStream.schema(corpus.schema).parquet(c.corpus)
+      val q = graft.streaming.StreamingCuration.verdicts(
+          src, bench, c.idCol, c.textCol,
+          allowedLangs = c.langs, contamN = c.contamN, minWords = c.minWords,
+          stateTtl = c.stateTtl, tsCol = c.tsCol)(spark)
+        .writeStream.format("parquet")
+        .option("path", s"${c.out}/verdicts")
+        .option("checkpointLocation", s"${c.out}/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } else {
+      val v = Curation.verdicts(corpus, bench, c.idCol, c.textCol,
+        allowedLangs = c.langs, contamN = c.contamN, minWords = c.minWords)
+      v.write.mode("overwrite").parquet(s"${c.out}/verdicts")
+    }
     val grouped = c.groupCol.filter(corpus.columns.contains) match {
       case Some(g) =>
         val vg = spark.read.parquet(s"${c.out}/verdicts")

@@ -118,6 +118,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("Curate CLI --stream --state-ttl: ingest form writes the same verdicts") {
+    import graft.text.Curate
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_s_").toString
+    val corpusPath = s"$out/corpus"
+    corpus
+      .withColumn("source", when(col("doc_id") < "4", "sA").otherwise("sB"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .write.mode("overwrite").parquet(corpusPath)
+    // the batch reference on the same knobs
+    val batchRef = Curation.verdicts(spark.read.parquet(corpusPath), bench,
+        allowedLangs = Seq("en", "de"), contamN = 4, minWords = 5)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(6)), r.getBoolean(7))).toMap
+    val benchPath = s"$out/bench"
+    bench.write.mode("overwrite").parquet(benchPath)
+    val c = Curate.parseArgs(Array(
+      "--corpus", corpusPath, "--benchmark", benchPath, "--out", s"$out/run",
+      "--langs", "en,de", "--contam-n", "4", "--min-words", "5",
+      "--stream", "--state-ttl", "2 hours", "--ts", "ts"))
+    assert(c.stream && c.stateTtl == Some("2 hours"))
+    val (v2, funnel) = Curate.run(spark, c)
+    // AvailableNow drains the whole directory in one pass; single-pass
+    // TTL behavior equals the unbounded (= batch) form, so the written
+    // verdicts must match the batch reference row-for-row — except the
+    // canonical choice, which is first-SEEN under arbitrary file order
+    // (dup_of may point at either copy; drop_stage/keep still agree
+    // because the fixture's duplicates are keep-class on both sides)
+    val got = v2.collect().map(r => r.getAs[String]("id") ->
+      (Option(r.getAs[String]("drop_stage")), r.getAs[Boolean]("keep"))).toMap
+    assert(got.keySet == batchRef.keySet, got.toString)
+    val dupIds = Set("1", "2")
+    got.filterNot(kv => dupIds.contains(kv._1)).foreach { case (id, dk) =>
+      assert(dk == batchRef(id), s"doc $id: $dk vs ${batchRef(id)}")
+    }
+    // exactly one of the duplicate pair survives, the other is its dup
+    assert(got.count { case (id, (_, keep)) => dupIds.contains(id) && keep } == 1)
+    assert(funnel.count() == 2L)
+    // --state-ttl without --stream is rejected loudly (batch curation
+    // holds no state to bound)
+    intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("--corpus", "x", "--out", "y",
+        "--state-ttl", "1 hour"))
+    }
+    // --state-ttl with a missing event-time column fails before launch
+    val bad = Curate.parseArgs(Array(
+      "--corpus", corpusPath, "--out", s"$out/run2",
+      "--stream", "--state-ttl", "2 hours", "--ts", "nope"))
+    val e = intercept[IllegalArgumentException] { Curate.run(spark, bad) }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("qualityFilter passthrough carries columns without reordering rows") {
     val out = TextAnalysis.qualityFilter(
       corpus.withColumn("lang", lit("xx")), "doc_id", "text",

@@ -673,6 +673,143 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("rateLimitWithTtl: exact within the window rule; idle keys drop and re-admit") {
+    import graft.streaming.StreamingOps.{RateAdmit, RateRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[RateRecord]
+    val sq = StreamingOps.rateLimitWithTtl(mem.toDS(), maxPerWindow = 2,
+        windowSeconds = 3600L, ttl = "2 hours", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("rl_ttl")
+      .outputMode("append").start()
+    def admits(): Set[(String, Int)] =
+      spark.table("rl_ttl").as[RateAdmit].collect()
+        .map(a => (a.id, a.seqInWin)).toSet
+    try {
+      // cap 2 in the 10:00 window: e1, e2 admit, e3 capped
+      mem.addData(RateRecord("u", "e1", ts("2024-01-01 10:00:00")),
+        RateRecord("u", "e2", ts("2024-01-01 10:05:00")),
+        RateRecord("u", "e3", ts("2024-01-01 10:20:00")))
+      sq.processAllAvailable()
+      assert(admits() == Set(("e1", 1), ("e2", 2)), admits().toString)
+      // same window, next batch: state alive (wm 10:20 < timeout) → capped
+      mem.addData(RateRecord("u", "e4", ts("2024-01-01 10:40:00")))
+      sq.processAllAvailable()
+      assert(admits() == Set(("e1", 1), ("e2", 2)), admits().toString)
+      // another key pushes wm past u's timeout (12:40); the following
+      // batch fires the timeout for the idle key → u's state drops
+      mem.addData(RateRecord("z", "z1", ts("2024-01-01 14:00:00")))
+      sq.processAllAvailable()
+      mem.addData(RateRecord("z", "z2", ts("2024-01-01 14:05:00")))
+      sq.processAllAvailable()
+      // u re-admits with a FRESH window — exactly what the unbounded
+      // form does for a new window, so the ttl(2h) ≥ window(1h) +
+      // delay(0) contract holds: admission decisions are identical
+      mem.addData(RateRecord("u", "e5", ts("2024-01-01 14:30:00")))
+      sq.processAllAvailable()
+      assert(admits() ==
+        Set(("e1", 1), ("e2", 2), ("z1", 1), ("z2", 2), ("e5", 1)),
+        admits().toString)
+    } finally sq.stop()
+  }
+
+  test("TTL'd rate-limit → handoff → interval join equals the unbounded composition") {
+    // the --state-ttl deployment shape: the TTL'd throttle MUST run as
+    // the two-query handoff (an event-time-timeout op upstream of a
+    // stream-stream join in one query trips Spark's global-watermark
+    // correctness check — see rateLimitedIntervalJoin's scaladoc); the
+    // handoff re-derives the join watermark from the durable admitted
+    // stream, and with ttl(4h) ≥ window(1h) + delay the admissions are
+    // exactly the unbounded form's
+    import graft.streaming.StreamingOps.{RateAdmit, RateRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:05:00"), 101L),
+      (1L, ts("2024-01-01 10:20:00"), 102L)) // capped out
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 200L),
+      (1L, ts("2024-01-01 10:45:00"), 201L)) // matches only the capped 102
+    def df(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id")
+    val batch = StreamingOps.rateLimitedIntervalJoin(df(clicks), df(buys))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val handoff = java.nio.file.Files.createTempDirectory("rlttl_handoff")
+    val ckpt = java.nio.file.Files.createTempDirectory("rlttl_ckpt")
+    val ml = MemoryStream[RateRecord]
+    val sq1 = StreamingOps.rateLimitWithTtl(ml.toDS(), ttl = "4 hours")
+      .writeStream.format("parquet")
+      .option("path", handoff.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      ml.addData(clicks.map { case (u, t, e) => RateRecord(u.toString, e.toString, t) }: _*)
+      sq1.processAllAvailable()
+    } finally sq1.stop()
+    val mr = MemoryStream[(Long, Timestamp, Long)]
+    val admitted = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[RateAdmit].schema)
+      .parquet(handoff.toString)
+      .select(col("key").as("user_id"), col("ts"), col("id").as("event_id"))
+    val sq2 = StreamingOps.intervalJoin(
+        admitted,
+        mr.toDF().toDF("user_id", "ts", "event_id")
+          .select(col("user_id").cast("string").as("user_id"), col("ts"),
+            col("event_id").cast("string").as("event_id")))
+      .writeStream.format("memory").queryName("rlttl_ij")
+      .outputMode("append").start()
+    try {
+      mr.addData(buys: _*)
+      sq2.processAllAvailable()
+      val streamed = spark.table("rlttl_ij").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set(("1", "100", "200"), ("1", "101", "200")))
+    } finally sq2.stop()
+  }
+
+  test("streaming curation with stateTtl: in-horizon dup, expiry, re-admit") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val textA = "the quick brown fox jumps"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sq = graft.streaming.StreamingCuration.verdicts(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        curationBench.toDF("doc_id", "text"),
+        allowedLangs = Seq("en"), contamN = 3,
+        minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+        stateTtl = Some("150 minutes"), tsCol = "ts")
+      .writeStream.format("memory").queryName("cur_ttl")
+      .outputMode("append").start()
+    def got(): Map[String, graft.streaming.StreamingCuration.CurationVerdict] =
+      spark.table("cur_ttl")
+        .as[graft.streaming.StreamingCuration.CurationVerdict]
+        .collect().map(v => v.id -> v).toMap
+    try {
+      mem.addData((1L, textA, ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      assert(got()("1").keep, got().toString)
+      // in-horizon duplicate (wm 10:00, canonical timeout 13:30)
+      mem.addData((4L, textA + " jumps", ts("2024-01-01 11:00:00")))
+      sq.processAllAvailable()
+      assert(got()("4").dup_of == Some("1"), got().toString)
+      // unrelated content pushes wm past the canonical's slid timeout
+      // (11:00 + 150 min = 13:30); the FOLLOWING batch fires the
+      // timeout for the now-idle dup_key → its state drops (the
+      // two-advance pattern of the incrementalTokenBlocksWithTtl spec)
+      mem.addData((7L, "the other words entirely here", ts("2024-01-01 16:00:00")))
+      sq.processAllAvailable()
+      mem.addData((8L, "more unrelated words in the stream", ts("2024-01-01 16:05:00")))
+      sq.processAllAvailable()
+      // the documented horizon divergence: re-seen content RE-ADMITS as
+      // a fresh canonical — one extra keep per content per horizon
+      mem.addData((9L, textA, ts("2024-01-01 16:10:00")))
+      sq.processAllAvailable()
+      assert(got()("9").keep && got()("9").dup_of.isEmpty, got().toString)
+    } finally sq.stop()
+  }
+
   test("streamMinHashNearDup pairs new docs against bucket state across batches") {
     import graft.streaming.StreamingOps.{DocRecord, NearDupPair}
     implicit val sqlCtx = spark.sqlContext
