@@ -250,6 +250,63 @@ object ScaleCurve {
           .filter(col("cluster").isNotNull).count()
       }),
 
+      // the UNCAPPED winnow self-join (tx_winnow_pairs' bench shape —
+      // the capped twin above is the scale lever): the boilerplate
+      // paragraph's fingerprints are shared by a fifth of the corpus,
+      // so the h-key join inflates quadratically in the family size.
+      // This row QUANTIFIES that: output and per-task maxima are
+      // expected to grow ~×100 per ×10 step (the family-size square),
+      // which is the measured argument for why a deployment must run
+      // the capped form — not a plan defect to fix (AQE's skew split
+      // spreads the pairs; the volume itself is the cost).
+      "winnow_pairs_uncapped" -> (() =>
+        TextAnalysis.winnowPairs(docs, minShared = 5, idCol = "id",
+          textCol = "text").count()),
+      // p8_filter_importance's full shape on the ×N-salted star schema:
+      // entity keys salt per copy, the RELATION vocabulary does NOT
+      // (ln_1..ln_7 — real relation vocabularies don't grow with data),
+      // so the 7-key importance aggregate is the deliberate hot-key
+      // probe: partial aggregation must reduce map-side and ship only
+      // per-task partials into the 7-key exchange, and the final
+      // broadcast join (7 importance rows) must stay a broadcast.
+      "filter_importance" -> (() => {
+        def x(t: String) = spark.read.parquet(s"$dir/$t.parquet")
+          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        val rel = x("lineitem").select(
+          concat(lit("o"), col("l_orderkey"), lit("_"), col("copy")).as("head"),
+          concat(lit("ln_"), col("l_linenumber")).as("rel"),
+          concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
+        val o = x("orders")
+        val p = x("part")
+        val attrs = o.select(
+            concat(lit("o"), col("o_orderkey"), lit("_"), col("copy")).as("head"),
+            lit("status").as("rel"), col("o_orderstatus").as("tail"))
+          .unionByName(p.select(
+            concat(lit("p"), col("p_partkey"), lit("_"), col("copy")).as("head"),
+            lit("name").as("rel"), col("p_name").as("tail")))
+        val af = EntityFrame(attrs, "curveattr", "head", isTriple = true)
+        val imp = graft.relational.Relational.relationImportance(rel,
+          graft.relational.Relational.countEntitiesFrame(af, rel))
+        graft.relational.Relational.filterImportance(rel, imp, 2).count()
+      }),
+      // u3_reverse_rel's bench shape: the operator itself is a
+      // shuffle-free projection; the bench row's max-task write is its
+      // oracle-comparison ORDER BY — a global range sort, which must
+      // shed into more tasks as data grows (sampled range partitioning
+      // + AQE). The noop write forces the sorted materialization.
+      "reverse_rel_sorted" -> (() => {
+        def x(t: String) = spark.read.parquet(s"$dir/$t.parquet")
+          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        val rel = x("lineitem").select(
+          concat(lit("o"), col("l_orderkey"), lit("_"), col("copy")).as("head"),
+          concat(lit("ln_"), col("l_linenumber")).as("rel"),
+          concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
+        val rev = graft.relational.Relational.reverseRel(rel, "inv_")
+        rev.orderBy("head", "rel", "tail")
+          .write.format("noop").mode("overwrite").save()
+        rev.count() // scan-only recount for the result column
+      }),
+
       // a11_joined_eval's shape: two blockings (token + lang standard)
       // over the ×N corpus, TP sets vs the ×N-salted pair gold — the
       // blocker runs and the gold joins all grow with the corpus, the
@@ -283,7 +340,8 @@ object ScaleCurve {
       "communities_hubbed", "tfidf_token_blocker", "crossdoc_spans",
       "crossdoc_cut", "curation_verdicts",
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
-      "pagerank_copurchase", "joined_eval", "density_ladder")
+      "pagerank_copurchase", "joined_eval", "density_ladder",
+      "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted")
     // optional 4th arg restricts to named ops (fast iteration / partial
     // regeneration — the JSON merge below keeps the other rows)
     val opNames = args.drop(3).headOption
