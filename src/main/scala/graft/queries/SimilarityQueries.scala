@@ -1140,6 +1140,56 @@ object SimilarityQueries {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // ---- M11 auto ladder: the data-derived eps ladder itself --------------
+    // Density.autoEpsLadder on the 200-point fixture: per-point minimum
+    // mutual reachability r_i = min_j max(c_i, c_j, d_ij) (uncapped core
+    // distances), then 4 evenly-spaced values over the DISTINCT sorted
+    // radii, descending. The oracle derives the ladder INDEPENDENTLY in
+    // SQL — rounded distances, the minPts-th-neighbor window, the
+    // min-reach aggregate, distinct ranking, and the same
+    // floor(x + 0.5) index arithmetic — pinning the derivation the
+    // `--eps-ladder auto` path feeds into the flat cut (whose own
+    // algorithm m11_hdbscan_blocks replays in full).
+    "m11_auto_ladder" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir).filter(col("vec_id") < 200)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("vec"))
+        graft.similarity.Density.autoEpsLadder(e, levels = 4, minPts = 3)
+          .zipWithIndex.map { case (eps, i) => ((i + 1).toLong, eps) }
+          .toDF("level", "eps").orderBy("level")
+      },
+      Some("""WITH e AS (SELECT cast(vec_id AS varchar) AS id, embedding
+             |           FROM embeddings WHERE vec_id < 200),
+             |expl AS (SELECT id, unnest(embedding)::double AS v,
+             |                generate_subscripts(embedding, 1) AS i FROM e),
+             |d AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+             |        floor(sqrt(sum((ea.v - eb.v) * (ea.v - eb.v))) * 1e6 + 0.5) / 1e6 AS d
+             |      FROM e a JOIN e b ON a.id <> b.id
+             |      JOIN expl ea ON ea.id = a.id
+             |      JOIN expl eb ON eb.id = b.id AND eb.i = ea.i
+             |      GROUP BY 1, 2),
+             |core AS (SELECT ia AS id, d AS c FROM (
+             |    SELECT ia, d, row_number() OVER (PARTITION BY ia ORDER BY d ASC, ib ASC) AS r
+             |    FROM d) WHERE r = 3),
+             |rm AS (SELECT d.ia AS id, min(greatest(ca.c, cb.c, d.d)) AS r
+             |       FROM d JOIN core ca ON ca.id = d.ia
+             |              JOIN core cb ON cb.id = d.ib
+             |       GROUP BY 1),
+             |ranked AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS rn,
+             |                  count(*) OVER () AS dcount
+             |           FROM (SELECT DISTINCT r FROM rm)),
+             |picks AS (
+             |  SELECT DISTINCT rn FROM ranked, (VALUES (0), (1), (2), (3)) k(k)
+             |  WHERE dcount > 4
+             |    AND rn = CAST(floor(k.k * (dcount - 1.0) / 3.0 + 0.5) AS BIGINT)
+             |  UNION
+             |  SELECT rn FROM ranked WHERE dcount <= 4)
+             |SELECT row_number() OVER (ORDER BY r DESC) AS level, r AS eps
+             |FROM ranked WHERE rn IN (SELECT rn FROM picks)
+             |ORDER BY level""".stripMargin)),
+
     // ---- M12: token-clustering blockers -----------------------------------
     // cluster TOKENS (not attribute values), pseudo-token replacement, then
     // block (attribute_clustering.py:256-393). HashBucketClusterAssigner is
