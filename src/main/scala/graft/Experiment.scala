@@ -339,7 +339,13 @@ object Experiment {
         .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil),
       epsLadderAuto = m.get("eps-ladder").filter(_.startsWith("auto")).map {
         case "auto" => 5
-        case s if s.startsWith("auto:") => s.drop(5).toInt
+        case s if s.startsWith("auto:") =>
+          val n = s.drop(5).toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"--eps-ladder '$s': expected a descending list, 'auto', or 'auto:N'"))
+          // fail HERE, not after data load inside the derivation (and
+          // never silently fall back to the single-eps algorithm)
+          require(n >= 2, s"--eps-ladder $s: an auto ladder needs at least 2 levels")
+          n
         case s => throw new IllegalArgumentException(
           s"--eps-ladder '$s': expected a descending list, 'auto', or 'auto:N'")
       }.getOrElse(0))

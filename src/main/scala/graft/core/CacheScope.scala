@@ -49,10 +49,18 @@ object CacheScope {
     * static clusters don't need it. */
   @volatile var reliable: Boolean = false
 
-  /** Materialize `out` eagerly, then unpersist `cached`. */
+  /** Materialize `out` eagerly, then release `cached` — plain persists
+    * via `unpersist()`, and localCheckpointed intermediates via their
+    * plan RDD (`Dataset.unpersist` never reaches checkpoint blocks;
+    * see [[org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks]]).
+    * Every sealed input goes through both paths; whichever does not
+    * apply is a no-op. */
   def seal(out: DataFrame, cached: DataFrame*): DataFrame = {
     val m = if (reliable) out.checkpoint() else out.localCheckpoint()
-    cached.foreach(_.unpersist())
+    cached.foreach { c =>
+      c.unpersist()
+      org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks(c)
+    }
     m
   }
 }

@@ -1179,7 +1179,7 @@ object SimilarityQueries {
              |       GROUP BY 1),
              |ranked AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS rn,
              |                  count(*) OVER () AS dcount
-             |           FROM (SELECT DISTINCT r FROM rm)),
+             |           FROM (SELECT DISTINCT r FROM rm WHERE r > 0)),
              |picks AS (
              |  SELECT DISTINCT rn FROM ranked, (VALUES (0), (1), (2), (3)) k(k)
              |  WHERE dcount > 4

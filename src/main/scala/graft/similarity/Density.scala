@@ -216,8 +216,13 @@ object Density {
       .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
       .groupBy("ia")
       .agg(min(greatest(col("_ca"), col("_cb"), col("d"))).as("r"))
+    // r_i = 0 happens on exactly co-located points (duplicate vectors
+    // with enough neighbors): zero is not a radius (λ = 1/eps), and the
+    // flat cut's strictly-positive require would reject it — those
+    // points are core at EVERY positive level, so dropping the zero
+    // loses nothing
     val vals = rmin.select("r").distinct().orderBy("r")
-      .collect().map(_.getDouble(0))
+      .collect().map(_.getDouble(0)).filter(_ > 0.0)
     e.unpersist(); sym.unpersist()
     if (vals.isEmpty) Seq.empty
     else if (vals.length <= levels) vals.toSeq.reverse

@@ -156,11 +156,7 @@ object StreamingCuration {
       case Some(_) => routed0.withWatermark("ts", watermark)
       case None => routed0
     }
-    val ttlMs: Long = stateTtl.map { s =>
-      org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-        .extractAsDuration().toMillis
-    }.getOrElse(0L)
+    val ttlMs: Long = stateTtl.map(StreamingOps.ttlMillis).getOrElse(0L)
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -178,10 +174,16 @@ object StreamingCuration {
               else docs.find(_.gateOk).map { d => state.update(d.id); d.id }
             // sliding TTL from this batch's newest sighting of the
             // content — only when a canonical exists (gate-only groups
-            // hold no state, so there is nothing to bound)
-            if (ttlMs > 0 && state.exists && docs.nonEmpty)
-              state.setTimeoutTimestamp(
-                docs.iterator.map(_.ts.getTime).max + ttlMs)
+            // hold no state, so there is nothing to bound). NULL event
+            // times (a dirty feed's nullable ts column passes the
+            // watermark's late filter) are skipped: such rows still get
+            // verdicts but never extend the horizon — they carry no
+            // time to extend it BY.
+            if (ttlMs > 0 && state.exists) {
+              val times = docs.iterator.flatMap(d => Option(d.ts)).map(_.getTime)
+              if (times.nonEmpty)
+                state.setTimeoutTimestamp(times.max + ttlMs)
+            }
             docs.iterator.map { d =>
               if (!d.gateOk)
                 CurationVerdict(d.id, d.lang, d.nTokens, d.qualityReason,

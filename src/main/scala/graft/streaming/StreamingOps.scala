@@ -15,6 +15,18 @@ import graft.functions.{Num, Text}
   */
 object StreamingOps {
 
+  /** Parse a TTL interval string ("150 minutes") to millis — the one
+    * place the five TTL operators share, so validation cannot drift: a
+    * non-positive ttl would silently never expire anything, which is
+    * the unbounded form wearing a bounded label. */
+  private[streaming] def ttlMillis(ttl: String): Long = {
+    val ms = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      .extractAsDuration().toMillis
+    require(ms > 0, s"ttl '$ttl' must be a positive duration")
+    ms
+  }
+
   /** Tumbling-window aggregation per event type. On a streaming input a
     * watermark bounds state; on batch it's a plain window groupBy. */
   def windowedEventAgg(
@@ -291,9 +303,7 @@ object StreamingOps {
       watermark: String = "1 hour")(
       implicit spark: SparkSession): Dataset[CandidatePair] = {
     import spark.implicits._
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-      .extractAsDuration().toMillis
+    val ttlMs = ttlMillis(ttl)
     records.withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[TimedTokenState, CandidatePair](
@@ -404,9 +414,7 @@ object StreamingOps {
       ttl: String = "1 hour",
       watermark: String = "1 hour")(implicit spark: SparkSession): Dataset[DedupKeep] = {
     import spark.implicits._
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-      .extractAsDuration().toMillis
+    val ttlMs = ttlMillis(ttl)
     records.withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[DedupState, DedupKeep](
@@ -632,9 +640,7 @@ object StreamingOps {
       implicit spark: SparkSession): Dataset[NearDupPair] = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-      .extractAsDuration().toMillis
+    val ttlMs = ttlMillis(ttl)
     val banded: Dataset[TimedBandedDoc] = docs.mapPartitions { it =>
       val signer = new MinHashSigner(numPerm, bands)
       it.flatMap { d =>
@@ -919,9 +925,7 @@ object StreamingOps {
       watermark: String = "0 seconds")(
       implicit spark: SparkSession): Dataset[RateAdmit] = {
     import spark.implicits._
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-      .extractAsDuration().toMillis
+    val ttlMs = ttlMillis(ttl)
     records.withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[RateState, RateAdmit](

@@ -19,4 +19,21 @@ object ListenerBridge {
   def flushListenerBus(sc: SparkContext, timeoutMillis: Long = 10000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMillis)
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    *
+    * `Dataset.unpersist` only routes through the CacheManager, which
+    * never tracked checkpoint RDDs — their MEMORY_AND_DISK blocks live
+    * at the RDD level inside the plan's [[
+    * org.apache.spark.sql.execution.LogicalRDD]] and otherwise linger
+    * until ContextCleaner GC (the executor-storage accumulation a long
+    * session running many sealed operators shows). Non-checkpoint
+    * frames don't match and are left alone, so callers can pass every
+    * sealed input through both paths. */
+  def releaseCheckpointBlocks(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

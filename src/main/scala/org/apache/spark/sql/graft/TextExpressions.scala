@@ -352,9 +352,11 @@ object TreebankTokenize {
         i + 1
       }
       val word = text.substring(wordStart, m.start())
-      // listed-abbreviation check on the letter core (leading quotes/
-      // brackets stripped: "(Mr" → "mr")
-      val core = word.dropWhile(c => !Character.isLetter(c))
+      // listed-abbreviation check with leading quotes/brackets stripped
+      // ("(Mr" → "mr") — but NOT digits: "1st"/"3rd" must keep their
+      // ordinal prefix so they never collide with the "st"/"rd" street
+      // abbreviations (ordinals end sentences, exactly like NLTK)
+      val core = word.dropWhile(c => !Character.isLetterOrDigit(c))
       val abbrev = isPeriod &&
         ((word.length == 1 && Character.isLetter(word.charAt(0))) ||
           word.contains('.') ||

@@ -134,6 +134,22 @@ class DensitySpec extends SparkSpec {
       == ladder, "levels beyond the distinct radii must not invent values")
   }
 
+  test("autoEpsLadder: co-located duplicates yield r=0, which never enters the ladder") {
+    // three identical vectors → every pairwise distance 0, core dist 0,
+    // min reach 0; zero is not a radius (λ = 1/eps) and would trip the
+    // flat cut's strictly-positive require — the derivation must drop it
+    val dup = Seq(
+      "d1" -> Seq(5.0, 5.0), "d2" -> Seq(5.0, 5.0), "d3" -> Seq(5.0, 5.0),
+      "e1" -> Seq(9.0, 9.0), "e2" -> Seq(9.5, 9.0), "e3" -> Seq(9.5, 9.5))
+    val ladder = Density.autoEpsLadder(dup.toDF("id", "vec"), levels = 3, minPts = 2)
+    assert(ladder.nonEmpty && ladder.forall(_ > 0), ladder.toString)
+    // and the auto cut runs end-to-end: the duplicates cluster together
+    val got = labelsOf(Density.hdbscanFlatCutAuto(
+      dup.toDF("id", "vec"), levels = 3, minPts = 2, minClusterSize = 2))
+    assert(got("d1").isDefined && got("d1") == got("d2") && got("d2") == got("d3"),
+      got.toString)
+  }
+
   test("hdbscanFlatCutAuto: never-core input short-circuits to all noise") {
     // minPts above every neighborhood: no core points, empty ladder
     val got = labelsOf(Density.hdbscanFlatCutAuto(
@@ -149,6 +165,21 @@ class DensitySpec extends SparkSpec {
       two.toDF("id", "vec"), epsLadder = Seq(2.0, 0.3), minPts = 2,
       lshPlanes = 2, planeDims = 2))
     assert(lsh == exact, s"lsh $lsh vs exact $exact")
+  }
+
+  test("CacheScope.seal releases localCheckpoint blocks, not just caches") {
+    // Dataset.unpersist only reaches the CacheManager; checkpoint
+    // blocks live at the RDD level (the flat cut's edges/m frames) —
+    // seal must release those too, or a long session accumulates
+    // executor storage until ContextCleaner GC
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = points.toDF("id", "vec").localCheckpoint()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint must persist blocks")
+    graft.core.CacheScope.seal(ck.select("id"), ck)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      s"checkpoint blocks survived seal: ${added.intersect(after)}")
   }
 
   /** Deterministic test encoder: values map to fixed vectors. */

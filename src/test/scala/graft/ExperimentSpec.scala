@@ -530,6 +530,14 @@ class ExperimentSpec extends SparkSpec {
         "--data", data, "--blocker", "density-cluster", "--out", out,
         "--eps-ladder", "automatic"))
     }
+    // too-few levels and non-numeric N fail AT PARSE, never silently
+    // falling back to the single-eps algorithm or failing after load
+    for (bad <- Seq("auto:1", "auto:0", "auto:-2", "auto:"))
+      intercept[IllegalArgumentException] {
+        Experiment.parseArgs(Array(
+          "--data", data, "--blocker", "density-cluster", "--out", out,
+          "--eps-ladder", bad))
+      }
   }
 
   test("--min-cluster-size > 2 threads into the flat cut's hierarchy") {

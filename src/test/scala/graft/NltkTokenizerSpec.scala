@@ -86,6 +86,12 @@ class NltkTokenizerSpec extends SparkSpec {
     // unlisted words still split — the guard is the list, not all-words
     assert(toks("born in York. Please call.") ==
       List("born", "in", "York", ".", "Please", "call", "."))
+    // ordinals are NOT abbreviations: the core keeps its digit prefix,
+    // so "1st"/"3rd" never collide with the "st"/"rd" street forms
+    assert(TreebankTokenize.sentences("He finished 1st. Then he left.").toList ==
+      List("He finished 1st.", "Then he left."))
+    assert(TreebankTokenize.sentences("It is on 3rd. Ave is next.").toList ==
+      List("It is on 3rd.", "Ave is next."))
     // residual divergences, stated on the operator: an abbreviation NOT
     // in the static list still splits before a capital...
     assert(toks("see Reg. Smith") == List("see", "Reg", ".", "Smith"))

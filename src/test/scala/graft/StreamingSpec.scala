@@ -711,6 +711,11 @@ class StreamingSpec extends SparkSpec {
         Set(("e1", 1), ("e2", 2), ("z1", 1), ("z2", 2), ("e5", 1)),
         admits().toString)
     } finally sq.stop()
+    // a non-positive ttl would be the unbounded form wearing a bounded
+    // label — rejected loudly by the shared parse
+    intercept[IllegalArgumentException] {
+      StreamingOps.rateLimitWithTtl(mem.toDS(), ttl = "0 seconds")
+    }
   }
 
   test("TTL'd rate-limit → handoff → interval join equals the unbounded composition") {
