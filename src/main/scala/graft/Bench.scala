@@ -84,12 +84,14 @@ object Bench {
     println(json)
     // Subset runs (a query-list arg) are local iteration, not a pin or a
     // driver artifact — route them to bench_partial.json UNCONDITIONALLY
-    // (the SPARK_GRAFT_BENCH_OUT override applies to full runs only, so
-    // an exported override can never route a partial total over the
-    // pinned bench.json either).
+    // (the SPARK_GRAFT_BENCH_OUT override applies to full runs only).
+    // Full runs default to bench_run.json, NOT bench.json: the pin file
+    // is written only by tools/pin_baseline.py from a load-gated pair,
+    // so a driver or ad-hoc run can never leave the committed pin dirty
+    // in the working tree (r14 verdict item 7).
     val out =
       if (only.isDefined) "bench_partial.json"
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_run.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     // The driver keeps only the LAST 2000 chars of stdout and parses JSON
@@ -97,7 +99,7 @@ object Bench {
     // its head is cut and BENCH_r*.json records parsed:null. Emit a final
     // compact line guaranteed to fit: headline total + the slowest queries
     // that fit a 1500-char map budget (2 decimals), with the omission
-    // counted. The complete map lives in bench.json and on stderr.
+    // counted. The complete map lives in the `out` file and on stderr.
     val budget = 1500
     val bySlow = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -108,7 +110,7 @@ object Bench {
     }
     val omitted = results.size - kept.size
     val compact =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"bench.json"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$out"}"""
     println(compact)
     spark.stop()
   }
