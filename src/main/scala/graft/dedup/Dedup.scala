@@ -624,9 +624,25 @@ object Dedup {
     * label_{k−1}(u) for every edge u→v; induction over rounds). On a
     * near-dup graph the frontier collapses after ~2 rounds to the few
     * long-chain nodes, so at 100 TB the steady-state round cost is
-    * frontier-sized, not corpus-sized — while components of ANY diameter
-    * still finish correctly (rounds = eccentricity from each component's
-    * min node; `maxIterations` is only a runaway guard).
+    * frontier-sized, not corpus-sized.
+    *
+    * Chain-shaped components: plain min-propagation needs
+    * eccentricity-many rounds (a diameter-d path takes d rounds — a
+    * 50-link near-dup chain would NOT converge inside the default
+    * `maxIterations`). From the 4th round on, each round therefore also
+    * POINTER-JUMPS the label table (Shiloach–Vishkin shortcutting:
+    * label(u) ← min(label(u), prevLabel(label(u)))), so the distance to
+    * each component's min node shrinks geometrically and any realistic
+    * diameter converges well inside the default cap. The first three
+    * rounds skip the jump: near-dup graphs are star-shaped, converge in
+    * 2–3 rounds, and should not pay the extra node-sized join.
+    *
+    * Non-convergence is LOUD: if the fixpoint is not reached inside
+    * `maxIterations`, the labels would be silently under-merged (two
+    * halves of one component reported as distinct clusters), so the
+    * method throws instead of returning them — raise `maxIterations`
+    * (with jumping, round r reaches distance ~3·2^(r−3), so the default
+    * 20 covers diameters into the hundreds of thousands).
     *
     * The change flag rides along in the computed frame, so convergence
     * detection is a filter over the about-to-be-cached result — no extra
@@ -647,10 +663,16 @@ object Dedup {
       checkpointInterval: Int = 5): DataFrame =
     componentsWithRounds(pairs, maxIterations, checkpointInterval)._1
 
+  /** First 0-based round index that pointer-jumps (so rounds 1–3 are
+    * pure frontier propagation — the star-shaped common case never pays
+    * the extra join, chains start shortcutting from round 4). */
+  private val jumpFromRound = 3
+
   /** [[components]] plus the number of propagation rounds it took to
     * reach the fixpoint — the scale-rehearsal observable (rounds grow
-    * with component DIAMETER, not corpus size; a dup graph that suddenly
-    * needs many rounds signals chain-shaped pathology, not volume). */
+    * with component DIAMETER until jumping starts, then log-diameter;
+    * a dup graph that suddenly needs many rounds signals chain-shaped
+    * pathology, not volume). */
   def componentsWithRounds(
       pairs: DataFrame, maxIterations: Int = 20,
       checkpointInterval: Int = 5): (DataFrame, Int) = {
@@ -678,10 +700,27 @@ object Dedup {
       val nbrMin = edges
         .join(frontier.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("_nc"))
-      val computed = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("_nc"), col("component"))).as("component"),
-          coalesce(col("_nc") < col("component"), lit(false)).as("_chg"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("_nc"), col("component"))).as("component"))
+      // Pointer jump (rounds ≥ 4, scaladoc): fold in the PREVIOUS round's
+      // label of each node's current label — `labels` is the persisted
+      // prior frame, so this is a plain join, not a self-join, and stale
+      // pointers still shrink chain distance geometrically. Labels are
+      // node ids and `labels` covers every node, so the key always
+      // matches (left + coalesce is defensive only). Late-round skew
+      // (most labels = the component min) is an AQE-split sort-merge or,
+      // once the distinct-label side is small, a runtime broadcast.
+      val shortcut =
+        if (i < jumpFromRound) stepped
+        else stepped.join(
+            labels.select(col("id").as("component"), col("component").as("_jc")),
+            Seq("component"), "left")
+          .select(col("id"), col("_old"),
+            least(col("component"), coalesce(col("_jc"), col("component"))).as("component"))
+      // labels only decrease, so strictly-lower ⇔ changed this round
+      val computed = shortcut.select(col("id"), col("component"),
+        (col("component") < col("_old")).as("_chg"))
       // eager localCheckpoint both materializes and cuts lineage; safe to
       // drop the previous round below because this round's data is real
       // (not a recomputable view) by the time we unpersist.
@@ -701,6 +740,13 @@ object Dedup {
       cached = next
       labels = next.select("id", "component")
       i += 1
+    }
+    if (!done) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"components did not converge in $maxIterations rounds — labels " +
+          "would be under-merged; raise maxIterations (each jumping round " +
+          "roughly doubles the chain distance covered)")
     }
     // Hand back a self-contained frame: checkpoint the (node-count-sized)
     // final labels, then drop the last round's cache entry so nothing of

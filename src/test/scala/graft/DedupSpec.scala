@@ -161,6 +161,32 @@ class DedupSpec extends SparkSpec {
     assert(got == ids.map(_ -> "n00").toMap)
   }
 
+  test("components converges on a 120-link chain via pointer jumping") {
+    // plain min-propagation would need 120 rounds (one hop per round) —
+    // far past maxIterations=20; the round-4+ pointer jump shrinks the
+    // distance geometrically, so this converges AND reports few rounds
+    val ids = (0 to 120).map(i => f"n$i%03d")
+    val pairs = ids.sliding(2).map { case Seq(a, b) => (b, a) }.toSeq
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = graft.dedup.Dedup
+      .componentsWithRounds(pairs, maxIterations = 20, checkpointInterval = 5)
+    val got = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == ids.map(_ -> "n000").toMap)
+    assert(rounds <= 15, s"expected jumping to converge in ≤15 rounds, took $rounds")
+  }
+
+  test("components fails loudly instead of returning under-merged labels") {
+    // 2 iterations cannot close a 10-hop chain; silent truncation would
+    // report the far end as a separate component — the contract is throw
+    val ids = (0 to 10).map(i => f"n$i%02d")
+    val pairs = ids.sliding(2).map { case Seq(a, b) => (b, a) }.toSeq
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.components(pairs, maxIterations = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("incremental near-dup pairs new docs against corpus, never corpus against itself") {
     def toks(id: String, ws: String*) = ws.map(w => (id, w))
     // c1 ≡ c2 (identical corpus docs — must NOT pair); n1 ≡ c1; n2 ≡ n3
