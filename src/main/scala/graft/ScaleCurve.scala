@@ -95,6 +95,21 @@ object ScaleCurve {
       c
     }
 
+    // ×N-salted star schema shared by the relational rows: entity keys
+    // salt per copy (disjoint ×N graphs); the relation vocabulary does
+    // NOT (ln_1..ln_7 — real relation vocabularies don't grow with
+    // data), which makes fixed-vocabulary aggregates the deliberate
+    // hot-key probes in the rows that use it.
+    def salted(t: String, copies: Int): DataFrame =
+      spark.read.parquet(s"$dir/$t.parquet")
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+    def saltedRel(copies: Int,
+        filter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+      salted("lineitem", copies).filter(filter).select(
+        concat(lit("o"), col("l_orderkey"), lit("_"), col("copy")).as("head"),
+        concat(lit("ln_"), col("l_linenumber")).as("rel"),
+        concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
+
     // (operator, corpus => materialized result count)
     def ops(docs: DataFrame, sh: DataFrame, copies: Int): Seq[(String, () => Long)] = Seq(
       // fixed-size-sample contract made measurable: sampleMod scales
@@ -213,10 +228,9 @@ object ScaleCurve {
       // graph both grow ×N); pagerank_hubbed above isolates the
       // iteration core, this row covers the end-to-end query
       "pagerank_copurchase" -> (() => {
-        def x(t: String) = spark.read.parquet(s"$dir/$t.parquet")
-          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-        val pairs = x("lineitem").select(col("l_orderkey"), col("l_suppkey"), col("copy"))
-          .join(x("orders").select(col("o_orderkey").as("l_orderkey"),
+        val pairs = salted("lineitem", copies)
+          .select(col("l_orderkey"), col("l_suppkey"), col("copy"))
+          .join(salted("orders", copies).select(col("o_orderkey").as("l_orderkey"),
             col("o_custkey"), col("copy")), Seq("l_orderkey", "copy"))
           .select(concat(lit("c"), col("o_custkey"), lit("_"), col("copy")).as("c"),
             concat(lit("s"), col("l_suppkey"), lit("_"), col("copy")).as("su"))
@@ -270,14 +284,9 @@ object ScaleCurve {
       // per-task partials into the 7-key exchange, and the final
       // broadcast join (7 importance rows) must stay a broadcast.
       "filter_importance" -> (() => {
-        def x(t: String) = spark.read.parquet(s"$dir/$t.parquet")
-          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-        val rel = x("lineitem").select(
-          concat(lit("o"), col("l_orderkey"), lit("_"), col("copy")).as("head"),
-          concat(lit("ln_"), col("l_linenumber")).as("rel"),
-          concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
-        val o = x("orders")
-        val p = x("part")
+        val rel = saltedRel(copies)
+        val o = salted("orders", copies)
+        val p = salted("part", copies)
         val attrs = o.select(
             concat(lit("o"), col("o_orderkey"), lit("_"), col("copy")).as("head"),
             lit("status").as("rel"), col("o_orderstatus").as("tail"))
@@ -295,13 +304,7 @@ object ScaleCurve {
       // shed into more tasks as data grows (sampled range partitioning
       // + AQE). The noop write forces the sorted materialization.
       "reverse_rel_sorted" -> (() => {
-        def x(t: String) = spark.read.parquet(s"$dir/$t.parquet")
-          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-        val rel = x("lineitem").select(
-          concat(lit("o"), col("l_orderkey"), lit("_"), col("copy")).as("head"),
-          concat(lit("ln_"), col("l_linenumber")).as("rel"),
-          concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
-        val rev = graft.relational.Relational.reverseRel(rel, "inv_")
+        val rev = graft.relational.Relational.reverseRel(saltedRel(copies), "inv_")
         rev.orderBy("head", "rel", "tail")
           .write.format("noop").mode("overwrite").save()
         rev.count() // scan-only recount for the result column
@@ -333,6 +336,63 @@ object ScaleCurve {
         val res = graft.eval.Evaluation.joinedEvaluate(tok, lang, gold, nl, nr)
         full.unpersist()
         res.truePositive
+      }),
+
+      // m9_lightea_embedding's shape on the ×N-salted star schema: the
+      // three-view propagation's iterative joins (ent↔ent adjacency ×
+      // feature table per depth) grow with the graph while the feature
+      // width stays fixed, so the growth probe is the adjacency-join
+      // shuffle. Entity keys salt per copy (disjoint ×N graphs); the
+      // relation vocabulary does NOT (ln_1..ln_7, direction-tagged) —
+      // the same fixed-vocabulary contract as filter_importance, making
+      // the rel-view aggregate the deliberate hot-key side.
+      "lightea" -> (() => {
+        val rel = saltedRel(copies, col("l_orderkey") % 20 === 0)
+        val ids = rel.select(col("head").as("id"))
+          .unionByName(rel.select(col("tail").as("id"))).distinct()
+        val triples = salted("orders", copies).select(
+            concat(lit("o"), col("o_orderkey"), lit("_"), col("copy")).as("head"),
+            lit("status").as("rel"), col("o_orderstatus").as("tail"))
+          .unionByName(salted("part", copies).select(
+            concat(lit("p"), col("p_partkey"), lit("_"), col("copy")).as("head"),
+            lit("name").as("rel"), col("p_name").as("tail")))
+        val af = EntityFrame(
+          triples.join(ids.withColumnRenamed("id", "head"), Seq("head"), "left_semi"),
+          "curvelea", "head", isTriple = true)
+        graft.encoders.LightEAEncoder(
+            graft.encoders.HashTokenEncoder(8), depth = 2, dims = 8)
+          .encode(af, Some(rel)).count()
+      }),
+      // dd_cluster_histogram's shape: connected components over the
+      // capped near-dup pair graph, then the cluster-size histogram.
+      // The dup graph is star-shaped (salted-copy families), so
+      // propagation converges before pointer jumping activates — this
+      // row pins that the common case never pays for the jump path,
+      // while components_chain below measures the path that does.
+      "cluster_histogram" -> (() => {
+        val pairs = Dedup.ngramJaccardPairs(sh, 0.5, maxDocFreq = cap)
+          .select(col("id_a"), col("id_b"))
+        Dedup.components(pairs)
+          .groupBy("component").count()
+          .groupBy(col("count").as("size")).count()
+          .count()
+      }),
+      // chain-shaped pathology probe for components' pointer jumping: a
+      // single path of 2000·copies nodes (diameter = node count − 1).
+      // Plain frontier propagation would need diameter-many rounds; the
+      // RESULT COLUMN IS ROUNDS, which must grow by ~log2(10) ≈ +3.3
+      // per ×10 step, not ×10 — the measured O(log diameter) argument.
+      // The require guards the labels themselves, so an under-merge can
+      // never pass silently as a small rounds number.
+      "components_chain" -> (() => {
+        val n = 2000L * copies
+        val chain = spark.range(0, n - 1).select(
+          format_string("c%08d", col("id")).as("id_a"),
+          format_string("c%08d", col("id") + 1).as("id_b"))
+        val (labels, rounds) = Dedup.componentsWithRounds(chain, maxIterations = 40)
+        val ok = labels.filter(col("component") === "c00000000").count()
+        require(ok == n, s"chain under-merged: $ok of $n labeled to the min")
+        rounds.toLong
       }))
 
     val allOpNames = Seq("lsh_recall", "winnow_pairs_capped", "incremental_sig",
@@ -341,7 +401,8 @@ object ScaleCurve {
       "crossdoc_cut", "curation_verdicts",
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
       "pagerank_copurchase", "joined_eval", "density_ladder",
-      "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted")
+      "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted",
+      "lightea", "cluster_histogram", "components_chain")
     // optional 4th arg restricts to named ops (fast iteration / partial
     // regeneration — the JSON merge below keeps the other rows)
     val opNames = args.drop(3).headOption
