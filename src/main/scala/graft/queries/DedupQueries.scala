@@ -384,9 +384,14 @@ object DedupQueries {
             ds, numPerm = 16, bands = 4, minEst = 0.375,
             maxIdsPerBucket = 10000, ttl = "1 hour", watermark = "0 seconds")
         }
-        sink.groupBy(col("idA").as("id_a"), col("idB").as("id_b"), col("est"))
-          .agg(count(lit(1)).as("emits"))
-          .orderBy("id_a", "id_b")
+        // seal: the sink is a localCheckpoint replayWaves hands back —
+        // release its blocks once the (tiny) emission-count output is
+        // materialized, per the CacheScope checkpoint-release contract
+        graft.core.CacheScope.seal(
+          sink.groupBy(col("idA").as("id_a"), col("idB").as("id_b"), col("est"))
+            .agg(count(lit(1)).as("emits"))
+            .orderBy("id_a", "id_b"),
+          sink)
       },
       Some {
         val sh =

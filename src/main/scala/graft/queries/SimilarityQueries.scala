@@ -1434,10 +1434,15 @@ object SimilarityQueries {
           graft.streaming.StreamingOps.incrementalTokenBlocksWithTtl(
             ds, maxIdsPerSide = 10000, ttl = "1 hour", watermark = "0 seconds")
         }
-        sink.groupBy(col("key").as("block_key"), col("leftId").as("left_id"),
-            col("rightId").as("right_id"))
-          .agg(count(lit(1)).as("emits"))
-          .orderBy("block_key", "left_id", "right_id")
+        // seal: the sink is a localCheckpoint replayWaves hands back —
+        // release its blocks once the (tiny) emission-count output is
+        // materialized, per the CacheScope checkpoint-release contract
+        graft.core.CacheScope.seal(
+          sink.groupBy(col("key").as("block_key"), col("leftId").as("left_id"),
+              col("rightId").as("right_id"))
+            .agg(count(lit(1)).as("emits"))
+            .orderBy("block_key", "left_id", "right_id"),
+          sink)
       },
       Some {
         val toks = duckTokens("cast(doc_id AS varchar)", "text",

@@ -71,6 +71,14 @@ object StreamingCuration {
       quality_reason: Option[String], dup_of: Option[String], n_hits: Long,
       drop_stage: Option[String], keep: Boolean)
 
+  /** Dup-canonical state: the canonical id plus its newest sighting
+    * time (ms; `Long.MinValue` until a non-null event time is seen),
+    * so the horizon rule can be checked ON ACCESS — the timeout
+    * callback alone fires only for batches where the group has NO
+    * data, which would let a same-batch re-sight of expired content
+    * point at the stale canonical (public: janino). */
+  final case class CanonState(id: String, lastSeenMs: Long)
+
   /** Per-document curation verdicts over a STREAM of documents against
     * a static `benchmark`. Same stages, knobs and output schema as
     * [[graft.text.Curation.verdicts]]; see the object doc for the
@@ -161,7 +169,7 @@ object StreamingCuration {
       if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     routed.groupByKey(_.dupKey)
-      .flatMapGroupsWithState[String, CurationVerdict](
+      .flatMapGroupsWithState[CanonState, CurationVerdict](
         OutputMode.Append(), timeoutConf) {
         (_, it, state) =>
           if (state.hasTimedOut) {
@@ -169,9 +177,22 @@ object StreamingCuration {
             Iterator.empty
           } else {
             val docs = it.toIndexedSeq.sortBy(_.id)
+            // horizon check ON ACCESS (the sibling TTL operators'
+            // eviction pass): a canonical whose horizon already passed
+            // is stale even though the timeout callback has not fired —
+            // Spark only fires it for batches where the group has NO
+            // data, so a same-batch re-sight would otherwise be marked
+            // duplicate of the expired canonical AND re-arm its state.
+            // MinValue = no real sighting time yet (all-null ts) →
+            // nothing to expire against, same as the unbounded form.
+            if (ttlMs > 0 && state.exists && state.get.lastSeenMs != Long.MinValue &&
+                state.getCurrentWatermarkMs() >= state.get.lastSeenMs + ttlMs)
+              state.remove()
             val canon: Option[String] =
-              if (state.exists) Some(state.get)
-              else docs.find(_.gateOk).map { d => state.update(d.id); d.id }
+              if (state.exists) Some(state.get.id)
+              else docs.find(_.gateOk).map { d =>
+                state.update(CanonState(d.id, Long.MinValue)); d.id
+              }
             // sliding TTL from this batch's newest sighting of the
             // content — only when a canonical exists (gate-only groups
             // hold no state, so there is nothing to bound). NULL event
@@ -181,8 +202,11 @@ object StreamingCuration {
             // time to extend it BY.
             if (ttlMs > 0 && state.exists) {
               val times = docs.iterator.flatMap(d => Option(d.ts)).map(_.getTime)
-              if (times.nonEmpty)
-                state.setTimeoutTimestamp(times.max + ttlMs)
+              if (times.nonEmpty) {
+                val newest = times.max // single pass — `times` is an iterator
+                state.update(CanonState(state.get.id, newest))
+                state.setTimeoutTimestamp(newest + ttlMs)
+              }
             }
             docs.iterator.map { d =>
               if (!d.gateOk)

@@ -905,18 +905,27 @@ object StreamingOps {
     * [[streamExactDedupWithTtl]] pattern), bounding state by the keys
     * active within one TTL horizon.
     *
-    * Unlike the near-dup/token TTL variants this one can be EXACT:
-    * with `ttl >= windowSeconds + watermark delay`, an expired key's
-    * next on-time event necessarily lands in a LATER tumbling window
-    * than the expired state's — where the unbounded form would reset
-    * the count anyway — so admission decisions are identical and the
-    * TTL costs nothing semantically. A shorter ttl re-admits inside a
-    * still-open window (over-admission up to maxPerWindow). `ttl` must
-    * exceed the watermark delay (the timeout timestamp must lead the
-    * watermark). Streaming-mode only: event-time timeouts need the
-    * watermark, which batch execution does not carry — batch callers
-    * use [[rateLimit]] (whose single mega-batch never expires state
-    * anyway). */
+    * Unlike the near-dup/token TTL variants the TTL itself can be
+    * EXACT: with `ttl >= windowSeconds + watermark delay`, an expired
+    * key's next on-time event necessarily lands in a LATER tumbling
+    * window than the expired state's — where the unbounded form would
+    * reset the count anyway — so expiry never changes an admission
+    * decision and the TTL costs nothing semantically. A shorter ttl
+    * re-admits inside a still-open window (over-admission up to
+    * maxPerWindow).
+    *
+    * The WATERMARK is a separate divergence: events arriving more than
+    * the delay behind a prior batch's max event time are dropped as
+    * late BEFORE the state op — the unbounded [[rateLimit]] carries no
+    * watermark and would still process them (same-window stragglers
+    * admitted, count permitting). The delay-0 default is exact only
+    * for feeds ordered across batches; size `watermark` to the feed's
+    * cross-batch disorder (in-batch disorder is handled by the (ts,id)
+    * sort either way), and keep `ttl` above the delay (the timeout
+    * timestamp must lead the watermark). Streaming-mode only:
+    * event-time timeouts need the watermark, which batch execution
+    * does not carry — batch callers use [[rateLimit]] (whose single
+    * mega-batch never expires state anyway). */
   def rateLimitWithTtl(
       records: Dataset[RateRecord],
       maxPerWindow: Int = 2,

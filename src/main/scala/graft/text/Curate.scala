@@ -28,13 +28,13 @@ object Curate {
       minWords: Int = 20, groupCol: Option[String] = Some("source"),
       manifest: Boolean = false,
       stream: Boolean = false, stateTtl: Option[String] = None,
-      tsCol: String = "ts")
+      tsCol: String = "ts", watermark: String = "0 seconds")
 
   val Usage: String =
     """usage: graft.text.Curate --corpus PATH --out DIR [--benchmark PATH]
       |  [--id COL] [--text COL] [--langs en,de] [--contam-n N]
       |  [--min-words N] [--group COL|none] [--manifest]
-      |  [--stream [--state-ttl DUR] [--ts COL]]""".stripMargin
+      |  [--stream [--state-ttl DUR] [--ts COL] [--watermark DUR]]""".stripMargin
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -54,6 +54,7 @@ object Curate {
       case "--stream" :: t => go(t, c.copy(stream = true))
       case "--state-ttl" :: v :: t => go(t, c.copy(stateTtl = Some(v)))
       case "--ts" :: v :: t => go(t, c.copy(tsCol = v))
+      case "--watermark" :: v :: t => go(t, c.copy(watermark = v))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -62,6 +63,9 @@ object Curate {
     require(c.out.nonEmpty, "--out is required")
     require(c.stateTtl.isEmpty || c.stream,
       "--state-ttl only applies to --stream (batch curation holds no state)")
+    require(c.watermark == "0 seconds" || c.stateTtl.nonEmpty,
+      "--watermark only applies with --state-ttl (the unbounded form " +
+        "does not watermark, so no event is ever late)")
     c
   }
 
@@ -74,7 +78,14 @@ object Curate {
     * and processes only NEW files, which is the deployment loop).
     * `--state-ttl` bounds the dup-canonical store on an unbounded feed
     * — `--ts` names the event-time column it expires against; absent
-    * columns fail loudly here, not as a mid-stream analysis error. */
+    * columns fail loudly here, not as a mid-stream analysis error.
+    * `--watermark` sets the allowed event-time disorder ACROSS batches
+    * in TTL mode: a document older than (max prior event time − delay)
+    * is dropped as late BEFORE the dedup state op — silently, no
+    * verdict row (standard watermark discipline). The default delay of
+    * 0 seconds is right only for feeds whose files arrive in event-time
+    * order; a rerun loop ingesting out-of-order files must raise it to
+    * cover the disorder, and `--state-ttl` must stay above it. */
   def run(spark: SparkSession, c: Config): (DataFrame, DataFrame) = {
     val corpus = spark.read.parquet(c.corpus)
     val bench = c.benchmark
@@ -90,7 +101,7 @@ object Curate {
       val q = graft.streaming.StreamingCuration.verdicts(
           src, bench, c.idCol, c.textCol,
           allowedLangs = c.langs, contamN = c.contamN, minWords = c.minWords,
-          stateTtl = c.stateTtl, tsCol = c.tsCol)(spark)
+          stateTtl = c.stateTtl, tsCol = c.tsCol, watermark = c.watermark)(spark)
         .writeStream.format("parquet")
         .option("path", s"${c.out}/verdicts")
         .option("checkpointLocation", s"${c.out}/_checkpoint")

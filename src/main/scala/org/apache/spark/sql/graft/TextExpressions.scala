@@ -352,13 +352,14 @@ object TreebankTokenize {
         i + 1
       }
       val word = text.substring(wordStart, m.start())
-      // listed-abbreviation check with leading quotes/brackets stripped
-      // ("(Mr" → "mr") — but NOT digits: "1st"/"3rd" must keep their
-      // ordinal prefix so they never collide with the "st"/"rd" street
-      // abbreviations (ordinals end sentences, exactly like NLTK)
+      // abbreviation checks on the word with leading quotes/brackets
+      // stripped ("(Mr" → "mr", "(A" → "A") — but NOT digits:
+      // "1st"/"3rd" must keep their ordinal prefix so they never
+      // collide with the "st"/"rd" street abbreviations (ordinals end
+      // sentences, exactly like NLTK)
       val core = word.dropWhile(c => !Character.isLetterOrDigit(c))
       val abbrev = isPeriod &&
-        ((word.length == 1 && Character.isLetter(word.charAt(0))) ||
+        ((core.length == 1 && Character.isLetter(core.charAt(0))) ||
           word.contains('.') ||
           abbreviations.contains(core.toLowerCase(java.util.Locale.ROOT)))
       if (!abbrev) {

@@ -80,6 +80,9 @@ class NltkTokenizerSpec extends SparkSpec {
     // the letter core strips leading quotes/brackets before the lookup
     assert(TreebankTokenize.sentences("(Mr. Smith) agreed. So did I.").toList ==
       List("(Mr. Smith) agreed.", "So did I."))
+    // ...and before the single-letter-initial guard too ("(A" → "A")
+    assert(TreebankTokenize.sentences("He met (A. Smith) today. She left.").toList ==
+      List("He met (A. Smith) today.", "She left."))
     // case-insensitive ("MR. SMITH" headlines)
     assert(TreebankTokenize.sentences("MR. SMITH AGREED.").toList ==
       List("MR. SMITH AGREED."))

@@ -815,6 +815,46 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming curation stateTtl: same-batch re-sight past the horizon re-admits") {
+    // the horizon-on-ACCESS rule: the expired canonical's timeout has
+    // not fired yet (timeouts fire only for batches where the group has
+    // NO data) when the re-sight arrives in the very batch that first
+    // carries the advanced watermark — without the access check the
+    // content would be marked duplicate of the stale canonical AND
+    // re-arm its state; the contract is a fresh canonical instead
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val textA = "the quick brown fox jumps"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sq = graft.streaming.StreamingCuration.verdicts(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        curationBench.toDF("doc_id", "text"),
+        allowedLangs = Seq("en"), contamN = 3,
+        minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+        stateTtl = Some("150 minutes"), tsCol = "ts")
+      .writeStream.format("memory").queryName("cur_ttl_race")
+      .outputMode("append").start()
+    def got(): Map[String, graft.streaming.StreamingCuration.CurationVerdict] =
+      spark.table("cur_ttl_race")
+        .as[graft.streaming.StreamingCuration.CurationVerdict]
+        .collect().map(v => v.id -> v).toMap
+    try {
+      mem.addData((1L, textA, ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      assert(got()("1").keep, got().toString)
+      // unrelated 16:00 doc: wm for the NEXT batch becomes 16:00, past
+      // the canonical's horizon (10:00 + 150 min = 12:30) — but the
+      // dup_key group gets no timeout callback next batch because the
+      // re-sight below arrives WITH data
+      mem.addData((7L, "the other words entirely here", ts("2024-01-01 16:00:00")))
+      sq.processAllAvailable()
+      mem.addData((9L, textA, ts("2024-01-01 16:10:00")))
+      sq.processAllAvailable()
+      assert(got()("9").keep && got()("9").dup_of.isEmpty,
+        s"stale canonical must evict on access: ${got()("9")}")
+    } finally sq.stop()
+  }
+
   test("streamMinHashNearDup pairs new docs against bucket state across batches") {
     import graft.streaming.StreamingOps.{DocRecord, NearDupPair}
     implicit val sqlCtx = spark.sqlContext
