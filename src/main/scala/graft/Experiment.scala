@@ -108,9 +108,13 @@ object Experiment {
       // --eps-ladder 2.0,1.0,0.3 switches density-cluster to the HDBSCAN
       // flat cut (per-branch eps by stability over the descending ladder);
       // --eps-ladder auto[:N] derives an N-level ladder (default 5) from
-      // the data's mutual-reachability structure (Density.autoEpsLadder)
+      // the data's mutual-reachability structure (Density.autoEpsLadder);
+      // --eps-ladder exact runs the CONTINUOUS dendrogram — no ladder,
+      // no discretization (Density.hdbscanExact: Borůvka MST +
+      // value-set-sized driver condensed tree)
       epsLadder: Seq[Double] = Nil,
-      epsLadderAuto: Int = 0)
+      epsLadderAuto: Int = 0,
+      epsLadderExact: Boolean = false)
 
   /** The encoder embedding blockers use: the deterministic
     * [[HashTokenEncoder]] (M4/M5 stand-in for external model inference,
@@ -234,7 +238,8 @@ object Experiment {
         DensityClusterAssigner(enc, c.eps, c.minPts, c.lshPlanes,
           epsLadder = c.epsLadder,
           hierarchyMinClusterSize = c.minClusterSize,
-          autoLadderLevels = c.epsLadderAuto),
+          autoLadderLevels = c.epsLadderAuto,
+          exactHierarchy = c.epsLadderExact),
         c.minClusterSize)
     case "token-cluster" => TokenClusteringTokenBlocker(
       HashBucketClusterAssigner(c.buckets), c.minClusterSize,
@@ -335,20 +340,21 @@ object Experiment {
       minPts = m.getOrElse("min-pts", "3").toInt,
       lshPlanes = m.getOrElse("lsh-planes", "0").toInt,
       epsLadder = m.get("eps-ladder")
-        .filterNot(_.startsWith("auto"))
+        .filterNot(s => s.startsWith("auto") || s == "exact")
         .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil),
       epsLadderAuto = m.get("eps-ladder").filter(_.startsWith("auto")).map {
         case "auto" => 5
         case s if s.startsWith("auto:") =>
           val n = s.drop(5).toIntOption.getOrElse(throw new IllegalArgumentException(
-            s"--eps-ladder '$s': expected a descending list, 'auto', or 'auto:N'"))
+            s"--eps-ladder '$s': expected a descending list, 'auto', 'auto:N', or 'exact'"))
           // fail HERE, not after data load inside the derivation (and
           // never silently fall back to the single-eps algorithm)
           require(n >= 2, s"--eps-ladder $s: an auto ladder needs at least 2 levels")
           n
         case s => throw new IllegalArgumentException(
-          s"--eps-ladder '$s': expected a descending list, 'auto', or 'auto:N'")
-      }.getOrElse(0))
+          s"--eps-ladder '$s': expected a descending list, 'auto', 'auto:N', or 'exact'")
+      }.getOrElse(0),
+      epsLadderExact = m.get("eps-ladder").contains("exact"))
   }
 
   /** Dataset load with layout autodetection (ea_dataset.py:28-110's
@@ -634,7 +640,7 @@ object Experiment {
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--convert-vectors <vec-or-glove-txt>] (writes (token, vector) parquet to --out)
        |  [--word-vectors <parquet>] [--sif] [--tokenizer regex|nltk]
-       |  [--eps X | --eps-ladder X1,X2,...|auto[:N]] [--min-pts N] [--lsh-planes N]
+       |  [--eps X | --eps-ladder X1,X2,...|auto[:N]|exact] [--min-pts N] [--lsh-planes N]
        |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]
        |  [--bucketed N] [--strategy brute|ivf|lsh] [--sinkhorn N]

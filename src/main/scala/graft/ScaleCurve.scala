@@ -377,6 +377,26 @@ object ScaleCurve {
           .groupBy(col("count").as("size")).count()
           .count()
       }),
+      // the EXACT hierarchy path (Density.hdbscanExact): Borůvka MST
+      // over the sign-LSH-bucketed mutual-reachability graph plus the
+      // n-sized driver condensed tree — same ×N displaced-copy corpus
+      // and plane scaling as density_ladder. The growth signal is the
+      // MST-round join maxima; the driver side is n-sized by the
+      // operator's stated contract (maxDriverRows guard).
+      "density_exact" -> (() => {
+        val planes = 8 + (2.0 * math.log(copies.toDouble) / math.log(2.0)).round.toInt
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+          .select(
+            concat(col("vec_id"), lit("_"), col("copy")).as("id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(Text.md5Long(concat_ws(":", col("copy"), i)), lit(1000))
+                - 500) / 25000.0).as("vec"))
+        graft.similarity.Density.hdbscanExact(
+          emb, minPts = 2, minClusterSize = 2,
+          lshPlanes = planes, planeDims = 16)
+          .filter(col("cluster").isNotNull).count()
+      }),
       // chain-shaped pathology probe for components' pointer jumping: a
       // single path of 2000·copies nodes (diameter = node count − 1).
       // Plain frontier propagation would need diameter-many rounds; the
@@ -402,7 +422,7 @@ object ScaleCurve {
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
       "pagerank_copurchase", "joined_eval", "density_ladder",
       "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted",
-      "lightea", "cluster_histogram", "components_chain")
+      "lightea", "cluster_histogram", "components_chain", "density_exact")
     // optional 4th arg restricts to named ops (fast iteration / partial
     // regeneration — the JSON merge below keeps the other rows)
     val opNames = args.drop(3).headOption

@@ -100,13 +100,21 @@ final case class DensityClusterAssigner(
     // ([[graft.similarity.Density.autoEpsLadder]] with this many
     // levels) — the `--eps-ladder auto` form; takes precedence over an
     // explicit `epsLadder`
-    autoLadderLevels: Int = 0) extends ClusterAssigner {
+    autoLadderLevels: Int = 0,
+    // the `--exact-hierarchy` form: the CONTINUOUS dendrogram
+    // ([[graft.similarity.Density.hdbscanExact]] — Borůvka MST +
+    // value-set-sized driver condensed tree), no ladder at all;
+    // takes precedence over both ladder forms, `eps` ignored
+    exactHierarchy: Boolean = false) extends ClusterAssigner {
   override def assign(vals: DataFrame): DataFrame = {
     val asFrame = EntityFrame(
       vals.select(col("v").as("id"), col("v").as("text")), "vals", "id")
     val emb = encoder.encode(asFrame, None)
     val lab =
-      if (autoLadderLevels > 0)
+      if (exactHierarchy)
+        graft.similarity.Density.hdbscanExact(
+          emb, minPts, hierarchyMinClusterSize, lshPlanes)
+      else if (autoLadderLevels > 0)
         graft.similarity.Density.hdbscanFlatCutAuto(
           emb, autoLadderLevels, minPts, hierarchyMinClusterSize, lshPlanes)
       else if (epsLadder.nonEmpty)

@@ -1190,6 +1190,65 @@ object SimilarityQueries {
              |FROM ranked WHERE rn IN (SELECT rn FROM picks)
              |ORDER BY level""".stripMargin)),
 
+    // ---- M11 EXACT hierarchy: continuous dendrogram, no ladder ------------
+    // Density.hdbscanExact — distributed Borůvka MST + driver condensed
+    // tree — on a 27-point fixture whose COMPLETE radius set is known
+    // from its geometry, so the oracle can replay the continuous
+    // dendrogram as the flat cut over that complete ladder (for a
+    // finite set the continuous hierarchy changes only at the distinct
+    // mutual-reachability radii; `continuous=true` switches the λ
+    // convention to the published Σ_p (λ_p − λ_birth) stability).
+    // The two sides run DIFFERENT algorithms — Spark: MST + merge-tree
+    // condensed walk; DuckDB: 8 per-level recursive closures + the
+    // unrolled eom DP — so the row is a cross-engine AND
+    // cross-algorithm check, beyond the DensitySpec equivalence
+    // property. Fixture (1-D geometry in a 2-vector, all coordinates
+    // exact binary fractions; minPts=2 → core = 2nd-nearest):
+    //   e00–e05 tight 6-chain @0.25 (cores .25/.5-ends; reaches .25/.5)
+    //   e06–e11 same at x=4        (T–U MST bridge reach 2.75)
+    //   e12–e16 5-chain @0.25 at x=10, e17–e21 at x=14 (bridge 3.0;
+    //            U–S bridge 4.75)
+    //   e22–e26 loose 5-chain @1.0 at x=20 (cores 1/2; reaches 1/2;
+    //            S–L bridge 5.0 → everything one root at the coarsest
+    //            level, so the single-root exclusion engages)
+    // Complete ladder = cores ∪ MST reaches =
+    // {5.0, 4.75, 3.0, 2.75, 2.0, 1.0, 0.5, 0.25}: 8 levels.
+    "m11_hdbscan_exact" -> QueryDef(
+      (s, dir) => {
+        val i = col("i")
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val x =
+          when(i < 6, d(i) * 0.25)
+            .when(i < 12, lit(4.0) + d(i - 6) * 0.25)
+            .when(i < 17, lit(10.0) + d(i - 12) * 0.25)
+            .when(i < 22, lit(14.0) + d(i - 17) * 0.25)
+            .otherwise(lit(20.0) + d(i - 22) * 1.0)
+        val e = s.range(0, 27).select(col("id").cast("int").as("i"))
+          .select(format_string("e%02d", col("i")).as("id"),
+            array(x, lit(0.0)).as("vec"))
+        graft.similarity.Density.hdbscanExact(
+          e, minPts = 2, minClusterSize = 3)
+          .select(col("id"), coalesce(col("cluster"), lit("noise")).as("cluster"))
+          .orderBy("id")
+      },
+      Some {
+        val points =
+          """SELECT printf('e%02d', i) AS id,
+            |  [CASE WHEN i < 6 THEN i * 0.25
+            |        WHEN i < 12 THEN 4.0 + (i - 6) * 0.25
+            |        WHEN i < 17 THEN 10.0 + (i - 12) * 0.25
+            |        WHEN i < 22 THEN 14.0 + (i - 17) * 0.25
+            |        ELSE 20.0 + (i - 22) * 1.0 END, 0.0] AS embedding
+            |FROM range(27) t(i)""".stripMargin
+        val body = graft.similarity.Density.hdbscanFlatCutSql(
+          points, epsLadder = Seq(5.0, 4.75, 3.0, 2.75, 2.0, 1.0, 0.5, 0.25),
+          minPts = 2, minClusterSize = 3, continuous = true)
+        s"""$body
+           |SELECT e.id, coalesce(assigned.cluster, 'noise') AS cluster
+           |FROM e LEFT JOIN assigned USING (id)
+           |ORDER BY id""".stripMargin
+      }),
+
     // ---- M12: token-clustering blockers -----------------------------------
     // cluster TOKENS (not attribute values), pseudo-token replacement, then
     // block (attribute_clustering.py:256-393). HashBucketClusterAssigner is

@@ -254,15 +254,24 @@ object Density {
   def hdbscanFlatCut(
       emb: DataFrame, epsLadder: Seq[Double], minPts: Int = 3,
       minClusterSize: Int = 2, lshPlanes: Int = 0,
-      planeDims: Int = 16): DataFrame = {
+      planeDims: Int = 16, continuous: Boolean = false): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
     require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
       epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
       "epsLadder must be strictly descending positive radii")
     val levels = epsLadder.length
     val lambda = epsLadder.map(1.0 / _) // ascending
-    def lambdaAfter(l: Int): Double = // λ_{l+1} with λ_{L+1} := λ_L (1-based)
-      if (l >= levels) lambda(levels - 1) else lambda(l)
+    // Per-level λ weight. Default (continuous=false): level l covers
+    // [λ_l, λ_{l+1}) with λ_{L+1} := λ_L — the sampled-ladder reading,
+    // where a level's membership stands for the gap BELOW it.
+    // continuous=true shifts to (λ_{l−1}, λ_l] with λ_0 := λ_1: a
+    // cluster's telescoped sum becomes size·(1/birth_r − 1/death_r),
+    // the published CONTINUOUS condensed-tree stability — exact when
+    // the ladder contains every radius where the hierarchy changes
+    // (the [[hdbscanExact]] complete-ladder equivalence).
+    def dlam(l: Int): Double = // 1-based level → its λ weight
+      if (continuous) lambda(l - 1) - (if (l <= 1) lambda(0) else lambda(l - 2))
+      else (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
     val epsMax = epsLadder.head
 
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
@@ -342,7 +351,7 @@ object Density {
     // stability: Σ_l size_l(node) · (λ_{l+1} − λ_l), telescoped leave-λ form
     val stab = Array.fill(nodes.length)(0.0)
     nodeOf.foreach { case ((l, lab), n) =>
-      stab(n) += sizes((l, lab)) * (lambdaAfter(l) - lambda(l - 1))
+      stab(n) += sizes((l, lab)) * dlam(l)
     }
     def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // eom selection, bottom-up by birth level
@@ -403,6 +412,367 @@ object Density {
     graft.core.CacheScope.seal(out, e, sym, core, edges, m)
   }
 
+  /** Minimum spanning forest of a weighted graph by distributed
+    * Borůvka: each round, every component selects its minimum outgoing
+    * edge (cut property: always MST-safe) under the TOTAL order
+    * (weight, min endpoint, max endpoint) — distinct tiebroken weights
+    * mean no tie cycles — then components merge and the round repeats.
+    * Component count at least halves per round, so O(log n) rounds of
+    * plain joins; component labels are recomputed per round with
+    * [[graft.dedup.Dedup.components]] over the accumulated forest
+    * (itself O(log diameter) via pointer jumping). Single-linkage
+    * NOTE: any MST yields the same threshold components at every
+    * radius, so downstream hierarchies don't depend on tiebreaks —
+    * the deterministic order just makes reruns byte-identical.
+    *
+    * `edges` is a SYMMETRIC (id_a, id_b, weight) frame; the result is
+    * (a, b, weight) with a < b, one row per forest edge. */
+  def boruvkaMst(edges: DataFrame, weightCol: String = "reach"): DataFrame = {
+    val spark = edges.sparkSession
+    import graft.dedup.Dedup
+    val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
+    val ed = edges.select(col("id_a"), col("id_b"), col(weightCol).as("_w"))
+      .localCheckpoint()
+    val nodes = ed.select(col("id_a").as("id")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("component", col("id")).localCheckpoint()
+    var mst: DataFrame = null
+    var mstCount = 0L
+    var done = nodes.isEmpty
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val cross = ed
+        .join(labels.select(col("id").as("id_a"), col("component").as("_ca")),
+          Seq("id_a"))
+        .join(labels.select(col("id").as("id_b"), col("component").as("_cb")),
+          Seq("id_b"))
+        .filter(col("_ca") =!= col("_cb"))
+      // per-component minimum outgoing edge; min over a struct = the
+      // deterministic total order; both sides of an edge may select it,
+      // hence the distinct
+      val sel = cross.groupBy(col("_ca"))
+        .agg(min(struct(col("_w"),
+          least(col("id_a"), col("id_b")).as("na"),
+          greatest(col("id_a"), col("id_b")).as("nb"))).as("m"))
+        .select(col("m.na").as("a"), col("m.nb").as("b"), col("m._w").as("w"))
+        .distinct()
+      val grown =
+        (if (mst == null) sel else mst.unionByName(sel)).localCheckpoint()
+      val newCount = grown.count()
+      if (newCount == mstCount) { done = true; release(grown) }
+      else {
+        val comp = Dedup.components(
+          grown.select(col("a").as("id_a"), col("b").as("id_b")),
+          maxIterations = 40)
+        val newLabels = nodes.join(comp, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("component"))
+          .localCheckpoint()
+        release(labels); if (mst != null) release(mst)
+        labels = newLabels; mst = grown; mstCount = newCount
+      }
+      rounds += 1
+    }
+    require(done || rounds < 64, "boruvkaMst did not converge in 64 rounds")
+    val out =
+      if (mst == null) // edge-less input: empty forest with the edge schema
+        ed.select(col("id_a").as("a"), col("id_b").as("b"), col("_w").as("w"))
+          .limit(0).localCheckpoint()
+      else mst
+    release(ed); release(nodes); release(labels)
+    out
+  }
+
+  /** EXACT HDBSCAN — the continuous mutual-reachability dendrogram,
+    * closing [[hdbscanFlatCut]]'s ladder-discretization residual: no
+    * caller-supplied eps levels, no sampling. Equivalence used (and
+    * spec-pinned): for a finite point set the continuous hierarchy is
+    * a step function that changes only at the distinct mutual
+    * reachability radii, so exact HDBSCAN ≡ the flat cut over the
+    * COMPLETE ladder of those radii under the `continuous` λ
+    * convention — computed here efficiently as a distributed Borůvka
+    * MST (threshold components of the mutual-reachability graph equal
+    * those of its MST at every radius) plus a driver-side condensed
+    * tree over the n−1 forest edges.
+    *
+    * Conventions are [[hdbscanFlatCut]]'s with `continuous = true`:
+    * stability per condensed node = Σ over its merge-tree segments of
+    * size·(λ(finest level of segment) − λ(level above segment)) — the
+    * published Σ_p (λ_p − λ_birth) — eom selection bottom-up with
+    * 1e-6-rounded comparisons, `minClusterSize` as the per-level shed
+    * rule, allow_single_cluster=False, labels "birthLevel:birthLabel"
+    * on the complete ladder (level 1 = coarsest radius).
+    *
+    * Scale contract: the distance pass and the MST are distributed
+    * (all-pairs baseline at `lshPlanes <= 0`, sign-LSH candidates
+    * otherwise — the [[dbscanStar]] candidate contract; bucketed mode
+    * under-connects far pairs, stated there). The DRIVER holds one row
+    * per core point plus the n−1 MST edges — VALUE-SET-sized (the
+    * assigner feeds distinct attribute values, dimension-table
+    * cardinality), guarded by `maxDriverRows` with a loud pointer to
+    * the ladder form beyond it. */
+  def hdbscanExact(
+      emb: DataFrame, minPts: Int = 3, minClusterSize: Int = 2,
+      lshPlanes: Int = 0, planeDims: Int = 16,
+      maxDriverRows: Long = 5000000L): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
+    // NO eps cap: the exact hierarchy runs to the all-merging root
+    val core = sym.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === minPts)
+      .select(col("ia").as("id"), col("d").as("_c"))
+      .persist()
+    val nCore = core.count()
+    require(nCore <= maxDriverRows,
+      s"hdbscanExact holds one driver row per core point: $nCore exceeds " +
+        s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
+        "ladder form keeps the driver cluster-count-sized) at this scale")
+    val edges = sym
+      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
+      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
+    val mst = boruvkaMst(edges)
+    val mstRows = mst.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val coreRows = core.collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val assigned = exactDendrogram(coreRows, mstRows, minClusterSize)
+    val spark = emb.sparkSession
+    import scala.jdk.CollectionConverters._
+    val labDf = spark.createDataFrame(
+      assigned.map { case (id, c) => org.apache.spark.sql.Row(id, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.StringType))))
+    val out = e.select("id").join(labDf, Seq("id"), "left")
+    graft.core.CacheScope.seal(out, e, sym, core, mst)
+  }
+
+  /** The complete eps ladder of `emb`'s mutual-reachability hierarchy —
+    * every distinct positive radius where it can change (core distances
+    * ∪ MST edge reaches), descending. [[hdbscanExact]] ≡
+    * [[hdbscanFlatCut]] over THIS ladder with `continuous = true`
+    * (the DensitySpec equivalence property, and how the SQL oracle
+    * replays the exact form). */
+  def completeLadder(
+      emb: DataFrame, minPts: Int = 3, lshPlanes: Int = 0,
+      planeDims: Int = 16): Seq[Double] = {
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
+    val core = sym.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === minPts)
+      .select(col("ia").as("id"), col("d").as("_c")).persist()
+    val edges = sym
+      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
+      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
+    val mst = boruvkaMst(edges)
+    val radii = (mst.select(col("w").as("r"))
+      .unionByName(core.select(col("_c").as("r"))))
+      .filter(col("r") > 0).distinct().orderBy(col("r").desc)
+      .collect().map(_.getDouble(0)).toSeq
+    e.unpersist(); sym.unpersist(); core.unpersist()
+    org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks(mst)
+    radii
+  }
+
+  /** Driver-side condensed tree over the merge forest of (core, MST)
+    * events — the [[hdbscanExact]] tail. Pure function of the
+    * collected rows; O(n α(n)) union-find + O(#nodes) walks.
+    * Returns (id → cluster) for clustered points only. */
+  private def exactDendrogram(
+      cores: Array[(String, Double)],
+      mstEdges: Array[(String, String, Double)],
+      mcs: Int): Seq[(String, String)] = {
+    val n = cores.length
+    if (n == 0) return Seq.empty
+    val idOf = cores.map(_._1)
+    val idx = idOf.zipWithIndex.toMap
+    // merge forest arrays; leaves 0..n-1, internal nodes appended
+    val maxNodes = 2 * n
+    val birth = new Array[Double](maxNodes)
+    val death = Array.fill(maxNodes)(Double.PositiveInfinity)
+    val size = new Array[Int](maxNodes)
+    val labelArr = new Array[String](maxNodes)
+    val parentArr = Array.fill(maxNodes)(-1)
+    val childA = Array.fill(maxNodes)(-1)
+    val childB = Array.fill(maxNodes)(-1)
+    var nNodes = n
+    for (i <- 0 until n) {
+      birth(i) = cores(i)._2; size(i) = 1; labelArr(i) = cores(i)._1
+    }
+    // union-find over forest roots (find = current top node of a tree)
+    val top = new Array[Int](maxNodes)
+    for (i <- 0 until maxNodes) top(i) = i
+    def find(i: Int): Int = {
+      var r = i
+      while (top(r) != r) r = top(r)
+      var c = i
+      while (top(c) != r) { val nx = top(c); top(c) = r; c = nx }
+      r
+    }
+    // Kruskal ascending under the Borůvka total order (weight, a, b)
+    val sorted = mstEdges.sortBy { case (a, b, r) => (r, a, b) }
+    for ((a, b, r) <- sorted) {
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) {
+        val j = nNodes; nNodes += 1
+        birth(j) = r; size(j) = size(ra) + size(rb)
+        labelArr(j) =
+          if (labelArr(ra) <= labelArr(rb)) labelArr(ra) else labelArr(rb)
+        death(ra) = r; death(rb) = r
+        parentArr(ra) = j; parentArr(rb) = j
+        childA(j) = ra; childB(j) = rb
+        top(ra) = j; top(rb) = j; top(j) = j
+      }
+    }
+    // complete ladder: distinct positive event radii, descending
+    val ladderAsc = (cores.iterator.map(_._2) ++ mstEdges.iterator.map(_._3))
+      .filter(_ > 0).toArray.distinct.sorted
+    if (ladderAsc.isEmpty) return Seq.empty // no positive radius: degenerate
+    val L = ladderAsc.length
+    def lam(l: Int): Double = // 1-based desc level index → λ; λ(0) := λ(1)
+      1.0 / ladderAsc(L - math.max(l, 1))
+    // finest level with eps >= r  (ladder desc; 0 if none). For r = 0
+    // every level qualifies → L.
+    def lTo(r: Double): Int = {
+      if (r <= ladderAsc(0)) L
+      else {
+        // first ascending index with value >= r → desc index L - i
+        var lo = 0; var hi = L - 1
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (ladderAsc(mid) >= r) hi = mid else lo = mid + 1
+        }
+        if (ladderAsc(lo) >= r) L - lo else 0
+      }
+    }
+    // coarsest level with eps < r (desc; L + 1 if none below r)
+    def lBelow(r: Double): Int =
+      if (r.isPosInfinity) 1 else lTo(r) + 1
+    def activeNonempty(j: Int): Boolean = {
+      val f = lBelow(death(j)); val t = lTo(birth(j))
+      f <= t && t >= 1 && f <= L
+    }
+    // maximal descendants with birth < birth(j) — the threshold
+    // components just below radius birth(j); equal-radius merge chains
+    // collapse (their interior nodes have empty active ranges)
+    def splitChildren(j: Int): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val stack = scala.collection.mutable.ArrayDeque(childA(j), childB(j))
+      while (stack.nonEmpty) {
+        val c = stack.removeLast()
+        if (c >= 0) {
+          if (birth(c) < birth(j)) out += c
+          else { stack.append(childA(c)); stack.append(childB(c)) }
+        }
+      }
+      out.toSeq
+    }
+    // ---- condensed tree walk (one condensed node per continuation
+    // chain of ≥mcs merge nodes) ----
+    final case class Cond(birthLevel: Int, birthLabel: String, parent: Int)
+    val conds = scala.collection.mutable.ArrayBuffer.empty[Cond]
+    val condStab = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val condOf = new Array[Int](maxNodes) // merge node → condensed node
+    java.util.Arrays.fill(condOf, -1)
+    val roots = (0 until nNodes).filter(j => parentArr(j) == -1)
+    val bigRoots = roots.filter(j => size(j) >= mcs)
+    val singleRoot = bigRoots.length == 1
+    // stack of (mergeNode, condensed id); roots start their own nodes
+    val stack = scala.collection.mutable.ArrayDeque.empty[(Int, Int)]
+    bigRoots.sortBy(labelArr(_)).foreach { r =>
+      conds += Cond(1, labelArr(r), -1); condStab += 0.0
+      stack.append((r, conds.length - 1))
+    }
+    while (stack.nonEmpty) {
+      var (m, c) = stack.removeLast()
+      var continue = true
+      while (continue) {
+        condOf(m) = c
+        // segment contribution: size·(λ(lTo(birth)) − λ(lBelow(death)−1))
+        val f = lBelow(death(m)); val t = lTo(birth(m))
+        if (f <= t) condStab(c) += size(m) * (lam(t) - lam(f - 1))
+        if (childA(m) < 0) continue = false // leaf
+        else {
+          val big = splitChildren(m)
+            .filter(k => size(k) >= mcs && activeNonempty(k))
+          if (big.isEmpty) continue = false
+          else if (big.size == 1) m = big.head // continuation
+          else {
+            big.sortBy(labelArr(_)).foreach { k =>
+              conds += Cond(lBelow(birth(m)), labelArr(k), c)
+              condStab += 0.0
+              stack.append((k, conds.length - 1))
+            }
+            continue = false
+          }
+        }
+      }
+    }
+    // ---- eom selection (the flat-cut conventions verbatim) ----
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val nc = conds.length
+    val childrenOf = (0 until nc).groupBy(i => conds(i).parent)
+      .withDefaultValue(Seq.empty)
+    val selected = Array.fill(nc)(false)
+    val subtree = Array.fill(nc)(0.0)
+    (0 until nc).sortBy(i => -conds(i).birthLevel).foreach { i =>
+      val cs = childrenOf(i).map(subtree).sum
+      val isRoot = conds(i).parent == -1
+      if (round6(condStab(i)) >= round6(cs) && !(isRoot && singleRoot)) {
+        selected(i) = true
+        subtree(i) = condStab(i)
+      } else subtree(i) = cs
+    }
+    val finalSel = new Array[java.lang.Boolean](nc)
+    def finalSelected(i: Int): Boolean = {
+      if (finalSel(i) != null) return finalSel(i)
+      var a = conds(i).parent
+      var shadowed = false
+      while (a != -1 && !shadowed) {
+        if (selected(a)) shadowed = true else a = conds(a).parent
+      }
+      val r = selected(i) && !shadowed
+      finalSel(i) = r
+      r
+    }
+    // covering final-selected condensed node, memoized per cond node
+    val coverArr = Array.fill(nc)(-2) // -2 unset, -1 none
+    def cover(i: Int): Int = {
+      if (coverArr(i) != -2) return coverArr(i)
+      val r =
+        if (finalSelected(i)) i
+        else if (conds(i).parent == -1) -1
+        else cover(conds(i).parent)
+      coverArr(i) = r
+      r
+    }
+    // ---- per-point labels via first ≥mcs-and-active ancestor ----
+    // parents are created after children, so a reverse index pass sees
+    // every parent's value before its children ask for it
+    val fq = Array.fill(nNodes)(-1)
+    for (j <- nNodes - 1 to 0 by -1) {
+      fq(j) =
+        if (size(j) >= mcs && activeNonempty(j)) j
+        else if (parentArr(j) == -1) -1
+        else fq(parentArr(j))
+    }
+    (0 until n).iterator.flatMap { p =>
+      val q = fq(p)
+      if (q == -1) None
+      else {
+        val cv = cover(condOf(q))
+        if (cv == -1) None
+        else Some(idOf(p) -> s"${conds(cv).birthLevel}:${conds(cv).birthLabel}")
+      }
+    }.toSeq
+  }
+
   /** DuckDB SQL mirror of [[hdbscanFlatCut]] over a `(id varchar,
     * embedding)` relation — the FULL algorithm: per-level components as
     * recursive transitive closures, condensed-tree node identity
@@ -414,11 +784,12 @@ object Density {
     * drift (the HashTokenEncoder convention). */
   def hdbscanFlatCutSql(
       pointsRel: String, epsLadder: Seq[Double], minPts: Int,
-      minClusterSize: Int): String = {
+      minClusterSize: Int, continuous: Boolean = false): String = {
     val levels = epsLadder.length
     val lambda = epsLadder.map(1.0 / _)
-    def dlam(l: Int): Double = // λ_{l+1} − λ_l with λ_{L+1} := λ_L (1-based)
-      (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
+    def dlam(l: Int): Double = // the Scala side's λ-weight convention
+      if (continuous) lambda(l - 1) - (if (l <= 1) lambda(0) else lambda(l - 2))
+      else (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
     val eps1 = epsLadder.head
     def r6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
 

@@ -211,4 +211,65 @@ class DensitySpec extends SparkSpec {
     assert(keep("c1") == TokenClustering.LabelPrefix + "-1" &&
       keep("n1") == TokenClustering.LabelPrefix + "-1")
   }
+
+  // ---- exact HDBSCAN (Borůvka MST + driver condensed tree) ----
+
+  private def partitionOf(m: Map[String, Option[String]]): Set[Set[String]] =
+    m.toSeq.collect { case (id, Some(c)) => (c, id) }.groupBy(_._1)
+      .values.map(_.map(_._2).toSet).toSet
+
+  test("boruvkaMst finds the minimum spanning forest deterministically") {
+    // two components: a triangle whose heaviest edge must be dropped,
+    // plus an isolated pair
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+      ("x", "y", 3.0)).flatMap { case (s, t, w) => Seq((s, t, w), (t, s, w)) }
+      .toDF("id_a", "id_b", "reach")
+    val got = Density.boruvkaMst(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", "b", 1.0), ("b", "c", 2.0), ("x", "y", 3.0)))
+  }
+
+  test("hdbscanExact equals the flat cut over the complete ladder (continuous λ)") {
+    val e = hier.toDF("id", "vec")
+    val ladder = Density.completeLadder(e, minPts = 2)
+    val exact = labelsOf(Density.hdbscanExact(e, minPts = 2, minClusterSize = 2))
+    val flat = labelsOf(Density.hdbscanFlatCut(e, ladder, minPts = 2,
+      minClusterSize = 2, continuous = true))
+    assert(exact == flat, s"exact $exact vs flat $flat")
+    // semantics: the two tight clusters stay separate, the loose
+    // cluster is found, the outlier is noise — no ladder tuning needed
+    val parts = partitionOf(exact)
+    assert(parts.contains(Set("t1", "t2", "t3", "t4")), parts.toString)
+    assert(parts.contains(Set("u1", "u2", "u3", "u4")), parts.toString)
+    assert(parts.contains(Set("l1", "l2", "l3", "l4")), parts.toString)
+    assert(exact("n1").isEmpty)
+  }
+
+  test("hdbscanExact: randomized grid fixtures equal the complete-ladder flat cut") {
+    // seeded grid coordinates (multiples of 1/8: exact doubles) —
+    // collisions produce zero-radius merges, exercising the degenerate
+    // paths; two different shed rules
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val pts = (0 until 20).map { i =>
+        (f"p$i%02d", Seq(rnd.nextInt(40) / 8.0, rnd.nextInt(40) / 8.0))
+      }
+      val e = pts.toDF("id", "vec")
+      val mcs = 2 + round % 2
+      val ladder = Density.completeLadder(e, minPts = 2)
+      val exact = labelsOf(
+        Density.hdbscanExact(e, minPts = 2, minClusterSize = mcs))
+      val flat = labelsOf(Density.hdbscanFlatCut(e, ladder, minPts = 2,
+        minClusterSize = mcs, continuous = true))
+      assert(exact == flat, s"round $round (mcs=$mcs): $exact vs $flat")
+    }
+  }
+
+  test("hdbscanExact: driver guard fails loudly beyond maxDriverRows") {
+    val ex = intercept[IllegalArgumentException] {
+      Density.hdbscanExact(hier.toDF("id", "vec"), minPts = 2, maxDriverRows = 3)
+    }
+    assert(ex.getMessage.contains("maxDriverRows"))
+  }
 }

@@ -540,6 +540,24 @@ class ExperimentSpec extends SparkSpec {
       }
   }
 
+  test("--eps-ladder exact runs the continuous dendrogram end-to-end") {
+    val data = openEaFixture()
+    val out = java.nio.file.Files.createTempDirectory("exp_hcx").toString
+    val base = Experiment.parseArgs(Array(
+      "--data", data, "--blocker", "density-cluster", "--out", out,
+      "--eps-ladder", "exact", "--min-pts", "2",
+      "--min-cluster-size", "2", "--dims", "2"))
+    val assigner = Experiment.blockerFor(base)
+      .asInstanceOf[graft.blockers.AttributeClusteringBlocker]
+      .assigner.asInstanceOf[graft.blockers.DensityClusterAssigner]
+    assert(assigner.exactHierarchy &&
+      assigner.epsLadder.isEmpty && assigner.autoLadderLevels == 0)
+    // min-cluster-size reaches the condensed tree here too
+    assert(assigner.hierarchyMinClusterSize == 2)
+    val json = Experiment.run(spark, base)
+    assert(json.contains("\"recall\":"), json)
+  }
+
   test("--min-cluster-size > 2 threads into the flat cut's hierarchy") {
     val data = openEaFixture()
     val out = java.nio.file.Files.createTempDirectory("exp_hc5").toString
