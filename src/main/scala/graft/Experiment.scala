@@ -341,7 +341,13 @@ object Experiment {
       lshPlanes = m.getOrElse("lsh-planes", "0").toInt,
       epsLadder = m.get("eps-ladder")
         .filterNot(s => s.startsWith("auto") || s == "exact")
-        .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil),
+        .map(s => s.split(",").toSeq.map(t => t.trim.toDoubleOption.getOrElse(
+          // typos ("Exact", "exact:3") must name the flag and its
+          // accepted forms, not die as a bare NumberFormatException
+          throw new IllegalArgumentException(
+            s"--eps-ladder '$s': expected a descending list, 'auto', " +
+              "'auto:N', or 'exact'"))))
+        .getOrElse(Nil),
       epsLadderAuto = m.get("eps-ladder").filter(_.startsWith("auto")).map {
         case "auto" => 5
         case s if s.startsWith("auto:") =>

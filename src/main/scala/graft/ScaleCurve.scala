@@ -110,6 +110,23 @@ object ScaleCurve {
         concat(lit("ln_"), col("l_linenumber")).as("rel"),
         concat(lit("p"), col("l_partkey"), lit("_"), col("copy")).as("tail"))
 
+    // ×N displaced-copy embeddings corpus + plane count shared by the
+    // density rows (ladder and exact MUST measure the same corpus):
+    // per-dimension md5 displacement keeps copies distinct but
+    // in-family-tight; the sign-LSH plane count tracks log2 of the
+    // value-set size — the deployment knob, scaled inside the op
+    def densityCorpus(copies: Int): (Int, DataFrame) = {
+      val planes = 8 + (2.0 * math.log(copies.toDouble) / math.log(2.0)).round.toInt
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          concat(col("vec_id"), lit("_"), col("copy")).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(Text.md5Long(concat_ws(":", col("copy"), i)), lit(1000))
+              - 500) / 25000.0).as("vec"))
+      (planes, emb)
+    }
+
     // (operator, corpus => materialized result count)
     def ops(docs: DataFrame, sh: DataFrame, copies: Int): Seq[(String, () => Long)] = Seq(
       // fixed-size-sample contract made measurable: sampleMod scales
@@ -250,14 +267,7 @@ object ScaleCurve {
       // near-dup family IS the output), cross-family work stays
       // bucket-bounded.
       "density_ladder" -> (() => {
-        val planes = 8 + (2.0 * math.log(copies.toDouble) / math.log(2.0)).round.toInt
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-          .select(
-            concat(col("vec_id"), lit("_"), col("copy")).as("id"),
-            transform(col("embedding"), (x, i) =>
-              x + (pmod(Text.md5Long(concat_ws(":", col("copy"), i)), lit(1000))
-                - 500) / 25000.0).as("vec"))
+        val (planes, emb) = densityCorpus(copies)
         graft.similarity.Density.hdbscanFlatCut(
           emb, epsLadder = Seq(0.12, 0.1, 0.08), minPts = 2,
           minClusterSize = 2, lshPlanes = planes, planeDims = 16)
@@ -384,14 +394,7 @@ object ScaleCurve {
       // MST-round join maxima; the driver side is n-sized by the
       // operator's stated contract (maxDriverRows guard).
       "density_exact" -> (() => {
-        val planes = 8 + (2.0 * math.log(copies.toDouble) / math.log(2.0)).round.toInt
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-          .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-          .select(
-            concat(col("vec_id"), lit("_"), col("copy")).as("id"),
-            transform(col("embedding"), (x, i) =>
-              x + (pmod(Text.md5Long(concat_ws(":", col("copy"), i)), lit(1000))
-                - 500) / 25000.0).as("vec"))
+        val (planes, emb) = densityCorpus(copies)
         graft.similarity.Density.hdbscanExact(
           emb, minPts = 2, minClusterSize = 2,
           lshPlanes = planes, planeDims = 16)

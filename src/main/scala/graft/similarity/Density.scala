@@ -425,18 +425,23 @@ object Density {
     * radius, so downstream hierarchies don't depend on tiebreaks —
     * the deterministic order just makes reruns byte-identical.
     *
-    * `edges` is a SYMMETRIC (id_a, id_b, weight) frame; the result is
+    * `edges` is (id_a, id_b, weight) — one direction per pair or both;
+    * it is symmetrized internally (the [[graft.dedup.Dedup.components]]
+    * convention), so a one-way edge list is safe. The result is
     * (a, b, weight) with a < b, one row per forest edge. */
   def boruvkaMst(edges: DataFrame, weightCol: String = "reach"): DataFrame = {
-    val spark = edges.sparkSession
     import graft.dedup.Dedup
     val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
-    val ed = edges.select(col("id_a"), col("id_b"), col(weightCol).as("_w"))
-      .localCheckpoint()
+    val oneWay = edges.select(col("id_a"), col("id_b"), col(weightCol).as("_w"))
+    val ed = oneWay
+      .unionByName(oneWay.select(
+        col("id_b").as("id_a"), col("id_a").as("id_b"), col("_w")))
+      .distinct().localCheckpoint()
     val nodes = ed.select(col("id_a").as("id")).distinct().localCheckpoint()
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
-    var mst: DataFrame = null
-    var mstCount = 0L
+    // per-round MST deltas, each checkpointed once — the accumulated
+    // forest is only ever UNIONED (plan-level), never re-materialized
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = nodes.isEmpty
     var rounds = 0
     while (!done && rounds < 64) {
@@ -454,31 +459,33 @@ object Density {
           least(col("id_a"), col("id_b")).as("na"),
           greatest(col("id_a"), col("id_b")).as("nb"))).as("m"))
         .select(col("m.na").as("a"), col("m.nb").as("b"), col("m._w").as("w"))
-        .distinct()
-      val grown =
-        (if (mst == null) sel else mst.unionByName(sel)).localCheckpoint()
-      val newCount = grown.count()
-      if (newCount == mstCount) { done = true; release(grown) }
+        .distinct().localCheckpoint()
+      if (sel.count() == 0L) { done = true; release(sel) }
       else {
+        deltas += sel
         val comp = Dedup.components(
-          grown.select(col("a").as("id_a"), col("b").as("id_b")),
+          deltas.reduce(_ unionByName _)
+            .select(col("a").as("id_a"), col("b").as("id_b")),
           maxIterations = 40)
         val newLabels = nodes.join(comp, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("component"), col("id")).as("component"))
           .localCheckpoint()
-        release(labels); if (mst != null) release(mst)
-        labels = newLabels; mst = grown; mstCount = newCount
+        release(labels)
+        labels = newLabels
+        // fully connected → no outgoing edge can exist; skip the
+        // would-be empty-selection detection round
+        if (labels.select("component").distinct().count() == 1L) done = true
       }
       rounds += 1
     }
-    require(done || rounds < 64, "boruvkaMst did not converge in 64 rounds")
+    require(done, "boruvkaMst did not converge in 64 rounds")
     val out =
-      if (mst == null) // edge-less input: empty forest with the edge schema
+      (if (deltas.isEmpty) // edge-less input: empty forest, edge schema
         ed.select(col("id_a").as("a"), col("id_b").as("b"), col("_w").as("w"))
-          .limit(0).localCheckpoint()
-      else mst
-    release(ed); release(nodes); release(labels)
+          .limit(0)
+      else deltas.reduce(_ unionByName _)).localCheckpoint()
+    deltas.foreach(release); release(ed); release(nodes); release(labels)
     out
   }
 
@@ -515,23 +522,12 @@ object Density {
       lshPlanes: Int = 0, planeDims: Int = 16,
       maxDriverRows: Long = 5000000L): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
-    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
-    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
-    // NO eps cap: the exact hierarchy runs to the all-merging root
-    val core = sym.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === minPts)
-      .select(col("ia").as("id"), col("d").as("_c"))
-      .persist()
+    val (e, sym, core, edges) = coreReachEdges(emb, minPts, lshPlanes, planeDims)
     val nCore = core.count()
     require(nCore <= maxDriverRows,
       s"hdbscanExact holds one driver row per core point: $nCore exceeds " +
         s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
         "ladder form keeps the driver cluster-count-sized) at this scale")
-    val edges = sym
-      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
-      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
     val mst = boruvkaMst(edges)
     val mstRows = mst.collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
@@ -560,6 +556,24 @@ object Density {
   def completeLadder(
       emb: DataFrame, minPts: Int = 3, lshPlanes: Int = 0,
       planeDims: Int = 16): Seq[Double] = {
+    val (e, sym, core, edges) = coreReachEdges(emb, minPts, lshPlanes, planeDims)
+    val mst = boruvkaMst(edges)
+    val radii = (mst.select(col("w").as("r"))
+      .unionByName(core.select(col("_c").as("r"))))
+      .filter(col("r") > 0).distinct().orderBy(col("r").desc)
+      .collect().map(_.getDouble(0)).toSeq
+    e.unpersist(); sym.unpersist(); core.unpersist()
+    org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks(mst)
+    radii
+  }
+
+  /** Shared UNCAPPED core-distance + mutual-reachability construction
+    * for the exact-hierarchy forms (no eps cap: the exact hierarchy
+    * runs to the all-merging root) — (e, sym, core, reach edges) with
+    * e/sym/core persisted; the CALLER releases all three. */
+  private def coreReachEdges(
+      emb: DataFrame, minPts: Int, lshPlanes: Int, planeDims: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
     val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
     val core = sym.withColumn("_r", row_number().over(w))
@@ -570,14 +584,7 @@ object Density {
       .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
         greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
-    val mst = boruvkaMst(edges)
-    val radii = (mst.select(col("w").as("r"))
-      .unionByName(core.select(col("_c").as("r"))))
-      .filter(col("r") > 0).distinct().orderBy(col("r").desc)
-      .collect().map(_.getDouble(0)).toSeq
-    e.unpersist(); sym.unpersist(); core.unpersist()
-    org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks(mst)
-    radii
+    (e, sym, core, edges)
   }
 
   /** Driver-side condensed tree over the merge forest of (core, MST)
@@ -729,29 +736,23 @@ object Density {
         subtree(i) = condStab(i)
       } else subtree(i) = cs
     }
-    val finalSel = new Array[java.lang.Boolean](nc)
-    def finalSelected(i: Int): Boolean = {
-      if (finalSel(i) != null) return finalSel(i)
-      var a = conds(i).parent
-      var shadowed = false
-      while (a != -1 && !shadowed) {
-        if (selected(a)) shadowed = true else a = conds(a).parent
-      }
-      val r = selected(i) && !shadowed
-      finalSel(i) = r
-      r
+    // final selection + covering node in two single top-down passes:
+    // cond parents are always created before their children, so index
+    // order IS topological — no recursion, no deep-tree stack risk
+    val shadowedBySel = Array.fill(nc)(false)
+    for (i <- 0 until nc) {
+      val p = conds(i).parent
+      shadowedBySel(i) = p != -1 && (shadowedBySel(p) || selected(p))
     }
-    // covering final-selected condensed node, memoized per cond node
-    val coverArr = Array.fill(nc)(-2) // -2 unset, -1 none
-    def cover(i: Int): Int = {
-      if (coverArr(i) != -2) return coverArr(i)
-      val r =
+    def finalSelected(i: Int): Boolean = selected(i) && !shadowedBySel(i)
+    val coverArr = Array.fill(nc)(-1) // covering final-selected node
+    for (i <- 0 until nc) {
+      coverArr(i) =
         if (finalSelected(i)) i
         else if (conds(i).parent == -1) -1
-        else cover(conds(i).parent)
-      coverArr(i) = r
-      r
+        else coverArr(conds(i).parent)
     }
+    def cover(i: Int): Int = coverArr(i)
     // ---- per-point labels via first ≥mcs-and-active ancestor ----
     // parents are created after children, so a reverse index pass sees
     // every parent's value before its children ask for it

@@ -228,6 +228,13 @@ class DensitySpec extends SparkSpec {
     val got = Density.boruvkaMst(edges).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(got == Set(("a", "b", 1.0), ("b", "c", 2.0), ("x", "y", 3.0)))
+    // ONE-direction edge lists symmetrize internally: nodes appearing
+    // only as id_b must still get labels and outgoing edges
+    val oneDir = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+      ("x", "y", 3.0)).toDF("id_a", "id_b", "reach")
+    val got2 = Density.boruvkaMst(oneDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got2 == got, s"one-direction input drifted: $got2")
   }
 
   test("hdbscanExact equals the flat cut over the complete ladder (continuous λ)") {

@@ -538,6 +538,14 @@ class ExperimentSpec extends SparkSpec {
           "--data", data, "--blocker", "density-cluster", "--out", out,
           "--eps-ladder", bad))
       }
+    // typo'd exact forms fail with the flag-naming message, not a bare
+    // NumberFormatException from the numeric-list fallthrough
+    for (bad <- Seq("Exact", "exact:3", "exac"))
+      assert(intercept[IllegalArgumentException] {
+        Experiment.parseArgs(Array(
+          "--data", data, "--blocker", "density-cluster", "--out", out,
+          "--eps-ladder", bad))
+      }.getMessage.contains("--eps-ladder"), s"form: $bad")
   }
 
   test("--eps-ladder exact runs the continuous dendrogram end-to-end") {
