@@ -1379,6 +1379,118 @@ object DedupQueries {
       },
       Some(s"$curationVerdictsSql\nSELECT * FROM v ORDER BY id")),
 
+    // ---- §2.10 curation TTL: multi-wave canonical-horizon replay ----------
+    // The divergent MULTI-batch semantics of the TTL'd dup-canonical
+    // store (StreamingCuration stateTtl — the third TTL state store,
+    // closing the same gap st_ttl_token_replay/st_ttl_neardup_replay
+    // closed for the other two): three deterministic waves over a
+    // synthesized 8-family corpus (4 ids per content family, ids
+    // d<4F+k>; every doc passes the gates), ttl 1 h, watermark 0 s.
+    //   wave 1 (T):       all 32 → family min-id canonicals keep, the
+    //                     rest dup_of=canonical;
+    //   wave 2 (T+2 h):   one NON-canonical member of families 0–3 →
+    //                     pure in-horizon dups; their families' horizon
+    //                     slides to T+2 h — ANY sighting refreshes, not
+    //                     just the canonical's;
+    //   wave 3 (T+3.5 h): wm = T+2 h, floor T+1 h. Families 2,3
+    //                     (refreshed) stay dup. Families 4,5 (last seen
+    //                     T) are PAST the horizon but receive data in
+    //                     this very batch, so no timeout callback fires
+    //                     — the horizon-on-ACCESS rule must evict:
+    //                     family 4 re-sights its old canonical id (d116
+    //                     → re-elected, second keep emission); family 5
+    //                     arrives WITHOUT its old canonical (d122, d123
+    //                     → d122 is the fresh canonical, d123
+    //                     dup_of=d122 — without the access eviction
+    //                     both would point at the stale d120). Families
+    //                     6,7 expire by timeout callback, silently.
+    // Output = per-(id, keep, dup_of) emission counts; the oracle
+    // replays the rule wave by wave (min-id canonicals, the
+    // any-sighting refresh, the wm−ttl floor, re-election on expiry).
+    "st_ttl_curation_replay" -> QueryDef(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val base = 1700000000000L
+        val hour = 3600000L
+        // the family marker must survive tokenization (single-char
+        // tokens are dropped by the min-length rule): one fused token
+        def text(f: Long) =
+          s"the quick brown fox pack$f jumps over the lazy dog today"
+        // ids shifted to 100..131: the operator's canonical is the
+        // LEXICOGRAPHIC min id (string sort), so equal-width ids keep
+        // lexicographic = numeric
+        def wave(ms: Long, p: Long => Boolean) =
+          (0L until 32L).filter(p).map(i =>
+            (i + 100L, text(i / 4), new java.sql.Timestamp(ms)))
+        val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+        val sink = graft.streaming.StreamingOps.replayWaves(
+          Seq(
+            wave(base, _ => true),
+            wave(base + 2 * hour, i => i / 4 < 4 && i % 4 == 1),
+            wave(base + 7 * hour / 2, i =>
+              ((i / 4 == 2 || i / 4 == 3) && i % 4 == 1) ||
+                Set(16L, 19L, 22L, 23L)(i))),
+          "st_ttl_cur_replay") { ds =>
+          graft.streaming.StreamingCuration.verdicts(
+            ds.toDF("doc_id", "text", "ts"), bench,
+            allowedLangs = Seq("en"), contamN = 3, minWords = 4,
+            minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+            stateTtl = Some("1 hour"), tsCol = "ts")
+        }
+        graft.core.CacheScope.seal(
+          sink
+            .groupBy(concat(lit("d"), col("id")).as("doc"),
+              col("keep"), coalesce(col("dup_of"), lit("-")).as("dup_of"))
+            .agg(count(lit(1)).as("emits"))
+            .select(col("doc").as("id"), col("keep"),
+              when(col("dup_of") =!= "-", concat(lit("d"), col("dup_of")))
+                .otherwise("-").as("dup_of"),
+              col("emits"))
+            .orderBy("id", "dup_of"),
+          sink)
+      },
+      Some {
+        val (t1, t2, t3) = (1700000000000L, 1700007200000L, 1700012600000L)
+        s"""WITH docs AS (SELECT i + 100 AS id, i // 4 AS fam FROM range(32) t(i)),
+           |w1 AS (SELECT id, fam FROM docs),
+           |w2 AS (SELECT id, fam FROM docs WHERE fam < 4 AND id % 4 = 1),
+           |w3 AS (SELECT id, fam FROM docs
+           |       WHERE (fam IN (2, 3) AND id % 4 = 1)
+           |          OR id IN (116, 119, 122, 123)),
+           |c1 AS (SELECT fam, min(id) AS canon FROM w1 GROUP BY fam),
+           |e1 AS (SELECT w1.id,
+           |         CASE WHEN w1.id = c1.canon THEN NULL ELSE c1.canon END AS dup_of
+           |       FROM w1 JOIN c1 USING (fam)),
+           |-- wave 2: floor $t1 − 1 h keeps everything live; any sighting
+           |-- slides the family's horizon to $t2
+           |e2 AS (SELECT w2.id,
+           |         CASE WHEN w2.id = c1.canon THEN NULL ELSE c1.canon END AS dup_of
+           |       FROM w2 JOIN c1 USING (fam)),
+           |s2 AS (SELECT c1.fam, c1.canon,
+           |         CASE WHEN EXISTS (SELECT 1 FROM w2 WHERE w2.fam = c1.fam)
+           |              THEN $t2 ELSE $t1 END AS seen
+           |       FROM c1),
+           |-- wave 3: wm = $t2, floor = wm − 1 h; expired families
+           |-- re-elect the min arriving id
+           |live3 AS (SELECT fam, canon FROM s2 WHERE seen >= $t2 - 3600000),
+           |c3 AS (SELECT fam, canon FROM live3
+           |       UNION ALL
+           |       SELECT fam, min(id) FROM w3
+           |       WHERE fam NOT IN (SELECT fam FROM live3) GROUP BY fam),
+           |e3 AS (SELECT w3.id,
+           |         CASE WHEN w3.id = c3.canon THEN NULL ELSE c3.canon END AS dup_of
+           |       FROM w3 JOIN c3 USING (fam)),
+           |em AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |       UNION ALL SELECT * FROM e3)
+           |SELECT 'd' || id AS id,
+           |       dup_of IS NULL AS keep,
+           |       coalesce('d' || dup_of, '-') AS dup_of,
+           |       count(*) AS emits
+           |FROM em GROUP BY 1, 2, 3
+           |ORDER BY id, dup_of""".stripMargin
+      }),
+
     // funnel report over the same verdicts, per source: stage drop counts
     // + surviving token mass — the dashboard a corpus owner reads before
     // committing to the gates
