@@ -415,22 +415,27 @@ object Density {
   /** Minimum spanning forest of a weighted graph by distributed
     * Borůvka: each round, every component selects its minimum outgoing
     * edge (cut property: always MST-safe) under the TOTAL order
-    * (weight, min endpoint, max endpoint) — distinct tiebroken weights
-    * mean no tie cycles — then components merge and the round repeats.
-    * Component count at least halves per round, so O(log n) rounds of
-    * plain joins; component labels are recomputed per round with
-    * [[graft.dedup.Dedup.components]] over the accumulated forest
-    * (itself O(log diameter) via pointer jumping). Single-linkage
-    * NOTE: any MST yields the same threshold components at every
-    * radius, so downstream hierarchies don't depend on tiebreaks —
-    * the deterministic order just makes reruns byte-identical.
+    * (weight, min endpoint, max endpoint) — a total order means the
+    * selected edges of a round can never form a tie cycle, and when two
+    * components select an edge to each other they select the SAME one,
+    * so the forest is deterministic regardless of merge order.
+    * Component count at least halves per round → O(log n) rounds, each
+    * TWO Spark jobs: the edge×labels double join + per-component min
+    * (collected: one component-count-sized row per component, shrinking
+    * geometrically), and the label remap join. Components merge in a
+    * DRIVER-side union-find over component ids — the selected edges are
+    * exactly the output forest (n−1 rows total across all rounds), so
+    * the driver holds nothing beyond what [[hdbscanExact]] /
+    * [[completeLadder]] collect anyway: the same value-set-sized
+    * contract, stated there.
     *
     * `edges` is (id_a, id_b, weight) — one direction per pair or both;
     * it is symmetrized internally (the [[graft.dedup.Dedup.components]]
     * convention), so a one-way edge list is safe. The result is
     * (a, b, weight) with a < b, one row per forest edge. */
   def boruvkaMst(edges: DataFrame, weightCol: String = "reach"): DataFrame = {
-    import graft.dedup.Dedup
+    val spark = edges.sparkSession
+    import spark.implicits._
     val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
     val oneWay = edges.select(col("id_a"), col("id_b"), col(weightCol).as("_w"))
     val ed = oneWay
@@ -439,54 +444,67 @@ object Density {
       .distinct().localCheckpoint()
     val nodes = ed.select(col("id_a").as("id")).distinct().localCheckpoint()
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
-    // per-round MST deltas, each checkpointed once — the accumulated
-    // forest is only ever UNIONED (plan-level), never re-materialized
-    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var done = nodes.isEmpty
+    // driver union-find over COMPONENT ids; path-compressed
+    val uf = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (uf.getOrElse(r, r) != r) r = uf(r)
+      var c = x
+      while (uf.getOrElse(c, c) != r) { val nx = uf(c); uf(c) = r; c = nx }
+      r
+    }
+    val mstRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    var alive = nodes.count() // live component count
+    var done = alive <= 1L
     var rounds = 0
     while (!done && rounds < 64) {
-      val cross = ed
+      val sel = ed
         .join(labels.select(col("id").as("id_a"), col("component").as("_ca")),
           Seq("id_a"))
         .join(labels.select(col("id").as("id_b"), col("component").as("_cb")),
           Seq("id_b"))
         .filter(col("_ca") =!= col("_cb"))
-      // per-component minimum outgoing edge; min over a struct = the
-      // deterministic total order; both sides of an edge may select it,
-      // hence the distinct
-      val sel = cross.groupBy(col("_ca"))
+        .groupBy(col("_ca"))
         .agg(min(struct(col("_w"),
           least(col("id_a"), col("id_b")).as("na"),
-          greatest(col("id_a"), col("id_b")).as("nb"))).as("m"))
-        .select(col("m.na").as("a"), col("m.nb").as("b"), col("m._w").as("w"))
-        .distinct().localCheckpoint()
-      if (sel.count() == 0L) { done = true; release(sel) }
+          greatest(col("id_a"), col("id_b")).as("nb"),
+          col("_cb").as("cb"))).as("m"))
+        .select(col("_ca"), col("m.cb").as("_cb"),
+          col("m.na").as("a"), col("m.nb").as("b"), col("m._w").as("w"))
+        .collect()
+      if (sel.isEmpty) done = true // disconnected remainder: forest done
       else {
-        deltas += sel
-        val comp = Dedup.components(
-          deltas.reduce(_ unionByName _)
-            .select(col("a").as("id_a"), col("b").as("id_b")),
-          maxIterations = 40)
-        val newLabels = nodes.join(comp, Seq("id"), "left")
+        // union; an edge selected from both sides merges once (the
+        // second sight finds equal roots) — the Borůvka forest lemma
+        // plus the total order make the added edge set deterministic
+        for (r <- sel) {
+          val ra = find(r.getString(0)); val rb = find(r.getString(1))
+          if (ra != rb) {
+            if (ra < rb) uf(rb) = ra else uf(ra) = rb
+            mstRows += ((r.getString(2), r.getString(3), r.getDouble(4)))
+            alive -= 1
+          }
+        }
+        val remap = sel.iterator
+          .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+          .toSet.iterator.map((c: String) => (c, find(c)))
+          .filter { case (c, rc) => c != rc }.toSeq
+        val newLabels = labels
+          .join(remap.toDF("component", "_nc"), Seq("component"), "left")
           .select(col("id"),
-            coalesce(col("component"), col("id")).as("component"))
+            coalesce(col("_nc"), col("component")).as("component"))
           .localCheckpoint()
         release(labels)
         labels = newLabels
-        // fully connected → no outgoing edge can exist; skip the
-        // would-be empty-selection detection round
-        if (labels.select("component").distinct().count() == 1L) done = true
+        if (alive <= 1L) done = true // fully connected: no cross edges left
       }
       rounds += 1
     }
     require(done, "boruvkaMst did not converge in 64 rounds")
-    val out =
-      (if (deltas.isEmpty) // edge-less input: empty forest, edge schema
-        ed.select(col("id_a").as("a"), col("id_b").as("b"), col("_w").as("w"))
-          .limit(0)
-      else deltas.reduce(_ unionByName _)).localCheckpoint()
-    deltas.foreach(release); release(ed); release(nodes); release(labels)
-    out
+    release(ed); release(nodes); release(labels)
+    if (mstRows.isEmpty)
+      Seq.empty[(String, String, Double)].toDF("a", "b", "w")
+    else mstRows.toSeq.toDF("a", "b", "w")
   }
 
   /** EXACT HDBSCAN — the continuous mutual-reachability dendrogram,
