@@ -1395,15 +1395,20 @@ object DedupQueries {
     //   wave 3 (T+3.5 h): wm = T+2 h, floor T+1 h. Families 2,3
     //                     (refreshed) stay dup. Families 4,5 (last seen
     //                     T) are PAST the horizon but receive data in
-    //                     this very batch, so no timeout callback fires
-    //                     — the horizon-on-ACCESS rule must evict:
+    //                     this very batch — and the replay runs with
+    //                     noDataMicroBatches OFF (continuous-operation
+    //                     shape: no idle batch fires the timeouts
+    //                     between waves), so the horizon-on-ACCESS rule
+    //                     is the ONLY guard and this row pins it:
     //                     family 4 re-sights its old canonical id (d116
     //                     → re-elected, second keep emission); family 5
     //                     arrives WITHOUT its old canonical (d122, d123
     //                     → d122 is the fresh canonical, d123
     //                     dup_of=d122 — without the access eviction
     //                     both would point at the stale d120). Families
-    //                     6,7 expire by timeout callback, silently.
+    //                     6,7 never expire within the run (no further
+    //                     data, no idle batches), emitting nothing
+    //                     either way.
     // Output = per-(id, keep, dup_of) emission counts; the oracle
     // replays the rule wave by wave (min-id canonicals, the
     // any-sighting refresh, the wm−ttl floor, re-election on expiry).
@@ -1424,7 +1429,13 @@ object DedupQueries {
           (0L until 32L).filter(p).map(i =>
             (i + 100L, text(i / 4), new java.sql.Timestamp(ms)))
         val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
-        val sink = graft.streaming.StreamingOps.replayWaves(
+        // idle batches would fire the expiry timeouts BETWEEN waves and
+        // the access branch would never run (same output, nothing
+        // pinned) — turn them off for the replay, restore after
+        val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val ndPrev = s.conf.get(ndKey, "true")
+        s.conf.set(ndKey, "false")
+        val sink = try graft.streaming.StreamingOps.replayWaves(
           Seq(
             wave(base, _ => true),
             wave(base + 2 * hour, i => i / 4 < 4 && i % 4 == 1),
@@ -1437,7 +1448,7 @@ object DedupQueries {
             allowedLangs = Seq("en"), contamN = 3, minWords = 4,
             minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
             stateTtl = Some("1 hour"), tsCol = "ts")
-        }
+        } finally s.conf.set(ndKey, ndPrev)
         graft.core.CacheScope.seal(
           sink
             .groupBy(concat(lit("d"), col("id")).as("doc"),
@@ -1451,7 +1462,10 @@ object DedupQueries {
           sink)
       },
       Some {
-        val (t1, t2, t3) = (1700000000000L, 1700007200000L, 1700012600000L)
+        // wave-3's own time (T+3.5 h) never enters the replay: liveness
+        // at wave 3 depends only on the watermark, which is the max
+        // PRIOR event time t2
+        val (t1, t2) = (1700000000000L, 1700007200000L)
         s"""WITH docs AS (SELECT i + 100 AS id, i // 4 AS fam FROM range(32) t(i)),
            |w1 AS (SELECT id, fam FROM docs),
            |w2 AS (SELECT id, fam FROM docs WHERE fam < 4 AND id % 4 = 1),

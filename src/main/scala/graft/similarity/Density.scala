@@ -431,13 +431,19 @@ object Density {
     *
     * `edges` is (id_a, id_b, weight) — one direction per pair or both;
     * it is symmetrized internally (the [[graft.dedup.Dedup.components]]
-    * convention), so a one-way edge list is safe. The result is
-    * (a, b, weight) with a < b, one row per forest edge. */
+    * convention), so a one-way edge list is safe. Ids are cast to
+    * string and the weight to double (the [[Dedup.components]] id
+    * convention — the driver union-find reads typed rows). The result
+    * is (a: string, b: string, w: double) with a < b, one row per
+    * forest edge. */
   def boruvkaMst(edges: DataFrame, weightCol: String = "reach"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
-    val oneWay = edges.select(col("id_a"), col("id_b"), col(weightCol).as("_w"))
+    val oneWay = edges.select(
+      col("id_a").cast("string").as("id_a"),
+      col("id_b").cast("string").as("id_b"),
+      col(weightCol).cast("double").as("_w"))
     val ed = oneWay
       .unionByName(oneWay.select(
         col("id_b").as("id_a"), col("id_a").as("id_b"), col("_w")))

@@ -180,13 +180,19 @@ object StreamingCuration {
             // horizon check ON ACCESS (the sibling TTL operators'
             // eviction pass): a canonical whose horizon already passed
             // is stale even though the timeout callback has not fired —
-            // Spark only fires it for batches where the group has NO
-            // data, so a same-batch re-sight would otherwise be marked
-            // duplicate of the expired canonical AND re-arm its state.
+            // timeouts fire only for batches where the group has NO
+            // data, so in continuous operation (a data batch arriving
+            // right after the watermark-advancing one, or with
+            // spark.sql.streaming.noDataMicroBatches.enabled=false) a
+            // same-batch re-sight would otherwise be marked duplicate
+            // of the expired canonical AND re-arm its state. STRICT >:
+            // EventTimeTimeout itself fires only when the watermark
+            // passes BEYOND the timestamp, and the sibling stores keep
+            // entries at exact horizon equality — same boundary here.
             // MinValue = no real sighting time yet (all-null ts) →
             // nothing to expire against, same as the unbounded form.
             if (ttlMs > 0 && state.exists && state.get.lastSeenMs != Long.MinValue &&
-                state.getCurrentWatermarkMs() >= state.get.lastSeenMs + ttlMs)
+                state.getCurrentWatermarkMs() > state.get.lastSeenMs + ttlMs)
               state.remove()
             val canon: Option[String] =
               if (state.exists) Some(state.get.id)

@@ -817,13 +817,19 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming curation stateTtl: same-batch re-sight past the horizon re-admits") {
     // the horizon-on-ACCESS rule: the expired canonical's timeout has
-    // not fired yet (timeouts fire only for batches where the group has
-    // NO data) when the re-sight arrives in the very batch that first
-    // carries the advanced watermark — without the access check the
-    // content would be marked duplicate of the stale canonical AND
-    // re-arm its state; the contract is a fresh canonical instead
+    // not fired yet when the re-sight arrives in a DATA batch whose
+    // watermark already passed the horizon — without the access check
+    // the content would be marked duplicate of the stale canonical AND
+    // re-arm its state; the contract is a fresh canonical instead.
+    // noDataMicroBatches OFF: with the default idle batches, the
+    // timeout fires between processAllAvailable calls and the access
+    // branch is never reached — disabling them reproduces continuous
+    // operation, where data batches follow each other immediately and
+    // the branch is the only guard
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
+    val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val textA = "the quick brown fox jumps"
     val mem = MemoryStream[(Long, String, Timestamp)]
     val sq = graft.streaming.StreamingCuration.verdicts(
@@ -843,16 +849,59 @@ class StreamingSpec extends SparkSpec {
       sq.processAllAvailable()
       assert(got()("1").keep, got().toString)
       // unrelated 16:00 doc: wm for the NEXT batch becomes 16:00, past
-      // the canonical's horizon (10:00 + 150 min = 12:30) — but the
-      // dup_key group gets no timeout callback next batch because the
-      // re-sight below arrives WITH data
+      // the canonical's horizon (10:00 + 150 min = 12:30) — and with
+      // idle batches off, no timeout callback can fire in between
       mem.addData((7L, "the other words entirely here", ts("2024-01-01 16:00:00")))
       sq.processAllAvailable()
       mem.addData((9L, textA, ts("2024-01-01 16:10:00")))
       sq.processAllAvailable()
       assert(got()("9").keep && got()("9").dup_of.isEmpty,
         s"stale canonical must evict on access: ${got()("9")}")
-    } finally sq.stop()
+    } finally {
+      sq.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    }
+  }
+
+  test("streaming curation stateTtl: exact horizon equality keeps the canonical") {
+    // boundary parity with EventTimeTimeout (which fires only when the
+    // watermark passes STRICTLY beyond the timestamp) and with the
+    // sibling TTL stores (which keep entries at seen == wm − ttl): a
+    // re-sight in a batch whose wm equals lastSeen + ttl exactly is
+    // still a duplicate of the live canonical
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val textA = "the quick brown fox jumps"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sq = graft.streaming.StreamingCuration.verdicts(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        curationBench.toDF("doc_id", "text"),
+        allowedLangs = Seq("en"), contamN = 3,
+        minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+        stateTtl = Some("2 hours"), tsCol = "ts")
+      .writeStream.format("memory").queryName("cur_ttl_edge")
+      .outputMode("append").start()
+    def got(): Map[String, graft.streaming.StreamingCuration.CurationVerdict] =
+      spark.table("cur_ttl_edge")
+        .as[graft.streaming.StreamingCuration.CurationVerdict]
+        .collect().map(v => v.id -> v).toMap
+    try {
+      mem.addData((1L, textA, ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      // filler at exactly lastSeen + ttl → wave-3 wm == the horizon
+      mem.addData((7L, "the other words entirely here", ts("2024-01-01 12:00:00")))
+      sq.processAllAvailable()
+      mem.addData((9L, textA, ts("2024-01-01 12:05:00")))
+      sq.processAllAvailable()
+      assert(got()("9").drop_stage.contains("duplicate")
+        && got()("9").dup_of.contains("1"),
+        s"equality is NOT past the horizon: ${got()("9")}")
+    } finally {
+      sq.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    }
   }
 
   test("streamMinHashNearDup pairs new docs against bucket state across batches") {
