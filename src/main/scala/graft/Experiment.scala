@@ -95,8 +95,12 @@ object Experiment {
       wordVectors: Option[String] = None,
       sifWeighting: Boolean = false,
       // F1 tokenizer seam: regex (pinned default) | nltk (Treebank
-      // word_tokenize parity for users porting klinker configs)
+      // word_tokenize parity for users porting klinker configs).
+      // --abbrev-list <file>: one abbreviation per line ('#' comments),
+      // merged into the nltk splitter's static guard — the
+      // domain-corpus stand-in for Punkt's corpus-LEARNED abbreviations
       tokenizer: String = "regex",
+      abbrevList: Option[String] = None,
       // DBSCAN* density clustering (density-cluster blocker): eps radius
       // + min core neighbors; --lsh-planes switches the candidate graph
       // to sign-LSH buckets (scale path). --min-pts counts OTHER points,
@@ -134,16 +138,40 @@ object Experiment {
     c.embeddingsDir.map(d => CachedEncoder(base, d, c.forceEncode)).getOrElse(base)
   }
 
-  /** The F1 tokenizer seam as a CLI knob (`--tokenizer regex|nltk`). */
+  /** The F1 tokenizer seam as a CLI knob (`--tokenizer regex|nltk`,
+    * `--abbrev-list <file>` for the nltk form's sentence splitter). */
   def tokenizerFor(c: Config)
       : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
     c.tokenizer match {
-      case "regex" => None
+      case "regex" =>
+        require(c.abbrevList.isEmpty,
+          "--abbrev-list only affects the nltk tokenizer's sentence " +
+            "splitter; pass --tokenizer nltk (the regex tokenizer never " +
+            "splits sentences)")
+        None
       case "nltk" =>
-        Some(graft.functions.Text.nltkTokenize(_, c.minTokenLength))
+        val extra = c.abbrevList.map(readAbbrevList).getOrElse(Nil)
+        Some(graft.functions.Text.nltkTokenize(_, c.minTokenLength,
+          extraAbbrevs = extra))
       case other => throw new IllegalArgumentException(
         s"unknown tokenizer '$other'; known: regex, nltk")
     }
+
+  /** `--abbrev-list` file: one abbreviation per line, '#' comments and
+    * blanks skipped; normalization (lowercase, trailing-'.' strip) is
+    * [[org.apache.spark.sql.graft.TreebankTokenize.normalizeAbbrevs]]'s.
+    * Read through the session's Hadoop FS (spark.read.textFile), so an
+    * HDFS/S3A path works like a local one; the list is config-sized and
+    * rides the tokenizer expression onto the executors. */
+  def readAbbrevList(path: String): Seq[String] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val lines = spark.read.textFile(path).collect().toSeq
+    val entries = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    require(entries.nonEmpty,
+      s"--abbrev-list $path: no abbreviations found (blank/comment-only file)")
+    entries
+  }
 
   /** Blocker registry — one name per reference CLI command
     * (experiment.py:659-1560). */
@@ -336,6 +364,7 @@ object Experiment {
       wordVectors = m.get("word-vectors"),
       sifWeighting = flags.contains("sif"),
       tokenizer = m.getOrElse("tokenizer", "regex"),
+      abbrevList = m.get("abbrev-list"),
       eps = m.getOrElse("eps", "0.5").toDouble,
       minPts = m.getOrElse("min-pts", "3").toInt,
       lshPlanes = m.getOrElse("lsh-planes", "0").toInt,

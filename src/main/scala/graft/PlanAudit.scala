@@ -52,6 +52,7 @@ object PlanAudit {
     "m11_dbscan_blocks" -> "documented exact all-pairs baseline over a dimension-sized value set (Density.dbscanStar lshPlanes=0; lshPlanes>0 is the bucketed scale path)",
     "m11_hdbscan_blocks" -> "documented exact all-pairs baseline over a dimension-sized value set (Density.hdbscanFlatCut lshPlanes=0; lshPlanes>0 is the bucketed scale path)",
     "m11_hdbscan_exact" -> "documented exact all-pairs baseline over a 27-point known-radius fixture (Density.hdbscanExact lshPlanes=0; lshPlanes>0 is the bucketed scale path)",
+    "m11_hdbscan_auto" -> "documented exact all-pairs baseline over the same 27-point known-radius fixture (Density.hdbscanFlatCutAuto lshPlanes=0; lshPlanes>0 is the bucketed scale path)",
     "m12_density_pipeline" -> "documented exact all-pairs baseline over a 200-token synthetic vocabulary (Density.hdbscanFlatCut lshPlanes=0 inside DensityClusterAssigner; lshPlanes>0 is the bucketed scale path)",
     "mh_mllib_minhash_blocker" -> "one-row invariant-summary scalars crossJoined for the single-row output",
     "tx_quality_classifier" -> "one-row invariant-summary scalars crossJoined for the single-row output",

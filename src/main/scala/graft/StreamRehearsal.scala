@@ -44,6 +44,9 @@ object StreamRehearsal {
   final case class BatchRow(batch: Int, input: Long, stateRows: Long,
       outRows: Long, durMs: Long)
 
+  /** One streamed ANN query vector (public: janino + encoders). */
+  final case class AnnQuery(id: Long, vec: Seq[Double])
+
   /** Drive `batches` through a started query, reading state rows and
     * trigger duration off the progress events. An EMPTY wave triggers no
     * micro-batch, so progress would still describe the previous one —
@@ -326,7 +329,37 @@ object StreamRehearsal {
     ctQ.stop()
     val j4t = report("stream_curation_ttl", ctRows)
 
-    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j1t,$j2t,$j3,$j4,$j4t}""")
+    // ---- streaming ANN serving (stateless by construction) ---------------
+    // st_ann_serve / AnnServing.serveIvfPq: static IVF-PQ index
+    // (plan-time centroid snapshot, k-rows bounded), per-wave query
+    // batches. The fMGWS top-k group's candidates all derive inside its
+    // own micro-batch, so it emits once and REMOVES its state — the
+    // store must read 0 rows after EVERY wave regardless of wave count,
+    // and output must be per-wave flat (k hits per query). This row
+    // documents the streaming board's one stateful-API-but-stateless
+    // operator; no TTL twin exists because there is nothing to bound.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val annIndex = graft.similarity.IndexStore.buildIvfPq(
+      emb.filter(col("vec_id") % 2 === 1)
+        .select(col("label").cast("string").as("bucket"),
+          col("vec_id").as("id"), col("embedding").as("vec")))
+    val annBase = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    // every wave re-queries the full query side under salted ids — the
+    // serving recrawl shape (id*waves+w keeps the long-id tie-break)
+    val annBatches = (0 until nBatches).map { w =>
+      annBase.map { case (id, v) => AnnQuery(id * nBatches + w, v) }
+    }
+    val memA = MemoryStream[AnnQuery]
+    val aQ = graft.streaming.AnnServing.serveIvfPq(
+        memA.toDF(), annIndex, 3, rankScale = 6)
+      .writeStream.format("noop").outputMode("append").start()
+    val aRows = drive(memA, aQ, annBatches)
+    aQ.stop()
+    val j5 = report("stream_ann_serve", aRows)
+
+    println(s"""{"dir":"$dir","copies":$copies,"cap":$cap,$j1,$j2,$j1t,$j2t,$j3,$j4,$j4t,$j5}""")
     // sibling bench artifact: one line of adjudicable per-operator
     // summary rows (same maxima-first discipline as bench.json — see
     // [[summaryJson]]), re-runnable via
@@ -338,7 +371,8 @@ object StreamRehearsal {
       s"""${summaryJson("incremental_token_pairs_ttl", tktRows)},""" +
       s"""${summaryJson("stream_funnel", fRows)},""" +
       s"""${summaryJson("stream_curation", cRows)},""" +
-      s"""${summaryJson("stream_curation_ttl", ctRows)}}"""
+      s"""${summaryJson("stream_curation_ttl", ctRows)},""" +
+      s"""${summaryJson("stream_ann_serve", aRows)}}"""
     println(summary)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(

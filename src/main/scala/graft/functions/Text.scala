@@ -44,11 +44,12 @@ object Text {
     * current `str(x.lower())` code path. */
   def nltkTokenize(c: Column, minLength: Int = 3,
                    stopwords: Seq[String] = Stopwords,
-                   lowercase: Boolean = false): Column = {
+                   lowercase: Boolean = false,
+                   extraAbbrevs: Seq[String] = Nil): Column = {
     val stop = typedLit(stopwords)
     val base = if (lowercase) lower(c) else c
     filter(
-      org.apache.spark.sql.graft.TextOps.treebankTokenize(base),
+      org.apache.spark.sql.graft.TextOps.treebankTokenize(base, extraAbbrevs),
       t => length(t) >= minLength && !array_contains(stop, t))
   }
 

@@ -35,6 +35,36 @@ object SimilarityQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
 
+  /** The exact-hierarchy fixture (m11_hdbscan_exact / m11_hdbscan_auto):
+    * 27 points of known 1-D geometry in a 2-vector, all coordinates
+    * exact binary fractions, SF-independent. Two tight 6-chains @0.25
+    * (x=0, x=4), two tight 5-chains @0.25 (x=10, x=14), one loose
+    * 5-chain @1.0 (x=20). With minPts=2 the COMPLETE mutual-reach
+    * radius set and the per-point first-connection radii are both
+    * known in closed form (the two rows' oracle comments). */
+  private def chainFixture(s: SparkSession): DataFrame = {
+    val i = col("i")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val x =
+      when(i < 6, d(i) * 0.25)
+        .when(i < 12, lit(4.0) + d(i - 6) * 0.25)
+        .when(i < 17, lit(10.0) + d(i - 12) * 0.25)
+        .when(i < 22, lit(14.0) + d(i - 17) * 0.25)
+        .otherwise(lit(20.0) + d(i - 22) * 1.0)
+    s.range(0, 27).select(col("id").cast("int").as("i"))
+      .select(format_string("e%02d", col("i")).as("id"),
+        array(x, lit(0.0)).as("vec"))
+  }
+
+  private val chainFixtureSql: String =
+    """SELECT printf('e%02d', i) AS id,
+      |  [CASE WHEN i < 6 THEN i * 0.25
+      |        WHEN i < 12 THEN 4.0 + (i - 6) * 0.25
+      |        WHEN i < 17 THEN 10.0 + (i - 12) * 0.25
+      |        WHEN i < 22 THEN 14.0 + (i - 17) * 0.25
+      |        ELSE 20.0 + (i - 22) * 1.0 END, 0.0] AS embedding
+      |FROM range(27) t(i)""".stripMargin
+
   /** Shared brute-force candidate graph for the m13 hubness-reduction
     * family: top-10 cosine candidates, even vec_ids querying odd. */
   /** The m13 family's shared candidate construction: even/odd vec_id
@@ -1215,37 +1245,71 @@ object SimilarityQueries {
     // {5.0, 4.75, 3.0, 2.75, 2.0, 1.0, 0.5, 0.25}: 8 levels.
     "m11_hdbscan_exact" -> QueryDef(
       (s, dir) => {
-        val i = col("i")
-        def d(c: org.apache.spark.sql.Column) = c.cast("double")
-        val x =
-          when(i < 6, d(i) * 0.25)
-            .when(i < 12, lit(4.0) + d(i - 6) * 0.25)
-            .when(i < 17, lit(10.0) + d(i - 12) * 0.25)
-            .when(i < 22, lit(14.0) + d(i - 17) * 0.25)
-            .otherwise(lit(20.0) + d(i - 22) * 1.0)
-        val e = s.range(0, 27).select(col("id").cast("int").as("i"))
-          .select(format_string("e%02d", col("i")).as("id"),
-            array(x, lit(0.0)).as("vec"))
         graft.similarity.Density.hdbscanExact(
-          e, minPts = 2, minClusterSize = 3)
+          chainFixture(s), minPts = 2, minClusterSize = 3)
           .select(col("id"), coalesce(col("cluster"), lit("noise")).as("cluster"))
           .orderBy("id")
       },
       Some {
-        val points =
-          """SELECT printf('e%02d', i) AS id,
-            |  [CASE WHEN i < 6 THEN i * 0.25
-            |        WHEN i < 12 THEN 4.0 + (i - 6) * 0.25
-            |        WHEN i < 17 THEN 10.0 + (i - 12) * 0.25
-            |        WHEN i < 22 THEN 14.0 + (i - 17) * 0.25
-            |        ELSE 20.0 + (i - 22) * 1.0 END, 0.0] AS embedding
-            |FROM range(27) t(i)""".stripMargin
         val body = graft.similarity.Density.hdbscanFlatCutSql(
-          points, epsLadder = Seq(5.0, 4.75, 3.0, 2.75, 2.0, 1.0, 0.5, 0.25),
+          chainFixtureSql, epsLadder = Seq(5.0, 4.75, 3.0, 2.75, 2.0, 1.0, 0.5, 0.25),
           minPts = 2, minClusterSize = 3, continuous = true)
         s"""$body
            |SELECT e.id, coalesce(assigned.cluster, 'noise') AS cluster
            |FROM e LEFT JOIN assigned USING (id)
+           |ORDER BY id""".stripMargin
+      }),
+
+    // ---- M11 auto ladder COMPOSED: derivation → flat cut end-to-end --------
+    // The `--eps-ladder auto` path as one operator
+    // (Density.hdbscanFlatCutAuto): derive the ladder from the data's
+    // first-connection radii, then cut. Same 27-point known-geometry
+    // fixture as m11_hdbscan_exact — its distinct r_i are EXACTLY
+    // {2.0, 1.0, 0.5, 0.25} (tight-chain interiors 0.25, tight endpoints
+    // 0.5, loose interiors 1.0, loose endpoints 2.0 — minPts=2 cores),
+    // so levels=4 takes the full set and the composed ladder is known
+    // from geometry, SF-independent. The oracle replays BOTH stages:
+    // it re-derives the ladder in SQL (min reach per point over the
+    // body's `edges` — sound because every first-connection radius
+    // ≤ eps1 = the max radius, so the eps1-capped edge set attains
+    // each minimum), gates the output on the derived ladder matching
+    // the geometry constants (a derivation drift yields ZERO rows →
+    // hash mismatch), and runs the full flat-cut replay over those
+    // constants. Spark derives its ladder at runtime — a genuine
+    // derivation→cut composition on both sides.
+    "m11_hdbscan_auto" -> QueryDef(
+      (s, dir) => {
+        graft.similarity.Density.hdbscanFlatCutAuto(
+          chainFixture(s), levels = 4, minPts = 2, minClusterSize = 3)
+          .select(col("id"), coalesce(col("cluster"), lit("noise")).as("cluster"))
+          .orderBy("id")
+      },
+      Some {
+        val body = graft.similarity.Density.hdbscanFlatCutSql(
+          chainFixtureSql, epsLadder = Seq(2.0, 1.0, 0.5, 0.25),
+          minPts = 2, minClusterSize = 3)
+        s"""$body,
+           |rm2 AS (SELECT ia AS id, min(reach) AS r FROM edges GROUP BY 1),
+           |ranked2 AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS rn,
+           |                   count(*) OVER () AS dcount
+           |            FROM (SELECT DISTINCT r FROM rm2 WHERE r > 0)),
+           |picks2 AS (
+           |  SELECT DISTINCT rn FROM ranked2, (VALUES (0), (1), (2), (3)) k(k)
+           |  WHERE dcount > 4
+           |    AND rn = CAST(floor(k.k * (dcount - 1.0) / 3.0 + 0.5) AS BIGINT)
+           |  UNION
+           |  SELECT rn FROM ranked2 WHERE dcount <= 4),
+           |derived AS (SELECT row_number() OVER (ORDER BY r DESC) AS lvl, r AS eps
+           |            FROM ranked2 WHERE rn IN (SELECT rn FROM picks2)),
+           |expectedl(lvl, eps) AS (VALUES (1, 2.0::double), (2, 1.0::double),
+           |                               (3, 0.5::double), (4, 0.25::double)),
+           |ladder_ok AS (SELECT (SELECT count(*) FROM derived) = 4
+           |    AND count(*) = 4 AS ok
+           |  FROM derived dl JOIN expectedl x
+           |    ON dl.lvl = x.lvl AND abs(dl.eps - x.eps) < 1e-9)
+           |SELECT e.id, coalesce(assigned.cluster, 'noise') AS cluster
+           |FROM e LEFT JOIN assigned USING (id)
+           |WHERE (SELECT ok FROM ladder_ok)
            |ORDER BY id""".stripMargin
       }),
 

@@ -435,8 +435,15 @@ object Density {
     * string and the weight to double (the [[Dedup.components]] id
     * convention — the driver union-find reads typed rows). The result
     * is (a: string, b: string, w: double) with a < b, one row per
-    * forest edge. */
-  def boruvkaMst(edges: DataFrame, weightCol: String = "reach"): DataFrame = {
+    * forest edge.
+    *
+    * `maxDriverRows` bounds the driver-side contract (node count: the
+    * first round's per-component minima collect plus the n−1 forest
+    * rows) — the SAME guard [[hdbscanExact]] applies to its core rows,
+    * enforced here too so a direct caller on an oversized edge set
+    * fails loudly instead of OOMing the driver. */
+  def boruvkaMst(edges: DataFrame, weightCol: String = "reach",
+                 maxDriverRows: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
@@ -461,6 +468,11 @@ object Density {
     }
     val mstRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     var alive = nodes.count() // live component count
+    require(alive <= maxDriverRows,
+      s"boruvkaMst holds one driver row per node in its first round: " +
+        s"$alive exceeds maxDriverRows=$maxDriverRows — use the ladder " +
+        "forms (hdbscanFlatCut/auto keep the driver cluster-count-sized) " +
+        "at this scale")
     var done = alive <= 1L
     var rounds = 0
     while (!done && rounds < 64) {
@@ -540,7 +552,12 @@ object Density {
     * per core point plus the n−1 MST edges — VALUE-SET-sized (the
     * assigner feeds distinct attribute values, dimension-table
     * cardinality), guarded by `maxDriverRows` with a loud pointer to
-    * the ladder form beyond it. */
+    * the ladder form beyond it. The 5M default is MEASURED, not
+    * asserted (DensityCeilingRehearsal, 1M values / 985k MST rows on a
+    * 15,625-cluster fixture): the collects retain 109 MB and the
+    * condensed-tree arrays 104 MB — 213 bytes/row linear, so 5M rows ≈
+    * 1.1 GB driver heap (and the tree walk itself took 27 s at 1M,
+    * sort-dominated). Committed artifact: density_ceiling.json. */
   def hdbscanExact(
       emb: DataFrame, minPts: Int = 3, minClusterSize: Int = 2,
       lshPlanes: Int = 0, planeDims: Int = 16,
@@ -552,7 +569,7 @@ object Density {
       s"hdbscanExact holds one driver row per core point: $nCore exceeds " +
         s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
         "ladder form keeps the driver cluster-count-sized) at this scale")
-    val mst = boruvkaMst(edges)
+    val mst = boruvkaMst(edges, maxDriverRows = maxDriverRows)
     val mstRows = mst.collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val coreRows = core.collect()
@@ -579,9 +596,14 @@ object Density {
     * replays the exact form). */
   def completeLadder(
       emb: DataFrame, minPts: Int = 3, lshPlanes: Int = 0,
-      planeDims: Int = 16): Seq[Double] = {
+      planeDims: Int = 16, maxDriverRows: Long = 5000000L): Seq[Double] = {
     val (e, sym, core, edges) = coreReachEdges(emb, minPts, lshPlanes, planeDims)
-    val mst = boruvkaMst(edges)
+    val nCore = core.count()
+    require(nCore <= maxDriverRows,
+      s"completeLadder collects one distinct radius per core point plus " +
+        s"the MST: $nCore exceeds maxDriverRows=$maxDriverRows — use " +
+        "autoEpsLadder (levels-sized) at this scale")
+    val mst = boruvkaMst(edges, maxDriverRows = maxDriverRows)
     val radii = (mst.select(col("w").as("r"))
       .unionByName(core.select(col("_c").as("r"))))
       .filter(col("r") > 0).distinct().orderBy(col("r").desc)
@@ -615,7 +637,7 @@ object Density {
     * events — the [[hdbscanExact]] tail. Pure function of the
     * collected rows; O(n α(n)) union-find + O(#nodes) walks.
     * Returns (id → cluster) for clustered points only. */
-  private def exactDendrogram(
+  private[graft] def exactDendrogram( // private[graft]: DensityCeilingRehearsal stages it
       cores: Array[(String, Double)],
       mstEdges: Array[(String, String, Double)],
       mcs: Int): Seq[(String, String)] = {

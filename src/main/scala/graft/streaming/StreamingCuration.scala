@@ -76,7 +76,15 @@ object StreamingCuration {
     * so the horizon rule can be checked ON ACCESS — the timeout
     * callback alone fires only for batches where the group has NO
     * data, which would let a same-batch re-sight of expired content
-    * point at the stale canonical (public: janino). */
+    * point at the stale canonical (public: janino).
+    *
+    * CHECKPOINT COMPATIBILITY: the state type was a bare canonical-id
+    * `String` before the horizon-on-access fix; a TTL'd streaming
+    * query restarted from a checkpoint written by that build cannot
+    * decode its state rows — restart such a query from a FRESH
+    * checkpoint (the standard Spark rule for any stateful-schema
+    * change; unbounded-mode checkpoints, which hold no timeout state,
+    * break identically since the stored type changed). */
   final case class CanonState(id: String, lastSeenMs: Long)
 
   /** Per-document curation verdicts over a STREAM of documents against
@@ -210,8 +218,15 @@ object StreamingCuration {
               val times = docs.iterator.flatMap(d => Option(d.ts)).map(_.getTime)
               if (times.nonEmpty) {
                 val newest = times.max // single pass — `times` is an iterator
-                state.update(CanonState(state.get.id, newest))
-                state.setTimeoutTimestamp(newest + ttlMs)
+                // monotone in EVENT time, not batch order: with a
+                // nonzero watermark delay a later batch can carry older
+                // (still in-watermark) sightings of the same content —
+                // those must not move the horizon backward and expire
+                // the canonical before its true newest sighting + ttl.
+                // MinValue (no sighting yet) loses the max as intended.
+                val horizon = math.max(state.get.lastSeenMs, newest)
+                state.update(CanonState(state.get.id, horizon))
+                state.setTimeoutTimestamp(horizon + ttlMs)
               }
             }
             docs.iterator.map { d =>

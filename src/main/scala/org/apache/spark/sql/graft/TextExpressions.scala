@@ -245,7 +245,8 @@ object WindowHitCount {
   * Same mechanics as [[WindowHitCount]]: one static JVM method shared
   * by interpreted eval and codegen, precompiled `java.util.regex`
   * patterns, no interpreted higher-order functions. */
-case class TreebankTokenize(child: Expression) extends UnaryExpression {
+case class TreebankTokenize(child: Expression,
+    extraAbbrevs: Seq[String] = Nil) extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -256,15 +257,28 @@ case class TreebankTokenize(child: Expression) extends UnaryExpression {
       s"treebank_tokenize needs a string, got $other")
   }
 
+  // the user-supplied abbreviation set (`--abbrev-list`), normalized
+  // once per expression instance. Rides the serialized plan to the
+  // executors as part of the expression (and as a codegen reference
+  // object) — a driver-side mutable registry would NOT propagate to
+  // executor JVMs on a real cluster. Nil keeps the static fast path.
+  @transient private lazy val extraSet: java.util.HashSet[String] =
+    TreebankTokenize.normalizeAbbrevs(extraAbbrevs)
+
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      TreebankTokenize.tokenize(input.asInstanceOf[UTF8String].toString)
+      TreebankTokenize.tokenize(input.asInstanceOf[UTF8String].toString,
+          if (extraAbbrevs.isEmpty) null else extraSet)
         .map(UTF8String.fromString))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
+      val extra =
+        if (extraAbbrevs.isEmpty) "(java.util.HashSet) null"
+        else ctx.addReferenceObj("extraAbbrevs", extraSet,
+          "java.util.HashSet")
       s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
-        s"org.apache.spark.sql.graft.TreebankTokenize.tokenizeUtf8($s.toString()));"
+        s"org.apache.spark.sql.graft.TreebankTokenize.tokenizeUtf8($s.toString(), $extra));"
     })
 
   override protected def withNewChildInternal(newChild: Expression): TreebankTokenize =
@@ -325,6 +339,18 @@ object TreebankTokenize {
     s
   }
 
+  /** Lowercase + dedupe a user-supplied abbreviation list (the
+    * `--abbrev-list` contract: entries are matched like the static
+    * list — the word before '.', leading quotes/brackets stripped,
+    * case-insensitively; a trailing '.' in the entry is tolerated). */
+  def normalizeAbbrevs(extra: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    extra.iterator
+      .map(_.trim.stripSuffix(".").toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).foreach(s.add)
+    s
+  }
+
   /** Punkt-lite sentence segmentation — the published RULE subset of
     * what `nltk.word_tokenize` does before tokenizing (Punkt sentence
     * split, Kiss & Strunk 2006), with NO learned model: split after
@@ -339,7 +365,13 @@ object TreebankTokenize {
     * abbreviation that genuinely ends a sentence never splits here
     * (Punkt's orthographic sentence-starter heuristics decide that
     * case from corpus statistics). */
-  def sentences(text: String): Array[String] = {
+  def sentences(text: String): Array[String] = sentences(text, null)
+
+  /** [[sentences]] with a user-supplied extra abbreviation set (already
+    * normalized via [[normalizeAbbrevs]]; null = none) merged into the
+    * static guard — the `--abbrev-list` seam closing the residual for
+    * domain corpora whose abbreviations Punkt would LEARN. */
+  def sentences(text: String, extra: java.util.HashSet[String]): Array[String] = {
     val m = sentenceBoundary.matcher(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
@@ -358,10 +390,12 @@ object TreebankTokenize {
       // collide with the "st"/"rd" street abbreviations (ordinals end
       // sentences, exactly like NLTK)
       val core = word.dropWhile(c => !Character.isLetterOrDigit(c))
+      val lowered = core.toLowerCase(java.util.Locale.ROOT)
       val abbrev = isPeriod &&
         ((core.length == 1 && Character.isLetter(core.charAt(0))) ||
           word.contains('.') ||
-          abbreviations.contains(core.toLowerCase(java.util.Locale.ROOT)))
+          abbreviations.contains(lowered) ||
+          (extra != null && extra.contains(lowered)))
       if (!abbrev) {
         out += text.substring(start, m.end(1))
         start = m.end()
@@ -375,8 +409,10 @@ object TreebankTokenize {
     * `word_tokenize` parity — Punkt-lite sentence split, Treebank rules
     * per sentence. Single-phrase values (the blocking surface) take the
     * one-sentence fast path, bit-identical to the pre-split form. */
-  def tokenize(text: String): Array[String] = {
-    val ss = sentences(text)
+  def tokenize(text: String): Array[String] = tokenize(text, null)
+
+  def tokenize(text: String, extra: java.util.HashSet[String]): Array[String] = {
+    val ss = sentences(text, extra)
     if (ss.length <= 1) tokenizeSentence(text)
     else ss.flatMap(tokenizeSentence)
   }
@@ -397,7 +433,11 @@ object TreebankTokenize {
   }
 
   def tokenizeUtf8(text: String): Array[UTF8String] =
-    tokenize(text).map(UTF8String.fromString)
+    tokenize(text, null).map(UTF8String.fromString)
+
+  def tokenizeUtf8(text: String,
+      extra: java.util.HashSet[String]): Array[UTF8String] =
+    tokenize(text, extra).map(UTF8String.fromString)
 }
 
 /** `char_grams(text, q)` — all character q-grams of `text`, in order,
@@ -478,8 +518,9 @@ object TextOps {
   def windowHitCount(c: Column, n: Int, grams: Seq[String]): Column =
     ExpressionUtils.column(WindowHitCount(ExpressionUtils.expression(c), n, grams))
 
-  def treebankTokenize(c: Column): Column =
-    ExpressionUtils.column(TreebankTokenize(ExpressionUtils.expression(c)))
+  def treebankTokenize(c: Column, extraAbbrevs: Seq[String] = Nil): Column =
+    ExpressionUtils.column(
+      TreebankTokenize(ExpressionUtils.expression(c), extraAbbrevs))
 
   def charGrams(c: Column, q: Int): Column =
     ExpressionUtils.column(CharGrams(ExpressionUtils.expression(c), q))

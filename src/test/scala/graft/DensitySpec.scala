@@ -237,6 +237,42 @@ class DensitySpec extends SparkSpec {
     assert(got2 == got, s"one-direction input drifted: $got2")
   }
 
+  test("autoEpsLadder on the chain fixture derives the closed-form radii") {
+    // the m11_hdbscan_auto geometry: tight 6/5-chains @0.25 (interior
+    // r=0.25, endpoints 0.5) + a loose 5-chain @1.0 (interior 1.0,
+    // endpoints 2.0) → distinct first-connection radii are exactly
+    // {2.0, 1.0, 0.5, 0.25}; levels=4 takes the full set, descending
+    val pts = (0 until 27).map { i =>
+      val x =
+        if (i < 6) i * 0.25
+        else if (i < 12) 4.0 + (i - 6) * 0.25
+        else if (i < 17) 10.0 + (i - 12) * 0.25
+        else if (i < 22) 14.0 + (i - 17) * 0.25
+        else 20.0 + (i - 22) * 1.0
+      (f"e$i%02d", Seq(x, 0.0))
+    }
+    val ladder = Density.autoEpsLadder(pts.toDF("id", "vec"),
+      levels = 4, minPts = 2)
+    assert(ladder == Seq(2.0, 1.0, 0.5, 0.25), ladder.toString)
+  }
+
+  test("boruvkaMst and completeLadder enforce the maxDriverRows guard loudly") {
+    // the same driver-size contract hdbscanExact states: direct callers
+    // on an oversized input must fail with the ladder-form pointer, not
+    // OOM the driver silently
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 2.0))
+      .toDF("id_a", "id_b", "reach")
+    val ex = intercept[IllegalArgumentException] {
+      Density.boruvkaMst(edges, maxDriverRows = 2L)
+    }
+    assert(ex.getMessage.contains("maxDriverRows"), ex.getMessage)
+    val e = hier.toDF("id", "vec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Density.completeLadder(e, minPts = 2, maxDriverRows = 3L)
+    }
+    assert(ex2.getMessage.contains("autoEpsLadder"), ex2.getMessage)
+  }
+
   test("hdbscanExact equals the flat cut over the complete ladder (continuous λ)") {
     val e = hier.toDF("id", "vec")
     val ladder = Density.completeLadder(e, minPts = 2)

@@ -174,6 +174,59 @@ class NltkTokenizerSpec extends SparkSpec {
     assert(a.contains("1973") && !a.contains("11-12-1973"))
   }
 
+  test("user-supplied abbreviation list guards splits the static list misses") {
+    import org.apache.spark.sql.graft.TreebankTokenize
+    // "Fig." before a capital is NOT in the static list → splits...
+    assert(TreebankTokenize.sentences("As shown in Fig. A the value rises.").toList ==
+      List("As shown in Fig.", "A the value rises."))
+    // ...and a user list closes it (normalization: case + trailing '.')
+    val extra = TreebankTokenize.normalizeAbbrevs(Seq("Fig.", "al"))
+    assert(TreebankTokenize.sentences("As shown in Fig. A the value rises.", extra).toList ==
+      List("As shown in Fig. A the value rises."))
+    assert(TreebankTokenize.sentences("Smith et al. Reported this first.", extra).toList ==
+      List("Smith et al. Reported this first."))
+    // the static guard keeps working alongside the extra set
+    assert(TreebankTokenize.sentences("Mr. Smith agreed. So did I.", extra).toList ==
+      List("Mr. Smith agreed.", "So did I."))
+    // through the Column seam: the boundary '.' token disappears from
+    // the guarded form (minLength=1 keeps periods visible)
+    def toks(extraAbbrevs: Seq[String]) =
+      Seq(("x", "See Fig. Two for details."))
+        .toDF("id", "t")
+        .select(Text.nltkTokenize(col("t"), minLength = 1,
+          stopwords = Nil, extraAbbrevs = extraAbbrevs).as("k"))
+        .head.getSeq[String](0).toList
+    assert(toks(Nil) == List("See", "Fig", ".", "Two", "for", "details", "."))
+    assert(toks(Seq("fig")) == List("See", "Fig.", "Two", "for", "details", "."))
+  }
+
+  test("Experiment --abbrev-list threads the file into the nltk seam") {
+    spark.range(1).count() // force the shared session (readAbbrevList resolves SparkSession.active)
+    val f = java.nio.file.Files.createTempFile("abbrevs", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# domain abbreviations\nFig.\n\nal\n")
+    try {
+      val c = Experiment.parseArgs(Array(
+        "--data", "x", "--blocker", "token", "--out", "y",
+        "--tokenizer", "nltk", "--abbrev-list", f.toString))
+      assert(c.abbrevList.contains(f.toString))
+      val entries = Experiment.readAbbrevList(f.toString)
+      assert(entries == Seq("Fig.", "al"), entries.toString)
+      // the composed tokenizer keeps "Fig." whole before a capital
+      val tok = Experiment.tokenizerFor(c).get
+      // default gate: minLength 3 + stopwords ("for" drops, "." drops)
+      val got = Seq(("x", "See Fig. Two for details."))
+        .toDF("id", "t").select(tok(col("t")).as("k"))
+        .head.getSeq[String](0).toList
+      assert(got == List("See", "Fig.", "Two", "details"))
+      // --abbrev-list without the nltk tokenizer is a loud error, not a no-op
+      val ex = intercept[IllegalArgumentException] {
+        Experiment.tokenizerFor(c.copy(tokenizer = "regex"))
+      }
+      assert(ex.getMessage.contains("abbrev-list"), ex.getMessage)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("Experiment --tokenizer nltk reaches the token blocker") {
     val c = Experiment.parseArgs(Array(
       "--data", "x", "--blocker", "token", "--out", "y",

@@ -904,6 +904,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation stateTtl: an older in-watermark re-sight never moves the horizon backward") {
+    // monotone-horizon rule: with a nonzero watermark delay a later
+    // batch can carry an OLDER (still in-watermark) sighting of the
+    // same content; lastSeenMs must take math.max, not the batch's
+    // value — otherwise the 10:00 re-sight below drags the canonical's
+    // horizon from 12:00+ttl=14:30 back to 10:00+ttl=12:30 and the
+    // 17:40 re-sight (wm 13:30) finds it expired and re-admits.
+    // Contract: the canonical lives to its NEWEST sighting + ttl.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val textA = "the quick brown fox jumps"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sq = graft.streaming.StreamingCuration.verdicts(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        curationBench.toDF("doc_id", "text"),
+        allowedLangs = Seq("en"), contamN = 3,
+        minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+        stateTtl = Some("150 minutes"), tsCol = "ts",
+        watermark = "4 hours")
+      .writeStream.format("memory").queryName("cur_ttl_mono")
+      .outputMode("append").start()
+    def got(): Map[String, graft.streaming.StreamingCuration.CurationVerdict] =
+      spark.table("cur_ttl_mono")
+        .as[graft.streaming.StreamingCuration.CurationVerdict]
+        .collect().map(v => v.id -> v).toMap
+    try {
+      mem.addData((1L, textA, ts("2024-01-01 12:00:00")))
+      sq.processAllAvailable() // canonical 1; newest sighting 12:00
+      assert(got()("1").keep, got().toString)
+      // older re-sight, in-watermark (wm is 8:00 after batch 1): a dup,
+      // and it must NOT pull the horizon back to 10:00 + 150 min
+      mem.addData((4L, textA, ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      assert(got()("4").dup_of == Some("1"), got().toString)
+      // filler: wm becomes 17:30 − 4 h = 13:30 — past the BACKWARD
+      // horizon (12:30) but inside the true one (14:30)
+      mem.addData((7L, "the other words entirely here", ts("2024-01-01 17:30:00")))
+      sq.processAllAvailable()
+      mem.addData((9L, textA, ts("2024-01-01 17:40:00")))
+      sq.processAllAvailable()
+      assert(got()("9").drop_stage.contains("duplicate")
+        && got()("9").dup_of.contains("1"),
+        s"horizon must be monotone in event time: ${got()("9")}")
+    } finally {
+      sq.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    }
+  }
+
   test("streamMinHashNearDup pairs new docs against bucket state across batches") {
     import graft.streaming.StreamingOps.{DocRecord, NearDupPair}
     implicit val sqlCtx = spark.sqlContext
