@@ -1279,8 +1279,12 @@ object SimilarityQueries {
     // derivation→cut composition on both sides.
     "m11_hdbscan_auto" -> QueryDef(
       (s, dir) => {
+        // coalesce(1): the fixture is 27 rows — the composed path runs
+        // TWO distance passes plus 4 per-level closure loops, and at 32
+        // shuffle partitions the row is pure task-scheduling overhead
+        // (measured 13.6 s → ~4 s single-partition, identical result)
         graft.similarity.Density.hdbscanFlatCutAuto(
-          chainFixture(s), levels = 4, minPts = 2, minClusterSize = 3)
+          chainFixture(s).coalesce(1), levels = 4, minPts = 2, minClusterSize = 3)
           .select(col("id"), coalesce(col("cluster"), lit("noise")).as("cluster"))
           .orderBy("id")
       },

@@ -207,6 +207,17 @@ object Density {
       lshPlanes: Int = 0, planeDims: Int = 16): Seq[Double] = {
     require(levels >= 2, "auto ladder needs at least 2 levels")
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    val vals = autoEpsLadderOn(sym, levels, minPts)
+    e.unpersist(); sym.unpersist()
+    vals
+  }
+
+  /** [[autoEpsLadder]]'s derivation over an already-built symmetric
+    * distance frame — the composed `--eps-ladder auto` path shares ONE
+    * distance pass between derivation and cut (it is the dominant cost
+    * of both). Caller owns `sym`'s persist. */
+  private def autoEpsLadderOn(
+      sym: DataFrame, levels: Int, minPts: Int): Seq[Double] = {
     val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
     val core = sym.withColumn("_r", row_number().over(w))
       .filter(col("_r") === minPts)
@@ -223,7 +234,6 @@ object Density {
     // loses nothing
     val vals = rmin.select("r").distinct().orderBy("r")
       .collect().map(_.getDouble(0)).filter(_ > 0.0)
-    e.unpersist(); sym.unpersist()
     if (vals.isEmpty) Seq.empty
     else if (vals.length <= levels) vals.toSeq.reverse
     else {
@@ -235,20 +245,27 @@ object Density {
   }
 
   /** [[hdbscanFlatCut]] with the [[autoEpsLadder]]-derived ladder — the
-    * `--eps-ladder auto` form. Pays one extra distance pass for the
-    * derivation (value-set-sized input by the assigner contract); an
-    * all-noise derivation (no core points anywhere) short-circuits to
-    * all-NULL labels, matching a never-clustering hierarchy. */
+    * `--eps-ladder auto` form. Derivation and cut share ONE distance
+    * pass (the dominant cost of both — the composed form costs one
+    * extra min-reach aggregate over the cut alone, not a second
+    * all-pairs/bucket join); an all-noise derivation (no core points
+    * anywhere) short-circuits to all-NULL labels, matching a
+    * never-clustering hierarchy. */
   def hdbscanFlatCutAuto(
       emb: DataFrame, levels: Int = 5, minPts: Int = 3,
       minClusterSize: Int = 2, lshPlanes: Int = 0,
       planeDims: Int = 16): DataFrame = {
-    val ladder = autoEpsLadder(emb, levels, minPts, lshPlanes, planeDims)
+    require(levels >= 2, "auto ladder needs at least 2 levels")
+    require(minPts >= 1, "minPts must be >= 1")
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    val ladder = autoEpsLadderOn(sym, levels, minPts)
     if (ladder.isEmpty) {
+      e.unpersist(); sym.unpersist()
       val Array(idC, _) = emb.columns.take(2)
       emb.select(col(idC).cast("string").as("id"),
         lit(null).cast("string").as("cluster"))
-    } else hdbscanFlatCut(emb, ladder, minPts, minClusterSize, lshPlanes, planeDims)
+    } else hdbscanFlatCutOn(e, sym, ladder, minPts, minClusterSize,
+      continuous = false)
   }
 
   def hdbscanFlatCut(
@@ -256,6 +273,16 @@ object Density {
       minClusterSize: Int = 2, lshPlanes: Int = 0,
       planeDims: Int = 16, continuous: Boolean = false): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
+    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
+    hdbscanFlatCutOn(e, sym, epsLadder, minPts, minClusterSize, continuous)
+  }
+
+  /** [[hdbscanFlatCut]] over an already-built (points, symmetric
+    * distances) pair — releases BOTH via the output's CacheScope seal
+    * (the composed auto path hands its shared pass here). */
+  private def hdbscanFlatCutOn(
+      e: DataFrame, sym: DataFrame, epsLadder: Seq[Double], minPts: Int,
+      minClusterSize: Int, continuous: Boolean): DataFrame = {
     require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
       epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
       "epsLadder must be strictly descending positive radii")
@@ -274,7 +301,6 @@ object Density {
       else (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
     val epsMax = epsLadder.head
 
-    val (e, sym) = symDistances(emb, lshPlanes, planeDims)
     val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
     // core distances once; only c ≤ eps_max can ever matter
     val core = sym.withColumn("_r", row_number().over(w))
@@ -385,7 +411,7 @@ object Density {
         if (n == -1) None
         else Some((l, lab, s"${nodes(n).birthLevel}:${nodes(n).birthLabel}"))
     }
-    val spark = emb.sparkSession
+    val spark = e.sparkSession
     import scala.jdk.CollectionConverters._
     val coverDf = spark.createDataFrame(
       coverLabel.map { case (l, lab, c) =>
