@@ -22,6 +22,7 @@ import graft.similarity.Similarity
   *   [--embeddings /tmp/emb] [--force-encode] \
   *   [--sample-mod N] [--no-clean] [--no-write] \
   *   [--hubness csls|nicdm|ls|mp|dsl] [--hubness-candidates N] \
+  *   [--tokenizer regex|nltk] [--abbrev-list /path/abbrevs.txt] \
   *   [blocker params...]
   * }}}
   *
