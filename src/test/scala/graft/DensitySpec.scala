@@ -237,6 +237,24 @@ class DensitySpec extends SparkSpec {
     assert(got2 == got, s"one-direction input drifted: $got2")
   }
 
+  test("boruvkaMst: multi-edges, equal-weight ties, and disconnected forests contract losslessly") {
+    // parallel edges between the same endpoints (the contraction keeps
+    // the per-pair minimum), an equal-weight tie broken by the
+    // (w, na, nb) total order, and a disconnected component
+    val edges = Seq(
+      ("a", "b", 5.0), ("b", "a", 1.0), ("a", "b", 3.0), // multi-edge: min 1.0 wins
+      ("b", "c", 2.0), ("c", "b", 2.0),                  // same edge both ways
+      ("a", "c", 2.0),                                   // tie with (b,c): (a,c) < (b,c)
+      ("x", "y", 7.0), ("x", "x", 9.0))                  // second tree + self-loop
+      .toDF("id_a", "id_b", "reach")
+    val got = Density.boruvkaMst(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // the MSF: (a,b,1.0), then one of the weight-2 edges per the total
+    // order — (a,c,2.0) sorts before (b,c,2.0); (x,y,7.0) for the
+    // second tree; the self-loop never appears
+    assert(got == Set(("a", "b", 1.0), ("a", "c", 2.0), ("x", "y", 7.0)), got.toString)
+  }
+
   test("autoEpsLadder on the chain fixture derives the closed-form radii") {
     // the m11_hdbscan_auto geometry: tight 6/5-chains @0.25 (interior
     // r=0.25, endpoints 0.5) + a loose 5-chain @1.0 (interior 1.0,
