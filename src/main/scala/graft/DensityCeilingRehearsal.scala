@@ -1,11 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Num, Text, Vectors}
-import graft.similarity.{Density, Similarity}
+import graft.functions.Text
+import graft.similarity.Density
 
 /** Measures [[graft.similarity.Density.hdbscanExact]]'s DRIVER ceiling —
   * the one contract the operator states but (before this) never measured
@@ -22,9 +21,14 @@ import graft.similarity.{Density, Similarity}
   * stays distributed-cheap while the DRIVER sees the full n: n core
   * rows, ~n − clusters MST forest rows, 2n tree slots. That isolates
   * exactly what the guard bounds; a same-JVM local-mode run would
-  * otherwise fold executor shuffle memory into the "driver" number, so
-  * the driver stages are measured BETWEEN Spark jobs (post-GC retained
-  * deltas), with a 50 ms peak sampler for the in-stage transient.
+  * otherwise fold executor memory into the "driver" number, so
+  * RETENTION is measured by drop-and-diff — heap with the structure
+  * reachable, null it, re-GC, difference — which is immune to the
+  * surrounding Spark stages' GC noise (a before/after-stage delta is
+  * not: one cut of this read NEGATIVE retention off leftover executor
+  * litter in the baseline). A 50 ms sampler reports the tree walk's
+  * transient allocation burst separately — observed without GC
+  * pressure, it is mostly reclaimable garbage, not required heap.
   *
   *   runMain graft.DensityCeilingRehearsal [values=1000000] [B=64]
   *
@@ -84,70 +88,78 @@ object DensityCeilingRehearsal {
         ).as("vec"))
       .select(format_string("v%09d", col("id")).as("id"), col("vec"))
 
-    // ---- the operator's own bucketed distance/core/reach construction
-    // (Density.coreReachEdges with lshPlanes=24, planeDims=16) ----------
-    val withB = emb.withColumn("_b",
-      Similarity.hyperplaneBucket(slice(col("vec"), 1, 16), planes, 16))
-    val dists = withB.select(col("_b"), col("id").as("ia"), col("vec").as("va"))
-      .join(withB.select(col("_b"), col("id").as("ib"), col("vec").as("vb")),
-        Seq("_b"))
-      .filter(col("ia") < col("ib")).drop("_b")
-      .select(col("ia"), col("ib"),
-        Num.stableRound(sqrt(Vectors.sqDist(col("va"), col("vb"))), 6).as("d"))
-    val sym = dists.unionByName(
-      dists.select(col("ib").as("ia"), col("ia").as("ib"), col("d"))).persist()
-    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
-    val core = sym.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 2)
-      .select(col("ia").as("id"), col("d").as("_c")).persist()
-    val edges = sym
-      .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
-      .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        greatest(col("_ca"), col("_cb"), col("d")).as("reach"))
+    // ---- the operator's OWN construction, not a copy: stage the real
+    // Density.coreReachEdges (bucketed, lshPlanes=24/planeDims=16,
+    // minPts=2) so the measured ceiling can never drift from what
+    // hdbscanExact actually runs
+    val (_, sym, core, edges) =
+      Density.coreReachEdges(emb, minPts = 2, lshPlanes = planes, planeDims = 16)
     val (nPairs, wallEdges) = timed("distance+core (distributed)") {
       core.count(); sym.count() / 2
     }
 
     // ---- stage A: Borůvka MST (driver retains the n−1 forest rows) --------
-    val h0 = gcHeapMb()
-    peakMb = h0
     val (mst, wallMst) = timed("boruvkaMst") {
       val m = Density.boruvkaMst(edges)
       m.persist().count()
       m
     }
-    val hMst = gcHeapMb()
 
     // ---- stage B: the hdbscanExact collects (core + MST on the driver) ----
-    val ((coreArr, mstArr), wallCollect) = timed("driver collects") {
-      (core.collect().map(r => (r.getString(0), r.getDouble(1))),
-        mst.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))))
+    // collected straight into vars: retention is measured by nulling
+    // these below, so NO other val may pin the arrays
+    var coreArr: Array[(String, Double)] = null
+    var mstArr: Array[(String, String, Double)] = null
+    val (_, wallCollect) = timed("driver collects") {
+      coreArr = core.collect().map(r => (r.getString(0), r.getDouble(1)))
+      mstArr = mst.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     }
-    val hCollected = gcHeapMb()
+    // drop the MST DataFrame's in-heap columnar cache: in local mode
+    // executor storage shares the JVM, and the contract being measured
+    // is the DRIVER arrays, not a cache the real operator also releases
+    mst.unpersist(blocking = true)
+    val nCore = coreArr.length
+    val nMst = mstArr.length
 
     // ---- stage C: condensed tree (the 2n-slot arrays + ladder + labels) ---
-    val (assigned, wallTree) = timed("exactDendrogram") {
-      Density.exactDendrogram(coreArr, mstArr, 2)
+    val hPreTree = gcHeapMb()
+    peakMb = hPreTree
+    var assigned: Seq[(String, String)] = null
+    val (_, wallTree) = timed("exactDendrogram") {
+      assigned = Density.exactDendrogram(coreArr, mstArr, 2)
     }
-    val hTree = gcHeapMb()
+    val treePeakMb = peakMb - hPreTree // the 2n working arrays, transient
     val clustered = assigned.size
 
-    val inputsMb = hCollected - h0
-    val treeMb = hTree - hCollected
-    val peak = peakMb
-    // linear driver contract → the 5M-default extrapolation
-    val perRowBytes = (hTree - h0) * 1e6 / coreArr.length
+    // ---- retention by DROP-AND-DIFF: heap with a structure reachable
+    // minus heap after nulling it — immune to the surrounding Spark
+    // stages' GC noise that a before/after-the-stage delta picks up
+    // (an earlier cut of this measured a NEGATIVE input retention
+    // because the pre-Borůvka baseline still held executor litter)
+    val hAll = gcHeapMb()
+    assigned = null
+    val hNoAssigned = gcHeapMb()
+    coreArr = null; mstArr = null
+    val hNone = gcHeapMb()
+    val outputMb = hAll - hNoAssigned
+    val inputsMb = hNoAssigned - hNone
+    // linear driver contract → the 5M-default extrapolation from the
+    // RETAINED structures (inputs + labels; drop-and-diff, exact). The
+    // tree stage's transient burst is reported separately: it is
+    // observed WITHOUT GC pressure, so it is mostly reclaimable
+    // garbage (sort copies, iterator tuples), not required heap
+    val perRowBytes = (hAll - hNone) * 1e6 / nCore
     val at5mGb = perRowBytes * 5e6 / 1e9
     val json =
       s"""{"metric":"density_ceiling","values":$n,"clusters":$clusters,""" +
-        s""""pairs":$nPairs,"core_rows":${coreArr.length},"mst_rows":${mstArr.length},""" +
+        s""""pairs":$nPairs,"core_rows":$nCore,"mst_rows":$nMst,""" +
         s""""clustered":$clustered,""" +
         s""""wall_edges_s":${f"$wallEdges%.1f"},"wall_mst_s":${f"$wallMst%.1f"},""" +
         s""""wall_collect_s":${f"$wallCollect%.1f"},"wall_tree_s":${f"$wallTree%.1f"},""" +
-        s""""heap_base_mb":${f"$h0%.0f"},"heap_after_mst_mb":${f"$hMst%.0f"},""" +
         s""""heap_inputs_retained_mb":${f"$inputsMb%.0f"},""" +
-        s""""heap_tree_retained_mb":${f"$treeMb%.0f"},"heap_peak_mb":${f"$peak%.0f"},""" +
+        s""""heap_labels_retained_mb":${f"$outputMb%.0f"},""" +
+        s""""heap_tree_transient_mb":${f"$treePeakMb%.0f"},""" +
         s""""per_row_bytes":${f"$perRowBytes%.0f"},"extrapolated_5m_gb":${f"$at5mGb%.1f"}}"""
     println(json)
     java.nio.file.Files.write(

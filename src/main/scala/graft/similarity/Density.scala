@@ -207,9 +207,20 @@ object Density {
       lshPlanes: Int = 0, planeDims: Int = 16): Seq[Double] = {
     require(levels >= 2, "auto ladder needs at least 2 levels")
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
-    val vals = autoEpsLadderOn(sym, levels, minPts)
+    val vals = autoEpsLadderOn(sym, uncappedCore(sym, minPts), levels)
     e.unpersist(); sym.unpersist()
     vals
+  }
+
+  /** The UNCAPPED minPts-th-neighbor core distances of a symmetric
+    * distance frame — the one window every density form starts from
+    * (the capped forms filter it by their eps). Shared so the composed
+    * auto path computes it ONCE for derivation and cut. */
+  private def uncappedCore(sym: DataFrame, minPts: Int): DataFrame = {
+    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
+    sym.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === minPts)
+      .select(col("ia").as("id"), col("d").as("_c"))
   }
 
   /** [[autoEpsLadder]]'s derivation over an already-built symmetric
@@ -217,11 +228,7 @@ object Density {
     * distance pass between derivation and cut (it is the dominant cost
     * of both). Caller owns `sym`'s persist. */
   private def autoEpsLadderOn(
-      sym: DataFrame, levels: Int, minPts: Int): Seq[Double] = {
-    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
-    val core = sym.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === minPts)
-      .select(col("ia").as("id"), col("d").as("_c"))
+      sym: DataFrame, core: DataFrame, levels: Int): Seq[Double] = {
     val rmin = sym
       .join(core.select(col("id").as("ia"), col("_c").as("_ca")), Seq("ia"))
       .join(core.select(col("id").as("ib"), col("_c").as("_cb")), Seq("ib"))
@@ -258,14 +265,18 @@ object Density {
     require(levels >= 2, "auto ladder needs at least 2 levels")
     require(minPts >= 1, "minPts must be >= 1")
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
-    val ladder = autoEpsLadderOn(sym, levels, minPts)
+    // the uncapped core window is shared too: the cut's core is exactly
+    // this filtered to _c <= eps_max, so the composed path pays ONE
+    // window sort, not two
+    val core0 = uncappedCore(sym, minPts).persist()
+    val ladder = autoEpsLadderOn(sym, core0, levels)
     if (ladder.isEmpty) {
-      e.unpersist(); sym.unpersist()
+      e.unpersist(); sym.unpersist(); core0.unpersist()
       val Array(idC, _) = emb.columns.take(2)
       emb.select(col(idC).cast("string").as("id"),
         lit(null).cast("string").as("cluster"))
     } else hdbscanFlatCutOn(e, sym, ladder, minPts, minClusterSize,
-      continuous = false)
+      continuous = false, sharedCore = Some(core0))
   }
 
   def hdbscanFlatCut(
@@ -282,7 +293,8 @@ object Density {
     * (the composed auto path hands its shared pass here). */
   private def hdbscanFlatCutOn(
       e: DataFrame, sym: DataFrame, epsLadder: Seq[Double], minPts: Int,
-      minClusterSize: Int, continuous: Boolean): DataFrame = {
+      minClusterSize: Int, continuous: Boolean,
+      sharedCore: Option[DataFrame] = None): DataFrame = {
     require(epsLadder.nonEmpty && epsLadder.forall(_ > 0) &&
       epsLadder.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
       "epsLadder must be strictly descending positive radii")
@@ -301,11 +313,11 @@ object Density {
       else (if (l >= levels) lambda(levels - 1) else lambda(l)) - lambda(l - 1)
     val epsMax = epsLadder.head
 
-    val w = Window.partitionBy("ia").orderBy(col("d").asc, col("ib").asc)
-    // core distances once; only c ≤ eps_max can ever matter
-    val core = sym.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === minPts && col("d") <= epsMax)
-      .select(col("ia").as("id"), col("d").as("_c"))
+    // core distances once; only c ≤ eps_max can ever matter. A caller
+    // that already paid the uncapped window (the composed auto path)
+    // hands it in; the cut is then just the eps_max filter of it.
+    val core = sharedCore.map(_.filter(col("_c") <= epsMax))
+      .getOrElse(uncappedCore(sym, minPts).filter(col("_c") <= epsMax))
       .persist()
     // mutual-reachability edges at the COARSEST level; per-level edges
     // are a filter on `reach` (reach ≤ eps_l implies both ends core at l)
@@ -435,7 +447,8 @@ object Density {
     // cache too, and a long session running many ladder clusterings
     // would accumulate executor storage until ContextCleaner GC —
     // release them with the plain persists once the output is sealed.
-    graft.core.CacheScope.seal(out, e, sym, core, edges, m)
+    graft.core.CacheScope.seal(out,
+      Seq(e, sym, core, edges, m) ++ sharedCore: _*)
   }
 
   /** Minimum spanning forest of a weighted graph by distributed
@@ -511,11 +524,14 @@ object Density {
     }
     val mstRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     var alive = cur.select(col("ca")).distinct().count() // live components
-    require(alive <= maxDriverRows,
-      s"boruvkaMst holds one driver row per node in its first round: " +
-        s"$alive exceeds maxDriverRows=$maxDriverRows — use the ladder " +
-        "forms (hdbscanFlatCut/auto keep the driver cluster-count-sized) " +
-        "at this scale")
+    if (alive > maxDriverRows) {
+      release(cur) // the guard path must not strand the checkpoint blocks
+      throw new IllegalArgumentException(
+        s"boruvkaMst holds one driver row per node in its first round: " +
+          s"$alive exceeds maxDriverRows=$maxDriverRows — use the ladder " +
+          "forms (hdbscanFlatCut/auto keep the driver cluster-count-sized) " +
+          "at this scale")
+    }
     var done = alive <= 1L
     var rounds = 0
     while (!done && rounds < 64) {
@@ -604,10 +620,14 @@ object Density {
     * cardinality), guarded by `maxDriverRows` with a loud pointer to
     * the ladder form beyond it. The 5M default is MEASURED, not
     * asserted (DensityCeilingRehearsal, 1M values / 985k MST rows on a
-    * 15,625-cluster fixture): the collects retain 109 MB and the
-    * condensed-tree arrays 104 MB — ~220 bytes/row linear, so 5M rows ≈
-    * 1.1 GB driver heap (and the tree walk itself took ~24 s at 1M,
-    * sort-dominated). Committed artifact: density_ceiling.json. */
+    * 15,625-cluster fixture; retention by drop-and-diff — null the
+    * structure, re-GC, difference): the collected core+MST tuples
+    * retain 270 MB and the label output 104 MB — 374 bytes/row linear,
+    * so 5M rows ≈ 1.9 GB retained driver heap; the condensed-tree
+    * walk's transient allocation burst observed ≤ 1.3 GB at 1M without
+    * GC pressure (sort copies and iterator tuples — reclaimable), and
+    * the walk took ~10-40 s. Both fit the 24g driver profile at the 5M
+    * default with ample headroom. Artifact: density_ceiling.json. */
   def hdbscanExact(
       emb: DataFrame, minPts: Int = 3, minClusterSize: Int = 2,
       lshPlanes: Int = 0, planeDims: Int = 16,
@@ -615,10 +635,13 @@ object Density {
     require(minPts >= 1, "minPts must be >= 1")
     val (e, sym, core, edges) = coreReachEdges(emb, minPts, lshPlanes, planeDims)
     val nCore = core.count()
-    require(nCore <= maxDriverRows,
-      s"hdbscanExact holds one driver row per core point: $nCore exceeds " +
-        s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
-        "ladder form keeps the driver cluster-count-sized) at this scale")
+    if (nCore > maxDriverRows) {
+      e.unpersist(); sym.unpersist(); core.unpersist() // no stranded caches on the guard path
+      throw new IllegalArgumentException(
+        s"hdbscanExact holds one driver row per core point: $nCore exceeds " +
+          s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
+          "ladder form keeps the driver cluster-count-sized) at this scale")
+    }
     val mst = boruvkaMst(edges, maxDriverRows = maxDriverRows)
     val mstRows = mst.collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
@@ -649,10 +672,13 @@ object Density {
       planeDims: Int = 16, maxDriverRows: Long = 5000000L): Seq[Double] = {
     val (e, sym, core, edges) = coreReachEdges(emb, minPts, lshPlanes, planeDims)
     val nCore = core.count()
-    require(nCore <= maxDriverRows,
-      s"completeLadder collects one distinct radius per core point plus " +
-        s"the MST: $nCore exceeds maxDriverRows=$maxDriverRows — use " +
-        "autoEpsLadder (levels-sized) at this scale")
+    if (nCore > maxDriverRows) {
+      e.unpersist(); sym.unpersist(); core.unpersist() // no stranded caches on the guard path
+      throw new IllegalArgumentException(
+        s"completeLadder collects one distinct radius per core point plus " +
+          s"the MST: $nCore exceeds maxDriverRows=$maxDriverRows — use " +
+          "autoEpsLadder (levels-sized) at this scale")
+    }
     val mst = boruvkaMst(edges, maxDriverRows = maxDriverRows)
     val radii = (mst.select(col("w").as("r"))
       .unionByName(core.select(col("_c").as("r"))))
@@ -667,7 +693,7 @@ object Density {
     * for the exact-hierarchy forms (no eps cap: the exact hierarchy
     * runs to the all-merging root) — (e, sym, core, reach edges) with
     * e/sym/core persisted; the CALLER releases all three. */
-  private def coreReachEdges(
+  private[graft] def coreReachEdges( // private[graft]: DensityCeilingRehearsal stages it
       emb: DataFrame, minPts: Int, lshPlanes: Int, planeDims: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (e, sym) = symDistances(emb, lshPlanes, planeDims)
