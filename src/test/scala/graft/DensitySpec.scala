@@ -255,6 +255,36 @@ class DensitySpec extends SparkSpec {
     assert(got == Set(("a", "b", 1.0), ("a", "c", 2.0), ("x", "y", 7.0)), got.toString)
   }
 
+  test("boruvkaMst equals an independent driver-side Kruskal on random tie-heavy graphs") {
+    // both algorithms respect the SAME total order (w, na, nb), under
+    // which the MSF is unique (ties become distinct keys) — so the
+    // distributed contracted Borůvka must emit exactly the forest a
+    // 20-line reference Kruskal does. Small integer weights force many
+    // ties; 30% density leaves some graphs disconnected.
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = for {
+        i <- 0 until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.3
+      } yield (f"n$i%02d", f"n$j%02d", (rnd.nextInt(8) + 1).toDouble)
+      if (edges.nonEmpty) {
+        val got = Density.boruvkaMst(edges.toDF("id_a", "id_b", "reach"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+        val uf = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x; while (uf.getOrElse(r, r) != r) r = uf(r); uf(x) = r; r
+        }
+        val expected = edges.sortBy { case (a, b, w) => (w, a, b) }
+          .flatMap { case (a, b, w) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra == rb) None else { uf(rb) = ra; Some((a, b, w)) }
+          }.toSet
+        assert(got == expected, s"round $round (n=$n, |E|=${edges.size})")
+      }
+    }
+  }
+
   test("autoEpsLadder on the chain fixture derives the closed-form radii") {
     // the m11_hdbscan_auto geometry: tight 6/5-chains @0.25 (interior
     // r=0.25, endpoints 0.5) + a loose 5-chain @1.0 (interior 1.0,
