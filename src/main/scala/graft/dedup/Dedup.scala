@@ -27,30 +27,6 @@ object Dedup {
       .filter(col("n") >= 2)
   }
 
-  /** Exact refresh dedup with a Bloom prefilter: which documents of a
-    * NEW batch already exist — identical canonical token-set key, as in
-    * [[exactDuplicates]] — in a corpus? Output `(id, dup_key,
-    * in_corpus)` for EVERY new doc. The result is EXACT; the bloom only
-    * prunes work, never decides membership.
-    *
-    * 100 TB shape: the corpus is never shuffled. Pass 1 treeAggregates
-    * corpus keys into a Bloom filter (`df.stat.bloomFilter`, ~1.2 MB
-    * per million keys at fpp 1%) that rides the plan as a constant;
-    * the new batch probes it map-side (codegen'd
-    * [[org.apache.spark.sql.graft.BloomMightContain]]) and definite
-    * negatives — the overwhelming majority of a genuinely-fresh crawl —
-    * exit without touching any join. Pass 2 verifies only the
-    * bloom-positive survivors (true dups + ~fpp of the rest) with an
-    * exact join against the distinct corpus keys; survivors are
-    * delta-sized, so AQE broadcasts them and the corpus side joins
-    * map-side with no shuffle either. In a production refresh loop the
-    * corpus key table is computed once at ingest and stored (it is the
-    * [[exactDuplicates]] canonical key); recomputing it here from raw
-    * tokens keeps the operator self-contained for oracle parity.
-    *
-    * A re-submitted id counts as corpus content: unchanged re-crawls
-    * dedup away (in_corpus=true), changed ones keep their new content.
-    * Version supersession of the corpus row is the caller's concern. */
   /** Group-level overlap estimation from mergeable sketches — "how much
     * does source A's vocabulary overlap source B's?" without ever
     * joining token sets: the MinHash of a UNION is the element-wise min
@@ -83,6 +59,30 @@ object Dedup {
         (matches * (1000000L / numPerm)).as("est_jaccard_e6"))
   }
 
+  /** Exact refresh dedup with a Bloom prefilter: which documents of a
+    * NEW batch already exist — identical canonical token-set key, as in
+    * [[exactDuplicates]] — in a corpus? Output `(id, dup_key,
+    * in_corpus)` for EVERY new doc. The result is EXACT; the bloom only
+    * prunes work, never decides membership.
+    *
+    * 100 TB shape: the corpus is never shuffled. Pass 1 treeAggregates
+    * corpus keys into a Bloom filter (`df.stat.bloomFilter`, ~1.2 MB
+    * per million keys at fpp 1%) that rides the plan as a constant;
+    * the new batch probes it map-side (codegen'd
+    * [[org.apache.spark.sql.graft.BloomMightContain]]) and definite
+    * negatives — the overwhelming majority of a genuinely-fresh crawl —
+    * exit without touching any join. Pass 2 verifies only the
+    * bloom-positive survivors (true dups + ~fpp of the rest) with an
+    * exact join against the distinct corpus keys; survivors are
+    * delta-sized, so AQE broadcasts them and the corpus side joins
+    * map-side with no shuffle either. In a production refresh loop the
+    * corpus key table is computed once at ingest and stored (it is the
+    * [[exactDuplicates]] canonical key); recomputing it here from raw
+    * tokens keeps the operator self-contained for oracle parity.
+    *
+    * A re-submitted id counts as corpus content: unchanged re-crawls
+    * dedup away (in_corpus=true), changed ones keep their new content.
+    * Version supersession of the corpus row is the caller's concern. */
   def bloomRefreshDedup(corpusToks: DataFrame, newToks: DataFrame,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     def keys(t: DataFrame) = t.groupBy("id")
@@ -208,6 +208,7 @@ object Dedup {
       tokenPairs: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, estPrefilter: Double = 0.0,
       maxBucketSize: Int = 0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
     // The token table feeds the signature AND the verify step, and the
     // candidate pair list is referenced three times downstream (id prune +
     // both verify join sides) — persist both so each pipeline stage runs
@@ -294,6 +295,7 @@ object Dedup {
   def minHashContainmentPairs(
       tokenPairs: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val toks = tokenPairs.persist()
     val sig = MinHash.signature(toks, numPerm)
     val buckets = capHotKeys(
@@ -351,6 +353,7 @@ object Dedup {
       corpusToks: DataFrame, newToks: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, estPrefilter: Double = 0.0,
       maxBucketSize: Int = 0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
     // Raw-token form: the corpus token pipeline is the caller's (possibly
     // expensive) expression, referenced by both the signature build and
     // the verify scan — persist the superseded-corrected union ONCE so
@@ -422,6 +425,7 @@ object Dedup {
       corpusSig: DataFrame, corpusToks: DataFrame, newToks: DataFrame,
       numPerm: Int, bands: Int, threshold: Double,
       estPrefilter: Double = 0.0, maxBucketSize: Int = 0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val newT = newToks.select(col("id"), col("key")).persist()
     val newIds = newT.select("id").distinct()
     val sig0 = corpusSig.join(broadcast(newIds), Seq("id"), "left_anti")
@@ -479,10 +483,14 @@ object Dedup {
     // real corpus where most shingles are unique, add
     // `.join(keysWithCountGe2, Seq("key"), "left_semi")` here.
     val joinable = capHotKeys(shinglePairs, maxDocFreq)
+    // countDistinct, not count(*): duplicate (id, key) input rows (an
+    // un-deduped shingle feed) would otherwise inflate the intersection
+    // past the countDistinct set sizes — jaccard > 1, or a negative
+    // denominator. Identical result and plan cost on distinct inputs.
     val inter = joinable.withColumnRenamed("id", "id_a")
       .join(joinable.withColumnRenamed("id", "id_b"), Seq("key"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .groupBy("id_a", "id_b").agg(countDistinct("key").as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
@@ -826,8 +834,13 @@ object Dedup {
       .select(col("id"), col("component"))
     val labeled = ids.join(labels, Seq("id"))
     val best = labeled.groupBy("component").agg(max(col("_score")).as("_best"))
+    // null-SAFE equality: a component whose scores are ALL null has a
+    // null _best (max ignores nulls); === would drop it from rep and
+    // every member's keep column would evaluate to SQL NULL — a
+    // downstream filter(col("keep")) silently loses the whole cluster.
+    // <=> makes the all-null component fall back to min-id keep-one.
     val rep = labeled.join(best, Seq("component"))
-      .filter(col("_score") === col("_best"))
+      .filter(col("_score") <=> col("_best"))
       .groupBy("component").agg(min(col("id")).as("_rep"))
     ids.join(labels, Seq("id"), "left")
       .join(rep, Seq("component"), "left")
@@ -840,11 +853,14 @@ object Dedup {
   /** Ordered whitespace tokens per document: (id, t: array<string>).
     * Position-preserving (unlike the distinct-token pipelines above) —
     * the input to span-level operators where WHERE a token sits matters.
-    * Null text coalesces to '' so every document gets a row. */
+    * Null text coalesces to '' so every document gets a row; blank or
+    * whitespace-only text yields ZERO tokens (the raw split's [''] is
+    * filtered — an empty document has no windows, on both engines). */
   private def orderedTokens(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("string").as("id"),
-      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
+      filter(split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"),
+        t => t =!= "").as("t"))
 
   /** All n-token windows of each document: (id, p, gram) with p the
     * 0-based start position and gram the space-joined window text.
@@ -866,7 +882,8 @@ object Dedup {
     * n yield an empty array. */
   def windowsArray(text: Column, n: Int): Column =
     graft.functions.Text.letBind(
-      split(trim(lower(coalesce(text, lit("")))), "\\s+")) { t =>
+      filter(split(trim(lower(coalesce(text, lit("")))), "\\s+"),
+        x => x =!= "")) { t =>
       when(size(t) >= n,
         array_distinct(transform(sequence(lit(0), size(t) - n),
           p => concat_ws(" ", slice(t, p + 1, lit(n))))))

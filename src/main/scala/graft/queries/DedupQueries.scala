@@ -109,7 +109,7 @@ object DedupQueries {
        |                  THEN min(id) OVER (PARTITION BY dup_key) END AS dup_of
        |  FROM keys),
        |ctoks AS (SELECT cast(doc_id AS varchar) AS id, source,
-       |                 regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS t
+       |                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x != '') AS t
        |          FROM documents),
        |wins AS (SELECT id, source,
        |                unnest(list_transform(range(0, greatest(len(t) - 3, 0)),
@@ -888,7 +888,7 @@ object DedupQueries {
         s"""WITH RECURSIVE
            |qt AS (
            |  SELECT doc_id,
-           |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+           |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x != '') AS toks
            |  FROM documents),
            |qs AS (
            |  SELECT doc_id, len(toks) AS m,
@@ -971,7 +971,7 @@ object DedupQueries {
           .mkString(" + ")
         s"""WITH qt AS (
            |  SELECT doc_id,
-           |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+           |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x != '') AS toks
            |  FROM documents),
            |qs AS (
            |  SELECT doc_id, len(toks) AS m,
@@ -1063,7 +1063,7 @@ object DedupQueries {
         .orderBy("id"),
       Some("""WITH toks AS (
              |  SELECT cast(doc_id AS varchar) AS id,
-             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x != '') AS t
              |  FROM documents),
              |wins AS (
              |  SELECT id,
@@ -1098,7 +1098,7 @@ object DedupQueries {
         .orderBy("id", "span_start"),
       Some("""WITH toks AS (
              |  SELECT cast(doc_id AS varchar) AS id,
-             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x != '') AS t
              |  FROM documents),
              |wins AS (
              |  SELECT id,
@@ -1122,7 +1122,7 @@ object DedupQueries {
         .orderBy("id"),
       Some("""WITH toks AS (
              |  SELECT cast(doc_id AS varchar) AS id,
-             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x != '') AS t
              |  FROM documents),
              |wins AS (
              |  SELECT id,
@@ -1159,7 +1159,7 @@ object DedupQueries {
       },
       Some("""WITH toks AS (
              |  SELECT cast(doc_id AS varchar) AS id, source,
-             |         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+             |         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x != '') AS t
              |  FROM documents),
              |wins AS (
              |  SELECT id, source,

@@ -76,15 +76,19 @@ object AnnServing {
           (ln * c.getField("cn")))).as("negcos"),
       c.getField("bucket").as("bucket"),
       Vectors.dot(col("vec"), c.getField("cvec")).as("qc"))))
-    val probed = queries
-      .select(col("id").cast("long").as("leftId"), col("vec"),
-        explode(slice(ranked, 1, probes)).as("_p"))
-      .select(col("leftId"), col("vec"),
-        col("_p.bucket").as("bucket"), col("_p.qc").as("_qc"))
     val book = Similarity.pqCodebook(
       index.subspaces, index.codebookSize, index.dims / index.subspaces)
-    val lut = probed.select(col("leftId"), col("bucket"), col("_qc"),
-      PqOps.pqLut(col("vec"), book).as("_lut"))
+    // LUT BEFORE the probe explode: it depends only on the query
+    // vector, so computing it on the pre-explode row pays the
+    // O(codebookSize × dims) construction once per query instead of
+    // once per probe — identical values ride the exploded rows
+    val lut = queries
+      .select(col("id").cast("long").as("leftId"),
+        PqOps.pqLut(col("vec"), book).as("_lut"),
+        slice(ranked, 1, probes).as("_ps"))
+      .select(col("leftId"), col("_lut"), explode(col("_ps")).as("_p"))
+      .select(col("leftId"), col("_lut"),
+        col("_p.bucket").as("bucket"), col("_p.qc").as("_qc"))
     val adcExpr = PqOps.pqAdc(col("_lut"), col("codes"), index.codebookSize)
     val adc = (if (index.residual) col("_qc") + adcExpr else adcExpr).as("adc")
     val rankKey =

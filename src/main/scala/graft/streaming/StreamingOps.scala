@@ -235,7 +235,9 @@ object StreamingOps {
     * keeps the id sets seen so far and emits ONLY the new candidate
     * pairs each batch — the streaming form of TokenBlocker (A1+J1),
     * with per-token state bounded by `maxIdsPerSide` (the streaming
-    * equivalent of the hot-token cap: oversized blocks stop emitting). */
+    * equivalent of the hot-token cap: once a side is full it stops
+    * ADMITTING, which bounds both the state row and the per-batch
+    * emission — the same admission rule as the TTL variant). */
   def incrementalTokenBlocks(
       records: Dataset[TokenRecord],
       maxIdsPerSide: Int = 10000)(implicit spark: SparkSession): Dataset[CandidatePair] = {
@@ -244,24 +246,33 @@ object StreamingOps {
       .flatMapGroupsWithState[TokenState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, batch: Iterator[TokenRecord], state: GroupState[TokenState]) =>
+          // admission-capped like the TTL variant: each side ADMITS new
+          // ids only while below maxIdsPerSide (deterministic (side,id)
+          // order within a batch), emitting a new id's pairs against
+          // the other side at admission time — each cross pair emits
+          // exactly once, at the later endpoint's admission. This is
+          // what actually bounds the state row AND the per-batch
+          // emission (the earlier form only muted emission once the
+          // PRE-batch set exceeded the cap: a single hot first batch
+          // emitted its full cross product and the stored sets grew
+          // without bound — the B² blowup the cap exists to prevent).
           val st = state.getOption.getOrElse(TokenState(Seq.empty, Seq.empty))
-          val oldLeft = st.left.toSet
-          val oldRight = st.right.toSet
-          val recs = batch.toSeq
-          val newLeft = recs.filter(_.side == "left").map(_.id).toSet -- oldLeft
-          val newRight = recs.filter(_.side == "right").map(_.id).toSet -- oldRight
-          val pairs =
-            if (oldLeft.size > maxIdsPerSide || oldRight.size > maxIdsPerSide) Iterator.empty
-            else {
-              // new-left × all-right ∪ all-left × new-right (dedup overlap)
-              val allRight = oldRight ++ newRight
-              val p1 = for (l <- newLeft.iterator; r <- allRight) yield CandidatePair(key, l, r)
-              val p2 = for (l <- oldLeft.iterator; r <- newRight) yield CandidatePair(key, l, r)
-              p1 ++ p2
+          val left = scala.collection.mutable.LinkedHashSet(st.left: _*)
+          val right = scala.collection.mutable.LinkedHashSet(st.right: _*)
+          val out = Seq.newBuilder[CandidatePair]
+          batch.toSeq.sortBy(r => (r.side, r.id)).foreach { r =>
+            val (mine, other, mineIsLeft) =
+              if (r.side == "left") (left, right, true) else (right, left, false)
+            if (!mine.contains(r.id) && mine.size < maxIdsPerSide) {
+              other.foreach { o =>
+                out += (if (mineIsLeft) CandidatePair(key, r.id, o)
+                        else CandidatePair(key, o, r.id))
+              }
+              mine += r.id
             }
-          state.update(TokenState(
-            (oldLeft ++ newLeft).toSeq.sorted, (oldRight ++ newRight).toSeq.sorted))
-          pairs
+          }
+          state.update(TokenState(left.toSeq, right.toSeq))
+          out.result().iterator
       }
   }
 
@@ -352,7 +363,16 @@ object StreamingOps {
             state.update(TimedTokenState(
               left.keys.toSeq, left.values.toSeq,
               right.keys.toSeq, right.values.toSeq))
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // whole-token timeout from the newest RETAINED sighting,
+            // not this batch's max: a later batch carrying only older
+            // (still-in-watermark) records must not drag the bucket's
+            // horizon backward and delete entries that are still
+            // within ttl of their true newest sighting (the
+            // StreamingCuration monotone-horizon rule; the per-entry
+            // floor above guards access, this guards the timeout)
+            val newest = (left.valuesIterator ++ right.valuesIterator)
+              .foldLeft(maxTs)(math.max)
+            state.setTimeoutTimestamp(newest + ttlMs)
             out.result().iterator
           }
       }
@@ -400,6 +420,14 @@ object StreamingOps {
     * variant (the watermark needs a time column). */
   final case class TimedDedupRecord(key: String, id: String, ts: java.sql.Timestamp)
 
+  /** Kept id + newest sighting time (ms) for the TTL'd dedup — the
+    * [[graft.streaming.StreamingCuration.CanonState]] pattern: the
+    * horizon must be checkable ON ACCESS and monotone in EVENT time
+    * (public: janino). CHECKPOINT COMPATIBILITY: this replaced the bare
+    * [[DedupState]] for the TTL variant — restart TTL'd queries from a
+    * fresh checkpoint after upgrading across this change. */
+  final case class TimedDedupState(kept: String, lastSeenMs: Long)
+
   /** TTL variant of [[streamExactDedup]] — the unbounded-horizon
     * version keeps one state row per distinct key forever; here each
     * key's state expires once the watermark passes `ttl` beyond its
@@ -417,9 +445,9 @@ object StreamingOps {
     val ttlMs = ttlMillis(ttl)
     records.withWatermark("ts", watermark)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[DedupState, DedupKeep](
+      .flatMapGroupsWithState[TimedDedupState, DedupKeep](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, batch: Iterator[TimedDedupRecord], state: GroupState[DedupState]) =>
+        (key: String, batch: Iterator[TimedDedupRecord], state: GroupState[TimedDedupState]) =>
           if (state.hasTimedOut) {
             state.remove() // horizon passed → future sightings re-admit
             Iterator.empty
@@ -427,15 +455,32 @@ object StreamingOps {
             val recs = batch.toSeq
             if (recs.isEmpty) Iterator.empty
             else {
+              // horizon check ON ACCESS (the StreamingCuration rule):
+              // timeouts fire only on batches where the group has NO
+              // data, so in continuous operation a re-sight arriving
+              // right after the watermark passed the horizon would
+              // otherwise be suppressed by — and re-arm — expired
+              // state. STRICT >: equality keeps the key (the
+              // EventTimeTimeout boundary, same as the siblings).
+              if (state.exists &&
+                  state.getCurrentWatermarkMs() > state.get.lastSeenMs + ttlMs)
+                state.remove()
               val out =
                 if (state.exists) Iterator.empty
                 else {
                   val first = recs.minBy(r => (r.ts.getTime, r.id))
-                  state.update(DedupState(first.id))
+                  state.update(TimedDedupState(first.id, Long.MinValue))
                   Iterator.single(DedupKeep(key, first.id))
                 }
-              // sliding TTL: extend from this batch's latest sighting
-              state.setTimeoutTimestamp(recs.map(_.ts.getTime).max + ttlMs)
+              // sliding TTL, monotone in EVENT time: a later batch
+              // carrying only older (still-in-watermark) sightings
+              // must not drag the horizon backward and expire the key
+              // before its true newest sighting + ttl (the
+              // StreamingCuration monotone-horizon fix, applied here)
+              val horizon = math.max(state.get.lastSeenMs,
+                recs.map(_.ts.getTime).max)
+              state.update(TimedDedupState(state.get.kept, horizon))
+              state.setTimeoutTimestamp(horizon + ttlMs)
               out
             }
           }
@@ -712,9 +757,14 @@ object StreamingOps {
               }
             }
             state.update(TimedBucketState(ids.toSeq, sigs.map(_.toSeq).toSeq, seen.toSeq))
-            // sliding whole-bucket TTL from this batch's newest arrival
-            // (present: non-timeout invocations always carry data)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // sliding whole-bucket TTL from the newest RETAINED
+            // sighting (monotone in event time — an older in-watermark
+            // batch must not drag the horizon backward and delete
+            // signatures still within ttl of their newest sighting;
+            // the per-entry floor guards access, this guards the
+            // timeout). `seen` holds this batch's admissions and
+            // refreshes too, so it is never empty here.
+            state.setTimeoutTimestamp(seen.foldLeft(maxTs)(math.max) + ttlMs)
             out.result().iterator
           }
       }
@@ -853,6 +903,13 @@ object StreamingOps {
     * classes. */
   final case class RateState(winStart: Long, count: Int)
 
+  /** [[RateState]] + the newest sighting time (ms) for the TTL
+    * variant — horizon checkable on access, monotone in event time
+    * (public: janino). CHECKPOINT COMPATIBILITY: replaced the bare
+    * [[RateState]] for [[rateLimitWithTtl]] — restart TTL'd queries
+    * from a fresh checkpoint after upgrading across this change. */
+  final case class TimedRateState(winStart: Long, count: Int, lastSeenMs: Long)
+
   /** Per-key event-time rate limiting: admit at most `maxPerWindow`
     * records per key per tumbling `windowSeconds` window, in
     * (event-time µs, id) order — the streaming throttle a training-data
@@ -937,14 +994,23 @@ object StreamingOps {
     val ttlMs = ttlMillis(ttl)
     records.withWatermark("ts", watermark)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[RateState, RateAdmit](
+      .flatMapGroupsWithState[TimedRateState, RateAdmit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, batch: Iterator[RateRecord], state: GroupState[RateState]) =>
+        (key: String, batch: Iterator[RateRecord], state: GroupState[TimedRateState]) =>
           if (state.hasTimedOut) {
             state.remove() // idle past the horizon → fresh window on return
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(RateState(Long.MinValue, 0))
+            // horizon check ON ACCESS + monotone horizon (the
+            // StreamingCuration rules): without them a late
+            // in-watermark event drags the timeout backward, and the
+            // "exact for ttl >= window + delay" contract above breaks —
+            // early expiry re-opens a still-live window and over-admits
+            if (state.exists &&
+                state.getCurrentWatermarkMs() > state.get.lastSeenMs + ttlMs)
+              state.remove()
+            var st = state.getOption.getOrElse(
+              TimedRateState(Long.MinValue, 0, Long.MinValue))
             val micros = (r: RateRecord) =>
               r.ts.toInstant.getEpochSecond * 1000000L + r.ts.toInstant.getNano / 1000L
             var maxMs = Long.MinValue
@@ -952,15 +1018,16 @@ object StreamingOps {
               val ms = r.ts.getTime
               if (ms > maxMs) maxMs = ms
               val win = Math.floorDiv(micros(r), windowSeconds * 1000000L) * windowSeconds
-              if (win > st.winStart) st = RateState(win, 0)
+              if (win > st.winStart) st = TimedRateState(win, 0, st.lastSeenMs)
               if (win < st.winStart || st.count >= maxPerWindow) None
               else {
-                st = RateState(st.winStart, st.count + 1)
+                st = TimedRateState(st.winStart, st.count + 1, st.lastSeenMs)
                 Some(RateAdmit(key, r.id, r.ts, win, st.count))
               }
             }
-            state.update(st)
-            state.setTimeoutTimestamp(maxMs + ttlMs) // sliding TTL
+            val horizon = math.max(st.lastSeenMs, maxMs)
+            state.update(TimedRateState(st.winStart, st.count, horizon))
+            state.setTimeoutTimestamp(horizon + ttlMs) // sliding TTL
             out.iterator
           }
       }

@@ -341,6 +341,51 @@ class DedupSpec extends SparkSpec {
       "y" -> ((false, Some("x"))), "solo" -> ((true, None))))
   }
 
+  test("keepBest: an all-null-score component still keeps exactly one member (min id)") {
+    // max ignores nulls → _best is null for {p,q}; the === filter used
+    // to drop the component from rep and every member's keep column
+    // evaluated to SQL NULL — filter(col("keep")) then silently lost
+    // the whole cluster. The null-safe <=> falls back to min-id keep-one.
+    val scored = Seq(
+      ("p", null.asInstanceOf[java.lang.Double]),
+      ("q", null.asInstanceOf[java.lang.Double]),
+      ("a", java.lang.Double.valueOf(5.0)),
+      ("b", java.lang.Double.valueOf(9.0))).toDF("doc", "sc")
+    val pairs = Seq(("p", "q"), ("a", "b")).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(scored, "doc", "sc", pairs).collect()
+      .map(r => r.getString(0) -> ((r.isNullAt(1), r.getBoolean(1)))).toMap
+    assert(got.values.forall(!_._1), s"keep must never be NULL: $got")
+    assert(got("p")._2 && !got("q")._2, got.toString)
+    assert(got("b")._2 && !got("a")._2, got.toString)
+  }
+
+  test("ngramJaccardPairs: duplicate (id, key) input rows do not inflate the intersection") {
+    // an un-deduped shingle feed: (d1, 'a b c') twice. count(*) over the
+    // self-join counted it double (jaccard > 1 / negative denominators);
+    // countDistinct keeps the set semantics.
+    val sh = Seq(
+      ("d1", "a b c"), ("d1", "a b c"), ("d1", "b c d"),
+      ("d2", "a b c"), ("d2", "b c d"))
+      .toDF("id", "key")
+    val got = Dedup.ngramJaccardPairs(sh, 0.1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("d1", "d2")) == 1.0, got.toString)
+  }
+
+  test("banding operators reject numPerm not divisible by bands loudly") {
+    val sh = Seq(("d1", "a b c"), ("d2", "a b c")).toDF("id", "key")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashNearDupPairs(sh, numPerm = 16, bands = 5, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("divisible"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.minHashContainmentPairs(sh, numPerm = 16, bands = 5, threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDupAgainst(sh, sh, numPerm = 16, bands = 5, threshold = 0.5)
+    }
+  }
+
   test("temperatureSample flattens toward uniform and preserves corpus size in expectation") {
     // hot source 90 docs, tail source 10: α=0.5 must down-weight hot
     // (w<1) and up-weight tail (w>1), with Σ n_g·w_g = N exactly.
@@ -424,14 +469,18 @@ class DedupSpec extends SparkSpec {
       ("d1", "a b c d e"),   // "a b c" repeats in d2 → drop pos 0-2, keep "d e"
       ("d2", "x y a b c"),   // same gram at pos 2 → keep "x y"
       ("d3", "p q"),         // shorter than n → fully kept
-      ("d4", null: String))  // null text → [''] → 1 token, kept
+      ("d4", null: String))  // null/blank text → ZERO tokens (the raw
+                             // split's [''] is filtered: an empty doc
+                             // must have no windows, or with n=1 every
+                             // blank doc would share a "" gram and
+                             // cross-dup against all other blanks)
       .toDF("doc_id", "text")
     val got = Dedup.spanDedup(df, "doc_id", "text", 3).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got("d1") == ((5L, 2L, "d e")), got.toString)
     assert(got("d2") == ((5L, 2L, "x y")), got.toString)
     assert(got("d3") == ((2L, 2L, "p q")), got.toString)
-    assert(got("d4") == ((1L, 1L, "")), got.toString)
+    assert(got("d4") == ((0L, 0L, "")), got.toString)
 
     // within-one-doc repetition also counts toward minCount: the doc is
     // its own duplicate context (Lee et al. count total occurrences)

@@ -67,6 +67,163 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("incrementalTokenBlocks: the cap bounds ADMISSION — state and emission, not just post-hoc muting") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TokenRecord]
+    val sq = StreamingOps.incrementalTokenBlocks(mem.toDS(), maxIdsPerSide = 2)
+      .writeStream.format("memory").queryName("inc_cap")
+      .outputMode("append").start()
+    try {
+      // a hot FIRST batch: 3 lefts + 2 rights on one token. Only the
+      // first 2 lefts (deterministic (side,id) order) may admit — the
+      // pre-fix form emitted the full 3×2 cross product here and stored
+      // all 3 lefts (unbounded state on exactly the hot token)
+      mem.addData(
+        TokenRecord("t", "left", "l1"), TokenRecord("t", "left", "l2"),
+        TokenRecord("t", "left", "l3"),
+        TokenRecord("t", "right", "r1"), TokenRecord("t", "right", "r2"))
+      sq.processAllAvailable()
+      val b1 = spark.table("inc_cap").as[CandidatePair].collect().toSet
+      assert(b1 == Set(
+        CandidatePair("t", "l1", "r1"), CandidatePair("t", "l1", "r2"),
+        CandidatePair("t", "l2", "r1"), CandidatePair("t", "l2", "r2")), b1.toString)
+      // later batches cannot grow the full side either
+      mem.addData(TokenRecord("t", "left", "l4"), TokenRecord("t", "right", "r3"))
+      sq.processAllAvailable()
+      val b2 = spark.table("inc_cap").as[CandidatePair].collect().toSet
+      assert(b2 == b1, s"full left side must stop admitting: ${b2 -- b1}")
+    } finally sq.stop()
+  }
+
+  test("streamExactDedupWithTtl: an older in-watermark re-sight never moves the horizon backward") {
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    // the StreamingCuration monotone-horizon rule, back-ported: with a
+    // 4 h watermark delay, the 10:00 re-sight of content first seen at
+    // 12:00 must not drag the TTL horizon from 14:30 back to 12:30 —
+    // pre-fix, the filler batch pushes the watermark to 13:30, the
+    // dragged-back timeout fires, and the 17:40 re-sight re-admits
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TimedDedupRecord]
+    val sq = StreamingOps.streamExactDedupWithTtl(
+        mem.toDS(), ttl = "150 minutes", watermark = "4 hours")
+      .writeStream.format("memory").queryName("sd_ttl_mono")
+      .outputMode("append").start()
+    def keeps(): Seq[DedupKeep] =
+      spark.table("sd_ttl_mono").as[DedupKeep].collect().toSeq
+    try {
+      mem.addData(TimedDedupRecord("k", "a", ts("2024-01-01 12:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDedupRecord("k", "b", ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDedupRecord("x", "f", ts("2024-01-01 17:30:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDedupRecord("k", "c", ts("2024-01-01 17:40:00")))
+      sq.processAllAvailable()
+      assert(keeps().filter(_.key == "k") == Seq(DedupKeep("k", "a")),
+        s"horizon must be monotone in event time: ${keeps()}")
+    } finally sq.stop()
+  }
+
+  test("streamExactDedupWithTtl: same-batch re-sight past the horizon re-admits (on-access check)") {
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    // with idle micro-batches off, the timeout callback cannot fire
+    // between waves — the access-time horizon check is the only guard
+    // (the StreamingCuration stale-canonical rule, back-ported)
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val mem = MemoryStream[TimedDedupRecord]
+    val sq = StreamingOps.streamExactDedupWithTtl(
+        mem.toDS(), ttl = "150 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sd_ttl_access")
+      .outputMode("append").start()
+    def keeps(): Seq[DedupKeep] =
+      spark.table("sd_ttl_access").as[DedupKeep].collect().toSeq
+    try {
+      mem.addData(TimedDedupRecord("k", "a", ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      // filler: the NEXT batch's watermark (16:00) is past 10:00 + 150m
+      mem.addData(TimedDedupRecord("x", "f", ts("2024-01-01 16:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedDedupRecord("k", "c", ts("2024-01-01 16:10:00")))
+      sq.processAllAvailable()
+      assert(keeps().filter(_.key == "k").map(_.id).sorted == Seq("a", "c"),
+        s"expired state must evict on access and re-admit: ${keeps()}")
+    } finally {
+      sq.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    }
+  }
+
+  test("incrementalTokenBlocksWithTtl: an older in-watermark batch never expires live entries") {
+    import graft.streaming.StreamingOps.TimedTokenRecord
+    // whole-token timeout must follow the newest RETAINED sighting, not
+    // the batch max: pre-fix, the late 10:00 right record dragged token
+    // t's timeout to 12:30; the filler watermark (13:30) fired it and
+    // deleted L1 (seen 12:00, still within its 150-minute ttl), so the
+    // 17:40 arrival found an empty bucket and emitted nothing
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[TimedTokenRecord]
+    val sq = StreamingOps.incrementalTokenBlocksWithTtl(
+        mem.toDS(), maxIdsPerSide = 100,
+        ttl = "150 minutes", watermark = "4 hours")
+      .writeStream.format("memory").queryName("tk_ttl_mono")
+      .outputMode("append").start()
+    def pairs(): Set[(String, String, String)] =
+      spark.table("tk_ttl_mono").as[CandidatePair].collect()
+        .map(p => (p.key, p.leftId, p.rightId)).toSet
+    try {
+      mem.addData(TimedTokenRecord("t", "left", "L1", ts("2024-01-01 12:00:00")))
+      sq.processAllAvailable()
+      mem.addData(TimedTokenRecord("t", "right", "R1", ts("2024-01-01 10:00:00")))
+      sq.processAllAvailable()
+      assert(pairs() == Set(("t", "L1", "R1")), pairs().toString)
+      mem.addData(TimedTokenRecord("u", "left", "F", ts("2024-01-01 17:30:00")))
+      sq.processAllAvailable()
+      // L1's true horizon is 12:00 + 150m = 14:30 > wm 13:30 → alive
+      mem.addData(TimedTokenRecord("t", "right", "R2", ts("2024-01-01 17:40:00")))
+      sq.processAllAvailable()
+      assert(pairs().contains(("t", "L1", "R2")),
+        s"the dragged-back timeout deleted a live entry: ${pairs()}")
+    } finally sq.stop()
+  }
+
+  test("rateLimitWithTtl: a late in-watermark event never re-opens a full window early") {
+    // maxPerWindow=1, 6 h windows, ttl 5 h, delay 4 h. e1@12:30 fills
+    // window [12:00, 18:00). The late e2@10:30 lands in the PRIOR
+    // window (rejected) — pre-fix it dragged the timeout from 17:30
+    // back to 15:30; the filler watermark (16:00) fired it, and
+    // e3@16:30 (SAME still-open window) was over-admitted as a fresh
+    // count. Post-fix the state survives and e3 is rejected.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[StreamingOps.RateRecord]
+    val sq = StreamingOps.rateLimitWithTtl(
+        mem.toDS(), maxPerWindow = 1, windowSeconds = 6 * 3600L,
+        ttl = "5 hours", watermark = "4 hours")
+      .writeStream.format("memory").queryName("rl_ttl_mono")
+      .outputMode("append").start()
+    def admitted(): Seq[String] =
+      spark.table("rl_ttl_mono").as[StreamingOps.RateAdmit]
+        .collect().toSeq.filter(_.key == "k").map(_.id).sorted
+    try {
+      mem.addData(StreamingOps.RateRecord("k", "e1", ts("2024-01-01 12:30:00")))
+      sq.processAllAvailable()
+      mem.addData(StreamingOps.RateRecord("k", "e2", ts("2024-01-01 10:30:00")))
+      sq.processAllAvailable()
+      mem.addData(StreamingOps.RateRecord("x", "f", ts("2024-01-01 20:00:00")))
+      sq.processAllAvailable()
+      mem.addData(StreamingOps.RateRecord("k", "e3", ts("2024-01-01 16:30:00")))
+      sq.processAllAvailable()
+      assert(admitted() == Seq("e1"),
+        s"window [12:00,18:00) is full; e3 must be rejected: ${admitted()}")
+    } finally sq.stop()
+  }
+
   test("streaming tokenize feeds the incremental blocker end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sess = spark
