@@ -22,7 +22,7 @@ import graft.similarity.Similarity
   *   [--embeddings /tmp/emb] [--force-encode] \
   *   [--sample-mod N] [--no-clean] [--no-write] \
   *   [--hubness csls|nicdm|ls|mp|dsl] [--hubness-candidates N] \
-  *   [--tokenizer regex|nltk] [--abbrev-list /path/abbrevs.txt] \
+  *   [--tokenizer regex|nltk] [--abbrev-list /path/abbrevs.txt] [--abbrev-learn] \
   *   [blocker params...]
   * }}}
   *
@@ -102,6 +102,13 @@ object Experiment {
       // domain-corpus stand-in for Punkt's corpus-LEARNED abbreviations
       tokenizer: String = "regex",
       abbrevList: Option[String] = None,
+      // --abbrev-learn: run the Kiss & Strunk criterion
+      // (TextAnalysis.punktLearnAbbrevs) over both frames' concatenated
+      // attribute values and merge the survivors into the same guard —
+      // Punkt's corpus-LEARNED abbreviations, closing the F1 residual.
+      // learnedAbbrevs is the internal result slot runFull fills.
+      abbrevLearn: Boolean = false,
+      learnedAbbrevs: Seq[String] = Nil,
       // DBSCAN* density clustering (density-cluster blocker): eps radius
       // + min core neighbors; --lsh-planes switches the candidate graph
       // to sign-LSH buckets (scale path). --min-pts counts OTHER points,
@@ -145,13 +152,14 @@ object Experiment {
       : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
     c.tokenizer match {
       case "regex" =>
-        require(c.abbrevList.isEmpty,
-          "--abbrev-list only affects the nltk tokenizer's sentence " +
-            "splitter; pass --tokenizer nltk (the regex tokenizer never " +
-            "splits sentences)")
+        require(c.abbrevList.isEmpty && !c.abbrevLearn,
+          "--abbrev-list/--abbrev-learn only affect the nltk tokenizer's " +
+            "sentence splitter; pass --tokenizer nltk (the regex tokenizer " +
+            "never splits sentences)")
         None
       case "nltk" =>
-        val extra = c.abbrevList.map(readAbbrevList).getOrElse(Nil)
+        val extra = c.abbrevList.map(readAbbrevList).getOrElse(Nil) ++
+          c.learnedAbbrevs
         Some(graft.functions.Text.nltkTokenize(_, c.minTokenLength,
           extraAbbrevs = extra))
       case other => throw new IllegalArgumentException(
@@ -172,6 +180,28 @@ object Experiment {
     require(entries.nonEmpty,
       s"--abbrev-list $path: no abbreviations found (blank/comment-only file)")
     entries
+  }
+
+  /** The learned list rides the tokenizer EXPRESSION to executor JVMs
+    * (a codegen reference object), so it must stay config-sized; a
+    * natural-language corpus learns tens-to-hundreds of types. */
+  val MaxLearnedAbbrevs: Int = 10000
+
+  /** `--abbrev-learn`: Punkt abbreviation learning
+    * ([[graft.text.TextAnalysis.punktLearnAbbrevs]], the Kiss & Strunk
+    * criterion) over a one-column `text` corpus; returns the classified
+    * survivors for the nltk splitter's `extraAbbrevs` guard. Loud when
+    * the list is not config-sized — that means the corpus is not
+    * natural text and the guard would bloat every serialized plan. */
+  def learnAbbrevs(corpus: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val survivors = graft.text.TextAnalysis.punktLearnAbbrevs(corpus)
+      .filter(col("is_abbrev")).select(col("token"))
+      .limit(MaxLearnedAbbrevs + 1).collect().map(_.getString(0)).toSeq
+    require(survivors.size <= MaxLearnedAbbrevs,
+      s"--abbrev-learn classified more than $MaxLearnedAbbrevs abbreviation " +
+        "types; the corpus does not look like natural text — fall back to " +
+        "an explicit --abbrev-list")
+    survivors
   }
 
   /** Blocker registry — one name per reference CLI command
@@ -366,6 +396,7 @@ object Experiment {
       sifWeighting = flags.contains("sif"),
       tokenizer = m.getOrElse("tokenizer", "regex"),
       abbrevList = m.get("abbrev-list"),
+      abbrevLearn = flags.contains("abbrev-learn"),
       eps = m.getOrElse("eps", "0.5").toDouble,
       minPts = m.getOrElse("min-pts", "3").toInt,
       lshPlanes = m.getOrElse("lsh-planes", "0").toInt,
@@ -623,7 +654,16 @@ object Experiment {
     // metrics below (blockerFor would otherwise build a fresh one)
     val encoder = encoderFor(c)
     val (blocks, tAssign) = timed {
-      blockerFor(c, encoder).assign(
+      // --abbrev-learn: the learning scan is blocker preparation, so it
+      // is charged to the assign phase
+      val cEff =
+        if (!c.abbrevLearn) c
+        else c.copy(learnedAbbrevs = learnAbbrevs(
+          dataset.left.concatValues().select(
+            col(graft.core.EntityFrame.ConcCol).as("text"))
+            .unionByName(dataset.right.concatValues().select(
+              col(graft.core.EntityFrame.ConcCol).as("text")))))
+      blockerFor(cEff, encoder).assign(
         dataset.left, dataset.right, dataset.leftRel, dataset.rightRel)
     }
 
@@ -676,6 +716,7 @@ object Experiment {
        |  [--append-metrics <file>] [--eval-only <blocks-dir>]
        |  [--convert-vectors <vec-or-glove-txt>] (writes (token, vector) parquet to --out)
        |  [--word-vectors <parquet>] [--sif] [--tokenizer regex|nltk]
+       |  [--abbrev-list <file>] [--abbrev-learn]
        |  [--eps X | --eps-ladder X1,X2,...|auto[:N]|exact] [--min-pts N] [--lsh-planes N]
        |  [--embeddings <dir>] [--force-encode]
        |  [--compare <name[,name,...]>] [--sample-mod N] [--no-clean] [--no-write]

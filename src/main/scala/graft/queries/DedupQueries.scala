@@ -2164,6 +2164,75 @@ object DedupQueries {
               |  SELECT decile, count(*) AS n_docs
               |  FROM documents, cp WHERE doc_id < thr GROUP BY 1)
               |SELECT decile, n_docs, vocab
-              |FROM v JOIN d USING (decile) ORDER BY decile""".stripMargin))
+              |FROM v JOIN d USING (decile) ORDER BY decile""".stripMargin)),
+
+    // ---- F1: Punkt abbreviation learning (Kiss & Strunk 2006) -----------
+    // Closed-form fixture (the documents table carries no periods): 200
+    // tokens, 20 period-final → p1 = 0.1 exactly, and every candidate's
+    // LLR is hand-computable. Expected classification, pinned by hand in
+    // DedupSpec: dr (5/0 → 1.141386) and u.s (4/0, two periods →
+    // 1.826217) are abbreviations; vs (2/1 → 0.00283), cat (1/20,
+    // ll < 0) and end (8/30, ll < 0 — the sentence-ender also appears
+    // mid-sentence, Punkt's own negative case) are not. The quote/paren
+    // tokens ("dr.", (the)) make the punctuation-strip rule load-bearing
+    // in the hash. The oracle recomputes the whole criterion — the
+    // Dunning LLR, all three factors, the threshold — independently in
+    // SQL.
+    "tx_punkt_learn" -> QueryDef(
+      (s, dir) => {
+        val corpus = s.range(0, 6).select(col("id"),
+          when(col("id") === 0, "dr. dr. dr. dr. \"dr.\"")
+            .when(col("id") === 1, concat_ws(" ", Seq.fill(4)(lit("u.s.")): _*))
+            .when(col("id") === 2, "vs. vs. vs")
+            .when(col("id") === 3,
+              concat(lit("cat. "), concat_ws(" ", Seq.fill(20)(lit("cat")): _*)))
+            .when(col("id") === 4, concat(
+              concat_ws(" ", Seq.fill(8)(lit("end.")): _*), lit(" "),
+              concat_ws(" ", Seq.fill(30)(lit("end")): _*)))
+            .otherwise(concat(
+              concat_ws(" ", Seq.fill(128)(lit("the")): _*), lit(" (the)")))
+            .as("text"))
+        TextAnalysis.punktLearnAbbrevs(corpus)
+      },
+      Some("""WITH corpus(text) AS (
+             |  SELECT 'dr. dr. dr. dr. "dr."'
+             |  UNION ALL SELECT trim(repeat('u.s. ', 4))
+             |  UNION ALL SELECT 'vs. vs. vs'
+             |  UNION ALL SELECT 'cat. ' || trim(repeat('cat ', 20))
+             |  UNION ALL SELECT trim(repeat('end. ', 8)) || ' ' || trim(repeat('end ', 30))
+             |  UNION ALL SELECT trim(repeat('the ', 128)) || ' (the)'),
+             |toks AS (
+             |  SELECT tok FROM (
+             |    SELECT regexp_replace(lower(t), '^[^a-z0-9.]+|[^a-z0-9.]+$', '', 'g') AS tok
+             |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM corpus))
+             |  WHERE length(tok) > 0),
+             |totals AS (
+             |  SELECT count(*)::double AS n_tokens,
+             |         sum(CASE WHEN tok LIKE '%.' THEN 1 ELSE 0 END)::double AS n_period
+             |  FROM toks),
+             |counts AS (
+             |  SELECT token, sum(wp)::bigint AS c_period,
+             |         (count(*) - sum(wp))::bigint AS c_plain
+             |  FROM (SELECT CASE WHEN tok LIKE '%.'
+             |                    THEN substr(tok, 1, length(tok) - 1)
+             |                    ELSE tok END AS token,
+             |               CASE WHEN tok LIKE '%.' THEN 1 ELSE 0 END AS wp
+             |        FROM toks)
+             |  WHERE length(token) > 0
+             |  GROUP BY token
+             |  HAVING sum(wp) >= 1 AND regexp_matches(token, '[a-z]')),
+             |scored AS (
+             |  SELECT token, c_period, c_plain,
+             |    (-2.0 * ((c_period * ln(n_period / n_tokens)
+             |              + c_plain * ln(1.0 - n_period / n_tokens))
+             |             - (c_period * ln(0.99) + c_plain * ln(0.01))))
+             |      * exp(-(length(replace(token, '.', '')) + 1))
+             |      * (length(token) - length(replace(token, '.', '')) + 1)
+             |      * power(length(replace(token, '.', '')) + 1, -c_plain) AS s
+             |  FROM counts, totals)
+             |SELECT token, c_period, c_plain,
+             |       floor(s * 1e6 + 0.5) / 1e6 AS score,
+             |       s >= 0.3 AS is_abbrev
+             |FROM scored ORDER BY token""".stripMargin))
   )
 }

@@ -987,4 +987,85 @@ object TextAnalysis {
     vocab.join(nDocs, Seq("decile"))
       .select(col("decile"), col("n_docs"), col("vocab"))
   }
+
+  // ------------------------------------------------------------------
+  // F1: Punkt abbreviation LEARNING — Kiss & Strunk (2006) §3.1, the
+  // type-based classification NLTK's PunktTrainer applies inside
+  // word_tokenize's sentence splitter (the reference inherits it via
+  // nltk word_tokenize, token_blocking.py:30). The criterion is pure
+  // collocation statistics, so on Spark it is one token scan + one
+  // type-keyed aggregate + a one-row corpus-totals broadcast — not a
+  // model.
+
+  /** Learn abbreviation types from a corpus by the published Kiss &
+    * Strunk criterion: a Dunning log-likelihood ratio testing
+    * H_A: P(period | type) = 0.99 against H_0: P(period | type) = the
+    * corpus period rate, scaled by the three published factors —
+    * `exp(-len)` length penalty, internal-period count bonus, and
+    * `len^-c(w)` penalty for occurrences WITHOUT a final period —
+    * classified abbreviation at score ≥ `threshold` (NLTK's ABBREV =
+    * 0.3). Constants and factor shapes follow NLTK `punkt.py`
+    * `_reclassify_abbrev_types` / `_dunning_log_likelihood` exactly.
+    *
+    * First-pass tokenization is the documented simplification of
+    * Punkt's word tokenizer: whitespace split, lowercase, strip
+    * leading/trailing characters that are neither `[a-z0-9]` nor `.`
+    * (so `"dr."` and `(etc.)` count as `dr.` / `etc.`). Candidate
+    * types must occur with a final period at least once and contain a
+    * letter (Punkt's number/punctuation exclusion).
+    *
+    * Precondition (same domain as NLTK's `log`): the corpus must
+    * contain at least one period-final and one non-period token,
+    * otherwise `ln(p1)` / `ln(1-p1)` leave the real line and scores go
+    * NaN rather than throwing.
+    *
+    * Output: `(token, c_period, c_plain, score, is_abbrev)` — one row
+    * per candidate type, `score` stable-rounded at 1e-6 for the oracle
+    * hash, `is_abbrev` decided on the UNROUNDED score. Survivors feed
+    * [[graft.functions.Text.nltkTokenize]]'s `extraAbbrevs` seam (the
+    * `--abbrev-list` mechanics), closing the corpus-LEARNED residual.
+    *
+    * 100 TB: the scan and the type aggregate shuffle on the type key
+    * (vocabulary-sized, map-side combined); the totals frame is one
+    * row, broadcast. Nothing driver-side. */
+  def punktLearnAbbrevs(docs: DataFrame, textCol: String = "text",
+      threshold: Double = 0.3): DataFrame = {
+    val toks = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("raw"))
+      .select(regexp_replace(lower(col("raw")),
+        "^[^a-z0-9.]+|[^a-z0-9.]+$", "").as("tok"))
+      .filter(length(col("tok")) > 0)
+    val totals = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      coalesce(sum(when(col("tok").endsWith("."), 1L).otherwise(0L)), lit(0L))
+        .as("n_period_toks"))
+    val withP = col("tok").endsWith(".")
+    val counts = toks
+      .select(
+        when(withP, expr("substring(tok, 1, length(tok) - 1)"))
+          .otherwise(col("tok")).as("token"),
+        withP.cast("long").as("wp"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(sum(col("wp")).as("c_period"),
+        (count(lit(1)) - sum(col("wp"))).as("c_plain"))
+      .filter(col("c_period") >= 1 && col("token").rlike("[a-z]"))
+    // k = c(w.), n - k = c(w): the token's trials are its period and
+    // plain occurrences; p1 is the corpus period rate.
+    val p1 = col("n_period_toks").cast("double") / col("n_tokens")
+    val k = col("c_period").cast("double")
+    val nk = col("c_plain").cast("double")
+    val nullH = k * log(p1) + nk * log(lit(1.0) - p1)
+    val altH = k * log(lit(0.99)) + nk * log(lit(0.01))
+    val ll = lit(-2.0) * (nullH - altH)
+    val nonPeriodChars = length(regexp_replace(col("token"), "\\.", ""))
+    val numPeriods = (length(col("token")) - nonPeriodChars + lit(1)).cast("double")
+    val numNonPeriods = (nonPeriodChars + lit(1)).cast("double")
+    val score = ll * exp(-numNonPeriods) * numPeriods * pow(numNonPeriods, -nk)
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_period"), col("c_plain"),
+        Num.stableRound(score, 6).as("score"),
+        (score >= threshold).as("is_abbrev"))
+      .orderBy("token")
+  }
 }

@@ -841,6 +841,46 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((4L, 2L, rd(math.log(2)))))
   }
 
+  test("punktLearnAbbrevs: Kiss & Strunk criterion on the hand-computed fixture") {
+    // 200 tokens, 20 period-final → p1 = 0.1 exactly (the tx_punkt_learn
+    // fixture). Every pinned score is hand-derived from the published
+    // criterion (ll = -2(nullH - altH), exp(-len)·periods·len^-c(w),
+    // ABBREV = 0.3), so any drift in a factor or constant fails here.
+    val corpus = Seq(
+      "dr. dr. dr. dr. \"dr.\"",
+      Seq.fill(4)("u.s.").mkString(" "),
+      "vs. vs. vs",
+      "cat. " + Seq.fill(20)("cat").mkString(" "),
+      Seq.fill(8)("end.").mkString(" ") + " " + Seq.fill(30)("end").mkString(" "),
+      Seq.fill(128)("the").mkString(" ") + " (the)")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.punktLearnAbbrevs(corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // "the" never occurs period-final → not a candidate at all
+    assert(got.keySet == Set("dr", "u.s", "vs", "cat", "end"))
+    // quote-stripped "dr." counted: 5 with-period occurrences, not 4
+    assert(got("dr") == ((5L, 0L, 1.141386, true)))
+    // internal period: f_periods = 2 doubles the score
+    assert(got("u.s") == ((4L, 0L, 1.826217, true)))
+    // positive LLR but length/plain-occurrence penalties hold it under 0.3
+    assert(got("vs") == ((2L, 1L, 0.00283, false)))
+    // dominant plain occurrences → negative LLR (never an abbreviation)
+    assert(got("cat") == ((1L, 20L, 0.0, false)))
+    // the frequent sentence-ender that ALSO appears mid-sentence —
+    // Punkt's own negative case
+    assert(got("end") == ((8L, 30L, 0.0, false)))
+    // the threshold is the decision seam: above both scores → none left
+    assert(TextAnalysis.punktLearnAbbrevs(corpus, threshold = 2.0)
+      .filter(col("is_abbrev")).count() == 0)
+    // number types are never candidates (Punkt's ##number## exclusion)
+    val withNums = corpus.unionByName(
+      Seq((9L, "sold in 1990. 1990. 1990. Again")).toDF("doc_id", "text"))
+    assert(!TextAnalysis.punktLearnAbbrevs(withNums).collect()
+      .map(_.getString(0)).contains("1990"))
+  }
+
   test("lmBigramScore: stupid backoff hand case — seen ratio, unseen backoff") {
     val ref = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     // ref unigrams: alpha=2, beta=1, gamma=1 → N=4, V=3

@@ -237,4 +237,50 @@ class NltkTokenizerSpec extends SparkSpec {
       Experiment.tokenizerFor(c.copy(tokenizer = "punkt"))
     }
   }
+
+  test("LEARNED abbreviations guard splits end-to-end (--abbrev-learn)") {
+    import graft.text.TextAnalysis
+    // teach "fig" from corpus statistics alone — same closed-form shape
+    // as the tx_punkt_learn fixture (5 always-period-final occurrences,
+    // 200 tokens, p1 = 0.1 → score 1.141386 ≥ 0.3), no static-list entry
+    val corpus = Seq(
+      "fig. fig. fig. fig. \"fig.\"",
+      Seq.fill(4)("u.s.").mkString(" "),
+      "vs. vs. vs",
+      "cat. " + Seq.fill(20)("cat").mkString(" "),
+      Seq.fill(8)("end.").mkString(" ") + " " + Seq.fill(30)("end").mkString(" "),
+      Seq.fill(128)("the").mkString(" ") + " (the)")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // "fig" is NOT in the static published subset: the unguarded splitter
+    // breaks before the capital
+    assert(TreebankTokenize.sentences("See fig. Two for details.").toList ==
+      List("See fig.", "Two for details."))
+    val learned = Experiment.learnAbbrevs(corpus.select(col("text")))
+    assert(learned.toSet == Set("fig", "u.s"))
+    // the learned survivors ride the same extraAbbrevs seam as
+    // --abbrev-list: the boundary period stops being a sentence break
+    def toks(extra: Seq[String]) = Seq(("x", "See fig. Two for details."))
+      .toDF("id", "t")
+      .select(Text.nltkTokenize(col("t"), minLength = 1,
+        stopwords = Nil, extraAbbrevs = extra).as("k"))
+      .head.getSeq[String](0).toList
+    assert(toks(Nil) == List("See", "fig", ".", "Two", "for", "details", "."))
+    assert(toks(learned) == List("See", "fig.", "Two", "for", "details", "."))
+    // CLI seam: --abbrev-learn parses as a flag, is rejected loudly with
+    // the regex tokenizer, and a learned-survivor config composes into
+    // the gated tokenizer (default minLength 3 + stopwords)
+    val c = Experiment.parseArgs(Array(
+      "--data", "x", "--blocker", "token", "--out", "y",
+      "--tokenizer", "nltk", "--abbrev-learn"))
+    assert(c.abbrevLearn)
+    val ex = intercept[IllegalArgumentException] {
+      Experiment.tokenizerFor(c.copy(tokenizer = "regex"))
+    }
+    assert(ex.getMessage.contains("abbrev-learn"), ex.getMessage)
+    val tok = Experiment.tokenizerFor(c.copy(learnedAbbrevs = learned)).get
+    val got = Seq(("x", "See fig. Two for details."))
+      .toDF("id", "t").select(tok(col("t")).as("k"))
+      .head.getSeq[String](0).toList
+    assert(got == List("See", "fig.", "Two", "details"))
+  }
 }
