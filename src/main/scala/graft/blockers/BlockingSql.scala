@@ -121,4 +121,48 @@ object BlockingSql {
     * `SELECT * FROM <name>` for every downstream SQL consumer. */
   def registerView(spark: SparkSession, name: String, recipeSql: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $recipeSql")
+
+  /** M11/M12 density blocking for SQL-only users — the one blocker
+    * family the recipe builders above cannot express: DBSCAN*'s
+    * neighborhood closure and the HDBSCAN ladder/Borůvka rounds are
+    * ITERATIVE, so there is no single-SELECT form. Instead this runs
+    * the same [[AttributeClusteringBlocker]] +
+    * [[DensityClusterAssigner]] pipeline the Scala/CLI surface uses
+    * (deterministic [[graft.encoders.HashTokenEncoder]] embedding, so
+    * the view is reproducible) over two registered input views and
+    * materializes the canonical `(block_key, left, right)` blocks table
+    * as a temp view — downstream SQL reads `SELECT * FROM <name>`
+    * exactly as with [[registerView]].
+    *
+    * Ladder knobs mirror the CLI (`--eps-ladder`): default = fixed-eps
+    * DBSCAN* (the `density_cluster` view form); `autoLadderLevels > 0`
+    * = data-derived ladder + stability flat cut (the `hdbscan_auto`
+    * form); a non-empty `epsLadder` = explicit ladder;
+    * `exactHierarchy` = continuous dendrogram. `lshPlanes > 0` is the
+    * bucketed candidate-graph scale path, as everywhere. */
+  def registerDensityClusterView(
+      spark: SparkSession, name: String,
+      leftTable: String, leftId: String, leftAttrs: Seq[String],
+      rightTable: String, rightId: String, rightAttrs: Seq[String],
+      eps: Double = 0.5, minPts: Int = 3, dims: Int = 8,
+      lshPlanes: Int = 0,
+      epsLadder: Seq[Double] = Nil, autoLadderLevels: Int = 0,
+      exactHierarchy: Boolean = false,
+      minClusterSize: Int = 1,
+      noise: NoiseHandling = NoiseHandling.Keep): Unit = {
+    import org.apache.spark.sql.functions.col
+    def frame(t: String, id: String, attrs: Seq[String]) =
+      graft.core.EntityFrame(
+        spark.table(t).select((id +: attrs).distinct.map(col): _*), t, id)
+    val blocker = AttributeClusteringBlocker(
+      DensityClusterAssigner(
+        graft.encoders.HashTokenEncoder(dims), eps, minPts, lshPlanes,
+        epsLadder = epsLadder, autoLadderLevels = autoLadderLevels,
+        exactHierarchy = exactHierarchy),
+      minClusterSize, noise)
+    blocker.assign(
+      frame(leftTable, leftId, leftAttrs),
+      frame(rightTable, rightId, rightAttrs), None, None)
+      .df.createOrReplaceTempView(name)
+  }
 }

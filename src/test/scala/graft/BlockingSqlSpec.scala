@@ -71,4 +71,30 @@ class BlockingSqlSpec extends SparkSpec {
       streamPlan)
     assert(!streamPlan.contains("ScalaUDF"), streamPlan)
   }
+
+  test("density blocking views match the density blocker (fixed eps + auto ladder)") {
+    ready
+    def scalaBlocks(assigner: ClusterAssigner) = blockMap(
+      AttributeClusteringBlocker(assigner, minClusterSize = 1)
+        .assign(tableA, tableB, None, None))
+    // density_cluster form: fixed-eps DBSCAN* slice
+    BlockingSql.registerDensityClusterView(spark, "density_cluster",
+      "sql_a", "id", attrsA, "sql_b", "id", attrsB,
+      eps = 0.5, minPts = 2, dims = 8)
+    val viaSql = blockMap(Blocks(spark.sql("SELECT * FROM density_cluster")))
+    assert(viaSql.nonEmpty)
+    assert(viaSql == scalaBlocks(DensityClusterAssigner(
+      graft.encoders.HashTokenEncoder(8), 0.5, 2)))
+    // hdbscan_auto form: data-derived ladder + stability flat cut
+    BlockingSql.registerDensityClusterView(spark, "hdbscan_auto",
+      "sql_a", "id", attrsA, "sql_b", "id", attrsB,
+      minPts = 2, dims = 8, autoLadderLevels = 3)
+    val viaSqlAuto = blockMap(Blocks(spark.sql("SELECT * FROM hdbscan_auto")))
+    assert(viaSqlAuto.nonEmpty)
+    assert(viaSqlAuto == scalaBlocks(DensityClusterAssigner(
+      graft.encoders.HashTokenEncoder(8), 0.5, 2, autoLadderLevels = 3)))
+    // a SQL-only consumer reads the view like any table
+    assert(spark.sql(
+      "SELECT count(*) FROM density_cluster WHERE size(`left`) > 0").head.getLong(0) > 0)
+  }
 }
