@@ -59,11 +59,21 @@ object DensityCeilingRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // peak sampler (the in-stage transient the retained deltas miss)
-    @volatile var peakMb = 0.0
+    // peak sampler (the in-stage transient the retained deltas miss).
+    // The heap READING and the max-apply sit in one critical section
+    // with the main thread's reset: the old volatile read-modify-write
+    // let an iteration that read the pre-reset maximum (or a pre-GC
+    // heap sample) write it back just after the reset, inflating
+    // heap_tree_transient_mb. Under the monitor a sample is either
+    // wholly before the reset (clobbered by it) or wholly after (a
+    // fresh post-GC reading).
+    val peakLock = new Object
+    var peakMb = 0.0 // guarded by peakLock
     val sampler = new Thread(() => {
       while (true) {
-        peakMb = math.max(peakMb, memBean.getHeapMemoryUsage.getUsed / 1e6)
+        peakLock.synchronized {
+          peakMb = math.max(peakMb, memBean.getHeapMemoryUsage.getUsed / 1e6)
+        }
         Thread.sleep(50)
       }
     })
@@ -124,12 +134,13 @@ object DensityCeilingRehearsal {
 
     // ---- stage C: condensed tree (the 2n-slot arrays + ladder + labels) ---
     val hPreTree = gcHeapMb()
-    peakMb = hPreTree
+    peakLock.synchronized { peakMb = hPreTree }
     var assigned: Seq[(String, String)] = null
     val (_, wallTree) = timed("exactDendrogram") {
       assigned = Density.exactDendrogram(coreArr, mstArr, 2)
     }
-    val treePeakMb = peakMb - hPreTree // the 2n working arrays, transient
+    // the 2n working arrays, transient
+    val treePeakMb = peakLock.synchronized(peakMb) - hPreTree
     val clustered = assigned.size
 
     // ---- retention by DROP-AND-DIFF: heap with a structure reachable

@@ -103,10 +103,13 @@ object StreamRehearsal {
     * corpus): input, output, final and max state rows, plus two
     * boundedness signals:
     *
-    *   - `state_plateau`: every state reading in the run's last quarter
-    *     is identical — the population/keyspace has been fully seen
-    *     (the streamFunnel shape: per-user O(1) rows, flat once all
-    *     users arrived);
+    *   - `state_plateau`: the state readings in the run's last quarter
+    *     are non-increasing — flat (the population/keyspace has been
+    *     fully seen, the streamFunnel shape: per-user O(1) rows) or
+    *     SHRINKING (a TTL'd store expiring more than it admits once the
+    *     horizon passes). The claim the flag makes is "not growing";
+    *     requiring exact flatness used to report a shrinking TTL tail
+    *     as `false`, contradicting its own negative growth ratio;
     *   - `tail_growth_ratio`: (second-half state growth) / (first-half
     *     state growth). Operators whose state tracks DISTINCT keys
     *     (band buckets, shingle keys) legitimately keep admitting new
@@ -127,7 +130,9 @@ object StreamRehearsal {
     val durs = real.map(_.durMs).sorted
     val med = if (durs.isEmpty) 0L else durs(durs.size / 2)
     val quarter = states.takeRight(math.max(1, states.size / 4))
-    val plateau = states.nonEmpty && quarter.distinct.size == 1
+    // non-increasing tail: flat OR shrinking both mean "bounded"
+    val plateau = states.nonEmpty &&
+      quarter.lazyZip(quarter.drop(1)).forall(_ >= _)
     val growthRatio =
       if (states.size < 3) -1.0
       else {
