@@ -457,9 +457,10 @@ object Dedup {
     * volume is bounded only by shingle selectivity — shingles are
     * n-token strings, so collisions are already rare.
     *
-    * Single-pass: the shingle self-join that discovers a candidate pair
-    * IS its intersection count (group the matches), so no separate
-    * verification join runs.
+    * Single-pass: the inverted-index pass that discovers a candidate
+    * pair IS its intersection count (doc-set collapse, see inline), so
+    * no separate verification join runs. Keys carried by a single
+    * document drop out for free (a one-doc set has no pairs).
     *
     * `maxDocFreq > 0` is the hot-key guard (see [[capHotKeys]]): shingles
     * shared by more than `maxDocFreq` documents — boilerplate headers,
@@ -475,22 +476,56 @@ object Dedup {
   def ngramJaccardPairs(
       shinglePairs: DataFrame, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
     val sizes = shinglePairs.groupBy("id").agg(countDistinct("key").as("sz"))
-    // Considered and measured: pruning singleton shingles (keys with one
-    // document cannot contribute a pair) before the self-join. On this
-    // corpus 99% of keys are shared, so the prune removed nothing and
-    // the extra count-aggregation + semi-join cost +27% (15.7→19.9 s at
-    // sf0.1; +100% with the pruned table persisted). On a heavy-tailed
-    // real corpus where most shingles are unique, add
-    // `.join(keysWithCountGe2, Seq("key"), "left_semi")` here.
     val joinable = capHotKeys(shinglePairs, maxDocFreq)
-    // countDistinct, not count(*): duplicate (id, key) input rows (an
-    // un-deduped shingle feed) would otherwise inflate the intersection
-    // past the countDistinct set sizes — jaccard > 1, or a negative
-    // denominator. Identical result and plan cost on distinct inputs.
-    val inter = joinable.withColumnRenamed("id", "id_a")
-      .join(joinable.withColumnRenamed("id", "id_b"), Seq("key"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(countDistinct("key").as("inter"))
+    // Pair discovery by DOC-SET COLLAPSE, not a raw key self-join. The
+    // round-16 ×100 curve rows spilled 6.3 GB, localized (round 17) to
+    // THIS stage: the self-join + countDistinct form shuffles every
+    // (id_a, id_b, key) match row through the distinct-agg's first
+    // exchange — family²×shingles rows (~790 M on the ×100 corpus; the
+    // closure rounds and the downstream histogram/argmax aggs spill 0).
+    // Near-dup families share MOST of their shingles, so thousands of
+    // keys carry the IDENTICAL document set; intersection(a, b) =
+    // Σ over distinct doc sets S ∋ {a,b} of (keys carrying S). So:
+    // per key the (cap-bounded) sorted doc set — collect_set also
+    // absorbs duplicate (id, key) input rows, the old countDistinct
+    // guard — then collapse identical sets with a multiplicity, emit
+    // each set's C(n,2) ordered pairs via CHUNKED enumeration (the
+    // Blocks.pairs shape: slice the sorted array into PairChunk-sized
+    // pieces, spread the light chunk-pair rows round-robin, THEN
+    // explode ≤ chunk² structs per row — an uncapped hot doc set sheds
+    // into tasks instead of materializing C(n,2) structs in one row),
+    // and shuffle only weighted pair partials. Sorted array + ordered
+    // chunks ⇒ id_a < id_b by construction. Measured at ×100 (same
+    // corpus, cap 256): spill 4.7 GB → 0, wall 120 → 17 s, identical
+    // output (DedupSpec + oracle rows). Worst case (all doc sets
+    // distinct) emits the same C(c,2) pairs per key the join did,
+    // minus the join's double-order rows and the distinct-agg's extra
+    // exchange.
+    val keySets = joinable.groupBy("key")
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val c = graft.core.Blocks.PairChunk
+    val chunksExpr = expr(
+      s"transform(sequence(0, (size(ids)-1) div $c), i -> slice(ids, i*$c+1, $c))")
+    val inter = keySets.groupBy("ids").agg(count(lit(1)).as("m"))
+      .select(col("m"), chunksExpr.as("_cs"))
+      .select(col("m"), col("_cs"), posexplode(col("_cs")).as(Seq("_i", "_ca")))
+      .select(col("m"), col("_i"), col("_ca"),
+        posexplode(col("_cs")).as(Seq("_j", "_cb")))
+      .filter(col("_j") >= col("_i"))
+      .repartition(shinglePairs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("m"), explode(when(col("_i") === col("_j"),
+          // within-chunk combinations: each element with its successors
+          flatten(transform(col("_ca"), (a, p) =>
+            transform(slice(col("_ca"), p + 2, size(col("_ca"))), b =>
+              struct(a.as("id_a"), b.as("id_b"))))))
+        .otherwise(
+          // cross-chunk product: every _ca element < every _cb element
+          flatten(transform(col("_ca"), a =>
+            transform(col("_cb"), b =>
+              struct(a.as("id_a"), b.as("id_b"))))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(sum("m").as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
@@ -692,10 +727,17 @@ object Dedup {
     // so per-round analysis cost is flat, and the blocks are released by
     // ContextCleaner when the frame goes out of scope (persist'd frames
     // sit in the CacheManager forever unless explicitly unpersisted).
-    val edges = pairs
+    // Checkpoint the DIRECTED pairs before symmetrizing: the union's two
+    // branches would otherwise each evaluate the upstream pair pipeline
+    // (ReuseExchange does not reliably collapse them under AQE) — the
+    // ×100 curve measured keep_best's spill at ~2× the single-pass
+    // number before this. The extra checkpoint materializes only the
+    // pair-count-sized projection.
+    val directed = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
-      .unionByName(pairs
-        .select(col("id_b").cast("string").as("src"), col("id_a").cast("string").as("dst")))
+      .localCheckpoint()
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val init = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist()

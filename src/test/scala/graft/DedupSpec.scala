@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(("d2", "d3")) - 1.0 / 3) < 1e-12)
   }
 
+  test("ngramJaccardPairs: multi-chunk doc set enumerates exactly C(n,2) ordered pairs") {
+    // 1030 docs (> Blocks.PairChunk = 1024, so the chunked enumeration's
+    // cross-chunk branch is load-bearing) share one shingle; each doc
+    // also carries two private shingles → jaccard = 1/5 for every pair
+    val n = 1030
+    val sh = (0 until n).flatMap(i =>
+      Seq((f"d$i%04d", "shared"), (f"d$i%04d", s"own${i}_1"), (f"d$i%04d", s"own${i}_2")))
+      .toDF("id", "key")
+    val got = Dedup.ngramJaccardPairs(sh, 0.1)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    // within-chunk (d0000, d0001) and cross-chunk (d0000, d1029) both
+    // present with the exact jaccard; ordering invariant holds globally
+    val some = got.filter(col("id_a") === "d0000" &&
+        col("id_b").isin("d0001", "d1029")).collect()
+    assert(some.length == 2 &&
+      some.forall(r => math.abs(r.getDouble(2) - 0.2) < 1e-12), some.mkString(";"))
+    assert(got.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("lshRecall: identical sampled docs are caught; counts consistent") {
     // sampleMod=1 keeps every doc, so the gate runs on the full fixture:
     // two identical docs (J=1, caught by any banding) + one unrelated.
