@@ -661,4 +661,97 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ngramJaccardPairs equals brute-force set Jaccard on random shingle tables") {
+    // Pins the round-17 doc-set-collapse + chunked-enumeration rewrite
+    // against an INDEPENDENT driver-side computation (the Borůvka/
+    // Kruskal precedent): tiny key vocabulary forces heavy cross-doc
+    // collisions, duplicate (id, key) rows exercise the collect_set
+    // dedup guard.
+    val rowG = for {
+      d <- Gen.choose(0, 7)
+      k <- Gen.choose(1, 6)
+    } yield (s"d$d", s"k$k")
+    val tableG = Gen.nonEmptyListOf(rowG)
+    val thrG = Gen.oneOf(0.05, 0.3, 0.6)
+    forAll(tableG, thrG) { (rows: List[(String, String)], thr: Double) =>
+      val sets = rows.distinct.groupBy(_._1)
+        .map { case (id, rs) => id -> rs.map(_._2).toSet }
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if j >= thr
+      } yield (a, b) -> j).toMap
+      val got = graft.dedup.Dedup
+        .ngramJaccardPairs(rows.toDF("id", "key"), thr).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == expected.keySet,
+        s"thr=$thr missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+      expected.foreach { case (p, j) =>
+        assert(math.abs(got(p) - j) < 1e-12, s"$p: ${got(p)} vs $j")
+      }
+      // an above-max-df cap is the identity (capped pairs ⊆ uncapped
+      // with the difference confined to capped keys — here none)
+      val capped = graft.dedup.Dedup
+        .ngramJaccardPairs(rows.toDF("id", "key"), thr,
+          maxDocFreq = sets.size).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(capped == got)
+    }
+  }
+
+  test("punktLearnAbbrevs equals an independent Kiss & Strunk computation") {
+    // The criterion re-implemented in plain Scala from the published
+    // formulas (same tokenization contract), compared type-by-type on
+    // random corpora — any drift in a factor, constant, count, or the
+    // strip rule fails here independently of the hand fixture.
+    def ref(tokens: Seq[String], threshold: Double)
+        : Map[String, (Long, Long, Double, Boolean)] = {
+      val toks = tokens
+        .map(_.toLowerCase.replaceAll("^[^a-z0-9.]+|[^a-z0-9.]+$", ""))
+        .filter(_.nonEmpty)
+      val n = toks.size.toDouble
+      val p1 = toks.count(_.endsWith(".")) / n
+      toks.groupBy(t => if (t.endsWith(".")) t.dropRight(1) else t)
+        .filter { case (base, _) =>
+          base.nonEmpty && base.exists(c => c >= 'a' && c <= 'z') }
+        .flatMap { case (base, occ) =>
+          val k = occ.count(_.endsWith(".")).toDouble
+          val cp = occ.size - k
+          if (k < 1) None else {
+            val nullH = k * math.log(p1) + cp * math.log(1.0 - p1)
+            val altH = k * math.log(0.99) + cp * math.log(0.01)
+            val ll = -2.0 * (nullH - altH)
+            val periods = base.count(_ == '.') + 1.0
+            val nonP = base.count(_ != '.') + 1.0
+            val score = ll * math.exp(-nonP) * periods * math.pow(nonP, -cp)
+            Some(base -> (k.toLong, cp.toLong,
+              math.floor(score * 1e6 + 0.5) / 1e6, score >= threshold))
+          }
+        }
+    }
+    val tokenG = Gen.oneOf(
+      "dr.", "dr", "u.s.", "cat", "cat.", "the", "(the)", "\"ms.\"",
+      "1990.", "...", "vs.", "end.")
+    val corpusG = Gen.nonEmptyListOf(tokenG)
+      // ln-domain precondition: ≥ 1 period-final and ≥ 1 plain token
+      .map(ts => "end." :: "the" :: ts)
+    forAll(corpusG) { (tokens: List[String]) =>
+      val docs = tokens.grouped(7).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.punktLearnAbbrevs(docs).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+      val want = ref(tokens, 0.3)
+      assert(got.keySet == want.keySet,
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+      want.foreach { case (t, (k, cp, sc, ab)) =>
+        val (gk, gcp, gsc, gab) = got(t)
+        assert(gk == k && gcp == cp && gab == ab &&
+          math.abs(gsc - sc) < 1e-9, s"$t: ${got(t)} vs ${want(t)}")
+      }
+    }
+  }
 }
