@@ -496,11 +496,15 @@ object Dedup {
     // into tasks instead of materializing C(n,2) structs in one row),
     // and shuffle only weighted pair partials. Sorted array + ordered
     // chunks ⇒ id_a < id_b by construction. Measured at ×100 (same
-    // corpus, cap 256): spill 4.7 GB → 0, wall 120 → 17 s, identical
-    // output (DedupSpec + oracle rows). Worst case (all doc sets
-    // distinct) emits the same C(c,2) pairs per key the join did,
-    // minus the join's double-order rows and the distinct-agg's extra
-    // exchange.
+    // corpus, cap 256): this stage's spill 4.7 → 2.0 GB and wall
+    // 120 → 38 s, identical output (DedupSpec + the six consuming
+    // oracle rows + the PropertySpec brute-force pin); the remaining
+    // spill is the weighted pair aggregation over the corpus's 42.7 M
+    // distinct candidate pairs — output-side volume, shed across
+    // tasks (BASELINE.md's round-17 curve paragraph). Worst case (all
+    // doc sets distinct) emits the same C(c,2) pairs per key the join
+    // did, minus the join's double-order rows and the distinct-agg's
+    // extra exchange.
     val keySets = joinable.groupBy("key")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
