@@ -155,6 +155,45 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(phases.sum - field("total_time_in_s").toDouble) < 1e-3)
   }
 
+  test("--abbrev-learn threads LEARNED abbreviations into the blocker (runFull cEff)") {
+    // The attribute values TEACH "fig": 5 always-period-final
+    // occurrences in a 50-token corpus → p1 = 0.1, score = 10·ln(9.9)·
+    // e^-4 ≈ 0.42 ≥ 0.3; no static-list entry. The learned guard
+    // changes the BLOCK KEYS ("fig." kept whole vs a sentence split),
+    // so a regression that builds the blocker from the unlearned
+    // config (c instead of cEff) fails here, not just in unit tests.
+    val dir = java.nio.file.Files.createTempDirectory("abbrevlearn").toString
+    def w(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/$name"), lines.mkString("", "\n", "\n"))
+    val figVal = "see fig. Two for details"
+    val filler = "alpha beta gamma delta epsilon"
+    w("attr_triples_1", Seq(
+      s"a1\tnote\t$figVal", s"a2\tnote\t$figVal", s"a3\tnote\t$figVal",
+      s"a4\tnote\t$filler", s"a5\tnote\t$filler"))
+    w("attr_triples_2", Seq(
+      s"b1\tnote\t$figVal", s"b2\tnote\t$figVal",
+      s"b3\tnote\t$filler", s"b4\tnote\t$filler", s"b5\tnote\t$filler"))
+    w("rel_triples_1", Seq("a1\tknows\ta2"))
+    w("rel_triples_2", Seq("b1\tknows\tb2"))
+    w("ent_links", Seq("a1\tb1", "a2\tb2"))
+    def keysOf(flags: String*): Set[String] = {
+      val out = java.nio.file.Files.createTempDirectory("abbrev_out").toString
+      Experiment.run(spark, Experiment.parseArgs(Array(
+        "--data", dir, "--blocker", "token", "--out", out,
+        "--tokenizer", "nltk") ++ flags))
+      graft.core.Blocks.read(spark, s"$out/blocks").df
+        .select("block_key").collect().map(_.getString(0)).toSet
+    }
+    val learned = keysOf("--abbrev-learn")
+    assert(learned.contains("fig.") && !learned.contains("fig"), learned.toString)
+    // mutation direction: same pipeline without the flag splits the
+    // sentence at "fig." and blocks on the bare token
+    val unlearned = keysOf()
+    assert(unlearned.contains("fig") && !unlearned.contains("fig."),
+      unlearned.toString)
+  }
+
   test("Experiment format autodetection dispatches OpenEA vs parquet bundles") {
     import spark.implicits._
     val openea = openEaFixture()
