@@ -655,7 +655,14 @@ object Experiment {
     val encoder = encoderFor(c)
     val (blocks, tAssign) = timed {
       // --abbrev-learn: the learning scan is blocker preparation, so it
-      // is charged to the assign phase
+      // is charged to the assign phase. Validate the tokenizer pairing
+      // BEFORE the scan — tokenizerFor would reject --tokenizer regex
+      // anyway, but only after a full corpus aggregation whose result is
+      // guaranteed to be discarded.
+      require(!c.abbrevLearn || c.tokenizer == "nltk",
+        "--abbrev-list/--abbrev-learn only affect the nltk tokenizer's " +
+          "sentence splitter; pass --tokenizer nltk (the regex tokenizer " +
+          "never splits sentences)")
       val cEff =
         if (!c.abbrevLearn) c
         else c.copy(learnedAbbrevs = learnAbbrevs(

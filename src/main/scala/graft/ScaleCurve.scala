@@ -387,6 +387,34 @@ object ScaleCurve {
           .groupBy(col("count").as("size")).count()
           .count()
       }),
+      // the closure chain fed by the banded MinHash _lsh twin instead of
+      // exhaustive n-gram candidate counting — the designed scale lever
+      // for the closure family's remaining output-side volume (r17
+      // adjudication in BASELINE.md: ngramJaccardPairs' ~2.1 GB ×100
+      // spill is the weighted aggregation over 42.7 M exhaustive
+      // shared-shingle candidates; LSH banding replaces that candidate
+      // set with bucket-bounded ones). Same corpus, same cap, same
+      // downstream components → histogram / keepBest argmax, so the
+      // delta vs cluster_histogram / keep_best is purely the candidate
+      // path. Band threshold 0.5 = the ngram rows' jaccard threshold;
+      // salted-copy families sit at J≈1 so recall of the true families
+      // is unaffected (lsh_recall's gate measures this contract).
+      "cluster_histogram_lsh" -> (() => {
+        val pairs = Dedup.minHashNearDupPairs(sh, numPerm = 16, bands = 4,
+            threshold = 0.5, estPrefilter = 0.375, maxBucketSize = cap)
+          .select(col("id_a"), col("id_b"))
+        Dedup.components(pairs)
+          .groupBy("component").count()
+          .groupBy(col("count").as("size")).count()
+          .count()
+      }),
+      "keep_best_lsh" -> (() =>
+        Dedup.keepBest(
+          docs.select(col("id"), length(col("text")).as("score")),
+          "id", "score",
+          Dedup.minHashNearDupPairs(sh, numPerm = 16, bands = 4,
+              threshold = 0.5, estPrefilter = 0.375, maxBucketSize = cap)
+            .select(col("id_a"), col("id_b"))).count()),
       // the EXACT hierarchy path (Density.hdbscanExact): Borůvka MST
       // over the sign-LSH-bucketed mutual-reachability graph plus the
       // n-sized driver condensed tree — same ×N displaced-copy corpus
@@ -425,7 +453,8 @@ object ScaleCurve {
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
       "pagerank_copurchase", "joined_eval", "density_ladder",
       "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted",
-      "lightea", "cluster_histogram", "components_chain", "density_exact")
+      "lightea", "cluster_histogram", "cluster_histogram_lsh",
+      "keep_best_lsh", "components_chain", "density_exact")
     // optional 4th arg restricts to named ops (fast iteration / partial
     // regeneration — the JSON merge below keeps the other rows)
     val opNames = args.drop(3).headOption

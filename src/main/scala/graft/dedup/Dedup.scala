@@ -472,9 +472,23 @@ object Dedup {
     * shingles, so every surviving pair's jaccard is ≤ its uncapped value
     * and capped pairs ⊆ uncapped pairs, the difference confined to pairs
     * sharing a capped shingle. Default 0 = off (bit-identical, proven in
-    * DedupSpec). */
+    * DedupSpec).
+    *
+    * Memory contract of the uncapped path: with `maxDocFreq = 0` each
+    * shingle's ENTIRE document set is one `collect_set` aggregation row
+    * and then one grouping key — the chunked enumeration sheds the
+    * C(n,2) pair explosion into tasks, but the per-key array itself is
+    * not shed, so a boilerplate shingle shared by B documents is a
+    * single B-element buffer on one task. `uncappedSetLimit` converts
+    * that from a silent executor OOM / intractable-enumeration grind
+    * into a loud in-plan error naming the lever: any uncapped set
+    * larger than the limit (default 2^20 ids ≈ 5.5e11 candidate pairs
+    * — past any tractable exact run) raises with instructions to set
+    * `maxDocFreq`. At corpus scale `maxDocFreq` is the designed
+    * operating mode; the limit only polices the default. */
   def ngramJaccardPairs(
-      shinglePairs: DataFrame, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+      shinglePairs: DataFrame, threshold: Double, maxDocFreq: Int = 0,
+      uncappedSetLimit: Int = 1 << 20): DataFrame = {
     val sizes = shinglePairs.groupBy("id").agg(countDistinct("key").as("sz"))
     val joinable = capHotKeys(shinglePairs, maxDocFreq)
     // Pair discovery by DOC-SET COLLAPSE, not a raw key self-join. The
@@ -505,9 +519,24 @@ object Dedup {
     // doc sets distinct) emits the same C(c,2) pairs per key the join
     // did, minus the join's double-order rows and the distinct-agg's
     // extra exchange.
-    val keySets = joinable.groupBy("key")
+    val keySetsRaw = joinable.groupBy("key")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    // The guard lives INSIDE the ids value chain (not a free-standing
+    // assert column) so column pruning cannot drop it; a capped run
+    // needs no guard — capHotKeys already bounds every set by maxDocFreq.
+    val keySets =
+      if (maxDocFreq > 0) keySetsRaw
+      else keySetsRaw.select(
+        when(size(col("ids")) <= uncappedSetLimit, col("ids"))
+          .otherwise(raise_error(concat(
+            lit("ngramJaccardPairs: shingle "), col("key"),
+            lit(s" is shared by more than $uncappedSetLimit documents with no" +
+              " maxDocFreq cap; its C(n,2) pair enumeration is intractable and" +
+              " its doc-set array is a single-task buffer. Set maxDocFreq to" +
+              " drop boilerplate shingles (bounded under-count, see scaladoc)" +
+              " or raise uncappedSetLimit explicitly."))))
+          .as("ids"))
     val c = graft.core.Blocks.PairChunk
     val chunksExpr = expr(
       s"transform(sequence(0, (size(ids)-1) div $c), i -> slice(ids, i*$c+1, $c))")

@@ -2170,8 +2170,8 @@ object DedupQueries {
     // Closed-form fixture (the documents table carries no periods): 200
     // tokens, 20 period-final → p1 = 0.1 exactly, and every candidate's
     // LLR is hand-computable. Expected classification, pinned by hand in
-    // DedupSpec: dr (5/0 → 1.141386) and u.s (4/0, two periods →
-    // 1.826217) are abbreviations; vs (2/1 → 0.00283), cat (1/20,
+    // DedupSpec: dr (5/0 → 3.102608) and u.s (4/0, two periods →
+    // 4.964173) are abbreviations; vs (2/1 → 0.011539), cat (1/20,
     // ll < 0) and end (8/30, ll < 0 — the sentence-ender also appears
     // mid-sentence, Punkt's own negative case) are not. The quote/paren
     // tokens ("dr.", (the)) make the punctuation-strip rule load-bearing
@@ -2226,9 +2226,9 @@ object DedupQueries {
              |    (-2.0 * ((c_period * ln(n_period / n_tokens)
              |              + c_plain * ln(1.0 - n_period / n_tokens))
              |             - (c_period * ln(0.99) + c_plain * ln(0.01))))
-             |      * exp(-(length(replace(token, '.', '')) + 1))
+             |      * exp(-length(replace(token, '.', '')))
              |      * (length(token) - length(replace(token, '.', '')) + 1)
-             |      * power(length(replace(token, '.', '')) + 1, -c_plain) AS s
+             |      * power(length(replace(token, '.', '')), -c_plain) AS s
              |  FROM counts, totals)
              |SELECT token, c_period, c_plain,
              |       floor(s * 1e6 + 0.5) / 1e6 AS score,

@@ -1058,9 +1058,13 @@ object TextAnalysis {
     val nullH = k * log(p1) + nk * log(lit(1.0) - p1)
     val altH = k * log(lit(0.99)) + nk * log(lit(0.01))
     val ll = lit(-2.0) * (nullH - altH)
+    // NLTK computes num_nonperiods = len(typ) - num_periods + 1 on the
+    // period-stripped type, which is exactly the count of non-period
+    // characters (len - internal periods); candidates carry >= 1 letter
+    // so the pow base is never 0.
     val nonPeriodChars = length(regexp_replace(col("token"), "\\.", ""))
     val numPeriods = (length(col("token")) - nonPeriodChars + lit(1)).cast("double")
-    val numNonPeriods = (nonPeriodChars + lit(1)).cast("double")
+    val numNonPeriods = nonPeriodChars.cast("double")
     val score = ll * exp(-numNonPeriods) * numPeriods * pow(numNonPeriods, -nk)
     counts.crossJoin(broadcast(totals))
       .select(col("token"), col("c_period"), col("c_plain"),

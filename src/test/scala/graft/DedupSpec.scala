@@ -88,6 +88,28 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("ngramJaccardPairs: uncapped hot-set guard raises loudly, capped path is exempt") {
+    // 4 docs share one boilerplate shingle; with uncappedSetLimit = 3 the
+    // uncapped path must fail in-plan naming the maxDocFreq lever...
+    val sh = (1 to 4).flatMap(i => Seq((s"d$i", "boiler"), (s"d$i", s"own$i")))
+      .toDF("id", "key")
+    val ex = intercept[Exception] {
+      Dedup.ngramJaccardPairs(sh, 0.1, uncappedSetLimit = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("maxDocFreq") && m.contains("boiler")),
+      msgs(ex).mkString(" | "))
+    // ...while a capped run with the same limit bounds every set first —
+    // no guard, identical pairs to the unlimited default
+    val capped = Dedup.ngramJaccardPairs(sh, 0.1, maxDocFreq = 4,
+      uncappedSetLimit = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val default = Dedup.ngramJaccardPairs(sh, 0.1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == default && default.nonEmpty)
+  }
+
   test("lshRecall: identical sampled docs are caught; counts consistent") {
     // sampleMod=1 keeps every doc, so the gate runs on the full fixture:
     // two identical docs (J=1, caught by any banding) + one unrelated.
@@ -880,18 +902,19 @@ class DedupSpec extends SparkSpec {
     // "the" never occurs period-final → not a candidate at all
     assert(got.keySet == Set("dr", "u.s", "vs", "cat", "end"))
     // quote-stripped "dr." counted: 5 with-period occurrences, not 4
-    assert(got("dr") == ((5L, 0L, 1.141386, true)))
+    // (num_nonperiods = non-period chars = 2, NLTK's len - periods + 1)
+    assert(got("dr") == ((5L, 0L, 3.102608, true)))
     // internal period: f_periods = 2 doubles the score
-    assert(got("u.s") == ((4L, 0L, 1.826217, true)))
+    assert(got("u.s") == ((4L, 0L, 4.964173, true)))
     // positive LLR but length/plain-occurrence penalties hold it under 0.3
-    assert(got("vs") == ((2L, 1L, 0.00283, false)))
+    assert(got("vs") == ((2L, 1L, 0.011539, false)))
     // dominant plain occurrences → negative LLR (never an abbreviation)
     assert(got("cat") == ((1L, 20L, 0.0, false)))
     // the frequent sentence-ender that ALSO appears mid-sentence —
     // Punkt's own negative case
     assert(got("end") == ((8L, 30L, 0.0, false)))
     // the threshold is the decision seam: above both scores → none left
-    assert(TextAnalysis.punktLearnAbbrevs(corpus, threshold = 2.0)
+    assert(TextAnalysis.punktLearnAbbrevs(corpus, threshold = 5.0)
       .filter(col("is_abbrev")).count() == 0)
     // number types are never candidates (Punkt's ##number## exclusion)
     val withNums = corpus.unionByName(

@@ -242,7 +242,7 @@ class NltkTokenizerSpec extends SparkSpec {
     import graft.text.TextAnalysis
     // teach "fig" from corpus statistics alone — same closed-form shape
     // as the tx_punkt_learn fixture (5 always-period-final occurrences,
-    // 200 tokens, p1 = 0.1 → score 1.141386 ≥ 0.3), no static-list entry
+    // 200 tokens, p1 = 0.1 → score 3.102608 ≥ 0.3), no static-list entry
     val corpus = Seq(
       "fig. fig. fig. fig. \"fig.\"",
       Seq.fill(4)("u.s.").mkString(" "),

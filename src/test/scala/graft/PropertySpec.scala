@@ -723,7 +723,8 @@ class PropertySpec extends SparkSpec {
             val altH = k * math.log(0.99) + cp * math.log(0.01)
             val ll = -2.0 * (nullH - altH)
             val periods = base.count(_ == '.') + 1.0
-            val nonP = base.count(_ != '.') + 1.0
+            // NLTK: len(typ) - num_periods + 1 == non-period char count
+            val nonP = base.count(_ != '.').toDouble
             val score = ll * math.exp(-nonP) * periods * math.pow(nonP, -cp)
             Some(base -> (k.toLong, cp.toLong,
               math.floor(score * 1e6 + 0.5) / 1e6, score >= threshold))

@@ -1524,6 +1524,89 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  // ---- checkpoint recovery (the 100-TB restart contract) -----------------
+  // Stop a stateful query mid-stream, start a NEW query graph from the
+  // SAME checkpoint, and prove (a) state continuity — a duplicate of a
+  // pre-restart record is still suppressed — and (b) exactly-once sink
+  // output — nothing from the committed pre-restart batches re-emits.
+  // The parquet sink is the fault-tolerant one (its _spark_metadata log
+  // is what makes replayed batches idempotent), so the final read-back
+  // is the real recovery artifact, not the memory sink's best effort.
+
+  test("checkpoint recovery: streamExactDedupWithTtl resumes its keyed state store") {
+    import graft.streaming.StreamingOps.{DedupKeep, TimedDedupRecord}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val out = java.nio.file.Files.createTempDirectory("ck_dedup_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("ck_dedup_ckpt")
+    val mem = MemoryStream[TimedDedupRecord]
+    // the restart rebuilds the WHOLE query graph from scratch (fresh
+    // flatMapGroupsWithState dataset) — only the checkpoint carries over
+    def start() = StreamingOps
+      .streamExactDedupWithTtl(mem.toDS(), ttl = "4 hours",
+        watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val sq1 = start()
+    try {
+      mem.addData(TimedDedupRecord("k", "a", ts("2024-01-01 10:00:00")))
+      sq1.processAllAvailable()
+      mem.addData(TimedDedupRecord("k", "b", ts("2024-01-01 10:10:00")))
+      sq1.processAllAvailable() // in-horizon dup suppressed pre-restart
+    } finally sq1.stop()
+    val sq2 = start()
+    try {
+      // wave 3 after restart: k/c is an in-horizon duplicate of the
+      // WAVE-1 canonical — only recovered state can know that; n is new
+      mem.addData(TimedDedupRecord("k", "c", ts("2024-01-01 10:20:00")),
+        TimedDedupRecord("n", "x", ts("2024-01-01 10:20:00")))
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    val got = spark.read.parquet(out.toString).as[DedupKeep].collect()
+      .map(k => (k.key, k.id)).toList.sorted
+    assert(got == List(("k", "a"), ("n", "x")), got.toString)
+  }
+
+  test("checkpoint recovery: TTL'd curation store resumes canonical + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val textA = "the quick brown fox jumps"
+    val out = java.nio.file.Files.createTempDirectory("ck_cur_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("ck_cur_ckpt")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    def start() = graft.streaming.StreamingCuration.verdicts(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        curationBench.toDF("doc_id", "text"),
+        allowedLangs = Seq("en"), contamN = 3,
+        minWords = 4, minMeanLen = 1.0, maxMeanLen = 20.0, minStopwords = 1,
+        stateTtl = Some("150 minutes"), tsCol = "ts")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val sq1 = start()
+    try {
+      mem.addData((1L, textA, ts("2024-01-01 10:00:00")))
+      sq1.processAllAvailable() // doc 1 becomes the dup canonical
+    } finally sq1.stop()
+    val sq2 = start()
+    try {
+      // post-restart, in-horizon near-dup: dup_of = "1" is only
+      // derivable from the RECOVERED CanonState (and the recovered
+      // watermark must not have regressed and expired it)
+      mem.addData((4L, textA + " jumps", ts("2024-01-01 11:00:00")))
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    val got = spark.read.parquet(out.toString)
+      .as[graft.streaming.StreamingCuration.CurationVerdict]
+      .collect().map(v => v.id -> v).toMap
+    assert(got.keySet == Set("1", "4"), got.keySet.toString) // exactly once
+    assert(got("1").keep && got("1").dup_of.isEmpty, got("1").toString)
+    assert(got("4").dup_of == Some("1") && !got("4").keep, got("4").toString)
+  }
+
   // ---- streaming curation ------------------------------------------------
 
   /** All five verdict outcomes engage: keep, lang, quality, duplicate,
