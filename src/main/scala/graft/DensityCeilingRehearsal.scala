@@ -8,11 +8,14 @@ import graft.similarity.Density
 
 /** Measures [[graft.similarity.Density.hdbscanExact]]'s DRIVER ceiling —
   * the one contract the operator states but (before this) never measured
-  * at its intended scale: `maxDriverRows` guards the n core rows + n−1
-  * MST rows the driver collects and the 2n-slot condensed-tree arrays it
-  * builds. This main stages the operator's own code path on a ≥1M-value
-  * corpus and records the driver-side heap each stage retains, so the
-  * default can be a measured number instead of an assertion.
+  * at its intended scale: `maxDriverRows` guards the n core-distance
+  * slots + n−1 MST edges the driver holds (since round 18 as PRIMITIVE
+  * arrays behind an order-preserving dense-int encode — `denseIds` /
+  * `boruvkaMstIdx` / `exactDendrogramIdx`) and the 2n-slot
+  * condensed-tree arrays. This main stages the operator's own code path
+  * on a ≥1M-value corpus and records the driver-side heap each stage
+  * retains, so the default can be a measured number instead of an
+  * assertion.
   *
   * Fixture: `clusters` far-separated tight clusters of `B` points each in
   * 16-D (md5-derived centers in ±10, per-point displacement ≲ 2e-3).
@@ -108,40 +111,49 @@ object DensityCeilingRehearsal {
       core.count(); sym.count() / 2
     }
 
-    // ---- stage A: Borůvka MST (driver retains the n−1 forest rows) --------
-    val (mst, wallMst) = timed("boruvkaMst") {
-      val m = Density.boruvkaMst(edges)
-      m.persist().count()
-      m
-    }
-
-    // ---- stage B: the hdbscanExact collects (core + MST on the driver) ----
+    // ---- stage A: dense-int encode + Borůvka MST (the hdbscanExact
+    // idx path: the driver retains the n−1 forest edges as three
+    // primitive arrays — the post-r17 form, so the measured ceiling
+    // tracks what the operator actually runs) --------------------------------
+    val dict = Density.denseIds(core.select("id")).persist()
+    val nCoreL = dict.count()
+    val intEdges = edges
+      .join(dict.select(col("id").as("id_a"), col("idx").as("ia")), Seq("id_a"))
+      .join(dict.select(col("id").as("id_b"), col("idx").as("ib")), Seq("id_b"))
+      .select(col("ia"), col("ib"), col("reach").as("_w"))
     // collected straight into vars: retention is measured by nulling
     // these below, so NO other val may pin the arrays
-    var coreArr: Array[(String, Double)] = null
-    var mstArr: Array[(String, String, Double)] = null
-    val (_, wallCollect) = timed("driver collects") {
-      coreArr = core.collect().map(r => (r.getString(0), r.getDouble(1)))
-      mstArr = mst.collect()
-        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    var mstA: Array[Int] = null
+    var mstB: Array[Int] = null
+    var mstW: Array[Double] = null
+    val (_, wallMst) = timed("boruvkaMstIdx") {
+      val (a, b, w) = Density.boruvkaMstIdx(intEdges, nCoreL,
+        maxDriverRows = 5000000L, guardWho = "DensityCeilingRehearsal")
+      mstA = a; mstB = b; mstW = w
     }
-    // drop the MST DataFrame's in-heap columnar cache: in local mode
-    // executor storage shares the JVM, and the contract being measured
-    // is the DRIVER arrays, not a cache the real operator also releases
-    mst.unpersist(blocking = true)
-    val nCore = coreArr.length
-    val nMst = mstArr.length
+
+    // ---- stage B: the core-distance array (the other driver collect) ------
+    var coreDist: Array[Double] = null
+    val (_, wallCollect) = timed("driver collects") {
+      coreDist = new Array[Double](nCoreL.toInt)
+      core.join(dict, Seq("id")).select(col("idx"), col("_c")).collect()
+        .foreach(r => coreDist(r.getInt(0)) = r.getDouble(1))
+    }
+    val nCore = coreDist.length
+    val nMst = mstW.length
 
     // ---- stage C: condensed tree (the 2n-slot arrays + ladder + labels) ---
     val hPreTree = gcHeapMb()
     peakLock.synchronized { peakMb = hPreTree }
-    var assigned: Seq[(String, String)] = null
-    val (_, wallTree) = timed("exactDendrogram") {
-      assigned = Density.exactDendrogram(coreArr, mstArr, 2)
+    var outP: Array[Int] = null; var outL: Array[Int] = null
+    var outB: Array[Int] = null
+    val (_, wallTree) = timed("exactDendrogramIdx") {
+      val (p, l, b2) = Density.exactDendrogramIdx(coreDist, mstA, mstB, mstW, 2)
+      outP = p; outL = l; outB = b2
     }
     // the 2n working arrays, transient
     val treePeakMb = peakLock.synchronized(peakMb) - hPreTree
-    val clustered = assigned.size
+    val clustered = outP.length
 
     // ---- retention by DROP-AND-DIFF: heap with a structure reachable
     // minus heap after nulling it — immune to the surrounding Spark
@@ -149,9 +161,9 @@ object DensityCeilingRehearsal {
     // (an earlier cut of this measured a NEGATIVE input retention
     // because the pre-Borůvka baseline still held executor litter)
     val hAll = gcHeapMb()
-    assigned = null
+    outP = null; outL = null; outB = null
     val hNoAssigned = gcHeapMb()
-    coreArr = null; mstArr = null
+    coreDist = null; mstA = null; mstB = null; mstW = null
     val hNone = gcHeapMb()
     val outputMb = hAll - hNoAssigned
     val inputsMb = hNoAssigned - hNone

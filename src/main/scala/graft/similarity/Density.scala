@@ -471,9 +471,11 @@ object Density {
     * `edges` is (id_a, id_b, weight) — one direction per pair or both;
     * it is symmetrized internally (the [[graft.dedup.Dedup.components]]
     * convention), so a one-way edge list is safe. Ids are cast to
-    * string and the weight to double (the [[Dedup.components]] id
-    * convention — the driver union-find reads typed rows). The result
-    * is (a: string, b: string, w: double) with a < b, one row per
+    * string, then DENSE-INT encoded in id order ([[denseIds]] — order-
+    * preserving, so the (w, na, nb) tiebreaks decide identically) and
+    * the core runs on ints ([[boruvkaMstIdx]]: primitive-array driver
+    * structures); this wrapper decodes back. The result is
+    * (a: string, b: string, w: double) with a < b, one row per
     * forest edge.
     *
     * `maxDriverRows` bounds the driver-side contract (node count: the
@@ -485,53 +487,114 @@ object Density {
                  maxDriverRows: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
     val oneWay = edges.select(
       col("id_a").cast("string").as("id_a"),
       col("id_b").cast("string").as("id_b"),
       col(weightCol).cast("double").as("_w"))
-    // CONTRACTED component multigraph, maintained across rounds: one row
-    // per ORDERED live component pair (ca, cb), carrying the minimum
-    // crossing edge under the total order (w, na, nb) with its ORIGINAL
-    // canonical endpoints na < nb. Keeping only the per-pair minimum is
-    // lossless for Borůvka: a component's round selection is the min
-    // over its pairs' minima, and the global-min tuple is by definition
-    // its own pair's minimum. Contraction makes round r's join cost
-    // proportional to the SURVIVING cross-pair count, not the input
-    // edge count — the classic Borůvka contraction. Measured 1.4× on a
-    // 200k-node same-session A/B vs re-joining the full edge table
-    // against an n-sized label map every round (round 1 still pays the
-    // full O(E) pass on both variants and dominates; contraction wins
-    // grow with round count, i.e. with component diameter).
-    val canon = oneWay.filter(col("id_a") =!= col("id_b")).select(
-      least(col("id_a"), col("id_b")).as("na"),
-      greatest(col("id_a"), col("id_b")).as("nb"),
-      col("_w"))
+    val dict = denseIds(oneWay.select(col("id_a").as("id"))
+      .unionByName(oneWay.select(col("id_b").as("id")))).persist()
+    val nNodes = dict.count()
+    val intEdges = oneWay
+      .join(dict.select(col("id").as("id_a"), col("idx").as("ia")), Seq("id_a"))
+      .join(dict.select(col("id").as("id_b"), col("idx").as("ib")), Seq("id_b"))
+      .select(col("ia"), col("ib"), col("_w"))
+    val (ma, mb, mw) =
+      try boruvkaMstIdx(intEdges, nNodes, maxDriverRows, "boruvkaMst")
+      catch { case t: Throwable => dict.unpersist(); throw t }
+    // decode idx → id with a TRANSIENT driver array (the dict collected
+    // once, by construction positionally idx-ordered after the sort) so
+    // the returned frame stays driver-local like the pre-idx form — no
+    // lingering lineage on the persisted dict, nothing retained beyond
+    // the (n−1)-row result itself
+    val ids = new Array[String](nNodes.toInt)
+    dict.collect().foreach(r => ids(r.getInt(1)) = r.getString(0))
+    dict.unpersist()
+    val out = ma.indices.map(i => (ids(ma(i)), ids(mb(i)), mw(i)))
+    if (out.isEmpty) Seq.empty[(String, String, Double)].toDF("a", "b", "w")
+    else out.toDF("a", "b", "w")
+  }
+
+  /** Dense 0..n−1 integer index over the DISTINCT ids of `ids`' first
+    * column, assigned in id-string order — ORDER-PRESERVING, so every
+    * lexicographic comparison downstream (the Borůvka/Kruskal
+    * (w, na, nb) tiebreaks, min-id cluster labels) is a primitive int
+    * compare on the encoded form. Built with a distributed sort +
+    * `zipWithIndex` (deterministic: the sort is total on distinct
+    * ids), never on the driver. */
+  private[graft] def denseIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val sorted = ids.select(col(ids.columns.head).cast("string").as("id"))
+      .distinct().orderBy("id")
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), i.toInt) }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /** Borůvka core on DENSE int node ids (a [[denseIds]] encode) —
+    * algorithm, contraction, and the (w, na, nb) total order exactly as
+    * the string form had them (idx order = id order, so every tiebreak
+    * decides identically), but the DRIVER retains primitive arrays
+    * only: the union-find is one Array[Int] (4 B/node vs ~150 B/entry
+    * for the string HashMap), the forest is three primitive builders
+    * (16 B/edge vs ~200 B/tuple) — the measured lever behind the raised
+    * [[hdbscanExact]] ceiling (density_ceiling.json).
+    *
+    * CONTRACTED component multigraph, maintained across rounds: one row
+    * per ORDERED live component pair (ca, cb), carrying the minimum
+    * crossing edge under the total order (w, na, nb) with its ORIGINAL
+    * canonical endpoints na < nb. Keeping only the per-pair minimum is
+    * lossless for Borůvka: a component's round selection is the min
+    * over its pairs' minima, and the global-min tuple is by definition
+    * its own pair's minimum. Contraction makes round r's join cost
+    * proportional to the SURVIVING cross-pair count, not the input
+    * edge count — the classic Borůvka contraction. Measured 1.4× on a
+    * 200k-node same-session A/B vs re-joining the full edge table
+    * against an n-sized label map every round (round 1 still pays the
+    * full O(E) pass on both variants and dominates; contraction wins
+    * grow with round count, i.e. with component diameter).
+    *
+    * Returns the forest as parallel (a, b, w) arrays with a < b. */
+  private[graft] def boruvkaMstIdx(
+      intEdges: DataFrame, nNodes: Long, maxDriverRows: Long,
+      guardWho: String): (Array[Int], Array[Int], Array[Double]) = {
+    val spark = intEdges.sparkSession
+    import spark.implicits._
+    val release = org.apache.spark.sql.graft.ListenerBridge.releaseCheckpointBlocks _
+    val canon = intEdges.filter(col("ia") =!= col("ib")).select(
+      least(col("ia"), col("ib")).as("na"),
+      greatest(col("ia"), col("ib")).as("nb"),
+      col("_w").cast("double").as("_w"))
       .groupBy("na", "nb").agg(min(col("_w")).as("_w"))
     var cur = canon.select(col("na").as("ca"), col("nb").as("cb"),
         col("na"), col("nb"), col("_w"))
       .unionByName(canon.select(col("nb").as("ca"), col("na").as("cb"),
         col("na"), col("nb"), col("_w")))
       .localCheckpoint()
-    // driver union-find over COMPONENT ids; path-compressed
-    val uf = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
-      var r = x
-      while (uf.getOrElse(r, r) != r) r = uf(r)
-      var c = x
-      while (uf.getOrElse(c, c) != r) { val nx = uf(c); uf(c) = r; c = nx }
-      r
-    }
-    val mstRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     var alive = cur.select(col("ca")).distinct().count() // live components
     if (alive > maxDriverRows) {
       release(cur) // the guard path must not strand the checkpoint blocks
       throw new IllegalArgumentException(
-        s"boruvkaMst holds one driver row per node in its first round: " +
+        s"$guardWho holds one driver row per node in its first round: " +
           s"$alive exceeds maxDriverRows=$maxDriverRows — use the ladder " +
           "forms (hdbscanFlatCut/auto keep the driver cluster-count-sized) " +
           "at this scale")
     }
+    // driver union-find over component ids — dense, so one flat array
+    val uf = Array.range(0, nNodes.toInt)
+    def find(x: Int): Int = {
+      var r = x
+      while (uf(r) != r) r = uf(r)
+      var c = x
+      while (uf(c) != r) { val nx = uf(c); uf(c) = r; c = nx }
+      r
+    }
+    val outA = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outB = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outW = new scala.collection.mutable.ArrayBuilder.ofDouble
     var done = alive <= 1L
     var rounds = 0
     while (!done && rounds < 64) {
@@ -548,18 +611,18 @@ object Density {
         // second sight finds equal roots) — the Borůvka forest lemma
         // plus the total order make the added edge set deterministic
         for (r <- sel) {
-          val ra = find(r.getString(0)); val rb = find(r.getString(1))
+          val ra = find(r.getInt(0)); val rb = find(r.getInt(1))
           if (ra != rb) {
             if (ra < rb) uf(rb) = ra else uf(ra) = rb
-            mstRows += ((r.getString(2), r.getString(3), r.getDouble(4)))
+            outA += r.getInt(2); outB += r.getInt(3); outW += r.getDouble(4)
             alive -= 1
           }
         }
         if (alive <= 1L) done = true // fully connected: no cross edges left
         else {
           val remap = sel.iterator
-            .flatMap(r => Iterator(r.getString(0), r.getString(1)))
-            .toSet.iterator.map((c: String) => (c, find(c)))
+            .flatMap(r => Iterator(r.getInt(0), r.getInt(1)))
+            .toSet.iterator.map((c: Int) => (c, find(c)))
             .filter { case (c, rc) => c != rc }.toSeq
           // contract: rename both endpoints to their merged component,
           // drop now-internal edges, re-minimize per surviving pair
@@ -584,11 +647,9 @@ object Density {
       }
       rounds += 1
     }
-    require(done, "boruvkaMst did not converge in 64 rounds")
+    require(done, s"$guardWho did not converge in 64 rounds")
     release(cur)
-    if (mstRows.isEmpty)
-      Seq.empty[(String, String, Double)].toDF("a", "b", "w")
-    else mstRows.toSeq.toDF("a", "b", "w")
+    (outA.result(), outB.result(), outW.result())
   }
 
   /** EXACT HDBSCAN — the continuous mutual-reachability dendrogram,
@@ -621,13 +682,17 @@ object Density {
     * the ladder form beyond it. The 5M default is MEASURED, not
     * asserted (DensityCeilingRehearsal, 1M values / 985k MST rows on a
     * 15,625-cluster fixture; retention by drop-and-diff — null the
-    * structure, re-GC, difference): the collected core+MST tuples
-    * retain 270 MB and the label output 104 MB — 374 bytes/row linear,
-    * so 5M rows ≈ 1.9 GB retained driver heap; the condensed-tree
-    * walk's transient allocation burst observed ≤ 1.3 GB at 1M without
-    * GC pressure (sort copies and iterator tuples — reclaimable), and
-    * the walk took ~10-40 s. Both fit the 24g driver profile at the 5M
-    * default with ample headroom. Artifact: density_ceiling.json. */
+    * structure, re-GC, difference). Round 18 dense-int encode
+    * ([[denseIds]] + [[boruvkaMstIdx]] + [[exactDendrogramIdx]]: every
+    * retained driver structure a primitive array, labels resolved back
+    * to id strings distributed): retention fell 374 → **36 bytes/row**
+    * (inputs 24 MB + labels 12 MB at 1M), so the 5M default retains
+    * ~0.2 GB — maxDriverRows is now a memory KNOB with ~10× headroom
+    * at the same 24g profile, no longer the binding wall. The binding
+    * transients are the Borůvka round-1 per-component minima collect
+    * (n Row objects) and the dendrogram sort/walk's allocation churn
+    * (sampler peak 2.0 GB at 1M — young-gen garbage, collected without
+    * pressure, not required heap). Artifact: density_ceiling.json. */
   def hdbscanExact(
       emb: DataFrame, minPts: Int = 3, minClusterSize: Int = 2,
       lshPlanes: Int = 0, planeDims: Int = 16,
@@ -642,23 +707,44 @@ object Density {
           s"maxDriverRows=$maxDriverRows — use hdbscanFlatCut/auto (the " +
           "ladder form keeps the driver cluster-count-sized) at this scale")
     }
-    val mst = boruvkaMst(edges, maxDriverRows = maxDriverRows)
-    val mstRows = mst.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    val coreRows = core.collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
-    val assigned = exactDendrogram(coreRows, mstRows, minClusterSize)
+    // order-preserving dense idx over the core ids (the MST vertex
+    // set): the whole driver side — union-find, forest, core
+    // distances, condensed-tree arrays, labels — is primitive arrays
+    // (~25 B/row measured vs ~374 B/row for the string tuples,
+    // density_ceiling.json), and the label idx→id resolution runs
+    // DISTRIBUTED through the dict joins below
+    val dict = denseIds(core.select("id")).persist()
+    val intEdges = edges
+      .join(dict.select(col("id").as("id_a"), col("idx").as("ia")), Seq("id_a"))
+      .join(dict.select(col("id").as("id_b"), col("idx").as("ib")), Seq("id_b"))
+      .select(col("ia"), col("ib"), col("reach").as("_w"))
+    val (ma, mb, mw) =
+      try boruvkaMstIdx(intEdges, nCore, maxDriverRows, "hdbscanExact")
+      catch { case t: Throwable =>
+        dict.unpersist(); e.unpersist(); sym.unpersist(); core.unpersist()
+        throw t }
+    val coreDist = new Array[Double](nCore.toInt)
+    core.join(dict, Seq("id")).select(col("idx"), col("_c")).collect()
+      .foreach(r => coreDist(r.getInt(0)) = r.getDouble(1))
+    val (lp, ll, lb) = exactDendrogramIdx(coreDist, ma, mb, mw, minClusterSize)
     val spark = emb.sparkSession
     import scala.jdk.CollectionConverters._
     val labDf = spark.createDataFrame(
-      assigned.map { case (id, c) => org.apache.spark.sql.Row(id, c) }.asJava,
+      lp.indices.map(i =>
+        org.apache.spark.sql.Row(lp(i), ll(i), lb(i))).asJava,
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.StringType))))
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lvl",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.IntegerType))))
+      .join(dict, Seq("idx"))
+      .join(dict.select(col("idx").as("lbl"), col("id").as("_lid")), Seq("lbl"))
+      .select(col("id"),
+        concat(col("lvl").cast("string"), lit(":"), col("_lid")).as("cluster"))
     val out = e.select("id").join(labDf, Seq("id"), "left")
-    graft.core.CacheScope.seal(out, e, sym, core, mst)
+    graft.core.CacheScope.seal(out, e, sym, core, dict)
   }
 
   /** The complete eps ladder of `emb`'s mutual-reachability hierarchy —
@@ -710,29 +796,33 @@ object Density {
   }
 
   /** Driver-side condensed tree over the merge forest of (core, MST)
-    * events — the [[hdbscanExact]] tail. Pure function of the
-    * collected rows; O(n α(n)) union-find + O(#nodes) walks.
-    * Returns (id → cluster) for clustered points only. */
-  private[graft] def exactDendrogram( // private[graft]: DensityCeilingRehearsal stages it
-      cores: Array[(String, Double)],
-      mstEdges: Array[(String, String, Double)],
-      mcs: Int): Seq[(String, String)] = {
-    val n = cores.length
-    if (n == 0) return Seq.empty
-    val idOf = cores.map(_._1)
-    val idx = idOf.zipWithIndex.toMap
+    * events — the [[hdbscanExact]] tail, on DENSE INT ids (a
+    * [[denseIds]] encode: idx order = id-string order, so min-label
+    * selection and Kruskal tiebreaks decide exactly as the string form
+    * did). Pure function of the primitive input arrays; O(n α(n))
+    * union-find + O(#nodes) walks; every retained structure is a
+    * primitive array. Returns clustered points only, as parallel
+    * (point idx, cluster birth level, cluster birth-label idx) arrays
+    * — the caller renders "level:labelId" distributed via the dict. */
+  private[graft] def exactDendrogramIdx( // private[graft]: DensityCeilingRehearsal stages it
+      coreDist: Array[Double],
+      edgeA: Array[Int], edgeB: Array[Int], edgeW: Array[Double],
+      mcs: Int): (Array[Int], Array[Int], Array[Int]) = {
+    val n = coreDist.length
+    val empty = (Array.empty[Int], Array.empty[Int], Array.empty[Int])
+    if (n == 0) return empty
     // merge forest arrays; leaves 0..n-1, internal nodes appended
     val maxNodes = 2 * n
     val birth = new Array[Double](maxNodes)
     val death = Array.fill(maxNodes)(Double.PositiveInfinity)
     val size = new Array[Int](maxNodes)
-    val labelArr = new Array[String](maxNodes)
+    val labelArr = new Array[Int](maxNodes)
     val parentArr = Array.fill(maxNodes)(-1)
     val childA = Array.fill(maxNodes)(-1)
     val childB = Array.fill(maxNodes)(-1)
     var nNodes = n
     for (i <- 0 until n) {
-      birth(i) = cores(i)._2; size(i) = 1; labelArr(i) = cores(i)._1
+      birth(i) = coreDist(i); size(i) = 1; labelArr(i) = i
     }
     // union-find over forest roots (find = current top node of a tree)
     val top = new Array[Int](maxNodes)
@@ -745,9 +835,11 @@ object Density {
       r
     }
     // Kruskal ascending under the Borůvka total order (weight, a, b)
-    val sorted = mstEdges.sortBy { case (a, b, r) => (r, a, b) }
-    for ((a, b, r) <- sorted) {
-      val ra = find(idx(a)); val rb = find(idx(b))
+    val order = Array.range(0, edgeW.length)
+      .sortBy(k => (edgeW(k), edgeA(k), edgeB(k)))
+    for (k <- order) {
+      val r = edgeW(k)
+      val ra = find(edgeA(k)); val rb = find(edgeB(k))
       if (ra != rb) {
         val j = nNodes; nNodes += 1
         birth(j) = r; size(j) = size(ra) + size(rb)
@@ -760,9 +852,9 @@ object Density {
       }
     }
     // complete ladder: distinct positive event radii, descending
-    val ladderAsc = (cores.iterator.map(_._2) ++ mstEdges.iterator.map(_._3))
+    val ladderAsc = (coreDist.iterator ++ edgeW.iterator)
       .filter(_ > 0).toArray.distinct.sorted
-    if (ladderAsc.isEmpty) return Seq.empty // no positive radius: degenerate
+    if (ladderAsc.isEmpty) return empty // no positive radius: degenerate
     val L = ladderAsc.length
     def lam(l: Int): Double = // 1-based desc level index → λ; λ(0) := λ(1)
       1.0 / ladderAsc(L - math.max(l, 1))
@@ -804,7 +896,7 @@ object Density {
     }
     // ---- condensed tree walk (one condensed node per continuation
     // chain of ≥mcs merge nodes) ----
-    final case class Cond(birthLevel: Int, birthLabel: String, parent: Int)
+    final case class Cond(birthLevel: Int, birthLabel: Int, parent: Int)
     val conds = scala.collection.mutable.ArrayBuffer.empty[Cond]
     val condStab = scala.collection.mutable.ArrayBuffer.empty[Double]
     val condOf = new Array[Int](maxNodes) // merge node → condensed node
@@ -885,15 +977,19 @@ object Density {
         else if (parentArr(j) == -1) -1
         else fq(parentArr(j))
     }
-    (0 until n).iterator.flatMap { p =>
+    val outP = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outL = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outB = new scala.collection.mutable.ArrayBuilder.ofInt
+    for (p <- 0 until n) {
       val q = fq(p)
-      if (q == -1) None
-      else {
+      if (q != -1) {
         val cv = cover(condOf(q))
-        if (cv == -1) None
-        else Some(idOf(p) -> s"${conds(cv).birthLevel}:${conds(cv).birthLabel}")
+        if (cv != -1) {
+          outP += p; outL += conds(cv).birthLevel; outB += conds(cv).birthLabel
+        }
       }
-    }.toSeq
+    }
+    (outP.result(), outL.result(), outB.result())
   }
 
   /** DuckDB SQL mirror of [[hdbscanFlatCut]] over a `(id varchar,

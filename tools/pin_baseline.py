@@ -45,22 +45,30 @@ def main():
         shared = sorted(set(prev["queries"]) & set(quiet["queries"]))
         prev_sum = sum(prev["queries"][q] for q in shared)
         new_sum = sum(quiet["queries"][q] for q in shared)
+        # Rank regressions by the FLOORED ratio new/max(prev, 1s): a
+        # sub-second pin row is the quietest sample of a noise-dominated
+        # query, so its raw ratio flags load windows, not plan changes
+        # (r17's p10_block_cap: 0.80 -> 1.65 s read as ">2x" with
+        # byte-identical per-task maxima). The raw ratio is still
+        # printed for the adjudication.
         ratios = sorted(
-            ((quiet["queries"][q] / prev["queries"][q], q) for q in shared
+            ((quiet["queries"][q] / max(prev["queries"][q], 1.0),
+              quiet["queries"][q] / prev["queries"][q], q) for q in shared
              if prev["queries"][q] > 0), reverse=True)
         import statistics
         print(f"shared {len(shared)}: prev {prev_sum:.1f}s new {new_sum:.1f}s "
               f"ratio {new_sum / prev_sum:.3f} median "
-              f"{statistics.median(r for r, _ in ratios):.3f}",
+              f"{statistics.median(raw for _, raw, _ in ratios):.3f}",
               file=sys.stderr)
-        print("worst 8 shared-query ratios (adjudicate >2x with maxima):",
-              file=sys.stderr)
-        for r, q in ratios[:8]:
+        print("worst 8 shared-query FLOORED ratios (new/max(prev,1s); "
+              "adjudicate >2x with maxima):", file=sys.stderr)
+        for rf, raw, q in ratios[:8]:
             pm = prev.get("metrics", {}).get(q, {})
             nm = quiet.get("metrics", {}).get(q, {})
             same = all(pm.get(k) == nm.get(k) for k in pm) if pm else None
             print(f"  {q}: {prev['queries'][q]:.2f} -> "
-                  f"{quiet['queries'][q]:.2f} ({r:.2f}x) maxima_unchanged={same}",
+                  f"{quiet['queries'][q]:.2f} (floored {rf:.2f}x, raw {raw:.2f}x)"
+                  f" maxima_unchanged={same}",
                   file=sys.stderr)
     except FileNotFoundError:
         print("no previous bench.json — skipping ratio report", file=sys.stderr)
