@@ -494,6 +494,18 @@ object Density {
     val dict = denseIds(oneWay.select(col("id_a").as("id"))
       .unionByName(oneWay.select(col("id_b").as("id")))).persist()
     val nNodes = dict.count()
+    // the idx core's guard bounds LIVE components (nodes with a
+    // non-self edge); the encode/decode arrays here are sized by the
+    // full endpoint vocabulary, so bound that too — a graph of mostly
+    // self-loop-only nodes must not slip past the alive-count guard
+    if (nNodes > maxDriverRows) {
+      dict.unpersist()
+      throw new IllegalArgumentException(
+        s"boruvkaMst holds one driver array slot per distinct endpoint: " +
+          s"$nNodes exceeds maxDriverRows=$maxDriverRows — use the ladder " +
+          "forms (hdbscanFlatCut/auto keep the driver cluster-count-sized) " +
+          "at this scale")
+    }
     val intEdges = oneWay
       .join(dict.select(col("id").as("id_a"), col("idx").as("ia")), Seq("id_a"))
       .join(dict.select(col("id").as("id_b"), col("idx").as("ib")), Seq("id_b"))
