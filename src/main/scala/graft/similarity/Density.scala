@@ -532,7 +532,12 @@ object Density {
     * (w, na, nb) tiebreaks, min-id cluster labels) is a primitive int
     * compare on the encoded form. Built with a distributed sort +
     * `zipWithIndex` (deterministic: the sort is total on distinct
-    * ids), never on the driver. */
+    * ids), never on the driver. Collation note: "id order" is Spark's
+    * UTF8 binary (code-point) order — the same order `least`/
+    * `greatest` and the SQL oracles use, so the encode makes the
+    * whole pipeline consistent on one collation (the pre-idx driver
+    * code compared Java strings, which diverges from binary order
+    * only for supplementary-plane characters). */
   private[graft] def denseIds(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     val sorted = ids.select(col(ids.columns.head).cast("string").as("id"))
