@@ -50,6 +50,11 @@ object DensityCeilingRehearsal {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val b = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    // A/B seam: SPARK_GRAFT_STREAM_ROWS overrides the streamed-driver
+    // threshold (set it above n to stage the collect() form — the
+    // before/after for the round-1 minima transient)
+    sys.env.get("SPARK_GRAFT_STREAM_ROWS")
+      .foreach(v => Density.streamCollectRows = v.toLong)
     val planes = 24
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -126,18 +131,27 @@ object DensityCeilingRehearsal {
     var mstA: Array[Int] = null
     var mstB: Array[Int] = null
     var mstW: Array[Double] = null
+    // peak across the MST stage: in a single-JVM rehearsal this
+    // conflates the EXECUTOR side's shuffle/aggregation churn with the
+    // driver's per-round minima handling, so it is an upper bound on
+    // the stage transient, not a driver-only number (the tree stage
+    // below has no Spark jobs, so ITS peak is driver-clean) — reported
+    // to bound the round-1 minima path, which past streamCollectRows
+    // is held to one partition at a time by construction
+    val hPreMst = gcHeapMb()
+    peakLock.synchronized { peakMb = hPreMst }
     val (_, wallMst) = timed("boruvkaMstIdx") {
       val (a, b, w) = Density.boruvkaMstIdx(intEdges, nCoreL,
         maxDriverRows = 5000000L, guardWho = "DensityCeilingRehearsal")
       mstA = a; mstB = b; mstW = w
     }
+    val mstPeakMb = peakLock.synchronized(peakMb) - hPreMst
 
-    // ---- stage B: the core-distance array (the other driver collect) ------
+    // ---- stage B: the core-distance array — the operator's own
+    // fillCoreDist (streamed past streamCollectRows), not a copy ------------
     var coreDist: Array[Double] = null
     val (_, wallCollect) = timed("driver collects") {
-      coreDist = new Array[Double](nCoreL.toInt)
-      core.join(dict, Seq("id")).select(col("idx"), col("_c")).collect()
-        .foreach(r => coreDist(r.getInt(0)) = r.getDouble(1))
+      coreDist = Density.fillCoreDist(core, dict, nCoreL)
     }
     val nCore = coreDist.length
     val nMst = mstW.length
@@ -183,6 +197,7 @@ object DensityCeilingRehearsal {
         s""""heap_inputs_retained_mb":${f"$inputsMb%.0f"},""" +
         s""""heap_labels_retained_mb":${f"$outputMb%.0f"},""" +
         s""""heap_tree_transient_mb":${f"$treePeakMb%.0f"},""" +
+        s""""heap_mst_stage_peak_mb":${f"$mstPeakMb%.0f"},""" +
         s""""per_row_bytes":${f"$perRowBytes%.0f"},"extrapolated_5m_gb":${f"$at5mGb%.1f"}}"""
     println(json)
     java.nio.file.Files.write(

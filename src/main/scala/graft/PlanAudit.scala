@@ -63,6 +63,7 @@ object PlanAudit {
     "p8_filter_importance" -> "consumes a4's importance pipeline (one-row total broadcast)",
     "w1_top_name_props" -> "consumes a5's importance pipeline (one-row total broadcast)",
     "tx_lm_score" -> "one-row (N, V) reference-totals broadcast into the smoothed log-prob projection",
+    "tx_lm_buckets" -> "one-row (N, V) reference-totals broadcast (the lmScore stage; thresholds themselves ride a groups-sized broadcast hash join)",
     "tx_source_overlap" -> "group-count-sized sketch cross (sources² rows; each group pre-collapsed to one signature)",
     "tx_temperature_mix" -> "one-row N and Z totals crossJoin(broadcast) into the groups-sized weight table",
     "tx_dsir_weight" -> "one-row model-totals crossJoin(broadcast) into the bucket-bounded LLR join",

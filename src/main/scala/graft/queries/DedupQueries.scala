@@ -1825,6 +1825,43 @@ object DedupQueries {
            |GROUP BY dt.id ORDER BY dt.id""".stripMargin
       }),
 
+    // ---- CCNet head/middle/tail perplexity buckets (Wenzek et al. 2019) --
+    // Thresholds are exact interpolated percentiles of the 6dp-rounded
+    // scores, themselves stable-rounded — both engines compare identical
+    // doubles, so the bucket boundary cannot flip (the ev_value_quantiles
+    // percentile-portability protocol).
+    "tx_lm_buckets" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.lmBuckets(docs, docs.filter(col("source") === "src0"))
+          .orderBy("id")
+      },
+      Some {
+        val refToks = QueryDef.duckTokens("cast(doc_id AS varchar)", "text",
+          "(SELECT * FROM documents WHERE source = 'src0')")
+        val docToks = QueryDef.duckTokens("cast(doc_id AS varchar)", "text",
+          "documents")
+        s"""WITH rc AS (SELECT key AS tok, count(*) AS c FROM ($refToks) GROUP BY 1),
+           |tot AS (SELECT sum(c)::double AS n, count(*)::double AS v FROM rc),
+           |dt AS ($docToks),
+           |sc AS (SELECT dt.id, count(*) AS n_toks,
+           |         ${Num.stableRoundSql(
+                        "avg(-ln((coalesce(rc.c, 0) + 1.0) / (tot.n + tot.v + 1.0)))", 6)} AS nll_e6
+           |       FROM dt LEFT JOIN rc ON rc.tok = dt.key, tot
+           |       GROUP BY dt.id),
+           |s AS (SELECT sc.*, d.source AS grp
+           |      FROM sc JOIN documents d ON cast(d.doc_id AS varchar) = sc.id),
+           |thr AS (SELECT grp,
+           |          ${Num.stableRoundSql("quantile_cont(nll_e6, 1.0/3)", 6)} AS t1,
+           |          ${Num.stableRoundSql("quantile_cont(nll_e6, 2.0/3)", 6)} AS t2
+           |        FROM s GROUP BY grp)
+           |SELECT s.id, s.grp, s.n_toks, s.nll_e6,
+           |       CASE WHEN s.nll_e6 <= thr.t1 THEN 'head'
+           |            WHEN s.nll_e6 <= thr.t2 THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM s JOIN thr USING (grp) ORDER BY s.id""".stripMargin
+      }),
+
     // ---- token entropy (information-density quality signal) --------------
     "tx_entropy" -> QueryDef(
       (s, dir) => TextAnalysis.tokenEntropy(table(s, dir, "documents"))

@@ -557,6 +557,51 @@ object TextAnalysis {
         Num.stableRound(-avg(col("lp")), 6).as("nll_e6"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): cut
+    * each group's documents into `head` / `middle` / `tail` at the
+    * group's own 1/3 and 2/3 LM-score quantiles — the published
+    * corpus-curation step that keeps the most reference-like third(s)
+    * per language without a single global threshold penalizing
+    * whole languages. The score is [[lmScore]]'s unigram NLL (the
+    * engine's documented model-free stand-in for CCNet's KenLM
+    * 5-gram); `groupCol` is CCNet's language — any corpus facet
+    * (here typically `source` or a [[langId]] output) works.
+    *
+    * Determinism: scores are [[lmScore]]'s 6-decimal stable-rounded
+    * values, thresholds are exact interpolated percentiles of those
+    * rounded values, themselves stable-rounded at 6 decimals — both
+    * engines then compare identical doubles, so the bucket boundary
+    * cannot flip between Spark and the oracle (the
+    * `ev_value_quantiles` percentile-portability protocol; ln() is
+    * irrational so the 1e-6 grid hazard does not apply).
+    *
+    * 100 TB shape: [[lmScore]]'s contract (vocab-bounded broadcast
+    * model, one per-doc aggregation) plus one groups-sized exact
+    * percentile aggregate broadcast back — nothing beyond what any
+    * per-group statistic pays. At unbounded per-group score
+    * cardinality swap the exact `percentile` for `percentile_approx`
+    * (t-digest, mergeable) — same call shape, same buckets up to the
+    * sketch's rank error. Docs with zero tokens have no score and are
+    * absent (the oracle agrees).
+    *
+    * Output: (id, grp, n_toks, nll_e6, bucket). */
+  def lmBuckets(docs: DataFrame, refDocs: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                groupCol: String = "source"): DataFrame = {
+    val scores = lmScore(docs, refDocs, idCol, textCol)
+    val grp = docs.select(col(idCol).cast("string").as("id"),
+      col(groupCol).cast("string").as("grp"))
+    val s = scores.join(grp, Seq("id"))
+    val thr = s.groupBy("grp").agg(
+      Num.stableRound(percentile(col("nll_e6"), lit(1.0 / 3)), 6).as("_t1"),
+      Num.stableRound(percentile(col("nll_e6"), lit(2.0 / 3)), 6).as("_t2"))
+    s.join(broadcast(thr), Seq("grp"))
+      .select(col("id"), col("grp"), col("n_toks"), col("nll_e6"),
+        when(col("nll_e6") <= col("_t1"), lit("head"))
+          .when(col("nll_e6") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Deterministic stratified split assignment (train/val/test …): the
     * md5 fraction of each id walks a cumulative-threshold ladder built
     * from `fractions` (which must sum to ≤ 1; any remainder falls into

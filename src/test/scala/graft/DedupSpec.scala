@@ -620,6 +620,23 @@ class DedupSpec extends SparkSpec {
     assert(got("d1") == ((2L, d1)) && got("d2") == ((2L, d2)), got.toString)
   }
 
+  test("lmBuckets: per-group terciles, threshold-equality lands in head, groups independent") {
+    val ref = Seq(("r1", "foo bar foo")).toDF("doc_id", "text")
+    // group g scores (denom 6): a=ln2, d=(ln2+ln3)/2, b=ln3, c=ln6 —
+    // 4 docs put t1 exactly ON d's score (rank (4-1)/3 = 1.0, no
+    // interpolation), so d pins the <=-boundary head case; group h has
+    // its own interpolated cuts (per-group independence)
+    val docs = Seq(
+      ("a", "foo foo", "g"), ("b", "bar bar", "g"),
+      ("c", "zzz zzz", "g"), ("d", "foo bar", "g"),
+      ("e", "foo foo foo", "h"), ("f", "zzz", "h")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lmBuckets(docs, ref)
+      .collect().map(r => (r.getString(0), r.getString(4))).toMap
+    assert(got == Map("a" -> "head", "d" -> "head", "b" -> "middle",
+      "c" -> "tail", "e" -> "head", "f" -> "tail"), got.toString)
+  }
+
   test("splitAssign: md5-deterministic ladder, stable proportions, remainder to last") {
     val docs = (0 until 2000).map(i => Tuple1(s"d$i")).toDF("doc_id")
     val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)

@@ -363,4 +363,30 @@ class DensitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxDriverRows"))
   }
+
+  test("streamed driver path (toLocalIterator past streamCollectRows) ≡ collect path") {
+    // past streamCollectRows the exact path streams its node-sized
+    // driver materializations (Borůvka round minima, core-distance
+    // fill, label frame) one partition at a time; force that path on
+    // the small fixtures and assert bit-equality with the collect form
+    val e = hier.toDF("id", "vec")
+    val defaultExact = labelsOf(Density.hdbscanExact(e, minPts = 2))
+    val prev = Density.streamCollectRows
+    try {
+      Density.streamCollectRows = 0L
+      assert(labelsOf(Density.hdbscanExact(e, minPts = 2)) == defaultExact)
+      // the MST under streaming: same random tie-heavy check as the
+      // collect-path Kruskal test
+      val rnd = new scala.util.Random(7)
+      val edges = (0 until 40).map { _ =>
+        (s"n${rnd.nextInt(9)}", s"n${rnd.nextInt(9)}", (1 + rnd.nextInt(4)).toDouble)
+      }.filter(t => t._1 != t._2)
+      val streamed = Density.boruvkaMst(edges.toDF("id_a", "id_b", "reach"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      Density.streamCollectRows = prev
+      val collected = Density.boruvkaMst(edges.toDF("id_a", "id_b", "reach"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(streamed == collected)
+    } finally Density.streamCollectRows = prev
+  }
 }
