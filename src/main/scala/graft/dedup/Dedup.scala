@@ -652,7 +652,13 @@ object Dedup {
     * guaranteed caught; larger distances best-effort), verified by exact
     * hamming ≤ `maxHamming`. */
   def simHashNearDupPairs(tokenPairs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = SimHash.fingerprint(tokenPairs)
+    // localCheckpoint: the (doc-sized) fingerprint table feeds BOTH
+    // sides of the chunk self-join, and runtime exchange reuse does not
+    // collapse the renamed branches (measured: 22 tasks vs 6 for the
+    // fingerprint alone — the whole token scan + simhash aggregation ran
+    // twice). One row per doc, so the materialization is the cheapest
+    // frame in the plan.
+    val fp = SimHash.fingerprint(tokenPairs).localCheckpoint()
     // NB on partitioning: the fingerprint frame is tiny (one row per doc),
     // so AQE coalesces the pre-join exchange aggressively and the
     // candidate blowup after the equi-join runs under-parallel on this
@@ -665,24 +671,39 @@ object Dedup {
     // heavy-tailed corpus where one degenerate chunk dominates, the
     // saltFactor pattern in ngramJaccardPairs/capHotKeys applies.
     val chunks = fp.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      posexplode(array((0 until 4).map(c =>
         concat(lit(s"$c:"),
-          shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))): _*)).as("chunk"))
-    // hamming is codegen'd bit math — evaluate it BEFORE the distinct, so
-    // the dedup shuffle carries only pairs that already pass the verify
-    // (filter commutes with distinct: fp is a function of id, so the
-    // distinct cardinality is unchanged). Measured neutral at sf0.1 —
-    // this corpus is near-dup dense, so most chunk collisions pass the
-    // hamming cut anyway — but on a real corpus the cut drops most
-    // collisions and the exchange shrinks by that fraction.
-    chunks.select(col("id").as("id_a"), col("simhash").as("fp_a"), col("chunk"))
-      .join(chunks.select(col("id").as("id_b"), col("simhash").as("fp_b"), col("chunk")),
+          shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))): _*))
+        .as(Seq("_c", "chunk")))
+    // hamming is codegen'd bit math — evaluate it BEFORE any exchange.
+    // Dedup WITHOUT a distinct: a pair colliding in k chunks used to be
+    // emitted k times and deduplicated by a full extra exchange of the
+    // output pair stream (the former `.distinct()` — on a near-dup-dense
+    // corpus that exchange carries the quadratic pair volume a second
+    // time). Instead each pair is emitted ONLY at its minimum matching
+    // chunk index: both fingerprints ride the joined row, so "no chunk
+    // below _c also matches" is row-local bit math (the min-witness
+    // rule). Exactly-once per qualifying pair by construction — a pair
+    // has one chunk value per index, so index c matches at most once,
+    // and the minimum matching index is unique. Identical output set to
+    // the distinct form; one full exchange of the pair stream removed.
+    def chunkEq(c: Int) =
+      shiftright(col("fp_a"), c * 15).bitwiseAND(lit(0x7FFFL)) ===
+        shiftright(col("fp_b"), c * 15).bitwiseAND(lit(0x7FFFL))
+    val minWitness = (0 until 4).map { c =>
+      (col("_c") === c) && (0 until c)
+        .map(p => !chunkEq(p)).foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    chunks.select(col("id").as("id_a"), col("simhash").as("fp_a"),
+        col("_c"), col("chunk"))
+      .join(chunks.select(col("id").as("id_b"), col("simhash").as("fp_b"),
+          col("chunk")),
         Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(minWitness)
       .select(col("id_a"), col("id_b"),
         SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Duplicate-cluster formation — the step after any near-dup pair

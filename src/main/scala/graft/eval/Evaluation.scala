@@ -55,30 +55,58 @@ object Evaluation {
     * `broadcastGold = false` for a plain shuffle hash join — identical
     * metrics (spec-asserted), one extra exchange on the candidate side. */
   def evaluate(blocks: Blocks, gold: DataFrame, leftLen: Long, rightLen: Long,
-               broadcastGold: Boolean = true): EvalResult = {
+               broadcastGold: Boolean = true): EvalResult =
+    evaluateMany(Seq("_" -> blocks), gold, leftLen, rightLen, broadcastGold)("_")
+
+  /** Reserved `_blocker` tag for the gold-count branch of the fused
+    * counting action ([[evaluateMany]]). */
+  private val GoldTag = "__gold"
+
+  /** Evaluate N blockings against one gold in ONE Spark action: each
+    * blocking's distinct candidate pairs are tagged with its name,
+    * left-joined against the (broadcast) gold flags, unioned with a
+    * gold-count branch, and rolled up per tag — so N evaluations plus
+    * the gold cardinality cost one job instead of 2N+... separate
+    * actions (the round-18 action-fusion lever; identical counts, hence
+    * identical metrics, to N [[evaluate]] calls by construction: each
+    * branch is the exact per-blocker plan the single-blocker form ran,
+    * and a blocker whose candidate stream is empty simply contributes
+    * no group row → (pairs 0, tp 0), the same row an ungrouped agg over
+    * an empty frame produced). */
+  def evaluateMany(blocks: Seq[(String, Blocks)], gold: DataFrame,
+                   leftLen: Long, rightLen: Long,
+                   broadcastGold: Boolean = true): Map[String, EvalResult] = {
+    require(blocks.nonEmpty, "evaluateMany needs at least one blocking")
+    require(blocks.map(_._1).distinct.size == blocks.size, "duplicate blocker names")
+    require(!blocks.exists(_._1 == GoldTag), s"blocker name '$GoldTag' is reserved")
     val Array(gl, gr) = gold.columns.take(2)
     // Gold is a SET (eval.py gold_pair_set): dedup before the join, else
     // duplicate gold rows multiply candidate rows through the left join
     // and inflate pairs/tp.
     val g = gold.select(col(gl).cast("string").as("left_id"),
                         col(gr).cast("string").as("right_id")).distinct()
-    val cand = blocks.distinctPairs
-    // one pass: candidate count + TP count
     val flagged = g.withColumn("_g", lit(1))
-    val counts = cand
-      .join(if (broadcastGold) broadcast(flagged) else flagged,
-        Seq("left_id", "right_id"), "left")
-      .agg(count("*").as("pairs"), count(col("_g")).as("tp"))
-      .head()
-    val pairs = counts.getLong(0)
-    val tp = counts.getLong(1)
-    val goldCount = g.count()
-    EvalResult(
-      truePositive = tp,
-      falsePositive = pairs - tp,
-      falseNegative = goldCount - tp,
-      compWithBlocking = pairs,
-      compWithoutBlocking = leftLen * rightLen)
+    val gb = if (broadcastGold) broadcast(flagged) else flagged
+    val tagged = blocks.map { case (n, b) =>
+      b.distinctPairs
+        .join(gb, Seq("left_id", "right_id"), "left")
+        .select(lit(n).as("_blocker"), col("_g"))
+    }.reduce(_ unionByName _)
+      // gold-count branch: pairs == tp == |gold| for the reserved tag
+      .unionByName(g.select(lit(GoldTag).as("_blocker"), lit(1).as("_g")))
+    val counts = tagged.groupBy("_blocker")
+      .agg(count(lit(1)).as("pairs"), count(col("_g")).as("tp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val goldCount = counts.get(GoldTag).map(_._1).getOrElse(0L)
+    blocks.map { case (n, _) =>
+      val (pairs, tp) = counts.getOrElse(n, (0L, 0L))
+      n -> EvalResult(
+        truePositive = tp,
+        falsePositive = pairs - tp,
+        falseNegative = goldCount - tp,
+        compWithBlocking = pairs,
+        compWithoutBlocking = leftLen * rightLen)
+    }.toMap
   }
 
   /** The metrics as a one-row DataFrame (rounded) — the oracle-checkable
@@ -186,14 +214,42 @@ object Evaluation {
     truePositivePairs(a, gold).unionByName(truePositivePairs(b, gold))
       .distinct().count()
 
-  /** End-to-end joint evaluation of two blockings (two single-pass evals
-    * + one TP-union count). */
+  /** End-to-end joint evaluation of two blockings in ONE Spark action:
+    * the two per-blocker counting branches of [[evaluateMany]] plus a
+    * third tagged branch carrying |TP_a ∪ TP_b| (the distinct TP union,
+    * built from the shuffle-free [[truePositivePairs]] plans), rolled up
+    * per tag in one job — vs. the former two evals + two gold counts +
+    * one union count (five actions). Counts, and hence the joined
+    * metrics, are identical by construction. */
   def joinedEvaluate(a: Blocks, b: Blocks, gold: DataFrame,
-                     leftLen: Long, rightLen: Long): EvalResult =
-    fromJoinedEvals(
-      evaluate(a, gold, leftLen, rightLen),
-      evaluate(b, gold, leftLen, rightLen),
-      jointTruePositiveCount(a, b, gold))
+                     leftLen: Long, rightLen: Long): EvalResult = {
+    val JointTag = "__joint"
+    val Array(gl, gr) = gold.columns.take(2)
+    val g = gold.select(col(gl).cast("string").as("left_id"),
+                        col(gr).cast("string").as("right_id")).distinct()
+    val flagged = broadcast(g.withColumn("_g", lit(1)))
+    def candBranch(n: String, b: Blocks) =
+      b.distinctPairs
+        .join(flagged, Seq("left_id", "right_id"), "left")
+        .select(lit(n).as("_blocker"), col("_g"))
+    val jointBranch = truePositivePairs(a, gold)
+      .unionByName(truePositivePairs(b, gold)).distinct()
+      .select(lit(JointTag).as("_blocker"), lit(1).as("_g"))
+    val counts = candBranch("_a", a)
+      .unionByName(candBranch("_b", b))
+      .unionByName(g.select(lit(GoldTag).as("_blocker"), lit(1).as("_g")))
+      .unionByName(jointBranch)
+      .groupBy("_blocker")
+      .agg(count(lit(1)).as("pairs"), count(col("_g")).as("tp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val goldCount = counts.get(GoldTag).map(_._1).getOrElse(0L)
+    def res(n: String) = {
+      val (pairs, tp) = counts.getOrElse(n, (0L, 0L))
+      EvalResult(tp, pairs - tp, goldCount - tp, pairs, leftLen * rightLen)
+    }
+    fromJoinedEvals(res("_a"), res("_b"),
+      counts.get(JointTag).map(_._1).getOrElse(0L))
+  }
 
   /** All pairwise TP-set cardinalities for N blockings in ONE shuffle
     * chain: tag each blocking's TP pairs, aggregate the set of blockings
@@ -237,7 +293,7 @@ object Evaluation {
       improvementMetrics: Seq[String] = Seq("h3r"),
       scale: Int = 6): DataFrame = {
     require(blocks.map(_._1).distinct.size == blocks.size, "duplicate blocker names")
-    val evals = blocks.map { case (n, b) => n -> evaluate(b, gold, leftLen, rightLen) }.toMap
+    val evals = evaluateMany(blocks, gold, leftLen, rightLen)
     val inter = tpIntersections(blocks, gold)
     def tp(n: String) = inter.getOrElse((n, n), 0L)
     val names = blocks.map(_._1)
@@ -276,7 +332,7 @@ object Evaluation {
       spark: SparkSession, blocks: Seq[(String, Blocks)], gold: DataFrame,
       leftLen: Long, rightLen: Long, scale: Int = 6): DataFrame = {
     require(blocks.map(_._1).distinct.size == blocks.size, "duplicate blocker names")
-    val evals = blocks.map { case (n, b) => n -> evaluate(b, gold, leftLen, rightLen) }.toMap
+    val evals = evaluateMany(blocks, gold, leftLen, rightLen)
     val inter = tpIntersections(blocks, gold)
     def tp(n: String) = inter.getOrElse((n, n), 0L)
     val best = blocks.map(_._1).maxBy(n => (evals(n).h3r, n))(

@@ -65,21 +65,30 @@ object EncoderQueries {
     * P10/W3 demand at scale. */
   private val TokCap = 1700L
 
+  /** Every a11_/a12_ query consumes each blocking TWICE (the fused
+    * counting action + the TP-set pass), so the three block tables are
+    * returned PERSISTED — the caller releases them via CacheScope.seal
+    * on its (one-row / few-row) output. The two side cardinalities come
+    * from one fused aggregate over the shared scan instead of two
+    * separate count() actions (count(when) ≡ filter().count()). */
   private def docBlockings(s: SparkSession, dir: String)
       : (Blocks, Blocks, Blocks, DataFrame, Long, Long) = {
     val docs = table(s, dir, "documents").filter(col("doc_id") % 10 < 2)
     def side(p: Int, c: String) = EntityFrame(
       docs.filter(col("doc_id") % 10 === p).select(col("doc_id"), col(c)),
       s"side$p", "doc_id")
-    val tok = TokenBlocker(maxBlockComparisons = TokCap)
-      .assign(side(0, "text"), side(1, "text"))
-    val lang = StandardBlocker("lang").assign(side(0, "lang"), side(1, "lang"))
-    val src = StandardBlocker("source").assign(side(0, "source"), side(1, "source"))
+    val tok = Blocks(TokenBlocker(maxBlockComparisons = TokCap)
+      .assign(side(0, "text"), side(1, "text")).df.persist())
+    val lang = Blocks(StandardBlocker("lang")
+      .assign(side(0, "lang"), side(1, "lang")).df.persist())
+    val src = Blocks(StandardBlocker("source")
+      .assign(side(0, "source"), side(1, "source")).df.persist())
     val gold = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("l"), (col("doc_id") + 1).as("r"))
-    val nl = docs.filter(col("doc_id") % 10 === 0).count()
-    val nr = docs.filter(col("doc_id") % 10 === 1).count()
-    (tok, lang, src, gold, nl, nr)
+    val cnt = docs.agg(
+      count(when(col("doc_id") % 10 === 0, lit(1))).as("nl"),
+      count(when(col("doc_id") % 10 === 1, lit(1))).as("nr")).head()
+    (tok, lang, src, gold, cnt.getLong(0), cnt.getLong(1))
   }
 
   /** Shared oracle CTE prefix for a11_/a12_: per-blocker distinct
@@ -429,24 +438,30 @@ object EncoderQueries {
     // (2*rr*rec/(rr+rec) over integer-derived ratios).
     "a11_joined_eval" -> QueryDef(
       (s, dir) => {
-        val (tok, lang, _, gold, nl, nr) = docBlockings(s, dir)
-        Evaluation.resultDF(s, Evaluation.joinedEvaluate(tok, lang, gold, nl, nr))
+        val (tok, lang, src, gold, nl, nr) = docBlockings(s, dir)
+        graft.core.CacheScope.seal(
+          Evaluation.resultDF(s, Evaluation.joinedEvaluate(tok, lang, gold, nl, nr)),
+          tok.df, lang.df, src.df)
       },
       Some(multiBlockSqlPrefix + joinedEvalSqlTail)),
 
     "a11_multi_compare" -> QueryDef(
       (s, dir) => {
         val (tok, lang, src, gold, nl, nr) = docBlockings(s, dir)
-        Evaluation.multipleBlockComparison(s,
-          Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr)
+        graft.core.CacheScope.seal(
+          Evaluation.multipleBlockComparison(s,
+            Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr),
+          tok.df, lang.df, src.df)
       },
       Some(multiBlockSqlPrefix + multiCompareSqlTail)),
 
     "a12_blocker_report" -> QueryDef(
       (s, dir) => {
         val (tok, lang, src, gold, nl, nr) = docBlockings(s, dir)
-        Evaluation.comparisonReport(s,
-          Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr)
+        graft.core.CacheScope.seal(
+          Evaluation.comparisonReport(s,
+            Seq("lang" -> lang, "src" -> src, "tok" -> tok), gold, nl, nr),
+          tok.df, lang.df, src.df)
       },
       Some(multiBlockSqlPrefix + blockerReportSqlTail)),
 
