@@ -528,7 +528,9 @@ object EncoderQueries {
           explode(col(Blocks.LeftCol)).as("id"))
         val rmem = blocks.select(col(Blocks.KeyCol).as("k"),
           explode(col(Blocks.RightCol)).as("id"))
-        val gold = shingleGold(docs)
+        // persist: the shingle-jaccard gold pipeline feeds two branches
+        // of the one-row invariant plan (tp join + n_gold count)
+        val gold = shingleGold(docs).persist()
         val tp = gold
           .join(lmem.select(col("k"), col("id").as("l")), Seq("l"))
           .join(rmem.select(col("k"), col("id").as("r")), Seq("r", "k"))
@@ -556,7 +558,7 @@ object EncoderQueries {
             // pinned from measured 1.0/0.917/0.908 at sf0.001/0.01/0.1
             (col("n_gold") === 0 ||
               col("n_tp").cast("double") / col("n_gold") >= 0.80).as("recall_ok")),
-          blocks) // one-row invariant output; release the blocks cache
+          blocks, gold) // one-row invariant output; release the caches
       },
       Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
               |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
@@ -578,7 +580,9 @@ object EncoderQueries {
           .select(col("doc_id").cast("string").as("id"),
             size(graft.functions.Text.tokenize(col("text"))).as("_n"))
           .filter(col("_n") > 0).select("id")
-        val gold = shingleGold(docs)
+        // persist: the shingle-jaccard gold pipeline feeds two branches
+        // of the one-row invariant plan (tp join + n_gold count)
+        val gold = shingleGold(docs).persist()
         val shape = blocks.agg(count(lit(1)).as("n_blocks"),
           countDistinct(col(Blocks.KeyCol)).as("n_keys"),
           min(size(col(Blocks.RightCol))).as("kmin"),
@@ -608,7 +612,7 @@ object EncoderQueries {
             // 1.0/1.0/1.0 at sf0.001/0.01/0.1
             (col("n_gold") === 0 ||
               col("n_tp").cast("double") / col("n_gold") >= 0.95).as("recall_ok")),
-          blocks) // one-row invariant output; release the blocks cache
+          blocks, gold) // one-row invariant output; release the caches
       },
       Some(s"""WITH enc AS (SELECT DISTINCT id FROM (
               |${duckTokens("cast(doc_id AS varchar)", "text", "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),

@@ -370,41 +370,63 @@ object Density {
       .filter(col("reach") <= epsMax)
       .localCheckpoint() // referenced once per ladder level
     // per-level membership (level, id, label); minClusterSize applied.
-    // The levels are INDEPENDENT component computations over one
-    // checkpointed edge table (eager, so the shared input exists before
-    // the fan-out) — run them as concurrent Spark jobs: each level's
-    // frontier-propagation rounds are tiny jobs whose scheduling
-    // overhead, not data, dominates, and L levels in flight overlap it.
-    val mParts = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      Await.result(Future.sequence(epsLadder.zipWithIndex.map { case (eps, i) =>
-        Future {
-          val comp = graft.dedup.Dedup.components(
-            edges.filter(col("reach") <= eps).select("id_a", "id_b"))
-          core.filter(col("_c") <= eps).select("id")
-            .join(comp.withColumnRenamed("component", "label"), Seq("id"), "left")
-            .select(lit(i + 1).as("level"), col("id"),
-              coalesce(col("label"), col("id")).as("label"))
-        }
-      }), Duration.Inf)
-    }
-    val mAll = mParts.reduce(_ unionByName _)
+    // ALL ladder levels ride ONE components run (round-18 optimization;
+    // previously L independent loops as concurrent Spark jobs): an
+    // edge/point is tagged with every level it participates in by a
+    // row-local explode (eps is descending, so membership is a level
+    // filter on reach/_c), and ids are level-prefixed "<level>|id" so
+    // min-label propagation stays within a level — edges never cross
+    // levels, and within a level the constant prefix preserves the id
+    // order, so each level's labels are bit-identical to an isolated
+    // run. The L frontier loops (each 2 checkpoints + one
+    // convergence-probe action per round) collapse into one loop of
+    // max-level rounds over the same total data volume: ~L× fewer
+    // actions/stages, which is what dominates on fixture-sized inputs,
+    // and at scale one loop over the union beats L loops re-reading the
+    // shared edge table.
+    val epsArrSql = epsLadder.map(e => s"cast($e as double)")
+      .mkString("array(", ", ", ")")
+    def levelsFor(c: String) =
+      expr(s"filter(sequence(1, $levels), l -> $c <= element_at($epsArrSql, l))")
+    val taggedEdges = edges
+      .select(col("id_a"), col("id_b"), explode(levelsFor("reach")).as("_l"))
+      .select(concat(col("_l"), lit("|"), col("id_a")).as("id_a"),
+        concat(col("_l"), lit("|"), col("id_b")).as("id_b"))
+    val comp = graft.dedup.Dedup.components(taggedEdges)
+      // split the "<level>|" prefix back out; ids may themselves contain
+      // '|', so parse at the FIRST separator only
+      .select(substring_index(col("id"), "|", 1).cast("int").as("level"),
+        expr("substring(id, instr(id, '|') + 1)").as("id"),
+        expr("substring(component, instr(component, '|') + 1)").as("label"))
+    val mAll = core
+      .select(col("id"), explode(levelsFor("_c")).as("level"))
+      .join(comp, Seq("level", "id"), "left")
+      .select(col("level"), col("id"),
+        coalesce(col("label"), col("id")).as("label"))
     val m = mAll.withColumn("_sz",
         count(lit(1)).over(Window.partitionBy("level", "label")))
       .filter(col("_sz") >= minClusterSize).drop("_sz")
       .localCheckpoint() // feeds two cluster-sized aggregates + the label join
-    // ---- bounded driver collects: O(#clusters × levels) rows ----
-    val sizes: Map[(Int, String), Long] = m.groupBy("level", "label")
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val parentOf: Map[(Int, String), String] = {
+    // ---- bounded driver collect: O(#clusters × levels) rows, both the
+    // cluster sizes and the child→parent label map in ONE tagged action
+    // over the checkpointed membership (was two collects) ----
+    val szBranch = m.groupBy("level", "label").agg(count(lit(1)).as("n"))
+      .select(lit("s").as("_t"), col("level"), col("label"), col("n"),
+        lit(null).cast("string").as("_p"))
+    val parBranch = {
       val c = m.select(col("level").as("cl"), col("id"), col("label").as("clab"))
       val p = m.select((col("level") + 1).as("cl"), col("id"), col("label").as("plab"))
       c.join(p, Seq("cl", "id")).select("cl", "clab", "plab").distinct()
-        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getString(2)).toMap
+        .select(lit("p").as("_t"), col("cl").as("level"), col("clab").as("label"),
+          lit(0L).as("n"), col("plab").as("_p"))
     }
+    val collected = szBranch.unionByName(parBranch).collect()
+    val sizes: Map[(Int, String), Long] = collected.iterator
+      .filter(_.getString(0) == "s")
+      .map(r => (r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    val parentOf: Map[(Int, String), String] = collected.iterator
+      .filter(_.getString(0) == "p")
+      .map(r => (r.getInt(1), r.getString(2)) -> r.getString(4)).toMap
     // ---- condensed tree (driver, cluster-count-sized) ----
     final case class TreeNode(birthLevel: Int, birthLabel: String, parent: Int)
     val nodes = scala.collection.mutable.ArrayBuffer.empty[TreeNode]

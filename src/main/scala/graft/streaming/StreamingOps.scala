@@ -1350,16 +1350,41 @@ object StreamingOps {
       implicit spark: SparkSession,
       enc: org.apache.spark.sql.Encoder[I]): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // State-partition count scaled to the (driver-bounded, known-size)
+    // replay fixture instead of the session-wide shuffle-partition
+    // setting: a stateful micro-batch instantiates one state store per
+    // shuffle partition PER stateful operator PER batch (open + replay +
+    // delta write + commit on local disk), so a 3-wave replay of a few
+    // thousand rows paid ~32 stores × ops × batches of pure store
+    // overhead while every task carried a handful of rows. The count is
+    // derived from the fixture size (≥4 for compute parallelism, ~1000
+    // rows/partition — stateful-overhead-bound replays never need finer
+    // grain than that — never above the session setting, so a real
+    // stream's sizing is untouched and larger fixtures scale back up),
+    // and the emitted rows are partition-count-independent: every
+    // stateful operator here is keyed (groupByKey / window / dropDup)
+    // and the per-row signature work is row-local (StreamingSpec parity
+    // + the unchanged oracle hashes pin this). Override seam:
+    // SPARK_GRAFT_REPLAY_PARTS (A/B evidence in OPTIMIZATION_r18.md).
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = math.min(sessionParts,
+      math.max(4, waves.map(_.size).sum / 1000))
+    val parts = sys.env.get("SPARK_GRAFT_REPLAY_PARTS")
+      .map(_.toInt).getOrElse(derived)
+    // clone the session so the partition setting cannot leak into the
+    // caller's conf (same SparkContext, own SQLConf/catalog)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val mem = MemoryStream[I]
     val sq = op(mem.toDS()).writeStream.format("memory")
       .queryName(sinkName).outputMode("append").start()
     try {
       waves.foreach { w => mem.addData(w: _*); sq.processAllAvailable() }
-      spark.table(sinkName).localCheckpoint()
+      ss.table(sinkName).localCheckpoint()
     } finally {
       sq.stop()
-      spark.catalog.dropTempView(sinkName)
+      ss.catalog.dropTempView(sinkName)
     }
   }
 }
