@@ -84,7 +84,12 @@ final case class MlLibMinHashBlocker(
 
   /** lid/rid pair stream via the capped native bucket join. */
   private def cappedPairs(
-      model: MinHashLSHModel, lf: DataFrame, rf: DataFrame): DataFrame = {
+      model: MinHashLSHModel, lf0: DataFrame, rf0: DataFrame): DataFrame = {
+    // persist the featurized sides too: each feeds its bucket transform
+    // AND the exact-jaccard verification join (2 evaluations of the
+    // concat+tokenize+HashingTF pipeline per side without it)
+    val lf = lf0.persist()
+    val rf = rf0.persist()
     // numHashTables skinny rows per doc; persisted because the hot-bucket
     // counts, the anti-filters, and the pair join each reference them —
     // without the persist every reference re-runs the MLlib transform
@@ -106,7 +111,7 @@ final case class MlLibMinHashBlocker(
         .filter(size(array_intersect(col("ltoks"), col("rtoks"))).cast("double")
           / size(array_union(col("ltoks"), col("rtoks"))) >= jaccardThreshold)
         .select("lid", "rid"),
-      lb, rb)
+      lb, rb, lf, rf)
   }
 
   override def assign(

@@ -217,11 +217,12 @@ object Dedup {
     // sf0.1 depending on variant). Both are bounded: the token table is
     // the operator's input, the pair list is output-sized.
     val toks = tokenPairs.persist()
-    // The prefilter references the signature twice more under renamed
-    // columns (non-identical subtrees — not reused); it is one tiny row
-    // per doc, so persist it when the prefilter will read it.
-    val sig0 = MinHash.signature(toks, numPerm)
-    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
+    // The signature is referenced by BOTH bucket self-join sides (and
+    // twice more by the prefilter when enabled) under renamed columns —
+    // non-identical subtrees, not collapsed by exchange reuse — so
+    // without a persist the per-doc min-hash aggregation runs 2-4×.
+    // One tiny row per doc: persist unconditionally.
+    val sig = MinHash.signature(toks, numPerm).persist()
     val buckets = capHotKeys(
       MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
     val candidates = estimatePrefilter(
@@ -246,7 +247,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
-    if (estPrefilter > 0.0) sig.unpersist()
+    sig.unpersist()
     toks.unpersist()
     verified
   }
@@ -297,7 +298,9 @@ object Dedup {
       threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val toks = tokenPairs.persist()
-    val sig = MinHash.signature(toks, numPerm)
+    // persist: both bucket self-join sides re-derive the signature
+    // otherwise (see [[minHashNearDupPairs]]); one row per doc
+    val sig = MinHash.signature(toks, numPerm).persist()
     val buckets = capHotKeys(
       MinHash.bandBuckets(sig, bands, numPerm / bands), maxBucketSize)
     val cand = buckets.withColumnRenamed("id", "id_a")
@@ -327,6 +330,7 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .localCheckpoint()
     cand.unpersist()
+    sig.unpersist()
     toks.unpersist()
     directed
   }
@@ -366,8 +370,9 @@ object Dedup {
       .select(col("id"), col("key"))
       .unionByName(newT)
       .persist()
-    val sig0 = MinHash.signature(all, numPerm)
-    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
+    // persist unconditionally: both bucket self-join sides re-derive the
+    // signature otherwise (see [[minHashNearDupPairs]]); one row per doc
+    val sig = MinHash.signature(all, numPerm).persist()
     val cand = incrementalCandidates(
       sig, newIds, bands, numPerm, estPrefilter, maxBucketSize).persist()
     // Materialize then release — see [[minHashNearDupPairs]].
@@ -375,7 +380,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
-    if (estPrefilter > 0.0) sig.unpersist()
+    sig.unpersist()
     all.unpersist()
     newT.unpersist()
     verified
@@ -428,9 +433,11 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val newT = newToks.select(col("id"), col("key")).persist()
     val newIds = newT.select("id").distinct()
-    val sig0 = corpusSig.join(broadcast(newIds), Seq("id"), "left_anti")
+    // persist unconditionally: both bucket self-join sides re-derive the
+    // union signature otherwise (see [[minHashNearDupPairs]])
+    val sig = corpusSig.join(broadcast(newIds), Seq("id"), "left_anti")
       .unionByName(MinHash.signature(newT, numPerm))
-    val sig = if (estPrefilter > 0.0) sig0.persist() else sig0
+      .persist()
     // cap measured over the UNION (corpus + new rows in the bucket): a
     // boilerplate bucket is hot because of its total population, not of
     // either side alone
@@ -447,7 +454,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
-    if (estPrefilter > 0.0) sig.unpersist()
+    sig.unpersist()
     newT.unpersist()
     verified
   }
@@ -612,8 +619,13 @@ object Dedup {
       .distinct()
       .persist()
     val truth = ngramJaccardPairs(toks, threshold)
+    // buckets feed BOTH candidate self-join sides; without the persist
+    // the signature aggregation runs twice (static exchange reuse does
+    // not collapse the renamed branches — the minHashNearDupPairs note).
+    // Skinny (bands rows per doc); released with toks below.
     val buckets =
       MinHash.bandBuckets(MinHash.signature(toks, numPerm), bands, r)
+        .persist()
     val cand = buckets.withColumnRenamed("id", "id_a")
       .join(buckets.withColumnRenamed("id", "id_b"), Seq("key"))
       .filter(col("id_a") < col("id_b"))
@@ -643,6 +655,7 @@ object Dedup {
             .otherwise((col("n_candidates") - col("n_caught")).cast("double")
               / col("n_candidates")), scale).as("false_candidate_rate"))
       .localCheckpoint()
+    buckets.unpersist()
     toks.unpersist()
     out
   }

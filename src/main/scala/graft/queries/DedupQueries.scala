@@ -872,16 +872,22 @@ object DedupQueries {
     // sharding). Output: the final corpus manifest (id, shard).
     "pipe_refine_corpus" -> QueryDef(
       (s, dir) => {
+        // persist: the regexp-heavy quality gate feeds both the shingle
+        // semi-join and the keep-list scan; released via the seal on the
+        // (doc-sized) shard manifest
         val kept = TextAnalysis.qualityFilter(table(s, dir, "documents"))
           .filter(col("keep"))
           .select(col("doc_id").cast("string").as("id"))
+          .persist()
         val pairs = Dedup.ngramJaccardPairs(
             docShingles(s, dir).join(kept, Seq("id"), "left_semi"), 0.1)
           .select(col("id_a"), col("id_b"))
-        Dedup.shardAssignment(
-            Dedup.keepList(kept, pairs).filter(col("keep")).select(col("id")),
-            "id", 16)
-          .orderBy("id")
+        graft.core.CacheScope.seal(
+          Dedup.shardAssignment(
+              Dedup.keepList(kept, pairs).filter(col("keep")).select(col("id")),
+              "id", 16)
+            .orderBy("id"),
+          kept)
       },
       Some {
         val stop = Text.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")

@@ -56,10 +56,16 @@ object Curation {
     val base = corpus.select(col(idCol).cast("string").as("id"),
       col(textCol).as("_text"),
       TextAnalysis.langId(col(textCol)).as("lang"))
+    // persist: the tagged frame (langId lexicon scores + every quality
+    // rule — regexp-heavy row-local work) feeds BOTH the gate-survivor
+    // semi-join inside the dup stage and the final verdict select;
+    // uncached it evaluated twice per action. Released via the seal on
+    // the (one-slim-row-per-doc) output below.
     val tagged = TextAnalysis.qualityFilter(base, "id", "_text",
         minWords, maxWords, minMeanLen, maxMeanLen, minStopwords,
         maxDupFrac, passthrough = Seq("lang"))
       .withColumnRenamed("reason", "quality_reason")
+      .persist()
     val langOk = col("lang").isin(allowedLangs: _*)
 
     // exact-dup canonical among gate survivors: row-local canonical key
@@ -79,7 +85,7 @@ object Curation {
     val contam = Dedup.decontaminate(corpus, benchmark, idCol, textCol, contamN)
       .select(col("id"), col("n_hits"))
 
-    tagged.select("id", "lang", "n_tokens", "quality_reason")
+    val out = tagged.select("id", "lang", "n_tokens", "quality_reason")
       .join(dup, Seq("id"), "left")
       .join(contam, Seq("id"), "left")
       .select(col("id"), col("lang"), col("n_tokens"), col("quality_reason"),
@@ -91,6 +97,9 @@ object Curation {
           .when(coalesce(col("n_hits"), lit(0L)) > 0, "contaminated")
           .as("drop_stage"))
       .withColumn("keep", col("drop_stage").isNull)
+    // verdict table is output-sized (one slim row per doc): materialize
+    // and release the tagged cache (CacheScope contract)
+    graft.core.CacheScope.seal(out, tagged)
   }
 
   /** Funnel report over a [[verdicts]] frame: per `groupCols` (or one
