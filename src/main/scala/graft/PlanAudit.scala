@@ -60,6 +60,7 @@ object PlanAudit {
     "a4_rel_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:98)",
     "a5_name_importance" -> "one-row entity-count total crossJoin(broadcast) (Relational.scala:120)",
     "m4_sif_embedding" -> "one-row token-count total crossJoin for SIF weighting (Encoders.scala:49)",
+    "m3_tfidf_token_blocker" -> "one-row document-count total crossJoin(broadcast) for smooth idf (SimilarityBlockers.filteredTokens)",
     "p8_filter_importance" -> "consumes a4's importance pipeline (one-row total broadcast)",
     "w1_top_name_props" -> "consumes a5's importance pipeline (one-row total broadcast)",
     "tx_lm_score" -> "one-row (N, V) reference-totals broadcast into the smoothed log-prob projection",

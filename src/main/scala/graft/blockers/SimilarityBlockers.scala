@@ -77,11 +77,14 @@ final case class TfIdfFilteredTokenBlocker(
 
   /** (id, key) pairs surviving the per-doc tf-idf threshold.
     *
-    * The term-frequency frame feeds four consumers (N scalar, doc
+    * The term-frequency frame feeds four consumers (N frame, doc
     * frequencies, the weight join, the per-doc norms) — persist it so the
-    * tokenize+aggregate pipeline runs once, not 4×. The N count action
-    * doubles as the cache materializer; the cache is GC-unpersisted by
-    * Spark's ContextCleaner once the returned plan is unreachable. */
+    * tokenize+aggregate pipeline runs once, not 4×. N rides IN-PLAN as a
+    * one-row crossJoin(broadcast) (the countEntitiesFrame pattern) rather
+    * than a separate driver count() action per side — the whole blocking
+    * is then ONE job, and the double arithmetic (1.0 + N as double) is
+    * unchanged. The cache is GC-unpersisted by Spark's ContextCleaner
+    * once the returned plan is unreachable. */
   private[graft] def filteredTokens(f: EntityFrame): DataFrame = {
     val conc = col(EntityFrame.ConcCol)
     val toks = tokenizer.map(_(conc))
@@ -90,10 +93,14 @@ final case class TfIdfFilteredTokenBlocker(
       .select(col(f.idCol).cast("string").as("id"), explode(toks).as("key"))
       .groupBy("id", "key").agg(count(lit(1)).as("tf"))
       .persist()
-    val n = tf.select("id").distinct().count()
+    val nF = tf.select("id").distinct()
+      .agg(count(lit(1)).cast("double").as("_n"))
     val df = tf.groupBy("key").agg(count(lit(1)).as("df"))
     val weighted = tf.join(df, Seq("key"))
-      .withColumn("w", col("tf") * (log((lit(1.0) + n) / (lit(1.0) + col("df"))) + 1.0))
+      .crossJoin(broadcast(nF))
+      .withColumn("w",
+        col("tf") * (log((lit(1.0) + col("_n")) / (lit(1.0) + col("df"))) + 1.0))
+      .drop("_n")
     val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     weighted.join(norms, Seq("id"))
       .filter(col("w") / col("norm") >= threshold)

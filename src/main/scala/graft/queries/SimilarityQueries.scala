@@ -1921,18 +1921,25 @@ object SimilarityQueries {
     "ann_ivf_recall_curve" -> QueryDef(
       (s, dir) => {
         val lab = pmod(col("vec_id"), lit(8))
+        // persist: the synthetic vector build is 128 md5 evaluations per
+        // row, and the frame feeds four subtrees (IVF assignment, bucket
+        // members, both brute-baseline sides); released via the seal on
+        // the 4-row curve
         val e = embs(s, dir).select(col("vec_id"), lab.as("lab"),
           transform(sequence(lit(0), lit(63)), i =>
             (Text.md5Long(concat(lab, lit(":"), i)) % 2001 - 1000) / 1000.0
               + (Text.md5Long(concat(col("vec_id"), lit("n"), i)) % 2001 - 1000) / 2000.0
           ).as("vec"))
+          .persist()
         val q = e.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id").as("id"), col("vec"))
         val bucketed = e.filter(col("vec_id") % 2 === 1)
           .select(col("lab").cast("string").as("bucket"),
             col("vec_id").as("id"), col("vec"))
-        Similarity.ivfRecallCurve(q, bucketed, 3, Seq(1, 2, 4, 8))
-          .orderBy("probes")
+        graft.core.CacheScope.seal(
+          Similarity.ivfRecallCurve(q, bucketed, 3, Seq(1, 2, 4, 8))
+            .orderBy("probes"),
+          e)
       },
       Some("""WITH expl AS (
              |  SELECT vec_id, vec_id % 8 AS label, i.i - 1 AS i,
