@@ -82,14 +82,10 @@ final case class MlLibMinHashBlocker(
     model.approxSimilarityJoin(lf, rf, 1.0 - jaccardThreshold, "dist")
       .select(col("datasetA.id").as("lid"), col("datasetB.id").as("rid"))
 
-  /** lid/rid pair stream via the capped native bucket join. */
+  /** lid/rid pair stream via the capped native bucket join. `lf`/`rf`
+    * arrive ALREADY persisted (assign persists them before the fit). */
   private def cappedPairs(
-      model: MinHashLSHModel, lf0: DataFrame, rf0: DataFrame): DataFrame = {
-    // persist the featurized sides too: each feeds its bucket transform
-    // AND the exact-jaccard verification join (2 evaluations of the
-    // concat+tokenize+HashingTF pipeline per side without it)
-    val lf = lf0.persist()
-    val rf = rf0.persist()
+      model: MinHashLSHModel, lf: DataFrame, rf: DataFrame): DataFrame = {
     // numHashTables skinny rows per doc; persisted because the hot-bucket
     // counts, the anti-filters, and the pair join each reference them —
     // without the persist every reference re-runs the MLlib transform
@@ -117,8 +113,14 @@ final case class MlLibMinHashBlocker(
   override def assign(
       left: EntityFrame, right: EntityFrame,
       leftRel: Option[DataFrame], rightRel: Option[DataFrame]): Blocks = {
-    val lf = featurize(left)
-    val rf = featurize(right)
+    // capped path: persist the featurized sides BEFORE the fit — each
+    // feeds the fit's first-row dimensionality probe, its bucket
+    // transform AND the exact-jaccard verification join (without the
+    // persist the concat+tokenize+HashingTF pipeline evaluates up to 3×
+    // per side); released in cappedPairs' seal
+    val capped = maxBlockComparisons > 0
+    val lf = if (capped) featurize(left).persist() else featurize(left)
+    val rf = if (capped) featurize(right).persist() else featurize(right)
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)

@@ -773,9 +773,10 @@ object Dedup {
       checkpointInterval: Int = 5): DataFrame =
     componentsWithRounds(pairs, maxIterations, checkpointInterval)._1
 
-  /** First 0-based round index that pointer-jumps (so rounds 1–3 are
-    * pure frontier propagation — the star-shaped common case never pays
-    * the extra join, chains start shortcutting from round 4). */
+  /** Rounds-done count below which the loop does not pointer-jump (so
+    * rounds 1–3 are pure frontier propagation — the star-shaped common
+    * case never pays the extra join, chains start shortcutting from
+    * round 4; round 1 itself is folded into the init aggregate). */
   private val jumpFromRound = 3
 
   /** [[components]] plus the number of propagation rounds it took to
@@ -786,33 +787,47 @@ object Dedup {
   def componentsWithRounds(
       pairs: DataFrame, maxIterations: Int = 20,
       checkpointInterval: Int = 5): (DataFrame, Int) = {
-    // localCheckpoint, not persist: the edge list is referenced by EVERY
-    // round's join plus both convergence probes, and under persist each
-    // reference still carries (and re-analyzes) the full upstream pair
-    // pipeline's logical plan — round k's analyzed plan nested the whole
-    // ngram/LSH lineage. Checkpointing truncates the plan to a leaf once,
-    // so per-round analysis cost is flat, and the blocks are released by
-    // ContextCleaner when the frame goes out of scope (persist'd frames
-    // sit in the CacheManager forever unless explicitly unpersisted).
     // Checkpoint the DIRECTED pairs before symmetrizing: the union's two
     // branches would otherwise each evaluate the upstream pair pipeline
     // (ReuseExchange does not reliably collapse them under AQE) — the
     // ×100 curve measured keep_best's spill at ~2× the single-pass
-    // number before this. The extra checkpoint materializes only the
+    // number before this. The checkpoint also truncates the upstream
+    // lineage to a leaf, so the per-round re-analysis of every frame
+    // derived from `edges` stays flat (round k's analyzed plan used to
+    // nest the whole ngram/LSH pipeline), and it materializes only the
     // pair-count-sized projection.
     val directed = pairs
       .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst"))
       .localCheckpoint()
+    // localCheckpoint (NOT persist) for the per-round edge list: cached
+    // plans keep their full shuffle-partition layout (AQE cannot re-shape
+    // a cache — canChangeCachedPlanOutputPartitioning is off), so a
+    // persisted edges frame makes EVERY round scan shuffle.partitions
+    // cache splits; the checkpoint stores the AQE-coalesced distinct
+    // output instead (measured: +54..+178 tasks/query under persist on
+    // the density family, checkpoint form flat).
     val edges = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    val init = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+    // Round 1 is FOLDED into the init aggregate: from the all-self start,
+    // label_1(v) = min(v, min neighbor of v) — and the groupBy(src)
+    // shuffle that used to build the distinct-id init computes exactly
+    // that for free, so the first edge⋈frontier join round never runs.
+    // _chg = (label_1 < id) marks the round-1 frontier (a node changes in
+    // round 1 iff some neighbor is smaller; self-loops change nothing).
+    val init = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("id"), least(col("id"), col("_nbr")).as("component"),
+        (col("_nbr") < col("id")).as("_chg"))
+      .persist()
     var cached = init                                   // persisted handle to unpersist
-    var labels = init                                   // full (id, component) view
-    var frontier = init                                 // labels changed last round
-    var done = frontier.isEmpty                         // no edges → no rounds
-    var i = 0
+    var labels = init.select("id", "component")         // full (id, component) view
+    var frontier = init.filter(col("_chg")).select("id", "component")
+    // round-1 convergence probe; count(), NOT isEmpty, for the same
+    // full-materialization reason as the loop probe below. Empty edge
+    // list ⇒ empty init ⇒ done immediately.
+    var done = frontier.count() == 0L
+    var i = 1                                           // propagation rounds run so far
     while (!done && i < maxIterations) {
       val nbrMin = edges
         .join(frontier.select(col("id").as("src"), col("component")), Seq("src"))

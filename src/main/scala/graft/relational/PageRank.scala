@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * callers with genuinely directed graphs must add the dangling term
   * themselves).
   *
-  * 100 TB shape: arcs and the out-degree table are persisted across the
-  * (fixed, small) iteration count and released after a final
-  * localCheckpoint truncates the result's lineage — the [[graft.dedup.Dedup]]
-  * components pattern. All joins are keyed by node id; the only
-  * broadcast is the one-row node count. Ranks are node-sized.
+  * 100 TB shape: the degree-annotated arc table is persisted in its
+  * hash(src) layout across the (fixed, small) iteration count and
+  * released after a final localCheckpoint truncates the result's
+  * lineage — the [[graft.dedup.Dedup]] components pattern. All joins are
+  * keyed by node id; the only broadcast is the one-row node count.
+  * Ranks are node-sized.
   */
 object PageRank {
 
@@ -30,22 +31,31 @@ object PageRank {
     */
   def pageRank(arcs: DataFrame, iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    val a = arcs.select(col("src"), col("dst"))
-    val deg = a.groupBy("src").agg(count(lit(1)).as("dg")).persist()
-    val nDf = deg.agg(count(lit(1)).as("n"))
-    // The arcs⋈deg join is loop-INVARIANT: build the (src, dst, dg)
-    // contribution table once, hash-partitioned by src and persisted in
-    // that layout — every iteration's join then exchanges only the
-    // node-sized rank table against the cached partitioning, instead of
-    // re-joining (and re-shuffling) the arc-sized side each round. This
-    // is the shuffle-once idiom that matters at 100 TB: the big side
-    // moves exactly one time however many iterations run. (The per-round
-    // contribution keeps the r/dg division form — same operations as the
-    // SQL oracle's replay, no reciprocal-multiply drift.)
-    val contrib = a.join(deg, Seq("src"))
-      .select(col("src"), col("dst"), col("dg"))
-      .repartition(col("src"))
+    import org.apache.spark.sql.expressions.Window
+    // The (src, dst, dg) contribution table is loop-INVARIANT, and the
+    // out-degree is derivable in the SAME pass that lays the arc table
+    // out by src: one window count over hash(src) partitioning replaces
+    // the old groupBy→join→repartition chain (three arc-sized exchanges
+    // → one exchange + a per-partition sort; guide §2.4). The cached
+    // frame keeps hash(src) partitioning, so every iteration's join
+    // exchanges only the node-sized rank table against the cached
+    // layout — the big side moves exactly one time however many
+    // iterations run, which is the shuffle-once idiom that matters at
+    // 100 TB. (The per-round contribution keeps the r/dg division form —
+    // same operations as the SQL oracle's replay, no reciprocal-multiply
+    // drift.)
+    val contrib = arcs.select(col("src"), col("dst"))
+      .withColumn("dg", count(lit(1)).over(Window.partitionBy("src")))
       .persist()
+    // deg rides the cached hash(src) layout: groupBy(src) over it plans
+    // WITHOUT an exchange, and every dg value in a group is identical,
+    // so first() is deterministic-by-value. NOT persisted: the one-row
+    // nDf broadcast subtrees are identical across iterations, so runtime
+    // exchange reuse collapses them (an A/B persist REGRESSED tasks
+    // 524 → 588 — the cache pins 32 splits per reference, the repo's
+    // r18 reuse lesson).
+    val deg = contrib.groupBy("src").agg(first(col("dg")).as("dg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
     var r = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to iterations) {
@@ -58,7 +68,6 @@ object PageRank {
           (lit(1.0 - damping) / col("n") + lit(damping) * col("m")).as("r"))
     }
     val out = r.localCheckpoint()
-    deg.unpersist()
     contrib.unpersist()
     out
   }
@@ -85,14 +94,14 @@ object PageRank {
     *
     * 100 TB shape: one round = an arc⋈label equi-join (arcs
     * hash-partitioned by dst ONCE, persisted — only the node-sized label
-    * table moves per round) + a (src, label) count + a per-src argmax
-    * window; labels are localCheckpoint'd per round so the plan stays
+    * table moves per round) + a (src, label) count + a per-src min_by
+    * argmax (both with map-side partial aggregation; no per-round sort);
+    * labels are localCheckpoint'd per round so the plan stays
     * flat. Everything is keyed by node id; communities are never
     * collected.
     *
     * Output: (node, community). */
   def labelPropagation(arcs: DataFrame, iterations: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = arcs.select(col("src"), col("dst"))
       .repartition(col("dst")).persist()
     var labels = a.select(col("src").as("node")).distinct()
@@ -103,10 +112,18 @@ object PageRank {
         .unionByName(labels.select(col("node").as("src"), col("label")))
       val counts = votes.groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("src")
-        .orderBy(col("c").desc, col("label").asc)
-      labels = counts.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+      // max-count label, min-label tie-break, as ONE aggregate instead of
+      // the row_number() window: min_by over the (−c, label) struct is
+      // the same (c DESC, label ASC) order, but it partial-aggregates
+      // map-side and never sorts the full vote-count table (guide §2.3
+      // aggregate-before-you-shuffle; the window paid exchange + full
+      // sort per round). The ordering struct is unique per group — label
+      // is a grouping key, so (−c, label) never ties and min_by's
+      // nondeterministic-tie hazard never engages.
+      labels = counts
+        .groupBy("src")
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("_nc"), col("label").as("_lb"))).as("label"))
         .select(col("src").as("node"), col("label"))
         .localCheckpoint(eager = false)
     }

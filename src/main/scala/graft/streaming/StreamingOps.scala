@@ -1369,11 +1369,30 @@ object StreamingOps {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val derived = math.min(sessionParts,
       math.max(4, waves.map(_.size).sum / 1000))
-    val parts = sys.env.get("SPARK_GRAFT_REPLAY_PARTS")
-      .map(_.toInt).getOrElse(derived)
+    // validated override: clamp to ≥1 and fail loudly on a non-numeric
+    // value instead of surfacing an obscure NumberFormatException (or an
+    // invalid partition count) from deep inside the stream start
+    val parts = sys.env.get("SPARK_GRAFT_REPLAY_PARTS") match {
+      case Some(v) =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_REPLAY_PARTS must be an integer, got '$v'")
+        }
+        math.max(1, n)
+      case None => derived
+    }
     // clone the session so the partition setting cannot leak into the
-    // caller's conf (same SparkContext, own SQLConf/catalog)
+    // caller's conf (same SparkContext, own SQLConf/catalog) — but carry
+    // the caller's MODIFIED runtime confs onto the clone first:
+    // newSession() starts from the context defaults, so a caller's
+    // conf.set (e.g. a st_ttl_* replay disabling noDataMicroBatches to
+    // exercise idle-batch expiry) would otherwise silently not apply to
+    // the replay query (ADVICE r18).
     val ss = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (ss.conf.isModifiable(k) && ss.conf.getOption(k) != Some(v))
+        ss.conf.set(k, v)
+    }
     ss.conf.set("spark.sql.shuffle.partitions", parts)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val mem = MemoryStream[I]

@@ -216,6 +216,19 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 15, s"expected jumping to converge in ≤15 rounds, took $rounds")
   }
 
+  test("components converges in the folded init round on stars and self-loops") {
+    // star b-a, c-a converges at round 1 — the round that is FOLDED into
+    // the init aggregate (label_1 = min(id, min neighbor)); self-loops
+    // must neither change labels nor count as a frontier entry
+    val pairs = Seq(("b", "a"), ("c", "a"), ("d", "d")).toDF("id_a", "id_b")
+    val (labels, rounds) = graft.dedup.Dedup.componentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+    // one propagation round total: init computed it, the probe saw an
+    // unchanged round-2 frontier of exactly the star leaves' labels
+    assert(rounds <= 2, s"star should converge in ≤2 rounds, took $rounds")
+  }
+
   test("components fails loudly instead of returning under-merged labels") {
     // 2 iterations cannot close a 10-hop chain; silent truncation would
     // report the far end as a separate component — the contract is throw

@@ -127,4 +127,16 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r3.sum - 1.0) < 1e-9)
     assert(r3.length == 3)
   }
+
+  test("labelPropagation breaks equal-count ties toward the smallest label") {
+    // single edge a — b: every round each node sees one neighbor vote and
+    // one self vote (count 1 each) — a pure tie, which the published rule
+    // resolves to the lexicographically smallest label. Pins the min_by
+    // aggregation's (−count, label) ordering against the old
+    // row_number(c DESC, label ASC) window it replaced.
+    val arcs = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = graft.relational.PageRank.labelPropagation(arcs, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a"))
+  }
 }
