@@ -348,6 +348,42 @@ object ScaleCurve {
         res.truePositive
       }),
 
+      // a12_blocker_report's shape: THREE blockings (capped token + two
+      // standard) evaluated via the round-18 fused counting action plus
+      // the TP-intersection pass — each block table persisted and
+      // consumed by BOTH passes, so this row measures exactly what the
+      // eval-trio persists must survive at scale: corpus-sized block
+      // tables under default MEMORY_AND_DISK (spill column) while the
+      // gold side stays a broadcast (guide §5). Result = Σ tp over the
+      // report rows.
+      "blocker_report" -> (() => {
+        val full = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            explode(sequence(lit(0), lit(copies - 1))).as("copy"))
+          .select(concat(col("doc_id"), lit("_"), col("copy")).as("id"),
+            col("doc_id"), col("text"), col("lang"), col("source"), col("copy"))
+          .persist()
+        def side(p: Int, c: String) = EntityFrame(
+          full.filter(col("doc_id") % 2 === p).select(col("id"), col(c)),
+          s"br${c}$p", "id")
+        val tok = graft.core.Blocks(
+          graft.blockers.TokenBlocker(maxBlockComparisons = 1000000L)
+            .assign(side(0, "text"), side(1, "text")).df.persist())
+        val lang = graft.core.Blocks(graft.blockers.StandardBlocker("lang")
+          .assign(side(0, "lang"), side(1, "lang")).df.persist())
+        val src = graft.core.Blocks(graft.blockers.StandardBlocker("source")
+          .assign(side(0, "source"), side(1, "source")).df.persist())
+        val gold = full.filter(col("doc_id") % 2 === 0)
+          .select(col("id").as("l"),
+            concat(col("doc_id") + 1, lit("_"), col("copy")).as("r"))
+        val nl = full.filter(col("doc_id") % 2 === 0).count()
+        val nr = full.filter(col("doc_id") % 2 === 1).count()
+        val rep = graft.eval.Evaluation.comparisonReport(spark,
+          Seq("tok" -> tok, "lang" -> lang, "src" -> src), gold, nl, nr)
+        val n = rep.agg(sum(col("tp"))).head().getLong(0)
+        Seq(tok.df, lang.df, src.df, full).foreach(_.unpersist())
+        n
+      }),
       // m9_lightea_embedding's shape on the ×N-salted star schema: the
       // three-view propagation's iterative joins (ent↔ent adjacency ×
       // feature table per depth) grow with the graph while the feature
@@ -451,7 +487,7 @@ object ScaleCurve {
       "communities_hubbed", "tfidf_token_blocker", "crossdoc_spans",
       "crossdoc_cut", "curation_verdicts",
       "simhash_neardup", "kmeans_blocker", "mllib_minhash_blocker",
-      "pagerank_copurchase", "joined_eval", "density_ladder",
+      "pagerank_copurchase", "joined_eval", "blocker_report", "density_ladder",
       "winnow_pairs_uncapped", "filter_importance", "reverse_rel_sorted",
       "lightea", "cluster_histogram", "cluster_histogram_lsh",
       "keep_best_lsh", "components_chain", "density_exact")

@@ -427,14 +427,17 @@ final case class LightEAEncoder(
     val edges = cache(fwd.unionByName(bwd).distinct())
 
     // ent_ent view: off-diagonal = #distinct direction-tagged relations
-    // per (src,dst); diagonal = #incident direction-tagged triples
-    val offDiag = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
-    val diag = edges.select(col("src").as("n"))
-      .unionByName(edges.select(col("dst").as("n")))
-      .groupBy("n").agg(count(lit(1)).cast("double").as("w"))
-      .select(col("n").as("src"), col("n").as("dst"), col("w"))
-    val entEnt = cache(offDiag.unionByName(diag)
-      .groupBy("src", "dst").agg(sum("w").as("w")))
+    // per (src,dst); diagonal = #incident direction-tagged triples.
+    // ONE (src,dst)-keyed count over the unioned endpoint rows — each
+    // edge contributes its (src,dst) cell plus one (src,src) and one
+    // (dst,dst) diagonal hit, so count ≡ the former offDiag + diag sum
+    // while paying one aggregate exchange instead of three (guide §2.3
+    // aggregate-before-you-shuffle; the union branches scan the edges
+    // cache row-locally).
+    val entEnt = cache(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("src"), col("src").as("dst")))
+      .unionByName(edges.select(col("dst").as("src"), col("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w")))
     val relEnt = cache(edges.select(col("r"), col("src")).distinct())
     val entRel = cache(edges.select(col("dst").as("id"), col("r")).distinct())
 

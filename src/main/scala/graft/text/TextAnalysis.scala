@@ -977,6 +977,11 @@ object TextAnalysis {
   def winnowPairs(docs: DataFrame, minShared: Int,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8, w: Int = 4, maxHashDocs: Int = 0): DataFrame = {
+    // NOT checkpointed/persisted: the renamed self-join sides share one
+    // runtime-reused exchange (r18 A/B at sf0.1 was a wash; the r19 ×10
+    // A/B REGRESSED under a checkpoint — capped 14.2→24.0 s, max-task
+    // shuffle records 131714→183124 — because the checkpoint leaf loses
+    // the shared exchange and both sides re-shuffle it).
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("h")).distinct()
     val capped =
